@@ -1,0 +1,76 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Scalar string functions re-expressing the reference's string surface
+  * (SURVEY.md §2.5) plus the text-analysis extensions, all as
+  * codegen-friendly built-in compositions — no UDFs anywhere.
+  *
+  * Oracle-parity notes: each helper has an exact DuckDB-SQL twin built
+  * from the same primitives, so results hash-match bit-for-bit.
+  */
+object TextFunctions {
+
+  /** 'hello world' -> 'Hello world'. Reference F6: Python
+    * `lambda s: s[0].upper() + s[1:]` (`scripts/build_db.py:581,766`).
+    * NOT `initcap` (which also lowercases the tail). */
+  def capitalizeFirst(c: Column): Column =
+    concat(upper(c.substr(lit(1), lit(1))), c.substr(lit(2), length(c)))
+
+  /** 'stages' -> 'Stage' — capitalize first, drop last char. Reference F6
+    * de-pluralizing variant `s[0].upper() + s[1:-1]`
+    * (`scripts/build_db.py:770,969`). */
+  def dePluralizeCapitalize(c: Column): Column =
+    concat(upper(c.substr(lit(1), lit(1))),
+      c.substr(lit(2), greatest(length(c) - 2, lit(0))))
+
+  /** Replace only the FIRST occurrence of `find` — Polars `str.replace`
+    * semantics (`scripts/build_db.py:232`), which Spark's regexp_replace
+    * (replace-all) does not provide. Built from locate/substr so the
+    * DuckDB oracle can mirror it exactly. */
+  def replaceFirst(c: Column, find: String, repl: String): Column = {
+    val pos = instr(c, find)
+    when(pos > 0,
+      concat(c.substr(lit(1), pos - 1), lit(repl),
+        c.substr(pos + find.length, length(c))))
+      .otherwise(c)
+  }
+
+  /** Whitespace word tokens (leading/trailing space trimmed first). */
+  def wsTokens(c: Column): Column = split(trim(c), "\\s+")
+
+  /** Whitespace token count as BIGINT. */
+  def wsTokenCount(c: Column): Column = size(wsTokens(c)).cast("long")
+
+  /** BPE-ish token count: runs of letters, runs of digits, and single
+    * other non-space chars each count as one token — the classic
+    * pre-tokenizer regex shape. */
+  def bpeishTokenCount(c: Column): Column =
+    regexp_count(c, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]")).cast("long")
+
+  /** Number of tokens of `c` that appear in `words`. */
+  def tokensIn(c: Column, words: Seq[String]): Column = {
+    val arr = array(words.map(lit): _*)
+    size(filter(wsTokens(c), t => array_contains(arr, t))).cast("long")
+  }
+
+  /** Sum of token lengths (for avg-word-length metrics). */
+  def tokenLenSum(c: Column): Column =
+    aggregate(transform(wsTokens(c), t => length(t)), lit(0), (a, x) => a + x)
+      .cast("long")
+
+  /** Content fingerprint: md5 of whitespace-normalized lowercase text.
+    * Identical in DuckDB: md5(regexp_replace(lower(trim(t)),'\s+',' ','g')). */
+  def md5Fingerprint(c: Column): Column =
+    md5(regexp_replace(lower(trim(c)), "\\s+", " "))
+
+  /** Character n-gram shingles (distinct), positions 1..len-n+1.
+    * Matches DuckDB `list_distinct(list_transform(range(1, length(t)-n+2),
+    * i -> substr(t,i,n)))` on sizes (element order differs; only set
+    * semantics are relied on). */
+  def charShingles(c: Column, n: Int): Column =
+    array_distinct(transform(
+      sequence(lit(1), greatest(length(c) - (n - 1), lit(1))),
+      i => c.substr(i, lit(n))))
+}

@@ -1,0 +1,184 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.HashFunctions._
+import graft.functions.TextFunctions._
+
+/** Deduplication operators for large-scale text pipelines: exact,
+  * MinHash+LSH, SimHash, and n-gram Jaccard. All hash math is
+  * md5-derived so the DuckDB oracle reproduces it bit-for-bit
+  * (HashFunctions scaladoc).
+  *
+  * Scale design: every stage is a shuffle-on-key groupBy or an
+  * equi-join on (band, bucket) — no cross joins, no driver-side
+  * loops, no global windows. At 100 TB the explode(shingles) stage
+  * dominates; it is map-side only and AQE handles the skew of the
+  * band-bucket join.
+  */
+object Dedup {
+
+  /** Exact dedup: keep the lowest-id row per identical key. One shuffle
+    * on the (hashed) key. */
+  def exactKeepFirst(df: DataFrame, keyCol: Column, idCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keyCol)
+    df.withColumn("__keep", min(idCol).over(w))
+      .filter(idCol === col("__keep"))
+      .drop("__keep")
+  }
+
+  // ---- MinHash + LSH ------------------------------------------------
+
+  /** MinHash parameters: k signatures in `bands` bands of `rows` each. */
+  final case class MinHashParams(k: Int = 12, bands: Int = 4, shingleN: Int = 5) {
+    require(k % bands == 0, "k must divide into equal bands")
+    val rows: Int = k / bands
+  }
+
+  /** Per-document MinHash signature columns s0..s(k-1).
+    * One md5 per distinct shingle; the k family members are
+    * Carter–Wegman combinations of its two 60-bit halves. */
+  def minHashSignatures(docs: DataFrame, idCol: String, textCol: String,
+      p: MinHashParams): DataFrame = {
+    val grams = docs.select(col(idCol),
+        explode(charShingles(col(textCol), p.shingleN)).as("g"))
+      .select(col(idCol), md5Hash60(col("g")).as("a"), md5Hash60b(col("g")).as("b"))
+    grams.groupBy(col(idCol))
+      .agg(min(cwHash(col("a"), col("b"), 0)).as("s0"),
+        (1 until p.k).map(j => min(cwHash(col("a"), col("b"), j)).as(s"s$j")): _*)
+  }
+
+  /** LSH band keys: md5 over the '|'-joined signature slice per band;
+    * output long-form (id, band, band_key). */
+  def lshBands(sigs: DataFrame, idCol: String, p: MinHashParams): DataFrame = {
+    val bandCols = (0 until p.bands).map { b =>
+      val slice = (b * p.rows until (b + 1) * p.rows)
+        .map(j => col(s"s$j").cast("string"))
+      md5(concat_ws("|", slice: _*)).as(s"band$b")
+    }
+    sigs.select(col(idCol) +: bandCols: _*)
+      .unpivot(Array(col(idCol)),
+        (0 until p.bands).map(b => col(s"band$b")).toArray, "band", "band_key")
+  }
+
+  /** Candidate pairs (id_a < id_b) sharing ≥1 LSH bucket, with the
+    * MinHash Jaccard estimate (= fraction of matching signature slots),
+    * filtered to `minEst`. The pair join is an equi-join on
+    * (band, band_key) — bucket-local, never all-pairs. */
+  def minHashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
+      p: MinHashParams = MinHashParams(), minEst: Double = 0.5): DataFrame = {
+    val sigs = minHashSignatures(docs, idCol, textCol, p).cache()
+    val bands = lshBands(sigs, idCol, p)
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") &&
+          col("x.band_key") === col("y.band_key") &&
+          col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"))
+      .distinct()
+    val sa = sigs.select(col(idCol).as("id_a") +:
+      (0 until p.k).map(j => col(s"s$j").as(s"a$j")): _*)
+    val sb = sigs.select(col(idCol).as("id_b") +:
+      (0 until p.k).map(j => col(s"s$j").as(s"b$j")): _*)
+    val matches = (0 until p.k)
+      .map(j => when(col(s"a$j") === col(s"b$j"), 1).otherwise(0))
+      .reduce(_ + _)
+    cand.join(sa, "id_a").join(sb, "id_b")
+      .select(col("id_a"), col("id_b"),
+        (matches.cast("double") / p.k).as("est_jaccard"))
+      .filter(col("est_jaccard") >= minEst)
+  }
+
+  /** DuckDB oracle SQL mirroring minHashNearDupPairs exactly. */
+  def minHashOracleSql(table: String, idCol: String, textCol: String,
+      p: MinHashParams = MinHashParams(), minEst: Double = 0.5): String = {
+    val n = p.shingleN
+    val sigExprs = (0 until p.k).map(j =>
+      s"CAST(min((a + $j * (b % ${1L << 40})) % ${1L << 60}) AS BIGINT) AS s$j").mkString(", ")
+    val bandExprs = (0 until p.bands).map { b =>
+      val slice = (b * p.rows until (b + 1) * p.rows)
+        .map(j => s"CAST(s$j AS VARCHAR)").mkString(" || '|' || ")
+      s"SELECT $idCol AS id, $b AS band, md5($slice) AS band_key FROM sigs"
+    }.mkString(" UNION ALL ")
+    val matchSum = (0 until p.k)
+      .map(j => s"(CASE WHEN sa.s$j = sb.s$j THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""WITH grams AS (
+       |  SELECT DISTINCT $idCol, unnest(list_transform(
+       |    range(1, greatest(length($textCol) - ${n - 1}, 1) + 1),
+       |    i -> substr($textCol, i::INT, $n))) AS g
+       |  FROM $table),
+       |hashed AS (
+       |  SELECT $idCol, ('0x' || substr(md5(g), 1, 15))::BIGINT AS a,
+       |         ('0x' || substr(md5(g), 17, 15))::BIGINT AS b
+       |  FROM grams),
+       |sigs AS (SELECT $idCol, $sigExprs FROM hashed GROUP BY $idCol),
+       |bands AS ($bandExprs),
+       |cand AS (
+       |  SELECT DISTINCT x.id AS id_a, y.id AS id_b
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.band_key = y.band_key AND x.id < y.id)
+       |SELECT c.id_a, c.id_b,
+       |       CAST($matchSum AS DOUBLE) / ${p.k} AS est_jaccard
+       |FROM cand c
+       |JOIN sigs sa ON sa.$idCol = c.id_a
+       |JOIN sigs sb ON sb.$idCol = c.id_b
+       |WHERE CAST($matchSum AS DOUBLE) / ${p.k} >= $minEst
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  // ---- SimHash ------------------------------------------------------
+
+  /** 32-bit SimHash over distinct whitespace tokens: bit j of the
+    * signature is the sign of sum over tokens of ±1 according to bit j
+    * of the token's 60-bit md5 hash. */
+  def simHash32(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol),
+        explode(array_distinct(wsTokens(col(textCol)))).as("t"))
+      .select(col(idCol), md5Hash60(col("t")).as("h"))
+    val sums = toks.groupBy(col(idCol)).agg(
+      bitSum(0).as("c0"), (1 until 32).map(j => bitSum(j).as(s"c$j")): _*)
+    val sig = (0 until 32)
+      .map(j => when(col(s"c$j") >= 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    sums.select(col(idCol), sig.as("simhash"))
+  }
+
+  private def bitSum(j: Int): Column =
+    sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1))
+
+  /** DuckDB oracle SQL mirroring simHash32. */
+  def simHashOracleSql(table: String, idCol: String, textCol: String): String = {
+    val sums = (0 until 32).map(j =>
+      s"CAST(sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS c$j")
+      .mkString(", ")
+    val sig = (0 until 32)
+      .map(j => s"(CASE WHEN c$j >= 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
+    s"""WITH toks AS (
+       |  SELECT DISTINCT $idCol, unnest(string_split_regex(trim($textCol), '\\s+')) AS t
+       |  FROM $table),
+       |hashed AS (
+       |  SELECT $idCol, ('0x' || substr(md5(t), 1, 15))::BIGINT AS h FROM toks),
+       |sums AS (SELECT $idCol, $sums FROM hashed GROUP BY $idCol)
+       |SELECT $idCol, CAST($sig AS BIGINT) AS simhash FROM sums
+       |ORDER BY $idCol""".stripMargin
+  }
+
+  // ---- exact n-gram Jaccard ----------------------------------------
+
+  /** Exact character-n-gram Jaccard for given candidate pairs.
+    * `pairs` must have columns (id_a, id_b). */
+  def ngramJaccard(docs: DataFrame, pairs: DataFrame, idCol: String,
+      textCol: String, n: Int): DataFrame = {
+    val g = docs.select(col(idCol), charShingles(col(textCol), n).as("grams"))
+    val ga = g.select(col(idCol).as("id_a"), col("grams").as("grams_a"))
+    val gb = g.select(col(idCol).as("id_b"), col("grams").as("grams_b"))
+    pairs.join(ga, "id_a").join(gb, "id_b")
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("grams_a"), col("grams_b"))).as("i"),
+        size(col("grams_a")).as("na"), size(col("grams_b")).as("nb"))
+      .select(col("id_a"), col("id_b"),
+        (col("i").cast("double") / (col("na") + col("nb") - col("i")))
+          .as("jaccard"))
+  }
+}

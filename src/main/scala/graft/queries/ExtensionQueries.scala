@@ -1,0 +1,275 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.functions.TextFunctions._
+import graft.functions.VectorFunctions._
+import graft.operators.{Dedup, Similarity, TextAnalysis}
+import graft.sources.Tables
+
+/** Training-data-pipeline operator catalog (driver-mandated extensions,
+  * SURVEY.md §7.5): deduplication, similarity search, text analysis,
+  * JSON extraction, streaming-equivalent windowed aggregation, and
+  * binary-column (multimodal) plumbing. Hash-verifiable against DuckDB
+  * wherever the computation is exactly portable; approximate/LSH
+  * variants that are Spark-plan-specific are rows-only checked.
+  */
+object ExtensionQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  private def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
+
+  // DuckDB twins of TextFunctions helpers, kept adjacent to their use.
+  private val duckWsTokens = "string_split_regex(trim(text), '\\s+')"
+  private def duckTokensIn(words: Seq[String]): String = {
+    val arr = words.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"CAST(len(list_filter($duckWsTokens, t -> list_contains($arr, t))) AS BIGINT)"
+  }
+
+  val specs: Seq[QuerySpec] = Seq(
+
+    QuerySpec("x1_dedup_exact",
+      "exact dedup: keep lowest doc_id per identical text, report group sizes",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        Dedup.exactKeepFirst(docs, col("text"), col("doc_id"))
+          .join(docs.groupBy(col("text")).agg(count(lit(1)).as("n_copies")),
+            "text")
+          .select(col("doc_id").as("keep_id"), col("n_copies"))
+          .orderBy(col("keep_id"))
+      },
+      Some("""SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+             |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin)),
+
+    QuerySpec("x2_dedup_ngram_jaccard",
+      "exact 3-gram Jaccard similarity on adjacent-id candidate pairs",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val ids = docs.select(col("doc_id"))
+        val pairs = ids.select(col("doc_id").as("id_a"))
+          .join(ids.select(col("doc_id").as("id_b")),
+            col("id_a") + 1 === col("id_b"))
+        Dedup.ngramJaccard(docs, pairs, "doc_id", "text", 3)
+          .orderBy(col("id_a"))
+      },
+      Some("""WITH g AS (
+             |  SELECT doc_id, list_distinct(list_transform(
+             |    range(1, greatest(length(text) - 2, 1) + 1),
+             |    i -> substr(text, i::INT, 3))) AS grams
+             |  FROM documents)
+             |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |  CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+             |    (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)))
+             |    AS jaccard
+             |FROM g a JOIN g b ON a.doc_id + 1 = b.doc_id
+             |ORDER BY id_a""".stripMargin)),
+
+    QuerySpec("x3_dedup_minhash_lsh",
+      "MinHash(12)+LSH(4 bands) near-dup pairs with Jaccard estimate",
+      (s, dir) => Dedup.minHashNearDupPairs(t(s, dir, "documents"),
+          "doc_id", "text").orderBy(col("id_a"), col("id_b")),
+      Some(Dedup.minHashOracleSql("documents", "doc_id", "text"))),
+
+    QuerySpec("x4_dedup_simhash",
+      "32-bit SimHash signatures over distinct tokens",
+      (s, dir) => Dedup.simHash32(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id")),
+      Some(Dedup.simHashOracleSql("documents", "doc_id", "text"))),
+
+    QuerySpec("x5_ann_cosine_topk",
+      "brute-force cosine top-5 neighbors for query vectors (vec_id < 8)",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 8),
+            "vec_id", "embedding", 5)
+          .select(col("qid"), col("rn"), col("did"),
+            round(col("cos"), 6).as("cos_r"))
+          .orderBy(col("qid"), col("rn"))
+      },
+      Some("""WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qvec
+             |          FROM embeddings WHERE vec_id < 8),
+             |c AS (SELECT vec_id AS did, embedding::DOUBLE[] AS dvec
+             |      FROM embeddings),
+             |scored AS (
+             |  SELECT qid, did,
+             |    CASE WHEN sqrt(list_dot_product(qvec, qvec)) *
+             |              sqrt(list_dot_product(dvec, dvec)) > 0
+             |      THEN list_dot_product(qvec, dvec) /
+             |           (sqrt(list_dot_product(qvec, qvec)) *
+             |            sqrt(list_dot_product(dvec, dvec)))
+             |      ELSE 0.0 END AS cos
+             |  FROM c JOIN q ON qid <> did),
+             |ranked AS (
+             |  SELECT qid, did, cos, CAST(row_number() OVER
+             |    (PARTITION BY qid ORDER BY cos DESC, did) AS BIGINT) AS rn
+             |  FROM scored)
+             |SELECT qid, rn, did, round(cos, 6) AS cos_r
+             |FROM ranked WHERE rn <= 5 ORDER BY qid, rn""".stripMargin)),
+
+    QuerySpec("x6_ann_lsh_bucketed",
+      "sign-LSH bucketed ANN (approximate; Spark-plan-specific, rows-only check)",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        Similarity.lshTopK(s, emb, emb.filter(col("vec_id") < 8),
+            "vec_id", "embedding", 5, nPlanes = 4, dim = 64)
+          .select(col("qid"), col("rn"), col("did"),
+            round(col("cos"), 6).as("cos_r"))
+          .orderBy(col("qid"), col("rn"))
+      },
+      None),
+
+    QuerySpec("x7_dedup_embedding_cosine",
+      "embedding-cosine near-dup scan over adjacent-id pairs",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+        val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+        a.join(b, col("id_a") + 1 === col("id_b"))
+          .select(col("id_a"), col("id_b"),
+            round(cosine(col("va"), col("vb")), 6).as("cos_r"))
+          .withColumn("is_near_dup", col("cos_r") >= 0.3)
+          .orderBy(col("id_a"))
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+             |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             |  round(CASE WHEN sqrt(list_dot_product(a.v, a.v)) *
+             |                  sqrt(list_dot_product(b.v, b.v)) > 0
+             |    THEN list_dot_product(a.v, b.v) /
+             |         (sqrt(list_dot_product(a.v, a.v)) *
+             |          sqrt(list_dot_product(b.v, b.v)))
+             |    ELSE 0.0 END, 6) AS cos_r,
+             |  (round(CASE WHEN sqrt(list_dot_product(a.v, a.v)) *
+             |                   sqrt(list_dot_product(b.v, b.v)) > 0
+             |    THEN list_dot_product(a.v, b.v) /
+             |         (sqrt(list_dot_product(a.v, a.v)) *
+             |          sqrt(list_dot_product(b.v, b.v)))
+             |    ELSE 0.0 END, 6) >= 0.3) AS is_near_dup
+             |FROM e a JOIN e b ON a.vec_id + 1 = b.vec_id
+             |ORDER BY id_a""".stripMargin)),
+
+    QuerySpec("x8_text_langid",
+      "language ID via stopword-marker scoring, distribution by language",
+      (s, dir) => t(s, dir, "documents")
+        .select(TextAnalysis.langId(col("text")).as("lang_pred"))
+        .groupBy(col("lang_pred")).agg(count(lit(1)).as("n"))
+        .orderBy(col("lang_pred")),
+      Some {
+        val scores = TextAnalysis.langMarkers.map { case (lang, words) =>
+          s"${duckTokensIn(words)} AS s_$lang"
+        }.mkString(",\n  ")
+        val best = TextAnalysis.langMarkers
+          .map { case (lang, _) => s"s_$lang" }
+          .reduceRight((a, b) => s"greatest($a, $b)")
+        val cases = TextAnalysis.langMarkers.map { case (lang, _) =>
+          s"WHEN s_$lang = best AND s_$lang > 0 THEN '$lang'"
+        }.mkString(" ")
+        s"""WITH scored AS (SELECT
+           |  $scores
+           |  FROM documents),
+           |best AS (SELECT *, $best AS best FROM scored),
+           |pred AS (SELECT CASE $cases ELSE 'und' END AS lang_pred FROM best)
+           |SELECT lang_pred, count(*) AS n FROM pred
+           |GROUP BY lang_pred ORDER BY lang_pred""".stripMargin
+      }),
+
+    QuerySpec("x9_text_quality",
+      "per-document quality metrics: stopword/alpha ratios, mean token length, score",
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.stopwordRatio(col("text")).as("stopword_ratio"),
+          TextAnalysis.alphaRatio(col("text")).as("alpha_ratio"),
+          TextAnalysis.meanTokenLen(col("text")).as("mean_token_len"),
+          TextAnalysis.qualityScore(col("text")).as("quality"))
+        .orderBy(col("doc_id")),
+      Some {
+        val sw = Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+        val nTok = s"CAST(len($duckWsTokens) AS BIGINT)"
+        val swCount = duckTokensIn(sw)
+        val alpha = "CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) " +
+          "AS DOUBLE) / length(text)"
+        val lenSum = s"CAST(list_reduce(list_prepend(0, list_transform(" +
+          s"$duckWsTokens, t -> length(t))), (a, b) -> a + b) AS BIGINT)"
+        val meanLen = s"CAST($lenSum AS DOUBLE) / $nTok"
+        s"""SELECT doc_id,
+           |  CAST($swCount AS DOUBLE) / $nTok AS stopword_ratio,
+           |  $alpha AS alpha_ratio,
+           |  $meanLen AS mean_token_len,
+           |  CAST($swCount AS DOUBLE) / $nTok * 0.4 + ($alpha) * 0.4 +
+           |    (CASE WHEN $meanLen >= 3 AND $meanLen <= 10 THEN 0.2 ELSE 0.0 END)
+           |    AS quality
+           |FROM documents ORDER BY doc_id""".stripMargin
+      }),
+
+    QuerySpec("x10_text_tokens",
+      "token statistics: whitespace, BPE-ish regex, distinct counts",
+      (s, dir) => TextAnalysis.tokenStats(t(s, dir, "documents"),
+        "doc_id", "text").orderBy(col("doc_id")),
+      Some(s"""SELECT doc_id,
+              |  CAST(len($duckWsTokens) AS BIGINT) AS n_ws_tokens,
+              |  CAST(len(regexp_extract_all(text,
+              |    '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_bpe_tokens,
+              |  CAST(len(list_distinct($duckWsTokens)) AS BIGINT) AS n_uniq_tokens
+              |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    QuerySpec("x11_fingerprint",
+      "document fingerprints: md5-normalized + custom rolling-hash Expression",
+      (s, dir) => {
+        graft.functions.Register.rollingHash(s)
+        t(s, dir, "documents")
+          .select(col("doc_id"), md5Fingerprint(col("text")).as("md5_fp"),
+            expr("rolling_hash(substr(text, 1, 64))").as("rh64"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id,
+             |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS md5_fp,
+             |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(
+             |    range(1, length(substr(text, 1, 64)) + 1),
+             |    i -> ascii(substr(substr(text, 1, 64), i::INT, 1)))),
+             |    (a, b) -> (a * 131 + b) % 2147483647) AS BIGINT) AS rh64
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    QuerySpec("x12_json_extract",
+      "JSON property extraction from the events.props column",
+      (s, dir) => t(s, dir, "events")
+        .select(col("event_id"), col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .orderBy(col("event_id")),
+      Some("""SELECT event_id, event_type,
+             |       CAST(props ->> 'k' AS BIGINT) AS k
+             |FROM events ORDER BY event_id""".stripMargin)),
+
+    QuerySpec("x13_stream_tumbling_window",
+      "streaming-equivalent tumbling 1h window aggregation (batch semantics " +
+        "identical to the Structured Streaming plan in graft.streaming)",
+      (s, dir) => t(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec2(col("value"))).cast("double").as("sum_value"))
+        .select(col("window.start").as("ws"), col("event_type"), col("n"),
+          col("sum_value"))
+        .orderBy(col("ws"), col("event_type")),
+      Some("""SELECT date_trunc('hour', ts) AS ws, event_type,
+             |  count(*) AS n,
+             |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+             |FROM events GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin)),
+
+    QuerySpec("m1_multimodal_binary_meta",
+      "binary-column plumbing: opaque bytes + typed metadata extraction",
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("bytes"))
+        .select(col("doc_id"),
+          octet_length(col("bytes")).cast("long").as("n_bytes"),
+          substring(hex(col("bytes")), 1, 8).as("magic_hex"),
+          md5(col("bytes")).as("content_md5"))
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id,
+             |  octet_length(text::BLOB) AS n_bytes,
+             |  substr(hex(text::BLOB), 1, 8) AS magic_hex,
+             |  md5(text) AS content_md5
+             |FROM documents ORDER BY doc_id""".stripMargin))
+  )
+}

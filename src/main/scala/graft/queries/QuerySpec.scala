@@ -1,0 +1,26 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One catalog entry: a named Spark query over a test-data directory,
+  * with an optional DuckDB oracle SQL that must produce a hash-identical
+  * result on the same parquet tables (the driver's t2 gate).
+  *
+  * Determinism contract (BASELINE.md): every query ends in a total-order
+  * ORDER BY; aggregate doubles go through exact DECIMAL(18,2) arithmetic
+  * before a final cast to DOUBLE so both engines produce the same bits;
+  * integer-typed outputs are BIGINT on both sides.
+  */
+final case class QuerySpec(
+    name: String,
+    doc: String,
+    run: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+object Catalog {
+  lazy val specs: Seq[QuerySpec] =
+    ParityQueries.specs ++ ExtensionQueries.specs
+
+  lazy val byName: Map[String, QuerySpec] =
+    specs.map(s => s.name -> s).toMap
+}

@@ -1,0 +1,50 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types.StructType
+
+/** Structured Streaming surface over the `events` table shape.
+  *
+  * The reference has no streaming (SURVEY.md §2.7); this is the
+  * driver-mandated extension. The transformation is shared between the
+  * batch catalog entry (x13_stream_tumbling_window) and the streaming
+  * plan below, so batch output is the oracle for streaming output —
+  * the standard Structured Streaming testing idiom.
+  */
+object Streams {
+
+  /** Tumbling-window aggregation, identical logical shape for batch and
+    * streaming inputs. With a watermark the state store evicts windows
+    * older than `ts - delay` — bounded state at 100 TB/day rates. */
+  def tumblingCounts(events: DataFrame, windowLen: String): DataFrame =
+    events
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("ws"), col("event_type"), col("n"),
+        col("sum_value"))
+
+  /** File-source streaming read of an events directory with the given
+    * schema; watermarked so aggregation state is bounded. */
+  def streamingTumblingCounts(spark: SparkSession, dir: String,
+      schema: StructType, windowLen: String, watermark: String): DataFrame =
+    tumblingCounts(
+      spark.readStream.schema(schema).parquet(dir)
+        .withWatermark("ts", watermark),
+      windowLen)
+
+  /** Run a streaming DataFrame to completion against currently-available
+    * files via the in-memory sink; returns the materialized result. */
+  def runToMemorySink(spark: SparkSession, streaming: DataFrame,
+      queryName: String): DataFrame = {
+    val q: StreamingQuery = streaming.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(queryName)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(queryName)
+  }
+}

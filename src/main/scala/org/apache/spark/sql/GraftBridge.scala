@@ -1,0 +1,22 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Minimal bridge into `private[sql]` Spark internals, kept to the two
+  * capabilities a library of custom Catalyst expressions needs:
+  * registering an expression builder in the session's function registry
+  * (so it is usable from SQL text and `expr(...)`), and wrapping a raw
+  * `Expression` as a user-facing `Column`.
+  */
+object GraftBridge {
+
+  def registerFunction(spark: SparkSession, name: String,
+      builder: Seq[Expression] => Expression): Unit = {
+    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    classic.sessionState.functionRegistry
+      .createOrReplaceTempFunction(name, builder, "built-in")
+  }
+
+  def column(e: Expression): Column =
+    org.apache.spark.sql.classic.ExpressionUtils.column(e)
+}
