@@ -1,0 +1,89 @@
+package graft.operators
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: image/audio/video payloads as opaque
+  * `binary` columns with typed metadata, and a batched decode /
+  * feature-extract stage.
+  *
+  * The decode stage is the Scala analog of a PySpark `mapInPandas`
+  * pipeline: a `mapPartitions` over a typed Dataset, so decoding
+  * amortizes per-partition setup (codec init, model load) exactly the
+  * way a pandas-batch UDF would. The actual pixel/sample decoding is a
+  * STUB (no image/audio codecs in this environment): `stubDecode`
+  * derives deterministic pseudo-features from the payload's md5, so the
+  * Spark-side plumbing — schema, encoders, partitioning, batch shape —
+  * is real and testable end-to-end, and swapping in a real codec later
+  * only touches `stubDecode`.
+  */
+object Multimodal {
+
+  /** One media payload: opaque bytes + typed metadata. */
+  final case class MediaRecord(id: Long, bytes: Array[Byte], mime: String)
+
+  /** Extracted features (decode stub: width/height/duration are
+    * md5-derived pseudo-values standing in for real codec output). */
+  final case class MediaFeatures(id: Long, n_bytes: Long, magic_hex: String,
+      content_md5: String, width: Long, height: Long, is_valid: Boolean)
+
+  private val HexChars = "0123456789abcdef".toCharArray
+
+  private def hexLower(bytes: Array[Byte]): String = {
+    val sb = new java.lang.StringBuilder(bytes.length * 2)
+    bytes.foreach { b =>
+      sb.append(HexChars((b >> 4) & 0xf)).append(HexChars(b & 0xf))
+    }
+    sb.toString
+  }
+
+  /** Magic-byte MIME sniffing over real container signatures. */
+  def sniffMime(bytes: Array[Byte]): String = {
+    def startsWith(sig: Int*): Boolean =
+      bytes.length >= sig.length &&
+        sig.zipWithIndex.forall { case (b, i) => (bytes(i) & 0xff) == b }
+    if (startsWith(0x89, 0x50, 0x4e, 0x47)) "image/png"
+    else if (startsWith(0xff, 0xd8, 0xff)) "image/jpeg"
+    else if (startsWith(0x52, 0x49, 0x46, 0x46)) "audio/wav"
+    else if (startsWith(0x1a, 0x45, 0xdf, 0xa3)) "video/webm"
+    else "application/octet-stream"
+  }
+
+  /** STUB decode: deterministic pseudo-features from the payload md5 —
+    * replace with a real codec call when one is available. Matches the
+    * DuckDB-expressible arithmetic documented in the multimodal query
+    * oracle: width = h % 640 + 16, height = (h / 640) % 480 + 16 where
+    * h is the first-15-hex-chars md5 value. */
+  def stubDecode(r: MediaRecord): MediaFeatures = {
+    val md = MessageDigest.getInstance("MD5").digest(r.bytes)
+    val hex = hexLower(md)
+    val h = java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    MediaFeatures(r.id, r.bytes.length.toLong, hexLower(r.bytes.take(4)),
+      hex, h % 640 + 16, (h / 640) % 480 + 16, r.bytes.nonEmpty)
+  }
+
+  /** Batched decode stage — one `stubDecode` per record, amortized per
+    * partition (the mapInPandas analog). Narrow transformation: no
+    * shuffle; partitioning of the input is preserved. */
+  def decodeFeatures(ds: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      // per-partition setup would go here (codec/model init)
+      it.map(stubDecode)
+    }
+  }
+
+  /** Build a MediaRecord dataset from any (id, binary payload) frame —
+    * the ingestion plumbing from raw columns into the typed pipeline. */
+  def fromBinaryColumn(spark: SparkSession, df: DataFrame, idCol: String,
+      bytesCol: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id"),
+        col(bytesCol).cast("binary").as("bytes"))
+      .withColumn("mime", lit("application/octet-stream"))
+      .as[MediaRecord]
+      .mapPartitions(_.map(r => r.copy(mime = sniffMime(r.bytes))))
+  }
+}

@@ -270,6 +270,30 @@ object ExtensionQueries {
              |  octet_length(text::BLOB) AS n_bytes,
              |  substr(hex(text::BLOB), 1, 8) AS magic_hex,
              |  md5(text) AS content_md5
-             |FROM documents ORDER BY doc_id""".stripMargin))
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    QuerySpec("m2_multimodal_decode",
+      "typed mapPartitions decode pipeline (stub codec; md5-deterministic " +
+        "pseudo-features, so even the JVM path is oracle-verified)",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val media = graft.operators.Multimodal.fromBinaryColumn(
+          s, docs, "doc_id", "text")
+        graft.operators.Multimodal.decodeFeatures(media).toDF()
+          .select(col("id"), col("n_bytes"), col("magic_hex"),
+            col("content_md5"), col("width"), col("height"))
+          .orderBy(col("id"))
+      },
+      Some("""WITH h AS (
+             |  SELECT doc_id AS id,
+             |    CAST(octet_length(text::BLOB) AS BIGINT) AS n_bytes,
+             |    lower(substr(hex(text::BLOB), 1, 8)) AS magic_hex,
+             |    md5(text) AS content_md5,
+             |    ('0x' || substr(md5(text), 1, 15))::BIGINT AS hv
+             |  FROM documents)
+             |SELECT id, n_bytes, magic_hex, content_md5,
+             |  CAST(hv % 640 + 16 AS BIGINT) AS width,
+             |  CAST((hv // 640) % 480 + 16 AS BIGINT) AS height
+             |FROM h ORDER BY id""".stripMargin))
   )
 }

@@ -1,0 +1,40 @@
+package graft
+
+import graft.operators.Multimodal
+import graft.operators.Multimodal.MediaRecord
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("sniffMime recognizes real container magic bytes") {
+    assert(Multimodal.sniffMime(Array(0x89.toByte, 'P', 'N', 'G')) == "image/png")
+    assert(Multimodal.sniffMime(Array(0xff.toByte, 0xd8.toByte, 0xff.toByte, 0)) == "image/jpeg")
+    assert(Multimodal.sniffMime("RIFFxxxx".getBytes) == "audio/wav")
+    assert(Multimodal.sniffMime("plain".getBytes) == "application/octet-stream")
+  }
+
+  test("decodeFeatures runs the typed mapPartitions pipeline end to end") {
+    val ds = Seq(
+      MediaRecord(1L, Array(0x89.toByte, 'P', 'N', 'G', 1, 2, 3), "image/png"),
+      MediaRecord(2L, "RIFF1234".getBytes, "audio/wav")).toDS()
+    val feats = Multimodal.decodeFeatures(ds).collect().sortBy(_.id)
+    assert(feats.length == 2)
+    assert(feats(0).n_bytes == 7L && feats(0).magic_hex == "89504e47")
+    assert(feats.forall(f => f.width >= 16 && f.width < 656))
+    assert(feats.forall(f => f.height >= 16 && f.height < 496))
+    assert(feats.forall(_.is_valid))
+  }
+
+  test("decode is deterministic (stable pseudo-features from content)") {
+    val r = MediaRecord(7L, "same bytes".getBytes, "application/octet-stream")
+    assert(Multimodal.stubDecode(r) == Multimodal.stubDecode(r.copy()))
+  }
+
+  test("fromBinaryColumn sniffs mime from payload bytes") {
+    val df = Seq((1L, "RIFF1234"), (2L, "hello")).toDF("id", "payload")
+    val media = Multimodal.fromBinaryColumn(spark, df, "id", "payload")
+      .collect().sortBy(_.id)
+    assert(media(0).mime == "audio/wav")
+    assert(media(1).mime == "application/octet-stream")
+  }
+}

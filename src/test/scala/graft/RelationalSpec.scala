@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Relational
+
+class RelationalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("surrogateKey is deterministic, contiguous and ordered by natural key") {
+    val df = Seq("c", "a", "b").toDF("name")
+    val keyed = Relational.surrogateKey(df, "K-", "sk", Seq(col("name")))
+      .orderBy("sk_n")
+      .select("sk", "name", "sk_n").as[(String, String, Long)].collect()
+    assert(keyed.toSeq == Seq(("K-1", "a", 1L), ("K-2", "b", 2L), ("K-3", "c", 3L)))
+  }
+
+  test("unionDiagonal null-fills missing columns, keeps first frame's order") {
+    val a = Seq((1L, "x")).toDF("id", "s")
+    val b = Seq((2L, 3.5)).toDF("id", "d")
+    val u = Relational.unionDiagonal(Seq(a, b)).orderBy("id")
+    assert(u.columns.toSeq == Seq("id", "s", "d"))
+    val rows = u.as[(Long, Option[String], Option[Double])].collect()
+    assert(rows.toSeq == Seq((1L, Some("x"), None), (2L, None, Some(3.5))))
+  }
+
+  test("unpivotFlags melts wide one-hot columns to long form") {
+    val wide = Seq((10L, 1, 0)).toDF("id", "f_a", "f_b")
+    val long = Relational.unpivotFlags(wide, Seq("id"), Seq("f_a", "f_b"))
+      .orderBy("variable").as[(Long, String, Int)].collect()
+    assert(long.toSeq == Seq((10L, "f_a", 1), (10L, "f_b", 0)))
+  }
+
+  test("pkViolations finds duplicate keys and nothing else") {
+    val df = Seq(1, 1, 2).toDF("k")
+    val v = Relational.pkViolations(df, Seq("k")).as[(Int, Long)].collect()
+    assert(v.toSeq == Seq((1, 2L)))
+  }
+
+  test("fkOrphans returns dangling child rows only") {
+    val child = Seq((1, "a"), (99, "b")).toDF("fk", "payload")
+    val parent = Seq(1, 2).toDF("pk")
+    val orphans = Relational.fkOrphans(child, parent, Seq("fk" -> "pk"))
+      .as[(Int, String)].collect()
+    assert(orphans.toSeq == Seq((99, "b")))
+  }
+
+  test("when without otherwise yields NULL (reference P12 semantics)") {
+    val df = Seq(0, 10).toDF("x")
+      .select(when($"x" > 5, "big").as("label"))
+    assert(df.as[Option[String]].collect().toSeq == Seq(None, Some("big")))
+  }
+}
