@@ -73,4 +73,26 @@ object TextFunctions {
     array_distinct(transform(
       sequence(lit(1), greatest(length(c) - (n - 1), lit(1))),
       i => c.substr(i, lit(n))))
+
+  /** Word n-gram shingles (distinct) over whitespace tokens — the
+    * standard unit for text near-dup MinHash (~5x fewer rows than char
+    * shingles after explode). Documents shorter than n tokens shingle
+    * to the whole trimmed text. DuckDB twin:
+    * `CASE WHEN len(tk) >= n THEN list_transform(range(1, len(tk)-n+2),
+    *  i -> tk[i] || ' ' || ... ) ELSE [trim(t)] END`. */
+  def wordShingles(c: Column, n: Int): Column =
+    wordShinglesFromTokens(wsTokens(c), trim(c), n)
+
+  /** Word shingles over an ALREADY-MATERIALIZED token-array column.
+    * Performance-critical: if `tk` is an inline `split(...)` expression,
+    * every `element_at` inside the transform lambda re-evaluates the
+    * split per element (quadratic recompute — measured 8.9s vs 0.5s on
+    * 5k docs). Callers on hot paths must project the token array into a
+    * column first and pass the bound attribute. */
+  def wordShinglesFromTokens(tk: Column, fallback: Column, n: Int): Column = {
+    val grams = transform(
+      sequence(lit(1), size(tk) - (n - 1)),
+      i => concat_ws(" ", (0 until n).map(k => element_at(tk, i + k)): _*))
+    array_distinct(when(size(tk) >= n, grams).otherwise(array(fallback)))
+  }
 }

@@ -31,8 +31,13 @@ object Dedup {
 
   // ---- MinHash + LSH ------------------------------------------------
 
-  /** MinHash parameters: k signatures in `bands` bands of `rows` each. */
-  final case class MinHashParams(k: Int = 12, bands: Int = 4, shingleN: Int = 5) {
+  /** MinHash parameters: k signatures in `bands` bands of `rows` each,
+    * over word `shingleN`-grams. Defaults are near-dup tuned: 2 bands
+    * of 6 rows → per-band collision probability j^6, so dissimilar
+    * pairs (j≈0.3) almost never become candidates (LSH S-curve
+    * threshold (1/b)^(1/r) ≈ 0.89) — candidate volume, not signature
+    * computation, is what dominates at scale. */
+  final case class MinHashParams(k: Int = 12, bands: Int = 2, shingleN: Int = 3) {
     require(k % bands == 0, "k must divide into equal bands")
     val rows: Int = k / bands
   }
@@ -42,8 +47,13 @@ object Dedup {
     * Carter–Wegman combinations of its two 60-bit halves. */
   def minHashSignatures(docs: DataFrame, idCol: String, textCol: String,
       p: MinHashParams): DataFrame = {
-    val grams = docs.select(col(idCol),
-        explode(charShingles(col(textCol), p.shingleN)).as("g"))
+    // materialize the token array BEFORE the shingle transform so the
+    // lambda reads a bound attribute (see wordShinglesFromTokens note)
+    val toks = docs.select(col(idCol), trim(col(textCol)).as("__t"),
+      wsTokens(col(textCol)).as("__tk"))
+    val grams = toks.select(col(idCol),
+        explode(wordShinglesFromTokens(col("__tk"), col("__t"), p.shingleN))
+          .as("g"))
       .select(col(idCol), md5Hash60(col("g")).as("a"), md5Hash60b(col("g")).as("b"))
     grams.groupBy(col(idCol))
       .agg(min(cwHash(col("a"), col("b"), 0)).as("s0"),
@@ -68,7 +78,7 @@ object Dedup {
     * filtered to `minEst`. The pair join is an equi-join on
     * (band, band_key) — bucket-local, never all-pairs. */
   def minHashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
-      p: MinHashParams = MinHashParams(), minEst: Double = 0.5): DataFrame = {
+      p: MinHashParams = MinHashParams(), minEst: Double = 0.75): DataFrame = {
     val sigs = minHashSignatures(docs, idCol, textCol, p).cache()
     val bands = lshBands(sigs, idCol, p)
     val cand = bands.as("x").join(bands.as("y"),
@@ -92,7 +102,7 @@ object Dedup {
 
   /** DuckDB oracle SQL mirroring minHashNearDupPairs exactly. */
   def minHashOracleSql(table: String, idCol: String, textCol: String,
-      p: MinHashParams = MinHashParams(), minEst: Double = 0.5): String = {
+      p: MinHashParams = MinHashParams(), minEst: Double = 0.75): String = {
     val n = p.shingleN
     val sigExprs = (0 until p.k).map(j =>
       s"CAST(min((a + $j * (b % ${1L << 40})) % ${1L << 60}) AS BIGINT) AS s$j").mkString(", ")
@@ -103,11 +113,17 @@ object Dedup {
     }.mkString(" UNION ALL ")
     val matchSum = (0 until p.k)
       .map(j => s"(CASE WHEN sa.s$j = sb.s$j THEN 1 ELSE 0 END)").mkString(" + ")
-    s"""WITH grams AS (
-       |  SELECT DISTINCT $idCol, unnest(list_transform(
-       |    range(1, greatest(length($textCol) - ${n - 1}, 1) + 1),
-       |    i -> substr($textCol, i::INT, $n))) AS g
+    val joined = (0 until n).map(k => s"tk[i + $k]").mkString(" || ' ' || ")
+    s"""WITH toks AS (
+       |  SELECT $idCol, $textCol,
+       |         string_split_regex(trim($textCol), '\\s+') AS tk
        |  FROM $table),
+       |grams AS (
+       |  SELECT DISTINCT $idCol, unnest(
+       |    CASE WHEN len(tk) >= $n THEN
+       |      list_transform(range(1, len(tk) - ${n - 1} + 1), i -> $joined)
+       |    ELSE [trim($textCol)] END) AS g
+       |  FROM toks),
        |hashed AS (
        |  SELECT $idCol, ('0x' || substr(md5(g), 1, 15))::BIGINT AS a,
        |         ('0x' || substr(md5(g), 17, 15))::BIGINT AS b

@@ -1,23 +1,28 @@
 package graft.operators
 
+import java.security.MessageDigest
+
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.HashFunctions._
 import graft.functions.VectorFunctions._
 
 /** Similarity search over an `array<float>` embedding column.
   *
   * Baseline: brute-force cosine top-k — broadcast the (small) query set
-  * against the corpus; per-corpus-row work is a codegen'd fold, and the
-  * per-query top-k is a window over qid (shuffle keyed by qid only).
+  * against the corpus. Norms are computed ONCE per row before the join
+  * (not per pair), and the dot product is the native codegen'd
+  * ArrayDotProduct expression, so per-pair work is a single tight loop.
+  * The per-query top-k is a window keyed by qid only.
   *
-  * Scale path: random-hyperplane (sign-LSH) bucketing — corpus rows are
-  * hashed once into 2^P buckets; queries probe only their own bucket, so
-  * the candidate set shrinks ~2^P-fold. Buckets are deterministic
-  * (md5-derived Rademacher planes), so results are reproducible across
-  * runs and engines.
+  * Scale path: random-hyperplane (sign-LSH) bucketing. Plane weights
+  * are md5-derived Rademacher (±1) vectors materialized driver-side as
+  * literal arrays, so bucketing is a narrow projection — zero shuffles,
+  * zero joins — and buckets are deterministic across runs and engines.
+  * Queries then probe only their own bucket: candidate count drops
+  * ~2^nPlanes-fold, trading recall for throughput. At 100 TB the
+  * corpus side stays fully distributed; only the query set broadcasts.
   */
 object Similarity {
 
@@ -25,61 +30,65 @@ object Similarity {
     * `queries` must be small enough to broadcast. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int): DataFrame = {
-    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"))
-    val c = corpus.select(col(idCol).as("did"), col(vecCol).as("dvec"))
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"),
+      l2Norm(col(vecCol)).as("qn"))
+    val c = corpus.select(col(idCol).as("did"), col(vecCol).as("dvec"),
+      l2Norm(col(vecCol)).as("dn"))
     val scored = c.join(broadcast(q), col("qid") =!= col("did"))
       .select(col("qid"), col("did"),
-        cosine(col("qvec"), col("dvec")).as("cos"))
+        when(col("qn") * col("dn") > 0,
+          dotProduct(col("qvec"), col("dvec")) / (col("qn") * col("dn")))
+          .otherwise(lit(0.0)).as("cos"))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cos").desc, col("did"))
     scored.withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= k)
   }
 
-  /** Deterministic Rademacher hyperplanes: sign of bit0 of
-    * md5("plane-<p>-<d>"). Returns (plane, dim, w) with w ∈ {-1, 1}. */
-  def planes(spark: org.apache.spark.sql.SparkSession, nPlanes: Int,
-      dim: Int): DataFrame = {
-    import spark.implicits._
-    (0 until nPlanes).flatMap(p => (0 until dim).map(d => (p, d)))
-      .toDF("plane", "dim")
-      .withColumn("w",
-        when(md5Hash60(concat_ws("-", lit("plane"), col("plane"), col("dim")))
-          .bitwiseAND(lit(1L)) === 1L, lit(1.0)).otherwise(lit(-1.0)))
+  /** Deterministic Rademacher plane weights: ±1 from bit 0 of
+    * md5("plane-<p>-<d>") — same derivation as HashFunctions.md5Hash60,
+    * computed driver-side. */
+  def planeWeights(nPlanes: Int, dim: Int): Array[Array[Double]] =
+    Array.tabulate(nPlanes, dim) { (p, d) =>
+      val md = MessageDigest.getInstance("MD5")
+        .digest(s"plane-$p-$d".getBytes("UTF-8"))
+      val hex = md.map(b => f"$b%02x").mkString
+      if ((java.lang.Long.parseLong(hex.substring(0, 15), 16) & 1L) == 1L) 1.0
+      else -1.0
+    }
+
+  /** Sign-LSH bucket id (0..2^nPlanes-1) as a pure projection: bit p is
+    * the sign of the dot product with literal plane p. Narrow — no
+    * shuffle, no join; partitioning of the input is preserved. */
+  def bucketExpr(vecCol: Column, nPlanes: Int, dim: Int): Column = {
+    val w = planeWeights(nPlanes, dim)
+    (0 until nPlanes).map { p =>
+      val plane = array(w(p).map(lit): _*)
+      when(dotProduct(vecCol, plane) >= 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
   }
 
-  /** Sign-LSH bucket id (0..2^nPlanes-1) per row: bit p is the sign of
-    * the projection onto plane p. Join with the tiny broadcast plane
-    * table + one groupBy on (id) — scales linearly in corpus size. */
-  def lshBuckets(df: DataFrame, planesDf: DataFrame, idCol: String,
-      vecCol: String, nPlanes: Int): DataFrame = {
-    val exploded = df.select(col(idCol),
-        posexplode(col(vecCol)).as(Seq("dim", "x")))
-      .join(broadcast(planesDf), "dim")
-      .groupBy(col(idCol), col("plane"))
-      .agg(sum(col("x").cast("double") * col("w")).as("proj"))
-    exploded.groupBy(col(idCol))
-      .agg(sum(when(col("proj") >= 0,
-        expr("shiftleft(CAST(1 AS BIGINT), CAST(plane AS INT))"))
-        .otherwise(lit(0L)))
-        .cast("long").as("bucket"))
-  }
+  /** Per-row LSH bucket assignment. */
+  def lshBuckets(df: DataFrame, idCol: String, vecCol: String,
+      nPlanes: Int, dim: Int): DataFrame =
+    df.select(col(idCol), bucketExpr(col(vecCol), nPlanes, dim).as("bucket"))
 
   /** Approximate top-k: exact cosine ranking restricted to the query's
     * own LSH bucket. Recall < 1 by design; deterministic output. */
-  def lshTopK(spark: org.apache.spark.sql.SparkSession, corpus: DataFrame,
-      queries: DataFrame, idCol: String, vecCol: String, k: Int,
-      nPlanes: Int, dim: Int): DataFrame = {
-    val pl = planes(spark, nPlanes, dim)
-    val cb = lshBuckets(corpus, pl, idCol, vecCol, nPlanes)
-    val qb = lshBuckets(queries, pl, idCol, vecCol, nPlanes)
-    val c = corpus.join(cb, idCol)
-      .select(col(idCol).as("did"), col(vecCol).as("dvec"), col("bucket"))
-    val q = queries.join(qb, idCol)
-      .select(col(idCol).as("qid"), col(vecCol).as("qvec"), col("bucket"))
+  def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, nPlanes: Int, dim: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("did"), col(vecCol).as("dvec"),
+      l2Norm(col(vecCol)).as("dn"),
+      bucketExpr(col(vecCol), nPlanes, dim).as("bucket"))
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"),
+      l2Norm(col(vecCol)).as("qn"),
+      bucketExpr(col(vecCol), nPlanes, dim).as("bucket"))
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("qid") =!= col("did"))
-      .select(col("qid"), col("did"), cosine(col("qvec"), col("dvec")).as("cos"))
+      .select(col("qid"), col("did"),
+        when(col("qn") * col("dn") > 0,
+          dotProduct(col("qvec"), col("dvec")) / (col("qn") * col("dn")))
+          .otherwise(lit(0.0)).as("cos"))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("did"))
     scored.withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= k)

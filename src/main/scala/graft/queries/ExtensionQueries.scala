@@ -34,14 +34,13 @@ object ExtensionQueries {
 
     QuerySpec("x1_dedup_exact",
       "exact dedup: keep lowest doc_id per identical text, report group sizes",
-      (s, dir) => {
-        val docs = t(s, dir, "documents")
-        Dedup.exactKeepFirst(docs, col("text"), col("doc_id"))
-          .join(docs.groupBy(col("text")).agg(count(lit(1)).as("n_copies")),
-            "text")
-          .select(col("doc_id").as("keep_id"), col("n_copies"))
-          .orderBy(col("keep_id"))
-      },
+      (s, dir) => t(s, dir, "documents")
+        // single-pass form of Dedup.exactKeepFirst + group sizes:
+        // one shuffle on the key, no window, no re-join
+        .groupBy(col("text"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+        .select(col("keep_id"), col("n_copies"))
+        .orderBy(col("keep_id")),
       Some("""SELECT min(doc_id) AS keep_id, count(*) AS n_copies
              |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin)),
 
@@ -114,7 +113,7 @@ object ExtensionQueries {
       "sign-LSH bucketed ANN (approximate; Spark-plan-specific, rows-only check)",
       (s, dir) => {
         val emb = t(s, dir, "embeddings")
-        Similarity.lshTopK(s, emb, emb.filter(col("vec_id") < 8),
+        Similarity.lshTopK(emb, emb.filter(col("vec_id") < 8),
             "vec_id", "embedding", 5, nPlanes = 4, dim = 64)
           .select(col("qid"), col("rn"), col("did"),
             round(col("cos"), 6).as("cos_r"))

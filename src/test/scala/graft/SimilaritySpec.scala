@@ -38,8 +38,7 @@ class SimilaritySpec extends SparkSpec {
       (1L, Seq.fill(8)(0.5f)),
       (2L, Seq.tabulate(8)(i => if (i % 2 == 0) 1f else -1f))
     ).toDF("vec_id", "embedding")
-    val planes = Similarity.planes(spark, 4, 8)
-    val buckets = Similarity.lshBuckets(vecs, planes, "vec_id", "embedding", 4)
+    val buckets = Similarity.lshBuckets(vecs, "vec_id", "embedding", 4, 8)
       .as[(Long, Long)].collect().toMap
     assert(buckets(0L) == buckets(1L))
     assert(buckets.values.forall(b => b >= 0 && b < 16))
@@ -51,7 +50,7 @@ class SimilaritySpec extends SparkSpec {
       (1L, Seq.fill(8)(0.5f)),
       (2L, Seq.tabulate(8)(i => if (i % 2 == 0) 1f else -1f))
     ).toDF("vec_id", "embedding")
-    val top = Similarity.lshTopK(spark, vecs, vecs.filter($"vec_id" === 0),
+    val top = Similarity.lshTopK(vecs, vecs.filter($"vec_id" === 0),
         "vec_id", "embedding", 1, nPlanes = 4, dim = 8)
       .select("qid", "did").as[(Long, Long)].collect().toSeq
     assert(top == Seq((0L, 1L)))
