@@ -1,0 +1,135 @@
+package graft.catalog
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.operators.Relational
+
+/** The product's catalog surface — the analog of the reference's DuckDB
+  * database lifecycle (SURVEY.md §2.1 S5-S9 and §2.6 Q1-Q3):
+  *
+  *  - table registration with PK/FK metadata (DDL constraints are
+  *    informational in Spark; enforcement happens at load time via
+  *    validation queries, replacing DuckDB's INSERT-time checks),
+  *  - insert-select loading (`load_ldf`, build_db.py:72-84),
+  *  - schema introspection (information_schema.columns shape,
+  *    build_db.py:55-69) and preview (LIMIT 5, build_db.py:86-92),
+  *  - whole-database export (EXPORT DATABASE, build_db.py:1423) as
+  *    parquet-per-table plus generated DDL text,
+  *  - schema-doc export with PK/FK classification
+  *    (build_db.md:1444-1461 → docs/schema.csv).
+  *
+  * Catalog calls (`spark.catalog.*`) never launch jobs; preview runs
+  * one CollectLimitExec job; export runs one write job per table.
+  */
+object Warehouse {
+
+  /** Informational constraint metadata (the DDL surface of S6). */
+  final case class FkEdge(cols: Seq[String], refTable: String, refCols: Seq[String])
+  final case class TableMeta(name: String, pk: Seq[String] = Nil,
+      fks: Seq[FkEdge] = Nil)
+
+  final case class ConstraintViolation(table: String, kind: String,
+      detail: String, count: Long)
+
+  private val registry =
+    scala.collection.concurrent.TrieMap.empty[String, TableMeta]
+
+  def meta(name: String): Option[TableMeta] = registry.get(name)
+
+  /** Register a frame as a named table with constraint metadata and
+    * validate the constraints — the Spark form of DuckDB's constrained
+    * `INSERT INTO t SELECT * FROM ldf`. Returns violations (empty =
+    * the load would have succeeded in the reference engine). */
+  def load(spark: SparkSession, df: DataFrame, m: TableMeta,
+      validate: Boolean = true): Seq[ConstraintViolation] = {
+    df.createOrReplaceTempView(m.name)
+    registry.put(m.name, m)
+    if (!validate) Nil
+    else {
+      val pkViol =
+        if (m.pk.isEmpty) Nil
+        else {
+          val n = Relational.pkViolations(df, m.pk).count()
+          if (n > 0) Seq(ConstraintViolation(m.name, "PRIMARY KEY",
+            m.pk.mkString(","), n)) else Nil
+        }
+      val fkViol = m.fks.flatMap { fk =>
+        val parent = spark.table(fk.refTable)
+        val n = Relational.fkOrphans(df, parent, fk.cols.zip(fk.refCols)).count()
+        if (n > 0) Seq(ConstraintViolation(m.name, "FOREIGN KEY",
+          s"${fk.cols.mkString(",")} -> ${fk.refTable}", n)) else Nil
+      }
+      pkViol ++ fkViol
+    }
+  }
+
+  /** Q2: `SELECT * FROM t LIMIT n` preview. */
+  def preview(spark: SparkSession, table: String, n: Int = 5): DataFrame =
+    spark.table(table).limit(n)
+
+  /** Q1: information_schema.columns shape for one table —
+    * (table_name, ordinal_position, column_name, data_type). */
+  def schemaReport(spark: SparkSession, table: String): DataFrame = {
+    import spark.implicits._
+    spark.table(table).schema.fields.zipWithIndex.map { case (f, i) =>
+      (table, i + 1, f.name, f.dataType.sql)
+    }.toSeq.toDF("table_name", "ordinal_position", "column_name", "data_type")
+  }
+
+  /** Q3/S9: schema doc over the registered tables with the reference's
+    * PK/FK classification rule (F7: CASE + contains on the column name,
+    * build_db.md:1452-1456), enriched with declared constraint
+    * metadata. */
+  def schemaDoc(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    registry.keys.toSeq.sorted.flatMap { t =>
+      val m = registry(t)
+      spark.table(t).schema.fields.zipWithIndex.map { case (f, i) =>
+        val constraint =
+          if (m.pk.contains(f.name)) "PK"
+          else if (m.fks.exists(_.cols.contains(f.name))) "FK"
+          else if (f.name.contains("_id")) "key-like"
+          else ""
+        (t, i + 1, f.name, f.dataType.sql, constraint)
+      }
+    }.toDF("table_name", "ordinal_position", "column_name", "data_type",
+      "constraint")
+  }
+
+  /** Generated `CREATE TABLE` DDL text for one registered table —
+    * the exported-schema.sql analog (S8's DDL half). */
+  def ddl(spark: SparkSession, table: String): String = {
+    val m = registry.getOrElse(table, TableMeta(table))
+    val cols = spark.table(table).schema.fields.map { f =>
+      val pk = if (m.pk == Seq(f.name)) " PRIMARY KEY" else ""
+      s"  ${f.name} ${f.dataType.sql}$pk"
+    }
+    val compositePk =
+      if (m.pk.length > 1) Seq(s"  PRIMARY KEY (${m.pk.mkString(", ")})") else Nil
+    val fkLines = m.fks.map(fk =>
+      s"  FOREIGN KEY (${fk.cols.mkString(", ")}) REFERENCES " +
+        s"${fk.refTable}(${fk.refCols.mkString(", ")})")
+    (s"CREATE OR REPLACE TABLE $table (" +:
+      (cols ++ compositePk ++ fkLines).mkString(",\n") +:
+      Seq(");")).mkString("\n")
+  }
+
+  /** S8: whole-database export — every registered table to
+    * `outDir/<name>.parquet` plus `outDir/schema.sql`. */
+  def exportDatabase(spark: SparkSession, outDir: String): Unit = {
+    Files.createDirectories(Paths.get(outDir))
+    val tables = registry.keys.toSeq.sorted
+    tables.foreach { t =>
+      spark.table(t).write.mode("overwrite").parquet(s"$outDir/$t.parquet")
+    }
+    val sql = tables.map(ddl(spark, _)).mkString("\n\n") + "\n"
+    Files.writeString(Paths.get(s"$outDir/schema.sql"), sql)
+  }
+
+  /** Reset registry (test isolation). */
+  def clear(): Unit = registry.clear()
+}

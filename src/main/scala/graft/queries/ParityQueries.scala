@@ -438,6 +438,27 @@ object ParityQueries {
              |GROUP BY n_name, year(o_orderdate)
              |ORDER BY n_name, yr""".stripMargin)),
 
+    QuerySpec("q1_schema_introspection",
+      "Q1/Q3/S6: catalog registration with PK/FK metadata + " +
+        "information_schema-style doc (no DuckDB oracle: introspects the " +
+        "Spark catalog, not the data)",
+      (s, dir) => {
+        import graft.catalog.Warehouse
+        import graft.catalog.Warehouse.{FkEdge, TableMeta}
+        Warehouse.clear()
+        Warehouse.load(s, t(s, dir, "orders"),
+          TableMeta("orders", pk = Seq("o_orderkey")), validate = false)
+        Warehouse.load(s, t(s, dir, "customer"),
+          TableMeta("customer", pk = Seq("c_custkey")), validate = false)
+        Warehouse.load(s, t(s, dir, "lineitem"),
+          TableMeta("lineitem",
+            fks = Seq(FkEdge(Seq("l_orderkey"), "orders", Seq("o_orderkey")))),
+          validate = false)
+        Warehouse.schemaDoc(s)
+          .orderBy(col("table_name"), col("ordinal_position"))
+      },
+      None),
+
     QuerySpec("c1_pk_check",
       "§5: PK-uniqueness validation (replaces DuckDB INSERT-time enforcement)",
       (s, dir) => Relational.pkViolations(t(s, dir, "orders"), Seq("o_orderkey"))

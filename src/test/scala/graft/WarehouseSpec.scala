@@ -1,0 +1,81 @@
+package graft
+
+import graft.catalog.Warehouse
+import graft.catalog.Warehouse.{FkEdge, TableMeta}
+import graft.sources.Tables
+
+class WarehouseSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def loadStar(): Unit = {
+    Warehouse.clear()
+    val dir = sf()
+    assert(Warehouse.load(spark, Tables.load(spark, dir, "orders"),
+      TableMeta("orders", pk = Seq("o_orderkey"))).isEmpty)
+    // note: synthetic lineitem has NO unique (orderkey, linenumber) pair,
+    // so it registers FK-only — the PK validator catching that is
+    // covered by the bad-data test below
+    assert(Warehouse.load(spark, Tables.load(spark, dir, "lineitem"),
+      TableMeta("lineitem",
+        fks = Seq(FkEdge(Seq("l_orderkey"), "orders", Seq("o_orderkey")))))
+      .isEmpty)
+  }
+
+  test("load registers tables and validates PK/FK cleanly on valid data") {
+    loadStar()
+    assert(spark.table("lineitem").count() > 0)
+  }
+
+  test("load reports violations on bad data") {
+    loadStar()
+    val dupes = Seq((1L, "x"), (1L, "y"), (999999L, "z")).toDF("l_orderkey", "v")
+    val viol = Warehouse.load(spark, dupes,
+      TableMeta("bad_child", pk = Seq("l_orderkey"),
+        fks = Seq(FkEdge(Seq("l_orderkey"), "orders", Seq("o_orderkey")))))
+    assert(viol.exists(v => v.kind == "PRIMARY KEY" && v.count == 1))
+    assert(viol.exists(v => v.kind == "FOREIGN KEY" && v.count >= 1))
+  }
+
+  test("preview returns LIMIT n rows") {
+    loadStar()
+    assert(Warehouse.preview(spark, "orders", 5).count() == 5)
+  }
+
+  test("schemaReport matches information_schema.columns shape") {
+    loadStar()
+    val rep = Warehouse.schemaReport(spark, "orders")
+      .as[(String, Int, String, String)].collect()
+    assert(rep.head == ("orders", 1, "o_orderkey", "BIGINT"))
+    assert(rep.map(_._3).contains("o_orderdate"))
+  }
+
+  test("schemaDoc classifies PK/FK columns") {
+    loadStar()
+    val doc = Warehouse.schemaDoc(spark)
+      .as[(String, Int, String, String, String)].collect()
+    assert(doc.exists(r => r._1 == "orders" && r._3 == "o_orderkey" && r._5 == "PK"))
+    assert(doc.exists(r => r._1 == "lineitem" && r._3 == "l_orderkey" && r._5 == "FK"))
+  }
+
+  test("ddl renders constraints") {
+    loadStar()
+    val composite = Seq((1L, 1, "x")).toDF("a", "b", "v")
+    Warehouse.load(spark, composite,
+      TableMeta("composite_t", pk = Seq("a", "b")))
+    val d = Warehouse.ddl(spark, "composite_t")
+    assert(d.contains("PRIMARY KEY (a, b)"))
+    val dl = Warehouse.ddl(spark, "lineitem")
+    assert(dl.contains("CREATE OR REPLACE TABLE lineitem"))
+    assert(dl.contains("FOREIGN KEY (l_orderkey) REFERENCES orders(o_orderkey)"))
+  }
+
+  test("exportDatabase writes parquet per table plus schema.sql") {
+    loadStar()
+    val out = java.nio.file.Files.createTempDirectory("graft-export").toString
+    Warehouse.exportDatabase(spark, out)
+    assert(spark.read.parquet(s"$out/orders.parquet").count() ==
+      spark.table("orders").count())
+    val sql = java.nio.file.Files.readString(java.nio.file.Paths.get(s"$out/schema.sql"))
+    assert(sql.contains("CREATE OR REPLACE TABLE orders"))
+  }
+}
