@@ -256,6 +256,33 @@ object ExtensionQueries {
              |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
              |FROM events GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin)),
 
+    QuerySpec("x14_sessionize",
+      "gap-based user sessionization (batch twin of the stateful " +
+        "flatMapGroupsWithState streaming operator)",
+      (s, dir) => graft.streaming.Sessionize
+        .batchSessions(t(s, dir, "events"), 1800L)
+        .orderBy(col("user_id"), col("sess_id"))
+        .select(col("user_id"), col("sess_id"), col("session_start"),
+          col("session_end"), col("n_events"), col("sum_value")),
+      Some("""WITH flagged AS (
+             |  SELECT user_id, event_id, ts, value,
+             |    CASE WHEN lag(ts) OVER w IS NULL
+             |           OR floor(epoch(ts)) - floor(epoch(lag(ts) OVER w)) > 1800
+             |         THEN 1 ELSE 0 END AS is_new
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |sess AS (
+             |  SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id
+             |    ORDER BY ts, event_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             |    AS sess_id
+             |  FROM flagged)
+             |SELECT user_id, sess_id, min(ts) AS session_start,
+             |       max(ts) AS session_end, count(*) AS n_events,
+             |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+             |FROM sess GROUP BY user_id, sess_id
+             |ORDER BY user_id, sess_id""".stripMargin)),
+
     QuerySpec("m1_multimodal_binary_meta",
       "binary-column plumbing: opaque bytes + typed metadata extraction",
       (s, dir) => t(s, dir, "documents")

@@ -1,0 +1,88 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.DecimalType
+
+/** User sessionization with an inactivity gap — batch and streaming
+  * forms of the same semantics.
+  *
+  * Batch: two window passes (lag → boundary flags → running sum), one
+  * shuffle on user_id; the per-user window never materializes the whole
+  * user's history beyond the sort — scales to arbitrary users since
+  * partitioning is by user_id, not global.
+  *
+  * Streaming: `flatMapGroupsWithState` with event-time timeout — the
+  * canonical bounded-state form: state per active user is O(1)
+  * (current session aggregate only), sessions emit when the watermark
+  * passes the gap.
+  */
+object Sessionize {
+
+  final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+      value: Double)
+  final case class SessionAgg(user_id: Long, session_start: Timestamp,
+      session_end: Timestamp, n_events: Long, sum_value: Double)
+  final case class SessionState(start: Long, end: Long, n: Long, sum: Double)
+
+  /** Batch sessionization; deterministic total order (ts, event_id)
+    * inside each user. `gapSeconds` of inactivity closes a session. */
+  def batchSessions(events: DataFrame, gapSeconds: Long): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val prev = lag(col("ts"), 1).over(w)
+    val flagged = events.withColumn("is_new",
+      when(prev.isNull ||
+        (unix_timestamp(col("ts")) - unix_timestamp(prev)) > gapSeconds, 1)
+        .otherwise(0))
+    val cum = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    flagged
+      .withColumn("sess_id", sum(col("is_new")).over(cum).cast("long"))
+      .groupBy(col("user_id"), col("sess_id"))
+      .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"))
+  }
+
+  /** Streaming sessionization over a watermarked Event stream. Emits a
+    * session when the user's event-time timeout (gap) fires. */
+  def streamingSessions(events: Dataset[Event], gapSeconds: Long): Dataset[SessionAgg] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", s"$gapSeconds seconds")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionAgg](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[SessionState]) =>
+          if (batch.isEmpty && state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionAgg(userId, new Timestamp(s.start),
+              new Timestamp(s.end), s.n, s.sum))
+          } else {
+            val events = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var st = state.getOption.orNull
+            val closed = Seq.newBuilder[SessionAgg]
+            events.foreach { e =>
+              val t = e.ts.getTime
+              if (st == null) st = SessionState(t, t, 1, e.value)
+              else if (t - st.end > gapSeconds * 1000) {
+                closed += SessionAgg(userId, new Timestamp(st.start),
+                  new Timestamp(st.end), st.n, st.sum)
+                st = SessionState(t, t, 1, e.value)
+              } else st = SessionState(st.start, math.max(st.end, t),
+                st.n + 1, st.sum + e.value)
+            }
+            if (st != null) {
+              state.update(st)
+              state.setTimeoutTimestamp(st.end + gapSeconds * 1000)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+}

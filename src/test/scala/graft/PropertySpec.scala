@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.functions.TextFunctions._
+import graft.operators.Relational
+
+/** Property-based invariants (SURVEY.md §5.2): surrogate-key density,
+  * diagonal-union column algebra, unpivot→pivot round trip,
+  * replace-first semantics, rolling-hash model equivalence.
+  * (ScalaCheck generators driven directly with fixed seeds — the
+  * scalatest/scalacheck bridge artifact is not on the offline
+  * classpath.) */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Run `f` over `n` deterministic samples of `gen`. */
+  private def forAllSamples[A](gen: Gen[A], n: Int = 10)(f: A => Unit): Unit =
+    (0 until n).foreach { i =>
+      f(gen.pureApply(Gen.Parameters.default, Seed(42L + i)))
+    }
+
+  private def minSuccessful(n: Int): Int = n // kept for call-site symmetry
+
+  private def forAll[A](gen: Gen[A], n: Int)(f: A => Unit): Unit =
+    forAllSamples(gen, n)(f)
+
+  private val word: Gen[String] = Gen.choose(1, 8)
+    .flatMap(n => Gen.listOfN(n, Gen.alphaLowerChar).map(_.mkString))
+
+  test("surrogate keys are contiguous 1..n over any distinct value set") {
+    forAll(Gen.nonEmptyListOf(word), minSuccessful(10)) { (xs: List[String]) =>
+      val df = xs.distinct.toDF("v")
+      val keyed = Relational.surrogateKey(df, "K-", "sk", Seq(col("v")))
+      val ns = keyed.select("sk_n").as[Long].collect().sorted
+      assert(ns.toSeq == (1L to xs.distinct.length).toSeq)
+    }
+  }
+
+  test("unionDiagonal: rows add, columns union in first-seen order") {
+    forAll(Gen.zip(Gen.choose(0, 5), Gen.choose(0, 5)), minSuccessful(10)) { case (n1: Int, n2: Int) =>
+      val a = (0 until n1).map(i => (i.toLong, s"a$i")).toDF("id", "x")
+      val b = (0 until n2).map(i => (i.toLong, i * 1.5)).toDF("id", "y")
+      val u = Relational.unionDiagonal(Seq(a, b))
+      assert(u.count() == n1 + n2)
+      assert(u.columns.toSeq == Seq("id", "x", "y"))
+    }
+  }
+
+  test("unpivot then pivot round-trips one-hot flag frames") {
+    forAll(Gen.listOfN(4, Gen.oneOf(0, 1)), minSuccessful(10)) { (flags: List[Int]) =>
+      val df = Seq((1L, flags(0), flags(1)), (2L, flags(2), flags(3)))
+        .toDF("id", "f_a", "f_b")
+      val long = Relational.unpivotFlags(df, Seq("id"), Seq("f_a", "f_b"))
+      val back = long.groupBy("id").pivot("variable", Seq("f_a", "f_b"))
+        .agg(first("value")).orderBy("id")
+      val orig = df.orderBy("id").collect().toSeq
+      assert(back.collect().toSeq == orig)
+    }
+  }
+
+  test("replaceFirst: identity without match; removes exactly one occurrence") {
+    forAll(word, minSuccessful(20)) { (s: String) =>
+      val df = Seq(s).toDF("s")
+      val noMatch = df.select(replaceFirst(col("s"), "@", "#")).as[String].head()
+      assert(noMatch == s)
+      val withPrefix = Seq(s"@$s@").toDF("s")
+        .select(replaceFirst(col("s"), "@", "")).as[String].head()
+      assert(withPrefix == s"$s@")
+    }
+  }
+
+  test("rolling_hash equals the scala fold model for arbitrary ASCII") {
+    graft.functions.Register.rollingHash(spark)
+    def model(s: String): Long =
+      s.getBytes("UTF-8").foldLeft(0L)((h, b) => (h * 131 + (b & 0xff)) % 2147483647L)
+    forAll(Gen.listOf(Gen.asciiPrintableChar).map(_.mkString), minSuccessful(20)) {
+      (s: String) =>
+        val got = Seq(s).toDF("s").select(expr("rolling_hash(s)")).as[Long].head()
+        assert(got == model(s))
+    }
+  }
+}

@@ -1,0 +1,53 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.Sessionize
+import graft.streaming.Sessionize.Event
+
+class SessionizeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  test("batchSessions splits on the inactivity gap per user") {
+    val events = Seq(
+      Event(1, ts(0), 7, 1.0), Event(2, ts(10), 7, 2.0), // session 1
+      Event(3, ts(50), 7, 4.0),                          // session 2 (40min gap)
+      Event(4, ts(5), 8, 8.0)                            // other user
+    ).toDF()
+    val sessions = Sessionize.batchSessions(events, gapSeconds = 1800)
+      .orderBy("user_id", "sess_id")
+      .select("user_id", "sess_id", "n_events", "sum_value")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(sessions == Seq((7L, 1L, 2L, 3.0), (7L, 2L, 1L, 4.0),
+      (8L, 1L, 1L, 8.0)))
+  }
+
+  test("streamingSessions emits closed sessions as the watermark advances") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = Sessionize.streamingSessions(mem.toDS(), gapSeconds = 1800)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sess_out").start()
+    try {
+      // batch 1: two events 10 min apart (one open session)
+      mem.addData(Event(1, ts(0), 7, 1.0), Event(2, ts(10), 7, 2.0))
+      q.processAllAvailable()
+      // batch 2: an event far in the future pushes the watermark past
+      // the session's timeout -> session for user 7 closes and emits
+      mem.addData(Event(99, Timestamp.valueOf("2024-01-01 13:00:00"), 8, 5.0))
+      q.processAllAvailable()
+      mem.addData(Event(100, Timestamp.valueOf("2024-01-01 15:00:00"), 8, 5.0))
+      q.processAllAvailable()
+      val got = spark.table("sess_out")
+        .select("user_id", "n_events", "sum_value")
+        .as[(Long, Long, Double)].collect().toSeq
+      assert(got.contains((7L, 2L, 3.0)))
+    } finally q.stop()
+  }
+}
