@@ -10,6 +10,12 @@ import graft.functions.TextFunctions._
   * All pure built-in expression compositions — fully codegen'd, no UDFs,
   * and each has an exact DuckDB-SQL twin (integer counts and exact
   * double divisions only, so hashes match bit-for-bit).
+  *
+  * Hot-path contract: the `...FromTokens` forms take an
+  * ALREADY-MATERIALIZED token-array column — an inline `split()`
+  * captured by the filter lambdas would re-evaluate per element
+  * (see TextFunctions.wordShinglesFromTokens). Callers should project
+  * `wsTokens(text)` once and pass the bound attribute.
   */
 object TextAnalysis {
 
@@ -21,10 +27,19 @@ object TextAnalysis {
     "es" -> Seq("el", "la", "los", "las", "es", "y", "de"),
     "fr" -> Seq("le", "la", "les", "et", "est", "une"))
 
-  /** Predicted language code, or 'und' when no marker hits. */
-  def langId(textCol: Column): Column = {
+  val stopwords: Seq[String] =
+    Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+  /** Count of tokens (array column) present in `words`. */
+  def tokensInArr(toks: Column, words: Seq[String]): Column = {
+    val arr = array(words.map(lit): _*)
+    size(filter(toks, t => array_contains(arr, t))).cast("long")
+  }
+
+  /** Predicted language code from a token array, or 'und'. */
+  def langIdFromTokens(toks: Column): Column = {
     val scores = langMarkers.map { case (lang, words) =>
-      lang -> tokensIn(textCol, words)
+      lang -> tokensInArr(toks, words)
     }
     val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
     scores.foldRight(lit("und"): Column) { case ((lang, s), acc) =>
@@ -32,36 +47,49 @@ object TextAnalysis {
     }
   }
 
-  /** Stopword ratio over whitespace tokens (English stopword set). */
-  def stopwordRatio(textCol: Column): Column = {
-    val sw = Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
-    tokensIn(textCol, sw).cast("double") / wsTokenCount(textCol)
-  }
+  /** Predicted language code, or 'und' when no marker hits.
+    * Convenience form — prefer langIdFromTokens on hot paths. */
+  def langId(textCol: Column): Column = langIdFromTokens(wsTokens(textCol))
 
-  /** Alphabetic-character ratio. */
+  /** Stopword ratio over a token array (English stopword set). */
+  def stopwordRatioFromTokens(toks: Column): Column =
+    tokensInArr(toks, stopwords).cast("double") / size(toks).cast("long")
+
+  def stopwordRatio(textCol: Column): Column =
+    stopwordRatioFromTokens(wsTokens(textCol))
+
+  /** Alphabetic-character ratio (needs the raw text, not tokens). */
   def alphaRatio(textCol: Column): Column =
     length(regexp_replace(textCol, "[^A-Za-z]", "")).cast("double") /
       length(textCol)
 
-  /** Mean token length. */
+  /** Mean token length from a token array. */
+  def meanTokenLenFromTokens(toks: Column): Column =
+    aggregate(transform(toks, t => length(t)), lit(0), (a, x) => a + x)
+      .cast("long").cast("double") / size(toks).cast("long")
+
   def meanTokenLen(textCol: Column): Column =
-    tokenLenSum(textCol).cast("double") / wsTokenCount(textCol)
+    meanTokenLenFromTokens(wsTokens(textCol))
 
   /** Composite quality score in [0, ~1]: rewards stopword presence,
     * alphabetic density and mid-length tokens — the standard cheap
     * pre-filter for web-scraped training text. Exact arithmetic:
     * integer counts divided as doubles. */
-  def qualityScore(textCol: Column): Column =
-    stopwordRatio(textCol) * lit(0.4) +
+  def qualityScoreFromTokens(textCol: Column, toks: Column): Column = {
+    val mtl = meanTokenLenFromTokens(toks)
+    stopwordRatioFromTokens(toks) * lit(0.4) +
       alphaRatio(textCol) * lit(0.4) +
-      when(meanTokenLen(textCol) >= 3 && meanTokenLen(textCol) <= 10, lit(0.2))
-        .otherwise(lit(0.0))
+      when(mtl >= 3 && mtl <= 10, lit(0.2)).otherwise(lit(0.0))
+  }
 
-  /** Per-document token statistics. */
+  def qualityScore(textCol: Column): Column =
+    qualityScoreFromTokens(textCol, wsTokens(textCol))
+
+  /** Per-document token statistics (tokens materialized internally). */
   def tokenStats(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.select(col(idCol),
-      wsTokenCount(col(textCol)).as("n_ws_tokens"),
-      bpeishTokenCount(col(textCol)).as("n_bpe_tokens"),
-      size(array_distinct(wsTokens(col(textCol)))).cast("long")
-        .as("n_uniq_tokens"))
+    docs.select(col(idCol), col(textCol), wsTokens(col(textCol)).as("__tk"))
+      .select(col(idCol),
+        size(col("__tk")).cast("long").as("n_ws_tokens"),
+        bpeishTokenCount(col(textCol)).as("n_bpe_tokens"),
+        size(array_distinct(col("__tk"))).cast("long").as("n_uniq_tokens"))
 }

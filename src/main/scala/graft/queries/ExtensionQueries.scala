@@ -153,7 +153,8 @@ object ExtensionQueries {
     QuerySpec("x8_text_langid",
       "language ID via stopword-marker scoring, distribution by language",
       (s, dir) => t(s, dir, "documents")
-        .select(TextAnalysis.langId(col("text")).as("lang_pred"))
+        .select(wsTokens(col("text")).as("toks"))
+        .select(TextAnalysis.langIdFromTokens(col("toks")).as("lang_pred"))
         .groupBy(col("lang_pred")).agg(count(lit(1)).as("n"))
         .orderBy(col("lang_pred")),
       Some {
@@ -178,11 +179,13 @@ object ExtensionQueries {
     QuerySpec("x9_text_quality",
       "per-document quality metrics: stopword/alpha ratios, mean token length, score",
       (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id"), col("text"), wsTokens(col("text")).as("toks"))
         .select(col("doc_id"),
-          TextAnalysis.stopwordRatio(col("text")).as("stopword_ratio"),
+          TextAnalysis.stopwordRatioFromTokens(col("toks")).as("stopword_ratio"),
           TextAnalysis.alphaRatio(col("text")).as("alpha_ratio"),
-          TextAnalysis.meanTokenLen(col("text")).as("mean_token_len"),
-          TextAnalysis.qualityScore(col("text")).as("quality"))
+          TextAnalysis.meanTokenLenFromTokens(col("toks")).as("mean_token_len"),
+          TextAnalysis.qualityScoreFromTokens(col("text"), col("toks"))
+            .as("quality"))
         .orderBy(col("doc_id")),
       Some {
         val sw = Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
