@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{GraftBridge, SparkSession}
 
-import graft.plans.RollingHash
+import graft.plans.{ArrayDotProduct, RollingHash}
 
 /** Session-scoped registration of graft's custom Catalyst expressions,
   * making them callable from SQL text and `expr(...)`. Idempotent. */
@@ -11,5 +11,12 @@ object Register {
     GraftBridge.registerFunction(spark, "rolling_hash",
       exprs => RollingHash(exprs.head))
 
-  def all(spark: SparkSession): Unit = rollingHash(spark)
+  def arrayDot(spark: SparkSession): Unit =
+    GraftBridge.registerFunction(spark, "array_dot",
+      exprs => ArrayDotProduct(exprs(0), exprs(1)))
+
+  def all(spark: SparkSession): Unit = {
+    rollingHash(spark)
+    arrayDot(spark)
+  }
 }

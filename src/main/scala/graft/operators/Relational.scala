@@ -54,4 +54,19 @@ object Relational {
       .reduce(_ && _)
     child.join(parent, cond, "left_anti")
   }
+
+  /** Skew-mitigating equi-join: salt the skewed (large) side's key with
+    * a random-free deterministic shard (hash of the whole row mod
+    * `saltFactor`) and replicate the small side across all shards, so a
+    * single hot key spreads over `saltFactor` reducers. Use when AQE's
+    * skew-join splitting isn't available/enough; results are identical
+    * to a plain inner join. */
+  def saltedJoin(large: DataFrame, small: DataFrame, key: String,
+      saltFactor: Int): DataFrame = {
+    val salted = large.withColumn("__salt",
+      pmod(hash(large.columns.map(col): _*), lit(saltFactor)))
+    val replicated = small.withColumn("__salt",
+      explode(sequence(lit(0), lit(saltFactor - 1))))
+    salted.join(replicated, Seq(key, "__salt")).drop("__salt")
+  }
 }

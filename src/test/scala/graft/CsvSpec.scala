@@ -3,7 +3,6 @@ package graft
 import java.sql.Date
 
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types._
 
 import graft.operators.Relational
 import graft.sources.Csv
@@ -17,45 +16,32 @@ class CsvSpec extends SparkSpec {
   private def res(name: String): String =
     getClass.getResource(s"/worldcup/$name").getPath
 
-  private val playersSchema = StructType(Seq(
-    StructField("player_id", StringType),
-    StructField("family_name", StringType),
-    StructField("given_name", StringType),
-    StructField("birth_date", DateType),
-    StructField("goal_keeper", IntegerType),
-    StructField("defender", IntegerType)))
-
-  private val stadiumsSchema = StructType(Seq(
-    StructField("stadium_id", StringType),
-    StructField("stadium_name", StringType),
-    StructField("city_name", StringType),
-    StructField("country_name", StringType),
-    StructField("capacity", IntegerType)))
-
   test("declared-schema CSV scan parses dates; empty date -> NULL") {
-    val df = Csv.read(spark, res("players.csv"), playersSchema)
+    val df = Csv.read(spark, res("players.csv"),
+      graft.etl.WorldCup.schemas("players"))
     val rows = df.select("player_id", "birth_date")
       .as[(String, Option[Date])].collect().sortBy(_._1)
-    assert(rows(0) == ("P-1", Some(Date.valueOf("1969-06-15"))))
-    assert(rows(2)._2.isEmpty)
+    assert(rows(0) == ("P-1", Some(Date.valueOf("1945-09-11"))))
+    assert(rows(3)._2.isEmpty)
   }
 
   test("ordinal projection keeps only the reference's consumed columns") {
-    val df = Csv.readOrdinals(spark, res("stadiums.csv"), stadiumsSchema,
-      Seq(2, 3))
+    val df = Csv.readOrdinals(spark, res("stadiums.csv"),
+      graft.etl.WorldCup.schemas("stadiums"), Seq(3, 4))
     assert(df.columns.toSeq == Seq("city_name", "country_name"))
-    assert(df.count() == 3)
+    assert(df.count() == 4)
   }
 
   test("city dimension build: dedup + surrogate key (reference A1+A2)") {
-    val cities = Csv.readOrdinals(spark, res("stadiums.csv"), stadiumsSchema,
-        Seq(2, 3)).distinct()
+    val cities = Csv.readOrdinals(spark, res("stadiums.csv"),
+        graft.etl.WorldCup.schemas("stadiums"), Seq(3, 4)).distinct()
     val dim = Relational.surrogateKey(cities, "CTY-", "city_id",
         Seq(col("city_name")))
       .select("city_id", "city_name", "country_name")
       .as[(String, String, String)].collect().sortBy(_._1)
     assert(dim.toSeq == Seq(
-      ("CTY-1", "Mexico City", "Mexico"),
-      ("CTY-2", "Milan", "Italy")))
+      ("CTY-1", "Frankfurt", "West Germany"),
+      ("CTY-2", "Mexico City", "Mexico"),
+      ("CTY-3", "Munich", "West Germany")))
   }
 }

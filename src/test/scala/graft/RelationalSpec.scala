@@ -45,6 +45,24 @@ class RelationalSpec extends SparkSpec {
     assert(orphans.toSeq == Seq((99, "b")))
   }
 
+  test("saltedJoin equals a plain inner join on skewed keys") {
+    val large = (1 to 100).map(i => (if (i <= 90) 1 else 2, s"row$i"))
+      .toDF("k", "payload") // 90% of rows share key 1
+    val small = Seq((1, "dim-one"), (2, "dim-two")).toDF("k", "label")
+    val plain = large.join(small, "k")
+    val salted = Relational.saltedJoin(large, small, "k", saltFactor = 8)
+    assert(salted.count() == plain.count())
+    assert(salted.select("k", "payload", "label").except(
+      plain.select("k", "payload", "label")).isEmpty)
+  }
+
+  test("array_dot is SQL-callable after registration") {
+    graft.functions.Register.all(spark)
+    val got = spark.sql("SELECT array_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) v")
+      .as[Double].head()
+    assert(got == 11.0)
+  }
+
   test("when without otherwise yields NULL (reference P12 semantics)") {
     val df = Seq(0, 10).toDF("x")
       .select(when($"x" > 5, "big").as("label"))
