@@ -73,6 +73,84 @@ object Similarity {
       nPlanes: Int, dim: Int): DataFrame =
     df.select(col(idCol), bucketExpr(col(vecCol), nPlanes, dim).as("bucket"))
 
+  // ---- IVF (inverted-file) ANN -------------------------------------
+
+  /** Deterministic IVF training: centroids initialized from the K
+    * lowest-id rows, refined with `iters` Lloyd iterations computed as
+    * DataFrame aggregations (assign = argmax dot against broadcast
+    * literal centroids; update = per-cell mean). No RNG anywhere, so
+    * cells are reproducible across runs and cluster layouts. Centroids
+    * are collected to the driver — K×dim doubles, intentionally tiny. */
+  def ivfTrain(corpus: DataFrame, idCol: String, vecCol: String,
+      nCells: Int, iters: Int = 2): Array[Array[Double]] = {
+    var centroids: Array[Array[Double]] = corpus
+      .orderBy(col(idCol)).limit(nCells)
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    (0 until iters).foreach { _ =>
+      val assigned = corpus.withColumn("__cell", cellExpr(col(vecCol), centroids))
+      val means = assigned
+        .select(col("__cell"), posexplode(col(vecCol)).as(Seq("d", "x")))
+        .groupBy("__cell", "d").agg(avg(col("x").cast("double")).as("m"))
+        .groupBy("__cell")
+        .agg(map_from_arrays(collect_list(col("d")), collect_list(col("m")))
+          .as("dims"))
+        .collect()
+      means.foreach { row =>
+        val cell = row.getInt(0)
+        val dims = row.getMap[Int, Double](1)
+        centroids = centroids.updated(cell,
+          Array.tabulate(centroids(cell).length)(d =>
+            dims.getOrElse(d, centroids(cell)(d))))
+      }
+    }
+    centroids
+  }
+
+  /** Nearest-centroid cell id as a pure projection: argmax dot product
+    * against literal centroid arrays (greatest over (score, idx)
+    * structs — field-order comparison gives the argmax). */
+  def cellExpr(vecCol: Column, centroids: Array[Array[Double]]): Column = {
+    val scored = centroids.zipWithIndex.map { case (c, i) =>
+      struct(dotProduct(vecCol, array(c.map(lit): _*)).as("s"),
+        lit(i).as("i"))
+    }
+    greatest(scored.toSeq: _*).getField("i")
+  }
+
+  /** IVF ANN: corpus rows live in their nearest-centroid cell; each
+    * query probes its `nProbes` nearest cells and ranks exact cosine
+    * inside them. Cell assignment is a narrow projection; the probe
+    * join is an equi-join on cell id — candidate volume shrinks
+    * ~nCells/nProbes-fold vs brute force. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, nCells: Int, nProbes: Int,
+      iters: Int = 2): DataFrame = {
+    val centroids = ivfTrain(corpus, idCol, vecCol, nCells, iters)
+    val c = corpus.select(col(idCol).as("did"), col(vecCol).as("dvec"),
+      l2Norm(col(vecCol)).as("dn"),
+      cellExpr(col(vecCol), centroids).as("cell"))
+    val probeStructs = centroids.zipWithIndex.map { case (cent, i) =>
+      struct(dotProduct(col(vecCol), array(cent.map(lit): _*)).as("s"),
+        lit(i).as("i"))
+    }
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"),
+        l2Norm(col(vecCol)).as("qn"),
+        explode(slice(reverse(array_sort(array(probeStructs: _*))),
+          1, nProbes)).as("probe"))
+      .select(col("qid"), col("qvec"), col("qn"),
+        col("probe.i").as("cell"))
+    val scored = c.join(broadcast(q), Seq("cell"))
+      .filter(col("qid") =!= col("did"))
+      .select(col("qid"), col("did"),
+        when(col("qn") * col("dn") > 0,
+          dotProduct(col("qvec"), col("dvec")) / (col("qn") * col("dn")))
+          .otherwise(lit(0.0)).as("cos"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("did"))
+    scored.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+  }
+
   /** Approximate top-k: exact cosine ranking restricted to the query's
     * own LSH bucket. Recall < 1 by design; deterministic output. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,

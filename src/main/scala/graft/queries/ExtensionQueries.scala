@@ -121,6 +121,19 @@ object ExtensionQueries {
       },
       None),
 
+    QuerySpec("x6b_ann_ivf",
+      "IVF-cell ANN: deterministic Lloyd-trained inverted file, 2-probe " +
+        "search (approximate; rows-only check)",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 8),
+            "vec_id", "embedding", 5, nCells = 8, nProbes = 2)
+          .select(col("qid"), col("rn"), col("did"),
+            round(col("cos"), 6).as("cos_r"))
+          .orderBy(col("qid"), col("rn"))
+      },
+      None),
+
     QuerySpec("x7_dedup_embedding_cosine",
       "embedding-cosine near-dup scan over adjacent-id pairs",
       (s, dir) => {

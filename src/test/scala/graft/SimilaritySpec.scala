@@ -44,6 +44,27 @@ class SimilaritySpec extends SparkSpec {
     assert(buckets.values.forall(b => b >= 0 && b < 16))
   }
 
+  test("ivfTopK finds the identical twin (same-cell guarantee)") {
+    val vecs = (0L until 20L).map { i =>
+      (i, Seq.tabulate(8)(d => if (d == (i % 4).toInt) 1f else 0.1f))
+    }.toDF("vec_id", "embedding")
+    // vec 16 is an exact twin of vec 0's pattern (16 % 4 == 0)
+    val top = Similarity.ivfTopK(vecs, vecs.filter($"vec_id" === 0),
+        "vec_id", "embedding", 1, nCells = 4, nProbes = 1)
+      .select("qid", "did", "cos").as[(Long, Long, Double)].collect()
+    assert(top.length == 1)
+    assert(top.head._2 % 4 == 0)   // nearest is a same-pattern vector
+    assert(top.head._3 > 0.99)
+  }
+
+  test("ivfTrain is deterministic across invocations") {
+    val vecs = (0L until 12L).map(i =>
+      (i, Seq.tabulate(4)(d => (i * 7 % 5 + d).toFloat))).toDF("vec_id", "embedding")
+    val c1 = Similarity.ivfTrain(vecs, "vec_id", "embedding", 3)
+    val c2 = Similarity.ivfTrain(vecs, "vec_id", "embedding", 3)
+    assert(c1.map(_.toSeq).toSeq == c2.map(_.toSeq).toSeq)
+  }
+
   test("lshTopK finds the identical twin (same-bucket guarantee)") {
     val vecs = Seq(
       (0L, Seq.fill(8)(0.5f)),
