@@ -14,6 +14,16 @@ object Bench {
     // first timed query doesn't absorb one-time setup cost.
     spark.range(1000000L).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/region.parquet").count()
+    // Optionally pin base tables in the in-memory columnar cache
+    // (SPARK_GRAFT_CACHE=1). Measured SLOWER here than parquet re-scan
+    // — the cache replaces pruned/pushed-down parquet scans with full
+    // InMemoryRelation reads — so it stays off by default.
+    if (sys.env.getOrElse("SPARK_GRAFT_CACHE", "0") == "1") {
+      graft.sources.Tables.all.foreach { t =>
+        val df = graft.sources.Tables.load(spark, sfDir, t)
+        df.cache(); df.count()
+      }
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
