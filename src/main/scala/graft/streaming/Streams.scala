@@ -34,6 +34,16 @@ object Streams {
         .withWatermark("ts", watermark),
       windowLen)
 
+  /** Streaming exact dedup: drop rows whose key was already seen within
+    * the watermark horizon — the ingestion-time half of the batch dedup
+    * operators (Dedup.exactKeepFirst). State is bounded by the
+    * watermark: keys older than `delay` are evicted, so state size
+    * tracks the duplicate-arrival window, not the stream's history. */
+  def streamingDedup(events: DataFrame, keyCols: Seq[String],
+      watermarkCol: String, delay: String): DataFrame =
+    events.withWatermark(watermarkCol, delay)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** Run a streaming DataFrame to completion against currently-available
     * files via the in-memory sink; returns the materialized result. */
   def runToMemorySink(spark: SparkSession, streaming: DataFrame,

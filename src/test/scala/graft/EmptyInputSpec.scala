@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.operators.{Dedup, Similarity}
+
+/** Degenerate-input robustness: at 100 TB every operator regularly
+  * sees empty partitions and empty filtered subsets — none of the
+  * heavy operators may throw on them (ANSI mode makes e.g. bad
+  * sequence() bounds fatal, so this is worth pinning). */
+class EmptyInputSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val emptyDocs = spark.createDataFrame(
+    spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+    StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType))))
+
+  private val emptyVecs = spark.createDataFrame(
+    spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+    StructType(Seq(StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)))))
+
+  test("minhash near-dup pairs on empty input is empty, not an error") {
+    assert(Dedup.minHashNearDupPairs(emptyDocs, "doc_id", "text").count() == 0)
+  }
+
+  test("simhash on empty input is empty") {
+    assert(Dedup.simHash32(emptyDocs, "doc_id", "text").count() == 0)
+  }
+
+  test("brute-force ANN with empty queries or corpus is empty") {
+    val vecs = Seq((0L, Seq(1f, 0f))).toDF("vec_id", "embedding")
+    assert(Similarity.bruteForceTopK(vecs, emptyVecs, "vec_id", "embedding", 3)
+      .count() == 0)
+    assert(Similarity.bruteForceTopK(emptyVecs, vecs, "vec_id", "embedding", 3)
+      .count() == 0)
+  }
+
+  test("short documents (below shingle width) still shingle safely") {
+    val tiny = Seq((1L, "ab"), (2L, "a b")).toDF("doc_id", "text")
+    val sigs = Dedup.minHashSignatures(tiny, "doc_id", "text",
+      Dedup.MinHashParams())
+    assert(sigs.count() == 2) // whole-text fallback shingle
+  }
+}
