@@ -309,6 +309,33 @@ object ParityQueries {
               |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
               |ORDER BY rf, ls""".stripMargin)),
 
+    QuerySpec("g3_cube",
+      "grouping sets: CUBE over two dimensions with coalesced labels",
+      (s, dir) => t(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec2(col("o_totalprice"))).cast("double").as("total"))
+        .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("n"), col("total"))
+        .orderBy(col("status"), col("priority")),
+      Some(s"""SELECT coalesce(o_orderstatus, 'ALL') AS status,
+              |       coalesce(o_orderpriority, 'ALL') AS priority,
+              |       count(*) AS n, ${sumDec("o_totalprice")} AS total
+              |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+              |ORDER BY status, priority""".stripMargin)),
+
+    QuerySpec("g4_approx_distinct",
+      "HLL++ approximate distinct counts (sketch aggregate; estimator " +
+        "differs from DuckDB's so rows-only check — accuracy pinned in " +
+        "unit tests)",
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+          countDistinct(col("l_orderkey")).as("exact_orders"))
+        .orderBy(col("l_returnflag")),
+      None),
+
     QuerySpec("w1_window_rank",
       "window ranking: top-3 orders per market segment",
       (s, dir) => {

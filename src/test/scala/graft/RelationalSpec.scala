@@ -63,6 +63,15 @@ class RelationalSpec extends SparkSpec {
     assert(got == 11.0)
   }
 
+  test("approx_count_distinct stays within 5% of exact on test data") {
+    val li = graft.sources.Tables.load(spark, sf("sf0.01"), "lineitem")
+    val row = li.agg(
+      approx_count_distinct(col("l_orderkey")).as("a"),
+      countDistinct(col("l_orderkey")).as("e")).head()
+    val (a, e) = (row.getLong(0).toDouble, row.getLong(1).toDouble)
+    assert(math.abs(a - e) / e < 0.05, s"approx=$a exact=$e")
+  }
+
   test("when without otherwise yields NULL (reference P12 semantics)") {
     val df = Seq(0, 10).toDF("x")
       .select(when($"x" > 5, "big").as("label"))
