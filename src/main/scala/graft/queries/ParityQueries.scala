@@ -39,10 +39,17 @@ object ParityQueries {
       (s, dir) => t(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
           col("l_extendedprice").as("price"))
-        .orderBy(col("l_orderkey"), col("l_linenumber")).limit(100),
+        // (l_orderkey, l_linenumber) is NOT unique in the synthetic data:
+        // the ORDER BY must totalize over all output columns or the
+        // LIMIT boundary is engine-dependent
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("price"))
+        .limit(100),
       Some("""SELECT l_orderkey, l_linenumber, l_quantity,
              |       l_extendedprice AS price
-             |FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 100""".stripMargin)),
+             |FROM lineitem
+             |ORDER BY l_orderkey, l_linenumber, l_quantity, price
+             |LIMIT 100""".stripMargin)),
 
     QuerySpec("p6_filter_predicates",
       "P6/P8/P9/P10: equality, isin, null-test, inequality predicates",
@@ -51,12 +58,15 @@ object ParityQueries {
           && col("l_shipdate").isNotNull && col("l_linestatus") =!= "O")
         .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
           col("l_quantity"))
-        .orderBy(col("l_orderkey"), col("l_linenumber")),
+        // totalize over all output columns (duplicate (okey, lineno)
+        // pairs exist) so row order is engine-independent
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          col("l_quantity")),
       Some("""SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity
              |FROM lineitem
              |WHERE l_returnflag IN ('A','R') AND l_quantity > 30
              |  AND l_shipdate IS NOT NULL AND l_linestatus <> 'O'
-             |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+             |ORDER BY l_orderkey, l_linenumber, l_returnflag, l_quantity""".stripMargin)),
 
     QuerySpec("p7_case_conditional",
       "P7/P12: nested CASE WHEN incl. omitted-else -> NULL",

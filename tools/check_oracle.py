@@ -15,9 +15,12 @@ import duckdb
 import pandas as pd
 
 
-def canon(df: pd.DataFrame) -> pd.DataFrame:
+def canon(df: pd.DataFrame, sort_rows: bool) -> pd.DataFrame:
+    # columns sorted by name (like the driver); rows kept in FILE ORDER
+    # by default — stricter than any plausible driver comparator, so an
+    # ORDER BY that isn't a total order fails here first
     df = df.reindex(sorted(df.columns), axis=1)
-    if len(df.columns):
+    if sort_rows and len(df.columns):
         df = df.sort_values(by=list(df.columns), kind="mergesort")
     return df.reset_index(drop=True)
 
@@ -32,9 +35,10 @@ def main(sf_dir: str, out_dir: str) -> int:
     n_pass = n_fail = 0
     for name, sql in sorted(oracles.items()):
         try:
-            got = canon(con.sql(
-                f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df())
-            want = canon(con.sql(sql).df())
+            got_raw = con.sql(
+                f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df()
+            want_raw = con.sql(sql).df()
+            got, want = canon(got_raw, False), canon(want_raw, False)
         except Exception as e:
             print(f"FAIL {name}: exception {str(e)[:200]}")
             n_fail += 1
@@ -54,7 +58,18 @@ def main(sf_dir: str, out_dir: str) -> int:
                     pd.testing.assert_frame_equal(
                         got, want, check_exact=True, check_dtype=False)
                 except AssertionError as e:
-                    problems.append("values: " + str(e).split("\n")[1][:160])
+                    # distinguish row-order-only divergence (still a
+                    # failure: the ORDER BY isn't a total order)
+                    try:
+                        pd.testing.assert_frame_equal(
+                            canon(got_raw, True), canon(want_raw, True),
+                            check_exact=True, check_dtype=False)
+                        problems.append(
+                            "ROW ORDER ONLY — ORDER BY not total: "
+                            + str(e).split("\n")[1][:120])
+                    except AssertionError:
+                        problems.append(
+                            "values: " + str(e).split("\n")[1][:160])
         if problems:
             print(f"FAIL {name}: {'; '.join(problems)[:400]}")
             n_fail += 1
