@@ -79,22 +79,42 @@ object Dedup {
     * (band, band_key) — bucket-local, never all-pairs. */
   def minHashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
       p: MinHashParams = MinHashParams(), minEst: Double = 0.75): DataFrame = {
-    val sigs = minHashSignatures(docs, idCol, textCol, p).cache()
-    val bands = lshBands(sigs, idCol, p)
+    // array-typed signature: one column through the cache/joins instead
+    // of k, with band keys and the match count built from slices —
+    // string-identical to the per-column formulation, so the DuckDB
+    // oracle is unchanged
+    val toks = docs.select(col(idCol), trim(col(textCol)).as("__t"),
+      wsTokens(col(textCol)).as("__tk"))
+    val grams = toks.select(col(idCol),
+        explode(wordShinglesFromTokens(col("__tk"), col("__t"), p.shingleN))
+          .as("g"))
+      .select(col(idCol), md5Hash60(col("g")).as("a"),
+        md5Hash60b(col("g")).as("b"))
+    val sigs = grams.groupBy(col(idCol))
+      .agg(array((0 until p.k).map(j => min(cwHash(col("a"), col("b"), j))): _*)
+        .as("sig"))
+      .cache()
+    val bandCols = (0 until p.bands).map { b =>
+      md5(concat_ws("|", transform(
+        slice(col("sig"), b * p.rows + 1, p.rows), x => x.cast("string"))))
+        .as(s"band$b")
+    }
+    val bands = sigs.select(col(idCol) +: bandCols: _*)
+      .unpivot(Array(col(idCol)),
+        (0 until p.bands).map(b => col(s"band$b")).toArray, "band", "band_key")
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") &&
           col("x.band_key") === col("y.band_key") &&
           col(s"x.$idCol") < col(s"y.$idCol"))
       .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"))
       .distinct()
-    val sa = sigs.select(col(idCol).as("id_a") +:
-      (0 until p.k).map(j => col(s"s$j").as(s"a$j")): _*)
-    val sb = sigs.select(col(idCol).as("id_b") +:
-      (0 until p.k).map(j => col(s"s$j").as(s"b$j")): _*)
-    val matches = (0 until p.k)
-      .map(j => when(col(s"a$j") === col(s"b$j"), 1).otherwise(0))
-      .reduce(_ + _)
-    cand.join(sa, "id_a").join(sb, "id_b")
+    val matches = aggregate(
+      zip_with(col("sig_a"), col("sig_b"),
+        (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, v) => acc + v)
+    cand
+      .join(sigs.select(col(idCol).as("id_a"), col("sig").as("sig_a")), "id_a")
+      .join(sigs.select(col(idCol).as("id_b"), col("sig").as("sig_b")), "id_b")
       .select(col("id_a"), col("id_b"),
         (matches.cast("double") / p.k).as("est_jaccard"))
       .filter(col("est_jaccard") >= minEst)
