@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal join operators Spark lacks natively.
+  *
+  * The as-of join (`left` row ⟵ most recent `right` row with
+  * right.ts <= left.ts per key) is composed from built-ins — the
+  * union-tag-and-carry-forward technique — rather than a custom
+  * SparkPlan: one union, one window keyed by the join key, one filter.
+  * The window partitions by key only, so state per partition is one
+  * key's timeline — scales like any keyed window, no range-explosion,
+  * no cross product. DuckDB's native `ASOF LEFT JOIN` is the oracle.
+  */
+object Temporal {
+
+  /** Left as-of join: every left row picks the latest right row with
+    * `rightTs <= leftTs` for the same key (ties on ts resolved toward
+    * the largest `rightOrder` value, deterministically).
+    *
+    * @param left       probe side (all columns preserved)
+    * @param right      reference side; its payload columns are carried
+    * @param keyCol     equi-key name present on both sides
+    * @param tsCol      event-time column name present on both sides
+    * @param rightOrder tie-break column on the right side
+    * @param payload    right-side columns to carry (each becomes
+    *                   `asof_<name>`, NULL when no match exists)
+    */
+  def asOfJoinLeft(left: DataFrame, right: DataFrame, keyCol: String,
+      tsCol: String, rightOrder: String, payload: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    // tag 0 sorts before tag 1 at equal ts: a right row AT the probe
+    // timestamp is eligible (<= semantics)
+    val taggedRight = right.select(
+      (Seq(col(keyCol), col(tsCol), lit(0).as("__tag"),
+        col(rightOrder).as("__ord")) ++
+        payload.map(c => col(c).as(s"asof_$c")) ++
+        leftCols.filterNot(Seq(keyCol, tsCol).contains)
+          .map(c => lit(null).cast(left.schema(c).dataType).as(c))): _*)
+    val taggedLeft = left.select(
+      (Seq(col(keyCol), col(tsCol), lit(1).as("__tag"),
+        lit(null).cast(right.schema(rightOrder).dataType).as("__ord")) ++
+        payload.map(c => lit(null).cast(right.schema(c).dataType)
+          .as(s"asof_$c")) ++
+        leftCols.filterNot(Seq(keyCol, tsCol).contains).map(col)): _*)
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col("__tag"), col("__ord"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = taggedRight.unionByName(taggedLeft)
+      .select((Seq(col(keyCol), col(tsCol), col("__tag")) ++
+        leftCols.filterNot(Seq(keyCol, tsCol).contains).map(col) ++
+        payload.map(c =>
+          last(col(s"asof_$c"), ignoreNulls = true).over(w)
+            .as(s"asof_$c"))): _*)
+    carried.filter(col("__tag") === 1).drop("__tag")
+      .select(leftCols.map(col) ++ payload.map(c => col(s"asof_$c")): _*)
+  }
+}

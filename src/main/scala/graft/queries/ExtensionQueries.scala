@@ -272,6 +272,30 @@ object ExtensionQueries {
              |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
              |FROM events GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin)),
 
+    QuerySpec("x15_asof_join",
+      "as-of join (composed: union-tag + keyed carry-forward window) vs " +
+        "DuckDB's native ASOF LEFT JOIN — each event picks the user's " +
+        "most recent signup at-or-before its timestamp",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val left = ev.select(col("event_id"), col("ts"), col("user_id"),
+          col("value"))
+        val signups = ev.filter(col("event_type") === "signup")
+          .select(col("user_id"), col("ts"), col("event_id"))
+        graft.operators.Temporal.asOfJoinLeft(left, signups,
+            keyCol = "user_id", tsCol = "ts", rightOrder = "event_id",
+            payload = Seq("event_id", "ts"))
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH signups AS (
+             |  SELECT user_id, ts, event_id FROM events
+             |  WHERE event_type = 'signup')
+             |SELECT e.event_id, e.ts, e.user_id, e.value,
+             |       s.event_id AS asof_event_id, s.ts AS asof_ts
+             |FROM events e ASOF LEFT JOIN signups s
+             |  ON e.user_id = s.user_id AND e.ts >= s.ts
+             |ORDER BY e.event_id""".stripMargin)),
+
     QuerySpec("x14_sessionize",
       "gap-based user sessionization (batch twin of the stateful " +
         "flatMapGroupsWithState streaming operator)",
