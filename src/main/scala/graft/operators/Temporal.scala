@@ -57,4 +57,31 @@ object Temporal {
     carried.filter(col("__tag") === 1).drop("__tag")
       .select(leftCols.map(col) ++ payload.map(c => col(s"asof_$c")): _*)
   }
+
+  /** Bounded range self-join: all pairs of rows sharing `keyCol` whose
+    * timestamps lie within `toleranceSec` of each other (id_a < id_b).
+    *
+    * A naive theta-join is O(n²) per key; this composition buckets each
+    * row onto a `toleranceSec` grid, replicates one side onto its
+    * adjacent buckets (x3), equi-joins on (key, bucket), and applies
+    * the exact interval filter — every qualifying pair meets in exactly
+    * one bucket, so no dedup pass is needed and the join stays an
+    * equi-join (shuffle keyed by (key, bucket), skew-splittable by
+    * AQE). The standard interval-join shape for 100 TB event logs. */
+  def rangeJoinWithin(events: DataFrame, keyCol: String, idCol: String,
+      tsCol: String, toleranceSec: Long): DataFrame = {
+    val tolMicros = toleranceSec * 1000000L
+    val a = events.select(col(keyCol), col(idCol).as("id_a"),
+      unix_micros(col(tsCol)).as("us_a"),
+      floor(unix_micros(col(tsCol)) / tolMicros).as("__bucket"))
+    val b = events.select(col(keyCol), col(idCol).as("id_b"),
+        unix_micros(col(tsCol)).as("us_b"),
+        explode(sequence(
+          floor(unix_micros(col(tsCol)) / tolMicros) - 1,
+          floor(unix_micros(col(tsCol)) / tolMicros) + 1)).as("__bucket"))
+    a.join(b, Seq(keyCol, "__bucket"))
+      .filter(col("id_a") < col("id_b") &&
+        abs(col("us_b") - col("us_a")) <= tolMicros)
+      .select(col(keyCol), col("id_a"), col("id_b"))
+  }
 }

@@ -296,6 +296,21 @@ object ExtensionQueries {
              |  ON e.user_id = s.user_id AND e.ts >= s.ts
              |ORDER BY e.event_id""".stripMargin)),
 
+    QuerySpec("x16_range_join",
+      "bounded range self-join (grid-bucketed equi-join composition) vs " +
+        "DuckDB's native interval theta-join: same-user event pairs " +
+        "within 10 minutes",
+      (s, dir) => graft.operators.Temporal.rangeJoinWithin(
+          t(s, dir, "events"), keyCol = "user_id", idCol = "event_id",
+          tsCol = "ts", toleranceSec = 600)
+        .orderBy(col("id_a"), col("id_b")),
+      Some("""SELECT a.user_id, a.event_id AS id_a, b.event_id AS id_b
+             |FROM events a JOIN events b
+             |  ON a.user_id = b.user_id AND a.event_id < b.event_id
+             | AND b.ts >= a.ts - INTERVAL 10 MINUTE
+             | AND b.ts <= a.ts + INTERVAL 10 MINUTE
+             |ORDER BY id_a, id_b""".stripMargin)),
+
     QuerySpec("x14_sessionize",
       "gap-based user sessionization (batch twin of the stateful " +
         "flatMapGroupsWithState streaming operator)",

@@ -29,6 +29,19 @@ class TemporalSpec extends SparkSpec {
     assert(got(4L).isEmpty)
   }
 
+  test("rangeJoinWithin equals the naive theta-join on every boundary") {
+    val ev = Seq(
+      (1L, ts(0), 7L), (2L, ts(4), 7L),   // 4 min apart -> pair
+      (3L, ts(5), 7L),                     // exactly 5 min from id 1 -> inclusive
+      (4L, ts(20), 7L),                    // far -> no pair with 1-3
+      (5L, ts(2), 8L)                      // other key
+    ).toDF("event_id", "ts", "user_id")
+    val got = Temporal.rangeJoinWithin(ev, "user_id", "event_id", "ts", 300)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val want = Set((1L, 2L), (1L, 3L), (2L, 3L)) // id4/id5 isolated
+    assert(got == want)
+  }
+
   test("asOfJoinLeft preserves all left rows and columns") {
     val left = Seq((1L, ts(5), 7L, "x")).toDF("event_id", "ts", "user_id", "tag")
     val right = Seq((7L, ts(0), 1L)).toDF("user_id", "ts", "rid")
