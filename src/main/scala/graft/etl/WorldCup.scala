@@ -342,8 +342,10 @@ object WorldCup {
           .as("away_team_penalty_score"))
 
     // event (build_db.py:1045-1146): goals + melted bookings +
-    // melted substitutions, diagonal union (A3/A4), MEV- keys ordered
-    // by natural key (deterministic; reference used row order)
+    // melted substitutions, diagonal union (A3/A4). Keys are MEV- +
+    // md5(natural key, per-key ordinal) — deterministic like the
+    // reference's row-order ids but fully distributed: the biggest
+    // table in the schema never collapses to a one-partition window
     val evIds = Seq("match_id", "team_id", "player_id", "minute_label",
       "minute_regulation", "minute_stoppage", "match_period")
     val goalsLong = src("goals").select(
@@ -361,9 +363,11 @@ object WorldCup {
     val event = Relational.unionDiagonal(Seq(goalsLong, bookingsLong, subsLong))
       .join(broadcast(eventType.select(col("id").as("event_type_id"),
         col("orig_name"))), col("variable") === col("orig_name"))
-      .transform(df => Relational.surrogateKey(df, "MEV-", "id",
-        Seq(col("match_id"), col("team_id"), col("player_id"),
-          col("event_type_id"), col("minute_label"))))
+      .transform(df => Relational.factKey(df, "MEV-", "id",
+        naturalKey = Seq(col("match_id"), col("team_id"), col("player_id"),
+          col("event_type_id"), col("minute_label")),
+        tieBreak = Seq(col("minute_regulation"), col("minute_stoppage"),
+          col("match_period"))))
       .select("id", "match_id", "team_id", "player_id", "event_type_id",
         "minute_label", "minute_regulation", "minute_stoppage",
         "match_period")

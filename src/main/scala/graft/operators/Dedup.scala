@@ -76,33 +76,34 @@ object Dedup {
   /** Candidate pairs (id_a < id_b) sharing ≥1 LSH bucket, with the
     * MinHash Jaccard estimate (= fraction of matching signature slots),
     * filtered to `minEst`. The pair join is an equi-join on
-    * (band, band_key) — bucket-local, never all-pairs. */
+    * (band, band_key) — bucket-local, never all-pairs.
+    *
+    * Two guards bound the classic web-dedup hot-bucket blowup (a
+    * cluster of identical documents shares every band, making one
+    * bucket O(n²) in pairs):
+    *  - an EXACT-dedup prefilter (one groupBy on the text) collapses
+    *    identical documents to their lowest id before any hashing —
+    *    exact duplicates are x1's job, not LSH's;
+    *  - each bucket is capped at its `maxBucket` lowest ids (ranked
+    *    window on the same (band, band_key) key the join shuffles on,
+    *    so the cap adds no extra exchange). Overflow is NOT silent:
+    *    [[minHashBucketOverflow]] reports capped buckets.
+    *
+    * No caching: the signature subplan appears three times but shares
+    * one Exchange (Spark's ReuseExchange), so shingle hashing runs
+    * once without pinning a full-corpus signature table in memory. */
   def minHashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
-      p: MinHashParams = MinHashParams(), minEst: Double = 0.75): DataFrame = {
-    // array-typed signature: one column through the cache/joins instead
-    // of k, with band keys and the match count built from slices —
-    // string-identical to the per-column formulation, so the DuckDB
-    // oracle is unchanged
-    val toks = docs.select(col(idCol), trim(col(textCol)).as("__t"),
-      wsTokens(col(textCol)).as("__tk"))
-    val grams = toks.select(col(idCol),
-        explode(wordShinglesFromTokens(col("__tk"), col("__t"), p.shingleN))
-          .as("g"))
-      .select(col(idCol), md5Hash60(col("g")).as("a"),
-        md5Hash60b(col("g")).as("b"))
-    val sigs = grams.groupBy(col(idCol))
-      .agg(array((0 until p.k).map(j => min(cwHash(col("a"), col("b"), j))): _*)
-        .as("sig"))
-      .cache()
-    val bandCols = (0 until p.bands).map { b =>
-      md5(concat_ws("|", transform(
-        slice(col("sig"), b * p.rows + 1, p.rows), x => x.cast("string"))))
-        .as(s"band$b")
-    }
-    val bands = sigs.select(col(idCol) +: bandCols: _*)
-      .unpivot(Array(col(idCol)),
-        (0 until p.bands).map(b => col(s"band$b")).toArray, "band", "band_key")
-    val cand = bands.as("x").join(bands.as("y"),
+      p: MinHashParams = MinHashParams(), minEst: Double = 0.75,
+      maxBucket: Int = 1000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sigs = minHashArraySigs(docs, idCol, textCol, p)
+    val bands = bandKeys(sigs, idCol, p)
+    val capW = Window.partitionBy(col("band"), col("band_key"))
+      .orderBy(col(idCol))
+    val capped = bands
+      .withColumn("__rn", row_number().over(capW))
+      .filter(col("__rn") <= maxBucket).drop("__rn")
+    val cand = capped.as("x").join(capped.as("y"),
         col("x.band") === col("y.band") &&
           col("x.band_key") === col("y.band_key") &&
           col(s"x.$idCol") < col(s"y.$idCol"))
@@ -120,9 +121,52 @@ object Dedup {
       .filter(col("est_jaccard") >= minEst)
   }
 
-  /** DuckDB oracle SQL mirroring minHashNearDupPairs exactly. */
+  /** Diagnostic for the bucket cap: (band, band_key, n_docs) for every
+    * bucket larger than `maxBucket` — run alongside the pair query so
+    * capping is never a silent truncation. */
+  def minHashBucketOverflow(docs: DataFrame, idCol: String, textCol: String,
+      p: MinHashParams = MinHashParams(), maxBucket: Int = 1000): DataFrame =
+    bandKeys(minHashArraySigs(docs, idCol, textCol, p), idCol, p)
+      .groupBy(col("band"), col("band_key"))
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") > maxBucket)
+
+  /** Array-form signatures over exact-deduped docs (lowest id kept per
+    * identical text): one `sig` column instead of k, string-identical
+    * to the per-column formulation so the DuckDB oracle reproduces it. */
+  private def minHashArraySigs(docs: DataFrame, idCol: String,
+      textCol: String, p: MinHashParams): DataFrame = {
+    val deduped = docs.groupBy(col(textCol)).agg(min(col(idCol)).as(idCol))
+    val toks = deduped.select(col(idCol), trim(col(textCol)).as("__t"),
+      wsTokens(col(textCol)).as("__tk"))
+    val grams = toks.select(col(idCol),
+        explode(wordShinglesFromTokens(col("__tk"), col("__t"), p.shingleN))
+          .as("g"))
+      .select(col(idCol), md5Hash60(col("g")).as("a"),
+        md5Hash60b(col("g")).as("b"))
+    grams.groupBy(col(idCol))
+      .agg(array((0 until p.k).map(j => min(cwHash(col("a"), col("b"), j))): _*)
+        .as("sig"))
+  }
+
+  /** Long-form (id, band, band_key) keys from array signatures. */
+  private def bandKeys(sigs: DataFrame, idCol: String,
+      p: MinHashParams): DataFrame = {
+    val bandCols = (0 until p.bands).map { b =>
+      md5(concat_ws("|", transform(
+        slice(col("sig"), b * p.rows + 1, p.rows), x => x.cast("string"))))
+        .as(s"band$b")
+    }
+    sigs.select(col(idCol) +: bandCols: _*)
+      .unpivot(Array(col(idCol)),
+        (0 until p.bands).map(b => col(s"band$b")).toArray, "band", "band_key")
+  }
+
+  /** DuckDB oracle SQL mirroring minHashNearDupPairs exactly,
+    * including the exact-dedup prefilter and the bucket cap. */
   def minHashOracleSql(table: String, idCol: String, textCol: String,
-      p: MinHashParams = MinHashParams(), minEst: Double = 0.75): String = {
+      p: MinHashParams = MinHashParams(), minEst: Double = 0.75,
+      maxBucket: Int = 1000): String = {
     val n = p.shingleN
     val sigExprs = (0 until p.k).map(j =>
       s"CAST(min((a + $j * (b % ${1L << 40})) % ${1L << 60}) AS BIGINT) AS s$j").mkString(", ")
@@ -134,10 +178,13 @@ object Dedup {
     val matchSum = (0 until p.k)
       .map(j => s"(CASE WHEN sa.s$j = sb.s$j THEN 1 ELSE 0 END)").mkString(" + ")
     val joined = (0 until n).map(k => s"tk[i + $k]").mkString(" || ' ' || ")
-    s"""WITH toks AS (
+    s"""WITH docs AS (
+       |  SELECT min($idCol) AS $idCol, $textCol
+       |  FROM $table GROUP BY $textCol),
+       |toks AS (
        |  SELECT $idCol, $textCol,
        |         string_split_regex(trim($textCol), '\\s+') AS tk
-       |  FROM $table),
+       |  FROM docs),
        |grams AS (
        |  SELECT DISTINCT $idCol, unnest(
        |    CASE WHEN len(tk) >= $n THEN
@@ -150,9 +197,15 @@ object Dedup {
        |  FROM grams),
        |sigs AS (SELECT $idCol, $sigExprs FROM hashed GROUP BY $idCol),
        |bands AS ($bandExprs),
+       |capped AS (
+       |  SELECT id, band, band_key FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY band, band_key
+       |                                 ORDER BY id) AS rn
+       |    FROM bands) ranked
+       |  WHERE rn <= $maxBucket),
        |cand AS (
        |  SELECT DISTINCT x.id AS id_a, y.id AS id_b
-       |  FROM bands x JOIN bands y
+       |  FROM capped x JOIN capped y
        |    ON x.band = y.band AND x.band_key = y.band_key AND x.id < y.id)
        |SELECT c.id_a, c.id_b,
        |       CAST($matchSum AS DOUBLE) / ${p.k} AS est_jaccard

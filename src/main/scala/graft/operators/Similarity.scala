@@ -79,29 +79,33 @@ object Similarity {
     * lowest-id rows, refined with `iters` Lloyd iterations computed as
     * DataFrame aggregations (assign = argmax dot against broadcast
     * literal centroids; update = per-cell mean). No RNG anywhere, so
-    * cells are reproducible across runs and cluster layouts. Centroids
-    * are collected to the driver — K×dim doubles, intentionally tiny. */
+    * cells are reproducible across runs and cluster layouts.
+    *
+    * Each iteration is ONE narrow-projection + groupBy pass: the
+    * per-dimension means are `dim` aggregate expressions over
+    * element_at — no posexplode (which multiplied the shuffle by
+    * `dim`) and a single collect of K rows (K×dim doubles, tiny). At
+    * 100 TB each iteration is exactly one map-side-combined shuffle of
+    * K×dim partial sums per task. */
   def ivfTrain(corpus: DataFrame, idCol: String, vecCol: String,
       nCells: Int, iters: Int = 2): Array[Array[Double]] = {
     var centroids: Array[Array[Double]] = corpus
       .orderBy(col(idCol)).limit(nCells)
       .select(col(vecCol)).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val dim = if (centroids.nonEmpty) centroids(0).length else 0
     (0 until iters).foreach { _ =>
-      val assigned = corpus.withColumn("__cell", cellExpr(col(vecCol), centroids))
-      val means = assigned
-        .select(col("__cell"), posexplode(col(vecCol)).as(Seq("d", "x")))
-        .groupBy("__cell", "d").agg(avg(col("x").cast("double")).as("m"))
-        .groupBy("__cell")
-        .agg(map_from_arrays(collect_list(col("d")), collect_list(col("m")))
-          .as("dims"))
+      val meanCols = (0 until dim).map(d =>
+        avg(element_at(col(vecCol), d + 1).cast("double")).as(s"m$d"))
+      val means = corpus
+        .select(cellExpr(col(vecCol), centroids).as("__cell"), col(vecCol))
+        .groupBy(col("__cell"))
+        .agg(meanCols.head, meanCols.tail: _*)
         .collect()
       means.foreach { row =>
         val cell = row.getInt(0)
-        val dims = row.getMap[Int, Double](1)
         centroids = centroids.updated(cell,
-          Array.tabulate(centroids(cell).length)(d =>
-            dims.getOrElse(d, centroids(cell)(d))))
+          Array.tabulate(dim)(d => row.getDouble(d + 1)))
       }
     }
     centroids

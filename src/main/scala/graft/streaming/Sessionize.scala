@@ -27,16 +27,30 @@ object Sessionize {
       value: Double)
   final case class SessionAgg(user_id: Long, session_start: Timestamp,
       session_end: Timestamp, n_events: Long, sum_value: Double)
+  /** start/end are MICROSECONDS since epoch — the same precision the
+    * batch twin compares at, so the two forms split identically. */
   final case class SessionState(start: Long, end: Long, n: Long, sum: Double)
 
+  private def micros(t: Timestamp): Long =
+    (t.getTime / 1000L) * 1000000L + t.getNanos / 1000L
+
+  private def toTimestamp(us: Long): Timestamp = {
+    val t = new Timestamp((us / 1000000L) * 1000L)
+    t.setNanos(((us % 1000000L) * 1000L).toInt)
+    t
+  }
+
   /** Batch sessionization; deterministic total order (ts, event_id)
-    * inside each user. `gapSeconds` of inactivity closes a session. */
+    * inside each user. `gapSeconds` of inactivity closes a session.
+    * Gaps compare at microsecond precision (the storage precision of
+    * the event data) — NOT via second-truncating unix_timestamp — so
+    * batch and streaming split sub-second data identically. */
   def batchSessions(events: DataFrame, gapSeconds: Long): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     val prev = lag(col("ts"), 1).over(w)
     val flagged = events.withColumn("is_new",
       when(prev.isNull ||
-        (unix_timestamp(col("ts")) - unix_timestamp(prev)) > gapSeconds, 1)
+        (unix_micros(col("ts")) - unix_micros(prev)) > gapSeconds * 1000000L, 1)
         .otherwise(0))
     val cum = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -61,25 +75,32 @@ object Sessionize {
           if (batch.isEmpty && state.hasTimedOut) {
             val s = state.get
             state.remove()
-            Iterator.single(SessionAgg(userId, new Timestamp(s.start),
-              new Timestamp(s.end), s.n, s.sum))
+            Iterator.single(SessionAgg(userId, toTimestamp(s.start),
+              toTimestamp(s.end), s.n, s.sum))
           } else {
-            val events = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            val events = batch.toSeq.sortBy(e => (micros(e.ts), e.event_id))
             var st = state.getOption.orNull
             val closed = Seq.newBuilder[SessionAgg]
             events.foreach { e =>
-              val t = e.ts.getTime
+              val t = micros(e.ts)
               if (st == null) st = SessionState(t, t, 1, e.value)
-              else if (t - st.end > gapSeconds * 1000) {
-                closed += SessionAgg(userId, new Timestamp(st.start),
-                  new Timestamp(st.end), st.n, st.sum)
+              else if (t - st.end > gapSeconds * 1000000L) {
+                closed += SessionAgg(userId, toTimestamp(st.start),
+                  toTimestamp(st.end), st.n, st.sum)
                 st = SessionState(t, t, 1, e.value)
-              } else st = SessionState(st.start, math.max(st.end, t),
-                st.n + 1, st.sum + e.value)
+              } else
+                // late-but-within-watermark events may precede the
+                // session's current start: lower it, like the batch
+                // twin's global per-user sort does
+                st = SessionState(math.min(st.start, t), math.max(st.end, t),
+                  st.n + 1, st.sum + e.value)
             }
             if (st != null) {
               state.update(st)
-              state.setTimeoutTimestamp(st.end + gapSeconds * 1000)
+              // event-time timeout is millisecond-granular: round UP so
+              // the timeout never fires early of the micro-exact gap
+              state.setTimeoutTimestamp(
+                (st.end + gapSeconds * 1000000L + 999L) / 1000L)
             }
             closed.result().iterator
           }

@@ -11,13 +11,15 @@ class DedupSpec extends SparkSpec {
     (1L, "the quick brown fox jumps over the lazy dog again and again"),
     (2L, "the quick brown fox jumps over the lazy dog again and again"), // exact dup of 1
     (3L, "the quick brown fox jumps over the lazy cat again and again"), // near dup
-    (4L, "completely different content about spark query engines at scale")
+    (4L, "completely different content about spark query engines at scale"),
+    (5L, "the quick brown fox jumps over the lazy dog again and again ")
+    // ^ trailing space: NOT an exact dup of 1, but tokenizes identically
   ).toDF("doc_id", "text")
 
   test("exactKeepFirst keeps lowest id per identical text") {
     val kept = Dedup.exactKeepFirst(docs, col("text"), col("doc_id"))
       .select("doc_id").as[Long].collect().sorted
-    assert(kept.toSeq == Seq(1L, 3L, 4L))
+    assert(kept.toSeq == Seq(1L, 3L, 4L, 5L))
   }
 
   test("minhash signatures are equal for identical docs") {
@@ -29,12 +31,28 @@ class DedupSpec extends SparkSpec {
     assert(s1 == s2)
   }
 
-  test("minHashNearDupPairs finds the exact-dup pair with estimate 1.0") {
+  test("minHashNearDupPairs finds token-identical near-dups, not exact dups") {
     val pairs = Dedup.minHashNearDupPairs(docs, "doc_id", "text")
       .as[(Long, Long, Double)].collect().toSeq
-    assert(pairs.exists { case (a, b, est) => a == 1L && b == 2L && est == 1.0 })
+    // doc 5 tokenizes identically to doc 1 -> signatures match exactly
+    assert(pairs.exists { case (a, b, est) => a == 1L && b == 5L && est == 1.0 })
+    // doc 2 is an EXACT dup of 1: collapsed by the prefilter, not reported
+    assert(!pairs.exists { case (a, b, _) => a == 2L || b == 2L })
     // unrelated doc 4 pairs with nothing
     assert(!pairs.exists { case (a, b, _) => a == 4L || b == 4L })
+  }
+
+  test("bucket cap bounds pair volume and overflow is reported") {
+    // 8 token-identical (whitespace-variant) docs -> one hot bucket
+    val hot = (1L to 8L).map(i => (i, "same tokens here" + (" " * i.toInt)))
+      .toDF("doc_id", "text")
+    val capped = Dedup.minHashNearDupPairs(hot, "doc_id", "text",
+      maxBucket = 3)
+    // only the 3 lowest ids survive per bucket -> C(3,2) pairs
+    assert(capped.count() == 3)
+    val overflow = Dedup.minHashBucketOverflow(hot, "doc_id", "text",
+      maxBucket = 3)
+    assert(overflow.count() > 0)
   }
 
   test("simHash32 identical docs share signatures; near-dups are close") {

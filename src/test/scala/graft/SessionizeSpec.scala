@@ -28,6 +28,43 @@ class SessionizeSpec extends SparkSpec {
       (8L, 1L, 1L, 8.0)))
   }
 
+  test("batchSessions splits sub-second gaps at microsecond precision") {
+    // 1800.000001s gap -> new session; exactly 1800s -> same session
+    val t0 = Timestamp.valueOf("2024-01-01 10:00:00")
+    val tExact = Timestamp.valueOf("2024-01-01 10:30:00")
+    val tOver = Timestamp.valueOf("2024-01-01 11:00:00.000001")
+    val events = Seq(
+      Event(1, t0, 7, 1.0), Event(2, tExact, 7, 1.0), Event(3, tOver, 7, 1.0)
+    ).toDF()
+    val n = Sessionize.batchSessions(events, gapSeconds = 1800)
+      .select("sess_id").as[Long].collect().toSet
+    assert(n == Set(1L, 2L)) // tExact merged, tOver split by 1 microsecond
+  }
+
+  test("streamingSessions lowers session start for late in-window events") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = Sessionize.streamingSessions(mem.toDS(), gapSeconds = 1800)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sess_late").start()
+    try {
+      mem.addData(Event(1, ts(10), 7, 1.0))
+      q.processAllAvailable()
+      // late event (within watermark) EARLIER than the session start
+      mem.addData(Event(2, ts(0), 7, 2.0))
+      q.processAllAvailable()
+      mem.addData(Event(99, Timestamp.valueOf("2024-01-01 13:00:00"), 8, 0.0))
+      q.processAllAvailable()
+      mem.addData(Event(100, Timestamp.valueOf("2024-01-01 15:00:00"), 8, 0.0))
+      q.processAllAvailable()
+      val got = spark.table("sess_late")
+        .select("user_id", "session_start", "n_events")
+        .as[(Long, Timestamp, Long)].collect().toSeq
+      assert(got.contains((7L, ts(0), 2L)),
+        s"session start must lower to the late event's ts; got $got")
+    } finally q.stop()
+  }
+
   test("streamingSessions emits closed sessions as the watermark advances") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]

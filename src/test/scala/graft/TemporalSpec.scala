@@ -29,6 +29,21 @@ class TemporalSpec extends SparkSpec {
     assert(got(4L).isEmpty)
   }
 
+  test("asOfJoinLeft: NULL payload fields of the matched row survive " +
+      "(no backfill from older right rows)") {
+    val left = Seq((1L, ts(20), 7L)).toDF("event_id", "ts", "user_id")
+    val right = Seq(
+      (7L, ts(0), 1L, Option("old")),      // older row HAS a label
+      (7L, ts(15), 2L, Option.empty[String]) // matched row's label is NULL
+    ).toDF("user_id", "ts", "rid", "label")
+    val got = Temporal.asOfJoinLeft(left, right, "user_id", "ts",
+        rightOrder = "rid", payload = Seq("rid", "label"))
+      .select("asof_rid", "asof_label")
+      .as[(Option[Long], Option[String])].head()
+    assert(got._1.contains(2L))
+    assert(got._2.isEmpty, "NULL in the matched row must NOT be backfilled")
+  }
+
   test("rangeJoinWithin equals the naive theta-join on every boundary") {
     val ev = Seq(
       (1L, ts(0), 7L), (2L, ts(4), 7L),   // 4 min apart -> pair

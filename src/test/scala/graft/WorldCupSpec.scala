@@ -77,6 +77,20 @@ class WorldCupSpec extends SparkSpec {
       "coming on" -> 1L))
   }
 
+  test("event: fact-table plan has no global (un-partitioned) window") {
+    violations
+    val windows = spark.table("event").queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.nonEmpty, "expected the fact-key window in the plan")
+    windows.foreach(w => assert(w.partitionSpec.nonEmpty,
+      s"fact table funnels through a single-partition window: $w"))
+    // keys are unique (PK-validated in loadAll) and deterministic
+    val ids = spark.table("event").select("id").as[String].collect()
+    assert(ids.forall(_.startsWith("MEV-")))
+    assert(ids.distinct.length == ids.length)
+  }
+
   test("match_replay: filtered self-join pairs the final with its replay") {
     violations
     val pairs = spark.table("match_replay")
