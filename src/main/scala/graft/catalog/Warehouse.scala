@@ -48,6 +48,7 @@ object Warehouse {
       validate: Boolean = true): Seq[ConstraintViolation] = {
     df.createOrReplaceTempView(m.name)
     registry.put(m.name, m)
+    refreshInformationSchema(spark)
     if (!validate) Nil
     else {
       val pkViol =
@@ -118,6 +119,14 @@ object Warehouse {
       Seq(");")).mkString("\n")
   }
 
+  /** Q1 as ad-hoc SQL: keep `information_schema_columns` registered as
+    * a temp view over [[schemaDoc]], so the reference's
+    * `SELECT … FROM information_schema.columns` workflow
+    * (build_db.py:55-69) runs unchanged through `spark.sql`. The view
+    * is driver-local metadata — rebuilding it launches no jobs. */
+  def refreshInformationSchema(spark: SparkSession): Unit =
+    schemaDoc(spark).createOrReplaceTempView("information_schema_columns")
+
   /** S8: whole-database export — every registered table to
     * `outDir/<name>.parquet` plus `outDir/schema.sql`. */
   def exportDatabase(spark: SparkSession, outDir: String): Unit = {
@@ -128,6 +137,37 @@ object Warehouse {
     }
     val sql = tables.map(ddl(spark, _)).mkString("\n\n") + "\n"
     Files.writeString(Paths.get(s"$outDir/schema.sql"), sql)
+  }
+
+  private val createRe =
+    """(?s)CREATE OR REPLACE TABLE (\w+) \((.*?)\n\);""".r
+  private val fkRe =
+    """FOREIGN KEY \(([^)]*)\) REFERENCES (\w+)\(([^)]*)\)""".r
+  private val compositePkRe = """^PRIMARY KEY \(([^)]*)\)$""".r
+  private val colPkRe = """^(\w+) .*PRIMARY KEY$""".r
+
+  /** Round-trip of [[exportDatabase]]: read `<dir>/<name>.parquet` for
+    * every table declared in `<dir>/schema.sql`, re-register it with
+    * the PK/FK metadata parsed back out of the generated DDL, and
+    * refresh the information_schema view. The reloadable-export loop
+    * the reference gets from DuckDB's `EXPORT DATABASE` / `IMPORT
+    * DATABASE`. Returns the imported table names. */
+  def importDatabase(spark: SparkSession, dir: String,
+      validate: Boolean = false): Seq[String] = {
+    val sql = Files.readString(Paths.get(s"$dir/schema.sql"))
+    createRe.findAllMatchIn(sql).map { m =>
+      val name = m.group(1)
+      val lines = m.group(2).split(",\n").map(_.trim)
+      val pk = lines.collectFirst { case compositePkRe(cols) =>
+        cols.split(", ").toSeq
+      }.getOrElse(lines.collect { case colPkRe(c) => c }.toSeq)
+      val fks = lines.collect { case fkRe(cols, ref, refCols) =>
+        FkEdge(cols.split(", ").toSeq, ref, refCols.split(", ").toSeq)
+      }.toSeq
+      load(spark, spark.read.parquet(s"$dir/$name.parquet"),
+        TableMeta(name, pk, fks), validate)
+      name
+    }.toSeq
   }
 
   /** Reset registry (test isolation). */

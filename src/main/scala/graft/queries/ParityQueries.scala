@@ -348,6 +348,26 @@ object ParityQueries {
         .orderBy(col("l_returnflag")),
       None),
 
+    QuerySpec("g5_percentiles",
+      "exact interpolated percentiles (DuckDB quantile_cont twin) and " +
+        "extrema per return flag",
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(percentile(col("l_quantity"), lit(0.25)).as("p25"),
+          percentile(col("l_quantity"), lit(0.5)).as("p50"),
+          percentile(col("l_quantity"), lit(0.75)).as("p75"),
+          min(col("l_quantity")).as("qmin"),
+          max(col("l_quantity")).as("qmax"))
+        .orderBy(col("l_returnflag")),
+      Some("""SELECT l_returnflag,
+             |  quantile_cont(l_quantity, 0.25) AS p25,
+             |  quantile_cont(l_quantity, 0.50) AS p50,
+             |  quantile_cont(l_quantity, 0.75) AS p75,
+             |  min(l_quantity) AS qmin,
+             |  max(l_quantity) AS qmax
+             |FROM lineitem GROUP BY l_returnflag
+             |ORDER BY l_returnflag""".stripMargin)),
+
     QuerySpec("w1_window_rank",
       "window ranking: top-3 orders per market segment",
       (s, dir) => {
@@ -495,6 +515,29 @@ object ParityQueries {
           validate = false)
         Warehouse.schemaDoc(s)
           .orderBy(col("table_name"), col("ordinal_position"))
+      },
+      None),
+
+    QuerySpec("q1b_information_schema_sql",
+      "Q1/Q3 as ad-hoc SQL: SELECT over the registered " +
+        "information_schema_columns view — the reference's " +
+        "introspection workflow verbatim (no DuckDB oracle: " +
+        "introspects the Spark catalog, not the data)",
+      (s, dir) => {
+        import graft.catalog.Warehouse
+        import graft.catalog.Warehouse.{FkEdge, TableMeta}
+        Warehouse.clear()
+        Warehouse.load(s, t(s, dir, "orders"),
+          TableMeta("orders", pk = Seq("o_orderkey")), validate = false)
+        Warehouse.load(s, t(s, dir, "lineitem"),
+          TableMeta("lineitem",
+            fks = Seq(FkEdge(Seq("l_orderkey"), "orders", Seq("o_orderkey")))),
+          validate = false)
+        s.sql("""SELECT table_name, ordinal_position, column_name,
+                |       data_type, `constraint`
+                |FROM information_schema_columns
+                |WHERE table_name = 'lineitem' AND `constraint` <> ''
+                |ORDER BY table_name, ordinal_position""".stripMargin)
       },
       None),
 

@@ -19,7 +19,7 @@ final case class QuerySpec(
 
 object Catalog {
   lazy val specs: Seq[QuerySpec] =
-    ParityQueries.specs ++ ExtensionQueries.specs
+    ParityQueries.specs ++ ExtensionQueries.specs ++ WorldCupQueries.specs
 
   lazy val byName: Map[String, QuerySpec] =
     specs.map(s => s.name -> s).toMap

@@ -1,0 +1,197 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DateType, IntegerType, StringType}
+
+import graft.etl.WorldCup
+
+/** Oracle-gated correctness for the 27-table ELT pipeline (Surface A).
+  *
+  * The trickiest reference builders (`scripts/build_db.py:943-1040`
+  * match FT/ET/PS + shootout nulling, `:1045-1146` event diagonal
+  * union, `:736-807` tournament_schedule stage_detail, `:1267-1327`
+  * team_appearance penalty arithmetic) are re-executed by DuckDB over
+  * the SAME fixture CSVs the Spark pipeline reads, so the driver's
+  * hash gate covers the ELT semantics end-to-end — not just the
+  * builder-authored ScalaTest fixtures.
+  *
+  * The DuckDB `read_csv` column types are GENERATED from
+  * [[WorldCup.schemas]], so both engines parse the CSVs under the
+  * same declared schema by construction.
+  */
+object WorldCupQueries {
+
+  /** Fixture CSVs live in-repo; both engines read them by absolute
+    * path, independent of the sf data directory. */
+  val fixturesDir = "/root/repo/src/test/resources/worldcup"
+
+  private def built(s: SparkSession, name: String): DataFrame =
+    WorldCup.build(s, WorldCup.csvSources(s, fixturesDir))(name)
+
+  /** DuckDB scan of a fixture CSV under the Spark-declared schema. */
+  private def duckCsv(name: String): String = {
+    val cols = WorldCup.schemas(name).fields.map { f =>
+      val t = f.dataType match {
+        case StringType  => "VARCHAR"
+        case IntegerType => "INTEGER"
+        case DateType    => "DATE"
+        case other => sys.error(s"unmapped CSV type $other")
+      }
+      s"'${f.name}': '$t'"
+    }.mkString(", ")
+    s"read_csv('$fixturesDir/$name.csv', header=true, columns={$cols})"
+  }
+
+  /** stage dim twin: surrogate keys by stage_name order (the Spark
+    * side's Relational.surrogateKey over the distinct stage rows). */
+  private def duckStage: String =
+    s"""stage AS (
+       |  SELECT 'STG-' || CAST(row_number() OVER (ORDER BY stage_name)
+       |           AS VARCHAR) AS stage_id,
+       |         stage_name AS orig_stage_name
+       |  FROM (SELECT DISTINCT stage_name, group_stage
+       |        FROM ${duckCsv("tournament_stages")}))""".stripMargin
+
+  /** stage_detail rule twin (capitalize / de-pluralize trailing 's'). */
+  private def duckStageDetail(g: String, st: String): String =
+    s"""CASE WHEN contains($g, 'Group') THEN $g
+       |       ELSE CASE WHEN $st LIKE '%s'
+       |         THEN upper(substr($st, 1, 1)) ||
+       |              substr($st, 2, greatest(length($st) - 2, 0))
+       |         ELSE upper(substr($st, 1, 1)) || substr($st, 2) END
+       |  END""".stripMargin
+
+  val specs: Seq[QuerySpec] = Seq(
+
+    QuerySpec("e1_worldcup_match",
+      "ELT `match` builder vs DuckDB re-execution: stage surrogate-key " +
+        "resolve, datetime parse, FT/ET/PS classification, " +
+        "shootout-score nulling (build_db.py:943-1040)",
+      (s, dir) => built(s, "match").orderBy(col("id")),
+      Some(s"""WITH $duckStage,
+              |m AS (SELECT * FROM ${duckCsv("matches")})
+              |SELECT m.match_id AS id, m.tournament_id, s.stage_id,
+              |  ${duckStageDetail("m.group_name", "m.stage_name")} AS stage_detail,
+              |  m.home_team_id, m.away_team_id, m.match_name AS name,
+              |  strptime(m.match_date || ' ' || m.match_time,
+              |           '%Y-%m-%d %H:%M') AS datetime,
+              |  m.stadium_id,
+              |  CASE WHEN m.extra_time + m.penalty_shootout = 0 THEN 'FT'
+              |       WHEN m.extra_time + m.penalty_shootout = 1 THEN 'ET'
+              |       ELSE 'PS' END AS completed,
+              |  m.result, m.score, m.home_team_score, m.away_team_score,
+              |  CASE WHEN m.penalty_shootout = 1 THEN m.score_penalties END
+              |    AS penalty_shootout_score,
+              |  CASE WHEN m.penalty_shootout = 1
+              |       THEN m.home_team_score_penalties END
+              |    AS home_team_penalty_score,
+              |  CASE WHEN m.penalty_shootout = 1
+              |       THEN m.away_team_score_penalties END
+              |    AS away_team_penalty_score
+              |FROM m JOIN stage s ON m.stage_name = s.orig_stage_name
+              |ORDER BY id""".stripMargin)),
+
+    QuerySpec("e2_worldcup_event",
+      "ELT `event` builder vs DuckDB re-execution: goals + melted " +
+        "bookings/substitutions diagonal union, literal event_type " +
+        "dim, distributed md5 fact keys (build_db.py:1045-1146)",
+      (s, dir) => built(s, "event").orderBy(col("id")),
+      Some {
+        val evCols = "match_id, team_id, player_id, minute_label, " +
+          "minute_regulation, minute_stoppage, match_period"
+        val typeCase = Seq("goal" -> 1, "own goal" -> 2, "penalty" -> 3,
+          "going_off" -> 4, "coming_on" -> 5, "yellow_card" -> 6,
+          "second_yellow_card" -> 7, "red_card" -> 8)
+          .map { case (n, i) => s"WHEN '$n' THEN 'EV-$i'" }.mkString(" ")
+        s"""WITH long AS (
+           |  SELECT $evCols,
+           |    CASE WHEN own_goal = 1 THEN 'own goal'
+           |         WHEN penalty = 1 THEN 'penalty'
+           |         ELSE 'goal' END AS variable
+           |  FROM ${duckCsv("goals")}
+           |  UNION ALL
+           |  SELECT $evCols, 'yellow_card' FROM ${duckCsv("bookings")}
+           |  WHERE yellow_card = 1
+           |  UNION ALL
+           |  SELECT $evCols, 'second_yellow_card' FROM ${duckCsv("bookings")}
+           |  WHERE second_yellow_card = 1
+           |  UNION ALL
+           |  SELECT $evCols, 'red_card' FROM ${duckCsv("bookings")}
+           |  WHERE red_card = 1
+           |  UNION ALL
+           |  SELECT $evCols, 'going_off' FROM ${duckCsv("substitutions")}
+           |  WHERE going_off = 1
+           |  UNION ALL
+           |  SELECT $evCols, 'coming_on' FROM ${duckCsv("substitutions")}
+           |  WHERE coming_on = 1),
+           |typed AS (
+           |  SELECT *, CASE variable $typeCase END AS event_type_id
+           |  FROM long),
+           |keyed AS (
+           |  SELECT *, row_number() OVER (
+           |    PARTITION BY match_id, team_id, player_id, event_type_id,
+           |                 minute_label
+           |    ORDER BY minute_regulation NULLS FIRST,
+           |             minute_stoppage NULLS FIRST,
+           |             match_period NULLS FIRST) AS rn
+           |  FROM typed)
+           |SELECT 'MEV-' || md5(
+           |    coalesce(match_id, ' ') || '|' || coalesce(team_id, ' ')
+           |    || '|' || coalesce(player_id, ' ')
+           |    || '|' || coalesce(event_type_id, ' ')
+           |    || '|' || coalesce(minute_label, ' ')
+           |    || '|' || CAST(rn AS VARCHAR)) AS id,
+           |  match_id, team_id, player_id, event_type_id, minute_label,
+           |  minute_regulation, minute_stoppage, match_period
+           |FROM keyed
+           |ORDER BY id""".stripMargin
+      }),
+
+    QuerySpec("e3_worldcup_schedule",
+      "ELT `tournament_schedule` builder vs DuckDB re-execution: " +
+        "composite-key join, stage_detail rule, double distinct " +
+        "(build_db.py:736-807)",
+      (s, dir) => built(s, "tournament_schedule")
+        .orderBy(col("tournament_id"), col("stage_id"), col("stage_detail")),
+      Some(s"""WITH $duckStage,
+              |joined AS (
+              |  SELECT DISTINCT m.tournament_id, m.stage_name, m.group_name,
+              |    t.stage_number, t.start_date, t.end_date, t.count_matches,
+              |    t.count_teams, t.count_scheduled, t.count_replays,
+              |    t.count_playoffs, t.count_walkovers
+              |  FROM (SELECT tournament_id, stage_name, group_name
+              |        FROM ${duckCsv("matches")}) m
+              |  JOIN ${duckCsv("tournament_stages")} t
+              |    USING (tournament_id, stage_name))
+              |SELECT DISTINCT j.tournament_id, s.stage_id,
+              |  ${duckStageDetail("j.group_name", "j.stage_name")} AS stage_detail,
+              |  j.stage_number AS sort_order, j.start_date, j.end_date,
+              |  j.count_matches AS n_matches, j.count_teams AS n_teams,
+              |  j.count_scheduled AS n_scheduled, j.count_replays AS n_replays,
+              |  j.count_playoffs AS n_playoffs, j.count_walkovers AS n_walkovers
+              |FROM joined j JOIN stage s ON j.stage_name = s.orig_stage_name
+              |ORDER BY tournament_id, stage_id, stage_detail""".stripMargin)),
+
+    QuerySpec("e4_worldcup_team_appearance",
+      "ELT `team_appearance` builder vs DuckDB re-execution: home/away " +
+        "labeling, shootout nulling + penalty differential arithmetic " +
+        "(build_db.py:1267-1327)",
+      (s, dir) => built(s, "team_appearance")
+        .orderBy(col("match_id"), col("team_id")),
+      Some(s"""SELECT match_id, team_id, opponent_id AS opponent_team_id,
+              |  CASE WHEN home_team = 1 THEN 'home' ELSE 'away' END
+              |    AS home_away,
+              |  result, goals_for, goals_against AS goals_againt,
+              |  goal_differential,
+              |  CASE WHEN penalty_shootout = 1 THEN penalties_for END
+              |    AS penalties_for,
+              |  CASE WHEN penalty_shootout = 1 THEN penalties_against END
+              |    AS penalties_againt,
+              |  CASE WHEN penalty_shootout = 1
+              |       THEN penalties_for - penalties_against END
+              |    AS penalties_differential
+              |FROM ${duckCsv("team_appearances")}
+              |ORDER BY match_id, team_id""".stripMargin))
+  )
+}

@@ -69,6 +69,34 @@ class WarehouseSpec extends SparkSpec {
     assert(dl.contains("FOREIGN KEY (l_orderkey) REFERENCES orders(o_orderkey)"))
   }
 
+  test("information_schema_columns is SQL-queryable after load") {
+    loadStar()
+    val got = spark.sql(
+      """SELECT column_name FROM information_schema_columns
+        |WHERE table_name = 'orders' AND `constraint` = 'PK'""".stripMargin)
+      .as[String].collect().toSeq
+    assert(got == Seq("o_orderkey"))
+  }
+
+  test("export -> import round-trips data, constraints, and schema doc") {
+    loadStar()
+    val composite = Seq((1L, 1, "x")).toDF("a", "b", "v")
+    Warehouse.load(spark, composite,
+      TableMeta("composite_t", pk = Seq("a", "b")))
+    val before = Warehouse.schemaDoc(spark).collect().toSeq
+    val nOrders = spark.table("orders").count()
+    val out = java.nio.file.Files.createTempDirectory("graft-rt").toString
+    Warehouse.exportDatabase(spark, out)
+    Warehouse.clear()
+    val imported = Warehouse.importDatabase(spark, out)
+    assert(imported.toSet == Set("orders", "lineitem", "composite_t"))
+    assert(spark.table("orders").count() == nOrders)
+    assert(Warehouse.schemaDoc(spark).collect().toSeq == before)
+    assert(Warehouse.meta("composite_t").get.pk == Seq("a", "b"))
+    assert(Warehouse.meta("lineitem").get.fks ==
+      Seq(FkEdge(Seq("l_orderkey"), "orders", Seq("o_orderkey"))))
+  }
+
   test("exportDatabase writes parquet per table plus schema.sql") {
     loadStar()
     val out = java.nio.file.Files.createTempDirectory("graft-export").toString
