@@ -216,6 +216,53 @@ object Dedup {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  // ---- near-dup clustering -----------------------------------------
+
+  /** Connected components over dedup pair edges: every id gets the
+    * smallest id reachable through the pair graph — the canonical
+    * cluster label that turns pairwise near-dup evidence into
+    * per-document keep/drop decisions (keep = id == cluster_id).
+    *
+    * Iterative min-label propagation: each round takes, per node, the
+    * minimum of its own label and its neighbors' labels; converges in
+    * O(component diameter) rounds (near-dup clusters are
+    * short-diameter in practice). Each round is one equi-join + one
+    * groupBy — both shuffle on node id — and labels/edges are
+    * localCheckpoint'ed so lineage stays flat across iterations (the
+    * standard Spark shape for iterative graph passes). Convergence is
+    * detected by the strictly-decreasing label sum, one tiny aggregate
+    * per round. The fixpoint (min id per component) is unique, so the
+    * result is deterministic regardless of iteration schedule. */
+  def connectedComponents(ids: DataFrame, idCol: String, pairs: DataFrame,
+      maxIters: Int = 20): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
+      .union(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = ids.select(col(idCol).as("u"), col(idCol).as("label"))
+      .localCheckpoint(true)
+    def checksum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("label").cast(DecimalType(38, 0)))).head().getDecimal(0)
+    var prev = checksum(labels)
+    var i = 0
+    var done = edges.isEmpty
+    while (!done && i < maxIters) {
+      val nbrMin = edges
+        .join(labels.select(col("u").as("v"), col("label").as("nl")), "v")
+        .groupBy(col("u")).agg(min(col("nl")).as("nbr"))
+      labels = labels.join(nbrMin, Seq("u"), "left")
+        .select(col("u"),
+          least(col("label"), coalesce(col("nbr"), col("label"))).as("label"))
+        .localCheckpoint(true)
+      val cur = checksum(labels)
+      done = prev != null && cur != null && prev.compareTo(cur) == 0
+      prev = cur
+      i += 1
+    }
+    labels.select(col("u").as(idCol), col("label").as("cluster_id"))
+  }
+
   // ---- SimHash ------------------------------------------------------
 
   /** 32-bit SimHash over distinct whitespace tokens: bit j of the

@@ -340,6 +340,78 @@ object ExtensionQueries {
              |FROM sess GROUP BY user_id, sess_id
              |ORDER BY user_id, sess_id""".stripMargin)),
 
+    QuerySpec("x17_token_freq",
+      "corpus term frequencies: explode tokens, count, total-order top-50",
+      (s, dir) => t(s, dir, "documents")
+        .select(explode(wsTokens(col("text"))).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token"))
+        .limit(50),
+      Some(s"""SELECT t AS token, CAST(count(*) AS BIGINT) AS n
+              |FROM (SELECT unnest($duckWsTokens) AS t FROM documents)
+              |GROUP BY t ORDER BY n DESC, token LIMIT 50""".stripMargin)),
+
+    QuerySpec("x18_hash_split",
+      "deterministic train/val/test split: md5-derived bucket per doc " +
+        "(stable across runs/engines/cluster layouts; no rand())",
+      (s, dir) => graft.operators.Sampling
+        .assignSplit(t(s, dir, "documents").select(col("doc_id")),
+          "doc_id", trainPct = 80, valPct = 10)
+        .orderBy(col("doc_id")),
+      Some("""WITH h AS (
+             |  SELECT doc_id,
+             |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+             |      % 100 AS bucket
+             |  FROM documents)
+             |SELECT doc_id, bucket,
+             |  CASE WHEN bucket < 80 THEN 'train'
+             |       WHEN bucket < 90 THEN 'val'
+             |       ELSE 'test' END AS split
+             |FROM h ORDER BY doc_id""".stripMargin)),
+
+    QuerySpec("x19_dedup_clusters",
+      "near-dup clustering: exact-dup + MinHash-LSH pair edges -> " +
+        "connected components (min-id canonical label per doc) vs a " +
+        "DuckDB recursive-CTE closure",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val keep = docs.groupBy(col("text")).agg(min(col("doc_id")).as("id_a"))
+        val exactEdges = docs.join(keep, "text")
+          .filter(col("doc_id") =!= col("id_a"))
+          .select(col("id_a"), col("doc_id").as("id_b"))
+        val nearEdges = Dedup.minHashNearDupPairs(docs, "doc_id", "text")
+          .select(col("id_a"), col("id_b"))
+        Dedup.connectedComponents(docs.select(col("doc_id")), "doc_id",
+            exactEdges.union(nearEdges))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH RECURSIVE mh AS (
+              |  SELECT id_a, id_b FROM (
+              |    ${Dedup.minHashOracleSql("documents", "doc_id", "text")
+                     .replace("\n", "\n    ")})),
+              |keep AS (
+              |  SELECT text, min(doc_id) AS ka FROM documents GROUP BY text),
+              |exact_e AS (
+              |  SELECT k.ka AS id_a, d.doc_id AS id_b
+              |  FROM documents d JOIN keep k USING (text)
+              |  WHERE d.doc_id <> k.ka),
+              |alledges AS (
+              |  SELECT id_a, id_b FROM exact_e
+              |  UNION ALL SELECT id_a, id_b FROM mh),
+              |edges AS (
+              |  SELECT id_a AS u, id_b AS v FROM alledges
+              |  UNION SELECT id_b, id_a FROM alledges),
+              |reach(u, v) AS (
+              |  SELECT u, v FROM edges
+              |  UNION
+              |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+              |labels AS (SELECT u, min(v) AS mv FROM reach GROUP BY u)
+              |SELECT d.doc_id,
+              |  CAST(least(d.doc_id, coalesce(l.mv, d.doc_id)) AS BIGINT)
+              |    AS cluster_id
+              |FROM documents d LEFT JOIN labels l ON l.u = d.doc_id
+              |ORDER BY doc_id""".stripMargin)),
+
     QuerySpec("m1_multimodal_binary_meta",
       "binary-column plumbing: opaque bytes + typed metadata extraction",
       (s, dir) => t(s, dir, "documents")

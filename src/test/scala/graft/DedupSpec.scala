@@ -55,6 +55,25 @@ class DedupSpec extends SparkSpec {
     assert(overflow.count() > 0)
   }
 
+  test("connectedComponents: min label reaches across chains; " +
+      "singletons label themselves") {
+    val ids = (1L to 7L).toDF("doc_id")
+    // chain 1-2-3 (via transitive edges), pair 5-6, singletons 4 and 7
+    val pairs = Seq((2L, 3L), (1L, 2L), (5L, 6L)).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(ids, "doc_id", pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L,
+      5L -> 5L, 6L -> 5L, 7L -> 7L))
+  }
+
+  test("connectedComponents with no edges labels every id itself") {
+    val ids = Seq(10L, 20L).toDF("doc_id")
+    val none = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(ids, "doc_id", none)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(10L -> 10L, 20L -> 20L))
+  }
+
   test("simHash32 identical docs share signatures; near-dups are close") {
     val sigs = Dedup.simHash32(docs, "doc_id", "text")
       .as[(Long, Long)].collect().toMap
