@@ -412,6 +412,50 @@ object ExtensionQueries {
               |FROM documents d LEFT JOIN labels l ON l.u = d.doc_id
               |ORDER BY doc_id""".stripMargin)),
 
+    QuerySpec("x20_keywords_tfidf",
+      "per-document keyword extraction: top-3 tokens by tf x (N/df) " +
+        "rarity weight (log-free so both engines produce identical bits)",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = t(s, dir, "documents")
+        val tok = docs.select(col("doc_id"),
+          explode(wsTokens(col("text"))).as("token"))
+        val tf = tok.groupBy(col("doc_id"), col("token"))
+          .agg(count(lit(1)).as("tf"))
+        val dfreq = tok.groupBy(col("token"))
+          .agg(countDistinct(col("doc_id")).as("df"))
+        val n = docs.agg(count(lit(1)).as("n_docs"))
+        val scored = tf.join(dfreq, "token").crossJoin(broadcast(n))
+          .select(col("doc_id"), col("token"),
+            (col("tf").cast("double") * col("n_docs") / col("df"))
+              .as("score"))
+        val w = Window.partitionBy(col("doc_id"))
+          .orderBy(col("score").desc, col("token"))
+        scored.withColumn("rk", row_number().over(w).cast("long"))
+          .filter(col("rk") <= 3)
+          .select(col("doc_id"), col("rk"), col("token"), col("score"))
+          .orderBy(col("doc_id"), col("rk"))
+      },
+      Some(s"""WITH tok AS (
+              |  SELECT doc_id, unnest($duckWsTokens) AS token FROM documents),
+              |tf AS (
+              |  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+              |  FROM tok GROUP BY doc_id, token),
+              |df AS (
+              |  SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+              |  FROM tok GROUP BY token),
+              |n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+              |scored AS (
+              |  SELECT t.doc_id, t.token,
+              |         CAST(t.tf AS DOUBLE) * n.n_docs / d.df AS score
+              |  FROM tf t JOIN df d USING (token) CROSS JOIN n),
+              |ranked AS (
+              |  SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+              |    ORDER BY score DESC, token) AS BIGINT) AS rk
+              |  FROM scored)
+              |SELECT doc_id, rk, token, score FROM ranked
+              |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin)),
+
     QuerySpec("m1_multimodal_binary_meta",
       "binary-column plumbing: opaque bytes + typed metadata extraction",
       (s, dir) => t(s, dir, "documents")

@@ -348,6 +348,65 @@ object ParityQueries {
         .orderBy(col("l_returnflag")),
       None),
 
+    QuerySpec("a5_pivot",
+      "pivot (inverse of A3's melt): long event rows -> wide per-user " +
+        "counts over pinned event types",
+      (s, dir) => {
+        val types = Seq("click", "error", "purchase", "signup", "view")
+        val wide = t(s, dir, "events")
+          .groupBy(col("user_id"))
+          .pivot("event_type", types)
+          .agg(count(lit(1)))
+        wide.select(col("user_id") +:
+            types.map(ty => coalesce(col(ty), lit(0L)).as(s"n_$ty")): _*)
+          .orderBy(col("user_id"))
+      },
+      Some("""SELECT user_id,
+             |  CAST(count(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS n_click,
+             |  CAST(count(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT) AS n_error,
+             |  CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS n_purchase,
+             |  CAST(count(CASE WHEN event_type = 'signup' THEN 1 END) AS BIGINT) AS n_signup,
+             |  CAST(count(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS n_view
+             |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    QuerySpec("a6_set_ops",
+      "set operations: INTERSECT / EXCEPT over derived key sets",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        def buyers(yr: Int) = o.filter(year(col("o_orderdate")) === yr)
+          .select(col("o_custkey"))
+        val both = buyers(1995).intersect(buyers(1996))
+          .select(lit("both").as("kind"), col("o_custkey"))
+        val only95 = buyers(1995).except(buyers(1996))
+          .select(lit("only95").as("kind"), col("o_custkey"))
+        both.unionByName(only95).orderBy(col("kind"), col("o_custkey"))
+      },
+      Some("""SELECT 'both' AS kind, o_custkey FROM (
+             |  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+             |  INTERSECT
+             |  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996)
+             |UNION ALL
+             |SELECT 'only95', o_custkey FROM (
+             |  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+             |  EXCEPT
+             |  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996)
+             |ORDER BY kind, o_custkey""".stripMargin)),
+
+    QuerySpec("a7_nested_agg",
+      "nested aggregation: per-order sorted line-number list " +
+        "(collect_list + sort_array, stringified for cross-engine compare)",
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("n_lines"),
+          concat_ws(",",
+            transform(sort_array(collect_list(col("l_linenumber"))),
+              _.cast("string"))).as("line_numbers"))
+        .orderBy(col("l_orderkey")),
+      Some("""SELECT l_orderkey, count(*) AS n_lines,
+             |  array_to_string(list_transform(list_sort(list(l_linenumber)),
+             |    x -> CAST(x AS VARCHAR)), ',') AS line_numbers
+             |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin)),
+
     QuerySpec("g5_percentiles",
       "exact interpolated percentiles (DuckDB quantile_cont twin) and " +
         "extrema per return flag",

@@ -44,6 +44,28 @@ object Streams {
     events.withWatermark(watermarkCol, delay)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Stream-stream interval self-join: pairs of same-key events whose
+    * timestamps lie within `withinSec` of each other (id_a < id_b) —
+    * the streaming twin of Temporal.rangeJoinWithin (hash-verified as
+    * x16). Both sides are watermarked and the join condition bounds
+    * the event-time range, so each side's buffered state evicts rows
+    * older than watermark + tolerance — the canonical bounded-state
+    * stream-stream join. */
+  def streamingIntervalSelfJoin(events: DataFrame, keyCol: String,
+      idCol: String, tsCol: String, delay: String,
+      withinSec: Long): DataFrame = {
+    val a = events.withWatermark(tsCol, delay)
+      .select(col(keyCol), col(idCol).as("id_a"), col(tsCol).as("ts_a"))
+    val b = events.withWatermark(tsCol, delay)
+      .select(col(keyCol).as("__k"), col(idCol).as("id_b"),
+        col(tsCol).as("ts_b"))
+    a.join(b,
+        col(keyCol) === col("__k") && col("id_a") < col("id_b") &&
+          col("ts_b") >= col("ts_a") - expr(s"INTERVAL $withinSec SECONDS") &&
+          col("ts_b") <= col("ts_a") + expr(s"INTERVAL $withinSec SECONDS"))
+      .select(col(keyCol), col("id_a"), col("id_b"))
+  }
+
   /** Run a streaming DataFrame to completion against currently-available
     * files via the in-memory sink; returns the materialized result. */
   def runToMemorySink(spark: SparkSession, streaming: DataFrame,

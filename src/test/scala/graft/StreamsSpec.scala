@@ -7,6 +7,30 @@ import graft.streaming.Streams
 
 class StreamsSpec extends SparkSpec {
 
+  test("stream-stream interval self-join equals the batch range join") {
+    val batchEvents = Tables.load(spark, sf(), "events")
+      .select("user_id", "event_id", "ts")
+      .filter(col("user_id") < 20) // keep the pair volume test-sized
+    val expected = graft.operators.Temporal
+      .rangeJoinWithin(batchEvents, "user_id", "event_id", "ts", 600)
+      .orderBy("id_a", "id_b").collect().toSeq
+
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ssj").toString
+    batchEvents.write.mode("overwrite").parquet(tmp)
+    val stream = spark.readStream.schema(batchEvents.schema).parquet(tmp)
+    val joined = Streams.streamingIntervalSelfJoin(stream, "user_id",
+      "event_id", "ts", delay = "1 hour", withinSec = 600)
+    val q = joined.writeStream.outputMode("append").format("memory")
+      .queryName("ssj_test").start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("ssj_test")
+      .orderBy("id_a", "id_b").collect().toSeq
+
+    assert(got.nonEmpty)
+    assert(got == expected)
+  }
+
   test("streaming tumbling window equals batch result (memory sink)") {
     // batch oracle over the same events table
     val batchEvents = Tables.load(spark, sf(), "events")
