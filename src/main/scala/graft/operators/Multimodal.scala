@@ -75,6 +75,39 @@ object Multimodal {
     }
   }
 
+  /** One sampled frame of a resized media item. */
+  final case class MediaTransform(id: Long, width: Long, height: Long,
+      resized_w: Long, resized_h: Long, frame_idx: Int,
+      frame_offset_ms: Long)
+
+  /** Pseudo duration (ms) from the content md5 — the stub standing in
+    * for the container's real duration field. */
+  def stubDurationMs(md5Hex: String): Long =
+    java.lang.Long.parseLong(md5Hex.substring(0, 15), 16) % 120000L
+
+  /** Resize + frame-sample stage: aspect-preserving fit-within resize
+    * of the decoded dimensions and `nFrames` evenly spaced frame
+    * offsets across the (stub) duration. The dimension/offset
+    * arithmetic is the real thing (and exactly DuckDB-expressible —
+    * IEEE double ops in identical order, integer frame offsets); the
+    * pixel resample/frame grab would live in this same narrow
+    * flatMap when a codec is available. No shuffle; partitioning
+    * preserved; output is nFrames rows per item. */
+  def transformStage(feats: Dataset[MediaFeatures], maxW: Long, maxH: Long,
+      nFrames: Int): Dataset[MediaTransform] = {
+    import feats.sparkSession.implicits._
+    feats.flatMap { f =>
+      val scale = math.min(1.0,
+        math.min(maxW.toDouble / f.width, maxH.toDouble / f.height))
+      val rw = math.floor(f.width * scale).toLong
+      val rh = math.floor(f.height * scale).toLong
+      val dur = stubDurationMs(f.content_md5)
+      (0 until nFrames).map(i =>
+        MediaTransform(f.id, f.width, f.height, rw, rh, i,
+          i.toLong * dur / nFrames))
+    }
+  }
+
   /** Build a MediaRecord dataset from any (id, binary payload) frame —
     * the ingestion plumbing from raw columns into the typed pipeline. */
   def fromBinaryColumn(spark: SparkSession, df: DataFrame, idCol: String,

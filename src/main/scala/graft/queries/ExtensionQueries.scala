@@ -493,6 +493,43 @@ object ExtensionQueries {
              |SELECT id, n_bytes, magic_hex, content_md5,
              |  CAST(hv % 640 + 16 AS BIGINT) AS width,
              |  CAST((hv // 640) % 480 + 16 AS BIGINT) AS height
-             |FROM h ORDER BY id""".stripMargin))
+             |FROM h ORDER BY id""".stripMargin)),
+
+    QuerySpec("m3_multimodal_transform",
+      "resize + frame-sample plumbing: aspect-fit dims and evenly " +
+        "spaced frame offsets over the stub duration (arithmetic " +
+        "bit-identical cross-engine)",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val media = graft.operators.Multimodal.fromBinaryColumn(
+          s, docs, "doc_id", "text")
+        val feats = graft.operators.Multimodal.decodeFeatures(media)
+        graft.operators.Multimodal.transformStage(feats, 64, 64, 3).toDF()
+          .orderBy(col("id"), col("frame_idx"))
+      },
+      Some("""WITH h AS (
+             |  SELECT doc_id AS id,
+             |    ('0x' || substr(md5(text), 1, 15))::BIGINT AS hv
+             |  FROM documents),
+             |dims AS (
+             |  SELECT id,
+             |    CAST(hv % 640 + 16 AS BIGINT) AS width,
+             |    CAST((hv // 640) % 480 + 16 AS BIGINT) AS height,
+             |    CAST(hv % 120000 AS BIGINT) AS dur
+             |  FROM h),
+             |resized AS (
+             |  SELECT *,
+             |    CAST(floor(width * least(1.0, 64.0 / width, 64.0 / height))
+             |      AS BIGINT) AS resized_w,
+             |    CAST(floor(height * least(1.0, 64.0 / width, 64.0 / height))
+             |      AS BIGINT) AS resized_h
+             |  FROM dims),
+             |frames AS (
+             |  SELECT id, width, height, resized_w, resized_h, dur,
+             |         unnest([0, 1, 2]) AS frame_idx
+             |  FROM resized)
+             |SELECT id, width, height, resized_w, resized_h, frame_idx,
+             |  CAST(frame_idx * dur // 3 AS BIGINT) AS frame_offset_ms
+             |FROM frames ORDER BY id, frame_idx""".stripMargin))
   )
 }

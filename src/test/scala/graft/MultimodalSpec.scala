@@ -30,6 +30,31 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.stubDecode(r) == Multimodal.stubDecode(r.copy()))
   }
 
+  test("transformStage fits within bounds and samples ordered frames") {
+    val ds = Seq(
+      MediaRecord(1L, "some payload".getBytes, "application/octet-stream"),
+      MediaRecord(2L, "other payload".getBytes, "application/octet-stream"))
+      .toDS()
+    val out = Multimodal.transformStage(
+      Multimodal.decodeFeatures(ds), 64, 64, 3).collect()
+    assert(out.length == 6) // 3 frames per item
+    out.foreach { tf =>
+      assert(tf.resized_w <= 64 && tf.resized_h <= 64)
+      assert(tf.resized_w <= tf.width && tf.resized_h <= tf.height)
+      // aspect ratio preserved within floor rounding
+      val scale = math.min(1.0,
+        math.min(64.0 / tf.width, 64.0 / tf.height))
+      assert(tf.resized_w == math.floor(tf.width * scale).toLong)
+      assert(tf.frame_idx >= 0 && tf.frame_idx < 3)
+      assert(tf.frame_offset_ms >= 0 && tf.frame_offset_ms < 120000L)
+    }
+    // offsets are non-decreasing within an item
+    out.groupBy(_.id).values.foreach { fs =>
+      val offs = fs.sortBy(_.frame_idx).map(_.frame_offset_ms)
+      assert(offs.zip(offs.tail).forall { case (a, b) => a <= b })
+    }
+  }
+
   test("fromBinaryColumn sniffs mime from payload bytes") {
     val df = Seq((1L, "RIFF1234"), (2L, "hello")).toDF("id", "payload")
     val media = Multimodal.fromBinaryColumn(spark, df, "id", "payload")
