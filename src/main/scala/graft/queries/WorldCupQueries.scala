@@ -173,6 +173,34 @@ object WorldCupQueries {
               |FROM joined j JOIN stage s ON j.stage_name = s.orig_stage_name
               |ORDER BY tournament_id, stage_id, stage_detail""".stripMargin)),
 
+    QuerySpec("e5_worldcup_group_performance",
+      "ELT `tournament_team_group_performance` builder vs DuckDB: " +
+        "stage resolve + flag-to-boolean (build_db.py:1362-1418)",
+      (s, dir) => built(s, "tournament_team_group_performance")
+        .orderBy(col("tournament_id"), col("stage_id"), col("stage_detail"),
+          col("team_id")),
+      Some(s"""WITH $duckStage
+              |SELECT g.tournament_id, s.stage_id,
+              |  g.group_name AS stage_detail, g.team_id, g.position,
+              |  g.played AS n_played, g.wins AS n_wins, g.draws AS n_draws,
+              |  g.losses AS n_losses, g.goals_for, g.goals_against,
+              |  g.goal_difference, g.points,
+              |  (g.advanced = 1) AS did_advance
+              |FROM ${duckCsv("group_standings")} g
+              |JOIN stage s ON g.stage_name = s.orig_stage_name
+              |ORDER BY tournament_id, stage_id, stage_detail, team_id""".stripMargin)),
+
+    QuerySpec("e6_worldcup_tournament",
+      "ELT `tournament` builder vs DuckDB: winner-name -> team-id " +
+        "resolve (J2) with date columns (build_db.py:658-693)",
+      (s, dir) => built(s, "tournament").orderBy(col("id")),
+      Some(s"""SELECT t.tournament_id AS id, t.tournament_name AS name,
+              |  t.year, t.start_date, t.end_date,
+              |  t.count_teams AS n_team, tm.team_id AS wining_team_id
+              |FROM ${duckCsv("tournaments")} t
+              |JOIN ${duckCsv("teams")} tm ON t.winner = tm.team_name
+              |ORDER BY id""".stripMargin)),
+
     QuerySpec("e4_worldcup_team_appearance",
       "ELT `team_appearance` builder vs DuckDB re-execution: home/away " +
         "labeling, shootout nulling + penalty differential arithmetic " +
