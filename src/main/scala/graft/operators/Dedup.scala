@@ -89,15 +89,18 @@ object Dedup {
     *    so the cap adds no extra exchange). Overflow is NOT silent:
     *    [[minHashBucketOverflow]] reports capped buckets.
     *
-    * No caching: the signature subplan appears three times but shares
-    * one Exchange (Spark's ReuseExchange), so shingle hashing runs
-    * once without pinning a full-corpus signature table in memory. */
+    * No caching and no re-joins: the signature ARRAY rides along
+    * through the band unpivot and the bucket self-join, so joined rows
+    * already hold both sides' signatures and the estimate is a pure
+    * projection — the signature subplan exists only as the two sides
+    * of one self-join instead of three computations plus two joins,
+    * and no full-corpus signature table is pinned in memory. */
   def minHashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
       p: MinHashParams = MinHashParams(), minEst: Double = 0.75,
       maxBucket: Int = 1000): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val sigs = minHashArraySigs(docs, idCol, textCol, p)
-    val bands = bandKeys(sigs, idCol, p)
+    val bands = bandKeys(sigs, idCol, p, carrySig = true)
     val capW = Window.partitionBy(col("band"), col("band_key"))
       .orderBy(col(idCol))
     val capped = bands
@@ -107,16 +110,14 @@ object Dedup {
         col("x.band") === col("y.band") &&
           col("x.band_key") === col("y.band_key") &&
           col(s"x.$idCol") < col(s"y.$idCol"))
-      .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"))
+      .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"),
+        col("x.sig").as("sig_a"), col("y.sig").as("sig_b"))
       .distinct()
     val matches = aggregate(
       zip_with(col("sig_a"), col("sig_b"),
         (x, y) => when(x === y, 1).otherwise(0)),
       lit(0), (acc, v) => acc + v)
-    cand
-      .join(sigs.select(col(idCol).as("id_a"), col("sig").as("sig_a")), "id_a")
-      .join(sigs.select(col(idCol).as("id_b"), col("sig").as("sig_b")), "id_b")
-      .select(col("id_a"), col("id_b"),
+    cand.select(col("id_a"), col("id_b"),
         (matches.cast("double") / p.k).as("est_jaccard"))
       .filter(col("est_jaccard") >= minEst)
   }
@@ -149,16 +150,19 @@ object Dedup {
         .as("sig"))
   }
 
-  /** Long-form (id, band, band_key) keys from array signatures. */
-  private def bandKeys(sigs: DataFrame, idCol: String,
-      p: MinHashParams): DataFrame = {
+  /** Long-form (id[, sig], band, band_key) keys from array signatures;
+    * `carrySig` keeps the signature column alongside so downstream
+    * consumers need no re-join. */
+  private def bandKeys(sigs: DataFrame, idCol: String, p: MinHashParams,
+      carrySig: Boolean = false): DataFrame = {
     val bandCols = (0 until p.bands).map { b =>
       md5(concat_ws("|", transform(
         slice(col("sig"), b * p.rows + 1, p.rows), x => x.cast("string"))))
         .as(s"band$b")
     }
-    sigs.select(col(idCol) +: bandCols: _*)
-      .unpivot(Array(col(idCol)),
+    val ids = if (carrySig) Seq(col(idCol), col("sig")) else Seq(col(idCol))
+    sigs.select(ids ++ bandCols: _*)
+      .unpivot(ids.toArray,
         (0 until p.bands).map(b => col(s"band$b")).toArray, "band", "band_key")
   }
 
