@@ -287,6 +287,35 @@ object Dedup {
   private def bitSum(j: Int): Column =
     sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1))
 
+  /** SimHash near-dup pairs: byte-band bucketing over the 32-bit
+    * signature (the Manku web-dedup scheme) — any pair within Hamming
+    * distance `maxHamming` ≤ 3 differs in at most 3 of the 4 bytes, so
+    * by pigeonhole it shares at least one INTACT byte and meets in
+    * that band's bucket: candidate recall for the ≤3 ball is exact,
+    * and the join stays an equi-join on (band, byte) — never
+    * all-pairs. Signatures ride the join (no re-join), mirroring
+    * minHashNearDupPairs. */
+  def simHashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val sigs = simHash32(docs, idCol, textCol)
+    val bandCols = (0 until 4).map(b =>
+      shiftright(col("simhash"), 8 * b).bitwiseAND(lit(255L)).as(s"b$b"))
+    val bands = sigs
+      .select(Seq(col(idCol), col("simhash")) ++ bandCols: _*)
+      .unpivot(Array(col(idCol), col("simhash")),
+        (0 until 4).map(b => col(s"b$b")).toArray, "band", "bkey")
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"),
+        col("x.simhash").as("sh_a"), col("y.simhash").as("sh_b"))
+      .distinct()
+    cand.select(col("id_a"), col("id_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long")
+          .as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** DuckDB oracle SQL mirroring simHash32. */
   def simHashOracleSql(table: String, idCol: String, textCol: String): String = {
     val sums = (0 until 32).map(j =>

@@ -82,6 +82,16 @@ class DedupSpec extends SparkSpec {
     assert(hamming(sigs(1L), sigs(3L)) < hamming(sigs(1L), sigs(4L)))
   }
 
+  test("simHashNearDupPairs finds identical-signature pairs at hamming 0") {
+    val pairs = Dedup.simHashNearDupPairs(docs, "doc_id", "text")
+      .as[(Long, Long, Long)].collect().toSeq
+    // docs 1, 2 (exact) and 5 (token-identical) share a signature
+    assert(pairs.contains((1L, 2L, 0L)))
+    assert(pairs.contains((1L, 5L, 0L)))
+    // unrelated doc 4 is far in hamming space
+    assert(!pairs.exists { case (a, b, _) => a == 4L || b == 4L })
+  }
+
   test("ngramJaccard: identical pair scores 1.0, near-dup scores high") {
     val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("id_a", "id_b")
     val j = Dedup.ngramJaccard(docs, pairs, "doc_id", "text", 3)
