@@ -45,6 +45,32 @@ object Similarity {
       .filter(col("rn") <= k)
   }
 
+  /** Brute-force top-k via the native bounded-heap aggregate
+    * (graft.plans.TopKPairs) instead of a window: identical results,
+    * but each map task reduces its candidate slice to k pairs before
+    * the exchange, so the shuffle carries k×queries rows instead of
+    * corpus×queries — the shape that survives a 100 TB corpus. */
+  def bruteForceTopKAgg(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.GraftBridge
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"),
+      l2Norm(col(vecCol)).as("qn"))
+    val c = corpus.select(col(idCol).as("did"), col(vecCol).as("dvec"),
+      l2Norm(col(vecCol)).as("dn"))
+    val scored = c.join(broadcast(q), col("qid") =!= col("did"))
+      .select(col("qid"), col("did"),
+        when(col("qn") * col("dn") > 0,
+          dotProduct(col("qvec"), col("dvec")) / (col("qn") * col("dn")))
+          .otherwise(lit(0.0)).as("cos"))
+    val topk = GraftBridge.column(graft.plans.TopKPairs(
+      GraftBridge.expression(col("cos")),
+      GraftBridge.expression(col("did")), k).toAggregateExpression())
+    scored.groupBy(col("qid")).agg(topk.as("top"))
+      .select(col("qid"), posexplode(col("top")).as(Seq("pos", "p")))
+      .select(col("qid"), (col("pos") + 1).cast("long").as("rn"),
+        col("p.id").as("did"), col("p.score").as("cos"))
+  }
+
   /** Deterministic Rademacher plane weights: ±1 from bit 0 of
     * md5("plane-<p>-<d>") — same derivation as HashFunctions.md5Hash60,
     * computed driver-side. */

@@ -30,6 +30,29 @@ object ExtensionQueries {
     s"CAST(len(list_filter($duckWsTokens, t -> list_contains($arr, t))) AS BIGINT)"
   }
 
+  /** Shared by x5 (window form) and x5b (heap-aggregate form): both
+    * must match this oracle bit-for-bit. */
+  private val annTopkOracle: String =
+    """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qvec
+      |          FROM embeddings WHERE vec_id < 8),
+      |c AS (SELECT vec_id AS did, embedding::DOUBLE[] AS dvec
+      |      FROM embeddings),
+      |scored AS (
+      |  SELECT qid, did,
+      |    CASE WHEN sqrt(list_dot_product(qvec, qvec)) *
+      |              sqrt(list_dot_product(dvec, dvec)) > 0
+      |      THEN list_dot_product(qvec, dvec) /
+      |           (sqrt(list_dot_product(qvec, qvec)) *
+      |            sqrt(list_dot_product(dvec, dvec)))
+      |      ELSE 0.0 END AS cos
+      |  FROM c JOIN q ON qid <> did),
+      |ranked AS (
+      |  SELECT qid, did, cos, CAST(row_number() OVER
+      |    (PARTITION BY qid ORDER BY cos DESC, did) AS BIGINT) AS rn
+      |  FROM scored)
+      |SELECT qid, rn, did, round(cos, 6) AS cos_r
+      |FROM ranked WHERE rn <= 5 ORDER BY qid, rn""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
 
     QuerySpec("x1_dedup_exact",
@@ -120,25 +143,22 @@ object ExtensionQueries {
             round(col("cos"), 6).as("cos_r"))
           .orderBy(col("qid"), col("rn"))
       },
-      Some("""WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qvec
-             |          FROM embeddings WHERE vec_id < 8),
-             |c AS (SELECT vec_id AS did, embedding::DOUBLE[] AS dvec
-             |      FROM embeddings),
-             |scored AS (
-             |  SELECT qid, did,
-             |    CASE WHEN sqrt(list_dot_product(qvec, qvec)) *
-             |              sqrt(list_dot_product(dvec, dvec)) > 0
-             |      THEN list_dot_product(qvec, dvec) /
-             |           (sqrt(list_dot_product(qvec, qvec)) *
-             |            sqrt(list_dot_product(dvec, dvec)))
-             |      ELSE 0.0 END AS cos
-             |  FROM c JOIN q ON qid <> did),
-             |ranked AS (
-             |  SELECT qid, did, cos, CAST(row_number() OVER
-             |    (PARTITION BY qid ORDER BY cos DESC, did) AS BIGINT) AS rn
-             |  FROM scored)
-             |SELECT qid, rn, did, round(cos, 6) AS cos_r
-             |FROM ranked WHERE rn <= 5 ORDER BY qid, rn""".stripMargin)),
+      Some(annTopkOracle)),
+
+    QuerySpec("x5b_ann_topk_heap_agg",
+      "same brute-force ANN via the native bounded-heap aggregate " +
+        "(TopKPairs TypedImperativeAggregate): map-side partial top-k " +
+        "shrinks the shuffle corpus/k-fold; results identical to the " +
+        "window form and the same DuckDB oracle",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        Similarity.bruteForceTopKAgg(emb, emb.filter(col("vec_id") < 8),
+            "vec_id", "embedding", 5)
+          .select(col("qid"), col("rn"), col("did"),
+            round(col("cos"), 6).as("cos_r"))
+          .orderBy(col("qid"), col("rn"))
+      },
+      Some(annTopkOracle)),
 
     QuerySpec("x6_ann_lsh_bucketed",
       "sign-LSH bucketed ANN (approximate; Spark-plan-specific, rows-only check)",

@@ -32,6 +32,30 @@ class SimilaritySpec extends SparkSpec {
     assert(top == Seq((0L, 1L, 1L), (0L, 2L, 2L)))
   }
 
+  test("bruteForceTopKAgg (bounded heap) equals the window form exactly") {
+    val emb = graft.sources.Tables.load(spark, sf(), "embeddings")
+    val q = emb.filter($"vec_id" < 8)
+    val viaWindow = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 5)
+      .select("qid", "rn", "did", "cos").orderBy("qid", "rn").collect().toSeq
+    val viaHeap = Similarity.bruteForceTopKAgg(emb, q, "vec_id", "embedding", 5)
+      .select("qid", "rn", "did", "cos").orderBy("qid", "rn").collect().toSeq
+    assert(viaHeap.nonEmpty)
+    assert(viaHeap == viaWindow) // identical doubles, ranks, tie-breaks
+  }
+
+  test("TopKPairs keeps ties ordered by id and handles k > group size") {
+    val scored = Seq((1L, 0.5, 10L), (1L, 0.5, 9L), (1L, 0.9, 11L))
+      .toDF("qid", "cos", "did")
+    import org.apache.spark.sql.GraftBridge
+    val topk = GraftBridge.column(graft.plans.TopKPairs(
+      GraftBridge.expression(col("cos")),
+      GraftBridge.expression(col("did")), 5).toAggregateExpression())
+    val got = scored.groupBy($"qid").agg(topk.as("top"))
+      .select(posexplode($"top")).select("col.score", "col.id")
+      .as[(Double, Long)].collect().toSeq
+    assert(got == Seq((0.9, 11L), (0.5, 9L), (0.5, 10L)))
+  }
+
   test("lshBuckets: identical vectors land in the same bucket") {
     val vecs = Seq(
       (0L, Seq.fill(8)(0.5f)),
