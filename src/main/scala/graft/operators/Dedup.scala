@@ -236,9 +236,16 @@ object Dedup {
     * standard Spark shape for iterative graph passes). Convergence is
     * detected by the strictly-decreasing label sum, one tiny aggregate
     * per round. The fixpoint (min id per component) is unique, so the
-    * result is deterministic regardless of iteration schedule. */
+    * result is deterministic regardless of iteration schedule.
+    *
+    * `maxIters` is a safety valve, not a truncation: if the fixpoint
+    * is not reached within it (a component whose min-label distance
+    * exceeds it, e.g. a 100+-doc drift chain), the call THROWS rather
+    * than silently returning non-minimal labels. Raise `maxIters` (or
+    * pre-bridge long chains) in that case; labels always converge in
+    * at most the largest component diameter rounds. */
   def connectedComponents(ids: DataFrame, idCol: String, pairs: DataFrame,
-      maxIters: Int = 20): DataFrame = {
+      maxIters: Int = 50): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
       .union(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
@@ -264,6 +271,10 @@ object Dedup {
       prev = cur
       i += 1
     }
+    if (!done)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge within $maxIters rounds; " +
+          "raise maxIters (labels converge in <= component diameter rounds)")
     labels.select(col("u").as(idCol), col("label").as("cluster_id"))
   }
 

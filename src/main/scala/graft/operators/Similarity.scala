@@ -121,8 +121,10 @@ object Similarity {
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
     val dim = if (centroids.nonEmpty) centroids(0).length else 0
     (0 until iters).foreach { _ =>
+      // try_element_at: NULL (not an ANSI error) past a ragged vector's
+      // end, so short vectors simply don't contribute to that dimension
       val meanCols = (0 until dim).map(d =>
-        avg(element_at(col(vecCol), d + 1).cast("double")).as(s"m$d"))
+        avg(try_element_at(col(vecCol), lit(d + 1)).cast("double")).as(s"m$d"))
       val means = corpus
         .select(cellExpr(col(vecCol), centroids).as("__cell"), col(vecCol))
         .groupBy(col("__cell"))
@@ -130,8 +132,12 @@ object Similarity {
         .collect()
       means.foreach { row =>
         val cell = row.getInt(0)
+        // a NULL mean (ragged vectors shorter than dim in every row of
+        // the cell) keeps that dimension's previous centroid value
         centroids = centroids.updated(cell,
-          Array.tabulate(dim)(d => row.getDouble(d + 1)))
+          Array.tabulate(dim)(d =>
+            if (row.isNullAt(d + 1)) centroids(cell)(d)
+            else row.getDouble(d + 1)))
       }
     }
     centroids

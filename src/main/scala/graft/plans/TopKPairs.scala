@@ -5,7 +5,7 @@ import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, Da
 import scala.collection.mutable
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.trees.BinaryLike
 import org.apache.spark.sql.catalyst.util.GenericArrayData
@@ -31,9 +31,14 @@ import org.apache.spark.sql.types._
 case class TopKPairs(left: Expression, right: Expression, k: Int,
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[mutable.PriorityQueue[(Double, Long)]]
-    with BinaryLike[Expression] {
+    with BinaryLike[Expression] with ImplicitCastInputTypes {
 
   require(k > 0, "k must be positive")
+
+  /** Analysis-time contract (with implicit numeric widening): a float
+    * score or int id casts up; anything non-numeric fails resolution
+    * instead of a mid-task ClassCastException. */
+  override def inputTypes: Seq[DataType] = Seq(DoubleType, LongType)
 
   override def prettyName: String = "top_k_pairs"
   override def nullable: Boolean = false

@@ -137,10 +137,10 @@ object WorldCupQueries {
            |             match_period NULLS FIRST) AS rn
            |  FROM typed)
            |SELECT 'MEV-' || md5(
-           |    coalesce(match_id, ' ') || '|' || coalesce(team_id, ' ')
-           |    || '|' || coalesce(player_id, ' ')
-           |    || '|' || coalesce(event_type_id, ' ')
-           |    || '|' || coalesce(minute_label, ' ')
+           |    coalesce(md5(match_id), '-') || '|' || coalesce(md5(team_id), '-')
+           |    || '|' || coalesce(md5(player_id), '-')
+           |    || '|' || coalesce(md5(event_type_id), '-')
+           |    || '|' || coalesce(md5(minute_label), '-')
            |    || '|' || CAST(rn AS VARCHAR)) AS id,
            |  match_id, team_id, player_id, event_type_id, minute_label,
            |  minute_regulation, minute_stoppage, match_period

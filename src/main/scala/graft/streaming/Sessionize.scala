@@ -31,12 +31,15 @@ object Sessionize {
     * batch twin compares at, so the two forms split identically. */
   final case class SessionState(start: Long, end: Long, n: Long, sum: Double)
 
+  /** Floor-based conversions so pre-epoch timestamps (negative
+    * getTime with always-positive getNanos) round toward -inf like
+    * Spark's unix_micros, keeping batch and streaming aligned. */
   private def micros(t: Timestamp): Long =
-    (t.getTime / 1000L) * 1000000L + t.getNanos / 1000L
+    Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
 
   private def toTimestamp(us: Long): Timestamp = {
-    val t = new Timestamp((us / 1000000L) * 1000L)
-    t.setNanos(((us % 1000000L) * 1000L).toInt)
+    val t = new Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+    t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
     t
   }
 
