@@ -104,6 +104,25 @@ object ExtensionQueries {
         .orderBy(col("doc_id")),
       Some(Dedup.simHashOracleSql("documents", "doc_id", "text"))),
 
+    QuerySpec("x2b_dedup_levenshtein",
+      "edit-distance near-dup scan: Levenshtein over bounded prefixes " +
+        "on adjacent-id candidate pairs (cost-capped at 64 chars)",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+          .select(col("doc_id"), substring(col("text"), 1, 64).as("p"))
+        val a = d.select(col("doc_id").as("id_a"), col("p").as("pa"))
+        val b = d.select(col("doc_id").as("id_b"), col("p").as("pb"))
+        a.join(b, col("id_a") + 1 === col("id_b"))
+          .select(col("id_a"), col("id_b"),
+            levenshtein(col("pa"), col("pb")).cast("long").as("edit_dist"))
+          .orderBy(col("id_a"))
+      },
+      Some("""WITH d AS (SELECT doc_id, substr(text, 1, 64) AS p FROM documents)
+             |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |       CAST(levenshtein(a.p, b.p) AS BIGINT) AS edit_dist
+             |FROM d a JOIN d b ON a.doc_id + 1 = b.doc_id
+             |ORDER BY id_a""".stripMargin)),
+
     QuerySpec("x4b_simhash_hamming_pairs",
       "SimHash near-dup pairs: byte-band bucketing (exact recall for " +
         "Hamming <= 3 by pigeonhole) + exact Hamming filter",

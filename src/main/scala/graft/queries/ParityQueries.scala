@@ -282,6 +282,24 @@ object ParityQueries {
              |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
              |ORDER BY kind""".stripMargin)),
 
+    QuerySpec("j7_salted_join",
+      "skew-salted equi-join (deterministic shard + replicated small " +
+        "side) — oracle is the PLAIN join, proving result equivalence",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val supp = t(s, dir, "supplier")
+          .select(col("s_suppkey").as("l_suppkey"), col("s_nationkey"))
+        Relational.saltedJoin(li, supp, "l_suppkey", saltFactor = 8)
+          .groupBy(col("s_nationkey"))
+          .agg(count(lit(1)).as("n_items"),
+            sum(dec2(col("l_quantity"))).cast("double").as("sum_qty"))
+          .orderBy(col("s_nationkey"))
+      },
+      Some(s"""SELECT s_nationkey, count(*) AS n_items,
+              |       ${sumDec("l_quantity")} AS sum_qty
+              |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+              |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin)),
+
     QuerySpec("g1_agg_pricing_summary",
       "groupBy/agg: sum/avg/count/count-distinct with exact decimal math",
       (s, dir) => t(s, dir, "lineitem")
