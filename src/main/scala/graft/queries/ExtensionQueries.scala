@@ -342,6 +342,40 @@ object ExtensionQueries {
              |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
              |FROM events GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin)),
 
+    QuerySpec("x13b_time_spine_gapfill",
+      "calendar-spine gap filling: generated hourly sequence " +
+        "left-joined to hourly aggregates, empty buckets zero-filled",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val bounds = ev.agg(
+          date_trunc("hour", min(col("ts"))).as("h0"),
+          date_trunc("hour", max(col("ts"))).as("h1"))
+        val spine = bounds.select(explode(
+          sequence(col("h0"), col("h1"), expr("INTERVAL 1 HOUR"))).as("hr"))
+        val hourly = ev
+          .groupBy(date_trunc("hour", col("ts")).as("hr"))
+          .agg(count(lit(1)).as("n_raw"),
+            sum(dec2(col("value"))).cast("double").as("sum_raw"))
+        spine.join(hourly, Seq("hr"), "left")
+          .select(col("hr"), coalesce(col("n_raw"), lit(0L)).as("n"),
+            coalesce(col("sum_raw"), lit(0.0)).as("sum_value"))
+          .orderBy(col("hr"))
+      },
+      Some("""WITH bounds AS (
+             |  SELECT date_trunc('hour', min(ts)) AS h0,
+             |         date_trunc('hour', max(ts)) AS h1 FROM events),
+             |spine AS (
+             |  SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hr
+             |  FROM bounds),
+             |hourly AS (
+             |  SELECT date_trunc('hour', ts) AS hr, count(*) AS n_raw,
+             |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_raw
+             |  FROM events GROUP BY 1)
+             |SELECT s.hr AS hr, CAST(coalesce(n_raw, 0) AS BIGINT) AS n,
+             |       coalesce(sum_raw, 0.0) AS sum_value
+             |FROM spine s LEFT JOIN hourly h ON s.hr = h.hr
+             |ORDER BY s.hr""".stripMargin)),
+
     QuerySpec("x15_asof_join",
       "as-of join (composed: union-tag + keyed carry-forward window) vs " +
         "DuckDB's native ASOF LEFT JOIN — each event picks the user's " +
