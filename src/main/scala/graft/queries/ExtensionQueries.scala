@@ -558,6 +558,38 @@ object ExtensionQueries {
               |SELECT doc_id, rk, token, score FROM ranked
               |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin)),
 
+    QuerySpec("x14b_session_window_builtin",
+      "sessionization via Spark's NATIVE session_window aggregate " +
+        "(merge-on-overlap; end = last event + gap) — one aggregation, " +
+        "no custom state; DuckDB oracle derives the same boundaries",
+      (s, dir) => t(s, dir, "events")
+        .groupBy(session_window(col("ts"), "1800 seconds").as("sw"),
+          col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(dec2(col("value"))).cast("double").as("sum_value"))
+        .select(col("user_id"), col("sw.start").as("session_start"),
+          col("sw.end").as("session_end"), col("n_events"),
+          col("sum_value"))
+        .orderBy(col("user_id"), col("session_start")),
+      Some("""WITH flagged AS (
+             |  SELECT user_id, ts, value,
+             |    CASE WHEN lag(ts) OVER w IS NULL
+             |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+             |         THEN 1 ELSE 0 END AS is_new
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |sess AS (
+             |  SELECT *, sum(is_new) OVER (PARTITION BY user_id
+             |    ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |    AS sess_id
+             |  FROM flagged)
+             |SELECT user_id, min(ts) AS session_start,
+             |       max(ts) + INTERVAL 1800 SECONDS AS session_end,
+             |       count(*) AS n_events,
+             |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+             |FROM sess GROUP BY user_id, sess_id
+             |ORDER BY user_id, session_start""".stripMargin)),
+
     QuerySpec("m1_multimodal_binary_meta",
       "binary-column plumbing: opaque bytes + typed metadata extraction",
       (s, dir) => t(s, dir, "documents")

@@ -38,6 +38,26 @@ class EmptyInputSpec extends SparkSpec {
       .count() == 0)
   }
 
+  test("round-2 operators tolerate empty inputs") {
+    import graft.operators.{Multimodal, Sampling}
+    // simhash hamming pairs
+    assert(Dedup.simHashNearDupPairs(emptyDocs, "doc_id", "text").count() == 0)
+    // connected components over empty ids and empty edges
+    val noPairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Dedup.connectedComponents(
+      emptyDocs.select(col("doc_id")), "doc_id", noPairs).count() == 0)
+    // sampling / splits
+    assert(Sampling.hashSample(emptyDocs, "doc_id", 50).count() == 0)
+    assert(Sampling.assignSplit(emptyDocs, "doc_id", 80, 10).count() == 0)
+    // heap top-k aggregate over an empty scored set
+    assert(Similarity.bruteForceTopKAgg(emptyVecs,
+      emptyVecs, "vec_id", "embedding", 3).count() == 0)
+    // multimodal transform over an empty dataset
+    val media = Multimodal.fromBinaryColumn(spark, emptyDocs, "doc_id", "text")
+    assert(Multimodal.transformStage(
+      Multimodal.decodeFeatures(media), 64, 64, 3).count() == 0)
+  }
+
   test("short documents (below shingle width) still shingle safely") {
     val tiny = Seq((1L, "ab"), (2L, "a b")).toDF("doc_id", "text")
     val sigs = Dedup.minHashSignatures(tiny, "doc_id", "text",
