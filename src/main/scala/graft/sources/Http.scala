@@ -1,0 +1,48 @@
+package graft.sources
+
+import java.nio.file.{Files, Path, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** HTTP fetch + local cache — the reference's S2.1/S3 ingestion step
+  * (`fetch_csv`, `/root/reference/scripts/build_db.py:33-52`: build
+  * `data_dir/<name>.csv`, GET `<base>/<name>.csv` only when the file
+  * does not already exist, return the local path).
+  *
+  * Same shape here, driver-side by design: the cluster never fetches —
+  * upstream files land once in a shared cache directory and every
+  * executor reads the cached copy through the normal scan path. The
+  * transport is pluggable so zero-egress environments (tests, CI) can
+  * inject one; the default uses the JDK's URL stream.
+  */
+object Http {
+
+  type Transport = String => Array[Byte]
+
+  /** Default transport: plain JDK fetch of the URL's bytes. */
+  val defaultTransport: Transport = url =>
+    new java.net.URI(url).toURL.openStream().readAllBytes()
+
+  /** Reference `fetch_csv` semantics: return `cacheDir/<name>`,
+    * fetching `<baseUrl>/<name>` first ONLY if the cached copy does
+    * not exist (repeat builds never re-download). */
+  def fetchCached(name: String, cacheDir: String, baseUrl: String,
+      transport: Transport = defaultTransport): Path = {
+    val local = Paths.get(cacheDir, name)
+    if (!Files.exists(local)) {
+      Files.createDirectories(local.getParent)
+      Files.write(local, transport(s"$baseUrl/$name"))
+    }
+    require(Files.exists(local), s"fetch failed for $name")
+    local
+  }
+
+  /** Fetch-then-scan: the reference's read path (fetch to cache, read
+    * the cached CSV with a declared schema). */
+  def readCsv(spark: SparkSession, name: String, cacheDir: String,
+      baseUrl: String, schema: StructType,
+      transport: Transport = defaultTransport): DataFrame =
+    Csv.read(spark, fetchCached(name, cacheDir, baseUrl, transport).toString,
+      schema)
+}

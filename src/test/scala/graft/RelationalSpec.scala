@@ -63,6 +63,17 @@ class RelationalSpec extends SparkSpec {
     assert(got == 11.0)
   }
 
+  test("top_k_pairs is SQL-callable as an aggregate") {
+    graft.functions.Register.all(spark)
+    Seq((0.1, 1L), (0.9, 2L), (0.5, 3L)).toDF("score", "id")
+      .createOrReplaceTempView("scored_t")
+    val got = spark.sql(
+      "SELECT top_k_pairs(score, id, 2) AS top FROM scored_t")
+      .selectExpr("transform(top, p -> p.id) AS ids")
+      .as[Seq[Long]].head()
+    assert(got == Seq(2L, 3L))
+  }
+
   test("approx_count_distinct stays within 5% of exact on test data") {
     val li = graft.sources.Tables.load(spark, sf("sf0.01"), "lineitem")
     val row = li.agg(
