@@ -282,6 +282,37 @@ object ParityQueries {
              |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
              |ORDER BY kind""".stripMargin)),
 
+    QuerySpec("j8_full_outer",
+      "full outer join with coalesced key and both-sides null flags",
+      (s, dir) => {
+        val buyers95 = t(s, dir, "orders")
+          .filter(year(col("o_orderdate")) === 1995)
+          .groupBy(col("o_custkey")).agg(count(lit(1)).as("n95"))
+        val buyers96 = t(s, dir, "orders")
+          .filter(year(col("o_orderdate")) === 1996)
+          .groupBy(col("o_custkey").as("ck96")).agg(count(lit(1)).as("n96"))
+        buyers95.join(buyers96, col("o_custkey") === col("ck96"), "full_outer")
+          .select(coalesce(col("o_custkey"), col("ck96")).as("custkey"),
+            coalesce(col("n95"), lit(0L)).as("n95"),
+            coalesce(col("n96"), lit(0L)).as("n96"),
+            col("o_custkey").isNull.as("only96"),
+            col("ck96").isNull.as("only95"))
+          .orderBy(col("custkey"))
+      },
+      Some("""WITH b95 AS (
+             |  SELECT o_custkey, count(*) AS n95 FROM orders
+             |  WHERE year(o_orderdate) = 1995 GROUP BY o_custkey),
+             |b96 AS (
+             |  SELECT o_custkey AS ck96, count(*) AS n96 FROM orders
+             |  WHERE year(o_orderdate) = 1996 GROUP BY o_custkey)
+             |SELECT coalesce(o_custkey, ck96) AS custkey,
+             |       CAST(coalesce(n95, 0) AS BIGINT) AS n95,
+             |       CAST(coalesce(n96, 0) AS BIGINT) AS n96,
+             |       (o_custkey IS NULL) AS only96,
+             |       (ck96 IS NULL) AS only95
+             |FROM b95 FULL OUTER JOIN b96 ON o_custkey = ck96
+             |ORDER BY custkey""".stripMargin)),
+
     QuerySpec("j7_salted_join",
       "skew-salted equi-join (deterministic shard + replicated small " +
         "side) — oracle is the PLAIN join, proving result equivalence",
