@@ -18,10 +18,17 @@ object Register {
 
   def topKPairs(spark: SparkSession): Unit =
     GraftBridge.registerFunction(spark, "top_k_pairs", exprs => {
+      require(exprs.length == 3,
+        s"top_k_pairs(score, id, k) takes 3 arguments, got ${exprs.length}")
       val k = exprs(2) match {
-        case Literal(v: Number, _) => v.intValue()
+        case Literal(v: Int, _) => v
+        case Literal(v: Long, _) =>
+          require(v == v.toInt, s"top_k_pairs k out of Int range: $v")
+          v.toInt
+        case Literal(v: Short, _) => v.toInt
+        case Literal(v: Byte, _) => v.toInt
         case other => throw new IllegalArgumentException(
-          s"top_k_pairs k must be an integer literal, got $other")
+          s"top_k_pairs k must be an integral literal, got $other")
       }
       TopKPairs(exprs(0), exprs(1), k).toAggregateExpression()
     })

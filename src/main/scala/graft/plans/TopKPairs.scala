@@ -83,7 +83,10 @@ case class TopKPairs(left: Expression, right: Expression, k: Int,
   }
 
   override def eval(buf: mutable.PriorityQueue[(Double, Long)]): Any = {
-    val bestFirst: Seq[(Double, Long)] = buf.dequeueAll.reverse
+    // non-destructive: running window frames call eval() repeatedly on
+    // the SAME buffer (one per output row), so draining it would lose
+    // every earlier candidate from the second row on
+    val bestFirst: Seq[(Double, Long)] = buf.clone().dequeueAll.reverse
     new GenericArrayData(
       bestFirst.map(p => InternalRow(p._1, p._2)).toArray[Any])
   }

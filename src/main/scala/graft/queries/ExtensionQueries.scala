@@ -572,7 +572,7 @@ object ExtensionQueries {
           col("sum_value"))
         .orderBy(col("user_id"), col("session_start")),
       Some("""WITH flagged AS (
-             |  SELECT user_id, ts, value,
+             |  SELECT user_id, event_id, ts, value,
              |    CASE WHEN lag(ts) OVER w IS NULL
              |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
              |         THEN 1 ELSE 0 END AS is_new
@@ -580,7 +580,8 @@ object ExtensionQueries {
              |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
              |sess AS (
              |  SELECT *, sum(is_new) OVER (PARTITION BY user_id
-             |    ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |    ORDER BY ts, event_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
              |    AS sess_id
              |  FROM flagged)
              |SELECT user_id, min(ts) AS session_start,

@@ -20,21 +20,38 @@ object Http {
 
   type Transport = String => Array[Byte]
 
-  /** Default transport: plain JDK fetch of the URL's bytes. */
-  val defaultTransport: Transport = url =>
-    new java.net.URI(url).toURL.openStream().readAllBytes()
+  /** Default transport: plain JDK fetch of the URL's bytes (stream
+    * closed even when readAllBytes throws). */
+  val defaultTransport: Transport = url => {
+    val in = new java.net.URI(url).toURL.openStream()
+    try in.readAllBytes() finally in.close()
+  }
 
   /** Reference `fetch_csv` semantics: return `cacheDir/<name>`,
     * fetching `<baseUrl>/<name>` first ONLY if the cached copy does
-    * not exist (repeat builds never re-download). */
+    * not exist (repeat builds never re-download). The cache write is
+    * temp-file + atomic rename, so an interrupted fetch can never
+    * leave a truncated file that later calls would trust, and
+    * concurrent drivers sharing the cache directory see either
+    * nothing or the complete file. */
   def fetchCached(name: String, cacheDir: String, baseUrl: String,
       transport: Transport = defaultTransport): Path = {
     val local = Paths.get(cacheDir, name)
     if (!Files.exists(local)) {
       Files.createDirectories(local.getParent)
-      Files.write(local, transport(s"$baseUrl/$name"))
+      val bytes = transport(s"$baseUrl/$name")
+      val tmp = Files.createTempFile(local.getParent, s".$name.", ".part")
+      try {
+        Files.write(tmp, bytes)
+        Files.move(tmp, local,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      } catch {
+        case e: java.nio.file.FileAlreadyExistsException =>
+          Files.deleteIfExists(tmp) // concurrent fetch won; use theirs
+        case e: Throwable =>
+          Files.deleteIfExists(tmp); throw e
+      }
     }
-    require(Files.exists(local), s"fetch failed for $name")
     local
   }
 

@@ -56,6 +56,21 @@ class SimilaritySpec extends SparkSpec {
     assert(got == Seq((0.9, 11L), (0.5, 9L), (0.5, 10L)))
   }
 
+  test("top_k_pairs as a running window keeps earlier candidates " +
+      "(eval must not drain the shared buffer)") {
+    graft.functions.Register.all(spark)
+    Seq((1, 0.9, 1L), (1, 0.5, 2L), (1, 0.7, 3L)).toDF("g", "score", "id")
+      .createOrReplaceTempView("topk_w_t")
+    val got = spark.sql(
+      """SELECT id, transform(top_k_pairs(score, id, 2) OVER (
+        |  PARTITION BY g ORDER BY id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |  p -> p.id) AS ids
+        |FROM topk_w_t ORDER BY id""".stripMargin)
+      .as[(Long, Seq[Long])].collect().toSeq
+    assert(got == Seq((1L, Seq(1L)), (2L, Seq(1L, 2L)), (3L, Seq(1L, 3L))))
+  }
+
   test("lshBuckets: identical vectors land in the same bucket") {
     val vecs = Seq(
       (0L, Seq.fill(8)(0.5f)),
