@@ -201,6 +201,52 @@ object WorldCupQueries {
               |JOIN ${duckCsv("teams")} tm ON t.winner = tm.team_name
               |ORDER BY id""".stripMargin)),
 
+    QuerySpec("e7_worldcup_tournament_team",
+      "ELT `tournament_team` builder vs DuckDB: left join -> is_host " +
+        "null-probe flag (build_db.py:817-857, the J4 idiom)",
+      (s, dir) => built(s, "tournament_team")
+        .orderBy(col("tournament_id"), col("team_id")),
+      Some(s"""SELECT q.tournament_id, q.team_id,
+              |  q.count_matches AS n_matches, q.performance,
+              |  (h.team_name IS NOT NULL) AS is_host
+              |FROM ${duckCsv("qualified_teams")} q
+              |LEFT JOIN ${duckCsv("host_countries")} h
+              |  USING (tournament_id, team_id)
+              |ORDER BY tournament_id, team_id""".stripMargin)),
+
+    QuerySpec("e8_worldcup_match_replay",
+      "ELT `match_replay` builder vs DuckDB: filtered self-join pairing " +
+        "each replayed final with its replay (build_db.py:1183-1217, J5)",
+      (s, dir) => built(s, "match_replay")
+        .orderBy(col("first_match_id"), col("second_match_id")),
+      Some(s"""SELECT a.match_id AS first_match_id,
+              |       b.match_id AS second_match_id
+              |FROM ${duckCsv("matches")} a JOIN ${duckCsv("matches")} b
+              |  ON a.home_team_id = b.home_team_id
+              | AND a.away_team_id = b.away_team_id
+              |WHERE a.replayed = 1 AND b.replay = 1
+              |ORDER BY first_match_id, second_match_id""".stripMargin)),
+
+    QuerySpec("e9_worldcup_tournament_squad",
+      "ELT `tournament_squad` builder vs DuckDB: position surrogate " +
+        "resolve by name + shirt-0 -> NULL string cast " +
+        "(build_db.py:896-937, the P12 idiom)",
+      (s, dir) => built(s, "tournament_squad")
+        .orderBy(col("tournament_id"), col("team_id"), col("player_id")),
+      Some(s"""WITH pos AS (
+              |  SELECT 'POS-' || CAST(row_number() OVER (ORDER BY position_code)
+              |           AS VARCHAR) AS position_id,
+              |         position_name
+              |  FROM (SELECT DISTINCT position_code, position_name
+              |        FROM ${duckCsv("player_appearances")}))
+              |SELECT s.tournament_id, s.team_id, s.player_id,
+              |  CASE WHEN s.shirt_number <> 0
+              |       THEN CAST(s.shirt_number AS VARCHAR) END AS shirt_number,
+              |  p.position_id
+              |FROM ${duckCsv("squads")} s
+              |JOIN pos p USING (position_name)
+              |ORDER BY tournament_id, team_id, player_id""".stripMargin)),
+
     QuerySpec("e4_worldcup_team_appearance",
       "ELT `team_appearance` builder vs DuckDB re-execution: home/away " +
         "labeling, shootout nulling + penalty differential arithmetic " +
