@@ -521,6 +521,32 @@ object ParityQueries {
              |    AS cum_rev
              |FROM m ORDER BY l_suppkey, mon""".stripMargin)),
 
+    QuerySpec("w3_window_analytics",
+      "window analytics beyond rank/sum: lag, lead, ntile, " +
+        "percent_rank, first_value over a per-customer order timeline",
+      (s, dir) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+        t(s, dir, "orders")
+          .select(col("o_custkey"), col("o_orderkey"),
+            lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+            lead(col("o_totalprice"), 1).over(w).as("next_price"),
+            ntile(4).over(w).cast("long").as("quartile"),
+            percent_rank().over(w).as("pr"),
+            first_value(col("o_orderkey")).over(w).as("first_ok"))
+          .orderBy(col("o_custkey"), col("o_orderkey"))
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+             |  lag(o_totalprice) OVER w AS prev_price,
+             |  lead(o_totalprice) OVER w AS next_price,
+             |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+             |  percent_rank() OVER w AS pr,
+             |  first_value(o_orderkey) OVER w AS first_ok
+             |FROM orders
+             |WINDOW w AS (PARTITION BY o_custkey
+             |             ORDER BY o_orderdate, o_orderkey)
+             |ORDER BY o_custkey, o_orderkey""".stripMargin)),
+
     QuerySpec("f2_string_functions",
       "F2/F3/F4/F6: replace-first, contains, ends_with, capitalize-first",
       (s, dir) => t(s, dir, "part")
