@@ -370,6 +370,23 @@ object ParityQueries {
               |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
               |ORDER BY rf, ls""".stripMargin)),
 
+    QuerySpec("g2b_grouping_id",
+      "ROLLUP with grouping()/grouping_id(): distinguish genuine NULL " +
+        "group values from subtotal rows (the correct OLAP idiom)",
+      (s, dir) => t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          grouping_id(col("l_returnflag"), col("l_linestatus")).as("gid"),
+          grouping(col("l_returnflag")).cast("long").as("g_rf"))
+        .select(col("l_returnflag"), col("l_linestatus"), col("n"),
+          col("gid"), col("g_rf"))
+        .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus")),
+      Some("""SELECT l_returnflag, l_linestatus, count(*) AS n,
+             |  CAST(grouping(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+             |  CAST(grouping(l_returnflag) AS BIGINT) AS g_rf
+             |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+             |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin)),
+
     QuerySpec("g3_cube",
       "grouping sets: CUBE over two dimensions with coalesced labels",
       (s, dir) => t(s, dir, "orders")
@@ -473,6 +490,23 @@ object ParityQueries {
              |  quantile_cont(l_quantity, 0.75) AS p75,
              |  min(l_quantity) AS qmin,
              |  max(l_quantity) AS qmax
+             |FROM lineitem GROUP BY l_returnflag
+             |ORDER BY l_returnflag""".stripMargin)),
+
+    QuerySpec("g6_argmax_struct",
+      "deterministic arg-max via struct max (max_by with a pinned " +
+        "tie-break: highest quantity, then highest orderkey)",
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(max(struct(col("l_quantity"), col("l_orderkey"))).as("m"))
+        .select(col("l_returnflag"), col("m.l_quantity").as("max_qty"),
+          col("m.l_orderkey").as("argmax_okey"))
+        .orderBy(col("l_returnflag")),
+      Some("""SELECT l_returnflag,
+             |  (max(struct_pack(q := l_quantity, k := l_orderkey))).q
+             |    AS max_qty,
+             |  (max(struct_pack(q := l_quantity, k := l_orderkey))).k
+             |    AS argmax_okey
              |FROM lineitem GROUP BY l_returnflag
              |ORDER BY l_returnflag""".stripMargin)),
 
