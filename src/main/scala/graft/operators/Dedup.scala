@@ -220,6 +220,47 @@ object Dedup {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  // ---- incremental (delta-vs-history) dedup ------------------------
+
+  /** Incremental ingestion dedup, exact form: keep only batch rows
+    * whose normalized fingerprint does not appear in the HISTORICAL
+    * fingerprint set. One anti-join keyed on 32-char digests — the
+    * shape that lets a 100 TB corpus ingest daily deltas without
+    * recomputing or even reading historical text (only its stored
+    * fingerprint column). `seen` needs a `md5_fp` column (the
+    * md5Fingerprint output persisted at prior ingests). */
+  def incrementalExactNew(batch: DataFrame, textCol: String,
+      seen: DataFrame): DataFrame =
+    batch.withColumn("__fp", md5Fingerprint(col(textCol)))
+      .join(seen.select(col("md5_fp").as("__fp")).distinct(),
+        Seq("__fp"), "left_anti")
+      .drop("__fp")
+
+  /** Incremental near-dup screen: drop batch rows landing in any LSH
+    * bucket the historical corpus already occupies (`seen` needs the
+    * (band, band_key) columns persisted from prior ingests). Stricter
+    * than pairwise estimation — a shared bucket is treated as dup
+    * evidence — which is the cheap first-pass filter; route survivors
+    * to minHashNearDupPairs against the bucket's members for exact
+    * adjudication when precision matters. */
+  def incrementalNearNew(batch: DataFrame, idCol: String, textCol: String,
+      seen: DataFrame, p: MinHashParams = MinHashParams()): DataFrame = {
+    val batchBands = bandKeys(
+      minHashArraySigs(batch, idCol, textCol, p), idCol, p)
+    val hit = batchBands
+      .join(seen.select(col("band"), col("band_key")).distinct(),
+        Seq("band", "band_key"), "left_semi")
+      .select(col(idCol)).distinct()
+    batch.join(hit, Seq(idCol), "left_anti")
+  }
+
+  /** The (band, band_key) inventory of a corpus — persist this at each
+    * ingest so the next delta screens against it. */
+  def bandInventory(docs: DataFrame, idCol: String, textCol: String,
+      p: MinHashParams = MinHashParams()): DataFrame =
+    bandKeys(minHashArraySigs(docs, idCol, textCol, p), idCol, p)
+      .select(col("band"), col("band_key")).distinct()
+
   // ---- near-dup clustering -----------------------------------------
 
   /** Connected components over dedup pair edges: every id gets the

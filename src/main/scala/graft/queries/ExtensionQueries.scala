@@ -67,6 +67,28 @@ object ExtensionQueries {
       Some("""SELECT min(doc_id) AS keep_id, count(*) AS n_copies
              |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin)),
 
+    QuerySpec("x1b_incremental_dedup",
+      "incremental ingestion dedup: anti-join the new batch's " +
+        "fingerprints against the historical set (no history recompute)",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val historical = docs.filter(col("doc_id") < 250)
+          .select(graft.functions.TextFunctions
+            .md5Fingerprint(col("text")).as("md5_fp"))
+        val batch = docs.filter(col("doc_id") >= 250)
+        Dedup.incrementalExactNew(batch, "text", historical)
+          .select(col("doc_id"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH fp AS (
+             |  SELECT doc_id,
+             |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS f
+             |  FROM documents)
+             |SELECT b.doc_id FROM fp b
+             |WHERE b.doc_id >= 250 AND NOT EXISTS (
+             |  SELECT 1 FROM fp h WHERE h.doc_id < 250 AND h.f = b.f)
+             |ORDER BY doc_id""".stripMargin)),
+
     QuerySpec("x2_dedup_ngram_jaccard",
       "exact 3-gram Jaccard similarity on adjacent-id candidate pairs",
       (s, dir) => {

@@ -82,6 +82,27 @@ class DedupSpec extends SparkSpec {
     assert(hamming(sigs(1L), sigs(3L)) < hamming(sigs(1L), sigs(4L)))
   }
 
+  test("incremental dedup: exact filter and band screen drop known docs") {
+    import graft.functions.TextFunctions.md5Fingerprint
+    val history = docs.filter(col("doc_id") <= 2)
+    val batch = docs.filter(col("doc_id") >= 3)
+      .union(Seq((9L, "the quick brown fox jumps over the lazy dog again and again"))
+        .toDF("doc_id", "text")) // exact dup of historical doc 1
+    val seenFp = history.select(md5Fingerprint(col("text")).as("md5_fp"))
+    val keptExact = Dedup.incrementalExactNew(batch, "text", seenFp)
+      .select("doc_id").as[Long].collect().sorted
+    // 9 (byte-identical) AND 5 (whitespace variant — fingerprints are
+    // whitespace-normalized) drop against historical doc 1
+    assert(keptExact.toSeq == Seq(3L, 4L))
+    val seenBands = Dedup.bandInventory(history, "doc_id", "text")
+    val keptNear = Dedup.incrementalNearNew(batch, "doc_id", "text", seenBands)
+      .select("doc_id").as[Long].collect().sorted
+    // token-identical docs 5 and 9 share every band with doc 1 -> drop;
+    // unrelated doc 4 must survive
+    assert(!keptNear.contains(5L) && !keptNear.contains(9L))
+    assert(keptNear.contains(4L))
+  }
+
   test("simHashNearDupPairs finds identical-signature pairs at hamming 0") {
     val pairs = Dedup.simHashNearDupPairs(docs, "doc_id", "text")
       .as[(Long, Long, Long)].collect().toSeq
