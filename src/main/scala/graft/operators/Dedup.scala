@@ -237,29 +237,56 @@ object Dedup {
       .drop("__fp")
 
   /** Incremental near-dup screen: drop batch rows landing in any LSH
-    * bucket the historical corpus already occupies (`seen` needs the
-    * (band, band_key) columns persisted from prior ingests). Stricter
-    * than pairwise estimation — a shared bucket is treated as dup
+    * bucket the historical corpus already occupies (`seen` is a
+    * [[bandInventory]] persisted at prior ingests). Stricter than
+    * pairwise estimation — a shared bucket is treated as dup
     * evidence — which is the cheap first-pass filter; route survivors
     * to minHashNearDupPairs against the bucket's members for exact
-    * adjudication when precision matters. */
+    * adjudication when precision matters.
+    *
+    * The screen is keyed by TEXT digest, not row id, so EVERY batch
+    * copy of a flagged text drops (band keys are computed once per
+    * distinct text; the exact-dedup inside signature building can
+    * therefore never hide a duplicate copy from the screen). If the
+    * inventory carries a `minhash_params` column, a mismatch with the
+    * current params throws instead of silently screening nothing. */
   def incrementalNearNew(batch: DataFrame, idCol: String, textCol: String,
       seen: DataFrame, p: MinHashParams = MinHashParams()): DataFrame = {
-    val batchBands = bandKeys(
-      minHashArraySigs(batch, idCol, textCol, p), idCol, p)
-    val hit = batchBands
-      .join(seen.select(col("band"), col("band_key")).distinct(),
-        Seq("band", "band_key"), "left_semi")
-      .select(col(idCol)).distinct()
-    batch.join(hit, Seq(idCol), "left_anti")
+    val seenBands =
+      if (!seen.columns.contains("minhash_params"))
+        seen.select(col("band"), col("band_key"))
+      else {
+        val matching = seen.filter(col("minhash_params") === paramsTag(p))
+        if (matching.isEmpty && !seen.isEmpty)
+          throw new IllegalStateException(
+            s"band inventory was built with different MinHashParams " +
+              s"than ${paramsTag(p)}; rebuild it (a mismatched screen " +
+              "would silently pass every duplicate)")
+        matching.select(col("band"), col("band_key"))
+      }
+    val keyedTexts = batch.select(md5(col(textCol)).as("__tid"),
+      col(textCol)).distinct()
+    val hitTexts = bandKeys(
+        minHashArraySigs(keyedTexts, "__tid", textCol, p), "__tid", p)
+      .join(seenBands.distinct(), Seq("band", "band_key"), "left_semi")
+      .select(col("__tid")).distinct()
+    batch.withColumn("__tid", md5(col(textCol)))
+      .join(hitTexts, Seq("__tid"), "left_anti")
+      .drop("__tid")
   }
 
-  /** The (band, band_key) inventory of a corpus — persist this at each
-    * ingest so the next delta screens against it. */
+  private def paramsTag(p: MinHashParams): String =
+    s"k${p.k}b${p.bands}n${p.shingleN}"
+
+  /** The (band, band_key) inventory of a corpus, tagged with the
+    * MinHash parameters it was built under — persist this at each
+    * ingest so the next delta screens against it (and cannot silently
+    * screen with drifted parameters). */
   def bandInventory(docs: DataFrame, idCol: String, textCol: String,
       p: MinHashParams = MinHashParams()): DataFrame =
     bandKeys(minHashArraySigs(docs, idCol, textCol, p), idCol, p)
       .select(col("band"), col("band_key")).distinct()
+      .withColumn("minhash_params", lit(paramsTag(p)))
 
   // ---- near-dup clustering -----------------------------------------
 

@@ -73,8 +73,7 @@ object ExtensionQueries {
       (s, dir) => {
         val docs = t(s, dir, "documents")
         val historical = docs.filter(col("doc_id") < 250)
-          .select(graft.functions.TextFunctions
-            .md5Fingerprint(col("text")).as("md5_fp"))
+          .select(md5Fingerprint(col("text")).as("md5_fp"))
         val batch = docs.filter(col("doc_id") >= 250)
         Dedup.incrementalExactNew(batch, "text", historical)
           .select(col("doc_id"))

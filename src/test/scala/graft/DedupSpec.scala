@@ -95,12 +95,24 @@ class DedupSpec extends SparkSpec {
     // whitespace-normalized) drop against historical doc 1
     assert(keptExact.toSeq == Seq(3L, 4L))
     val seenBands = Dedup.bandInventory(history, "doc_id", "text")
-    val keptNear = Dedup.incrementalNearNew(batch, "doc_id", "text", seenBands)
+    // add a SECOND copy of doc 9's text: both copies must drop (the
+    // screen keys by text digest, not by the min-id representative)
+    val batchWithCopies = batch.union(
+      Seq((10L, "the quick brown fox jumps over the lazy dog again and again"))
+        .toDF("doc_id", "text"))
+    val keptNear = Dedup.incrementalNearNew(batchWithCopies, "doc_id",
+        "text", seenBands)
       .select("doc_id").as[Long].collect().sorted
-    // token-identical docs 5 and 9 share every band with doc 1 -> drop;
+    // token-identical docs 5, 9, 10 share every band with doc 1 -> drop;
     // unrelated doc 4 must survive
-    assert(!keptNear.contains(5L) && !keptNear.contains(9L))
+    assert(!keptNear.contains(5L) && !keptNear.contains(9L) &&
+      !keptNear.contains(10L))
     assert(keptNear.contains(4L))
+    // parameter drift between inventory and screen must be loud
+    intercept[IllegalStateException] {
+      Dedup.incrementalNearNew(batchWithCopies, "doc_id", "text",
+        seenBands, Dedup.MinHashParams(k = 12, bands = 4))
+    }
   }
 
   test("simHashNearDupPairs finds identical-signature pairs at hamming 0") {
