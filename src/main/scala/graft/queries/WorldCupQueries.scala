@@ -247,6 +247,23 @@ object WorldCupQueries {
               |JOIN pos p USING (position_name)
               |ORDER BY tournament_id, team_id, player_id""".stripMargin)),
 
+    QuerySpec("e10_worldcup_federation",
+      "ELT `federation` builder vs DuckDB: dim dedup + ordered " +
+        "surrogate keys + the 'Europe, Asia' -> Eurasia rewrite " +
+        "(build_db.py:268-306, the A1/A2/P7 dim idiom)",
+      (s, dir) => built(s, "federation").orderBy(col("id")),
+      Some(s"""SELECT 'FED-' || CAST(row_number() OVER (ORDER BY federation_name)
+              |         AS VARCHAR) AS id,
+              |       federation_name AS name,
+              |       CASE WHEN region_name = 'Europe, Asia' THEN 'Eurasia'
+              |            ELSE region_name END AS region_name,
+              |       federation_wikipedia_link AS wikipedia_link,
+              |       confederation_id
+              |FROM (SELECT DISTINCT federation_name, region_name,
+              |             federation_wikipedia_link, confederation_id
+              |      FROM ${duckCsv("teams")})
+              |ORDER BY id""".stripMargin)),
+
     QuerySpec("e4_worldcup_team_appearance",
       "ELT `team_appearance` builder vs DuckDB re-execution: home/away " +
         "labeling, shootout nulling + penalty differential arithmetic " +
