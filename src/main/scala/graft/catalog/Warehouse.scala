@@ -170,6 +170,20 @@ object Warehouse {
     }.toSeq
   }
 
+  /** Bucketed persistent table: pre-shuffles ONCE at write time so
+    * every future equi-join or aggregation on the bucket key reads
+    * co-located, pre-sorted buckets — no Exchange in those plans (the
+    * Spark analog of clustered/partitioned fact tables; the write
+    * path for repeatedly-joined 100 TB facts). `BucketingSpec` proves
+    * the exchange-free join plan. */
+  def saveBucketed(df: DataFrame, table: String, bucketCols: Seq[String],
+      nBuckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
+
   /** Reset registry (test isolation). */
   def clear(): Unit = registry.clear()
 }
