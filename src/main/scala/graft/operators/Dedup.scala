@@ -166,6 +166,39 @@ object Dedup {
         (0 until p.bands).map(b => col(s"band$b")).toArray, "band", "band_key")
   }
 
+  /** DuckDB CTE chain computing (id, band, band_key) for an arbitrary
+    * `(id, text)` source CTE — the building block for oracles over the
+    * incremental band screen. Emits CTEs named `<a>_toks`, `<a>_grams`,
+    * `<a>_hashed`, `<a>_sigs`, `<a>_bands`; reference the last. */
+  def bandsSqlCtes(sourceCte: String, a: String,
+      p: MinHashParams = MinHashParams()): String = {
+    val n = p.shingleN
+    val joined = (0 until n).map(k => s"tk[i + $k]").mkString(" || ' ' || ")
+    val sigExprs = (0 until p.k).map(j =>
+      s"CAST(min((a + $j * (b % ${1L << 40})) % ${1L << 60}) AS BIGINT) AS s$j")
+      .mkString(", ")
+    val bandExprs = (0 until p.bands).map { b =>
+      val slice = (b * p.rows until (b + 1) * p.rows)
+        .map(j => s"CAST(s$j AS VARCHAR)").mkString(" || '|' || ")
+      s"SELECT id, $b AS band, md5($slice) AS band_key FROM ${a}_sigs"
+    }.mkString(" UNION ALL ")
+    s"""${a}_toks AS (
+       |  SELECT id, text, string_split_regex(trim(text), '\\s+') AS tk
+       |  FROM $sourceCte),
+       |${a}_grams AS (
+       |  SELECT DISTINCT id, unnest(
+       |    CASE WHEN len(tk) >= $n THEN
+       |      list_transform(range(1, len(tk) - ${n - 1} + 1), i -> $joined)
+       |    ELSE [trim(text)] END) AS g
+       |  FROM ${a}_toks),
+       |${a}_hashed AS (
+       |  SELECT id, ('0x' || substr(md5(g), 1, 15))::BIGINT AS a,
+       |         ('0x' || substr(md5(g), 17, 15))::BIGINT AS b
+       |  FROM ${a}_grams),
+       |${a}_sigs AS (SELECT id, $sigExprs FROM ${a}_hashed GROUP BY id),
+       |${a}_bands AS ($bandExprs)""".stripMargin
+  }
+
   /** DuckDB oracle SQL mirroring minHashNearDupPairs exactly,
     * including the exact-dedup prefilter and the bucket cap. */
   def minHashOracleSql(table: String, idCol: String, textCol: String,

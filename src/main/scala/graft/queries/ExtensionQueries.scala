@@ -88,6 +88,34 @@ object ExtensionQueries {
              |  SELECT 1 FROM fp h WHERE h.doc_id < 250 AND h.f = b.f)
              |ORDER BY doc_id""".stripMargin)),
 
+    QuerySpec("x1c_incremental_near_screen",
+      "incremental LSH band screen: batch rows whose text lands in any " +
+        "historical bucket drop (every copy — screen keys by text " +
+        "digest), vs a DuckDB re-derivation of both band sets",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val seen = Dedup.bandInventory(docs.filter(col("doc_id") < 250),
+          "doc_id", "text")
+        Dedup.incrementalNearNew(docs.filter(col("doc_id") >= 250),
+            "doc_id", "text", seen)
+          .select(col("doc_id"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH hist AS (
+              |  SELECT doc_id AS id, text FROM documents WHERE doc_id < 250),
+              |${Dedup.bandsSqlCtes("hist", "h")},
+              |batch AS (
+              |  SELECT doc_id, text FROM documents WHERE doc_id >= 250),
+              |btexts AS (
+              |  SELECT DISTINCT md5(text) AS id, text FROM batch),
+              |${Dedup.bandsSqlCtes("btexts", "q")},
+              |hits AS (
+              |  SELECT DISTINCT q.id FROM q_bands q
+              |  JOIN h_bands h USING (band, band_key))
+              |SELECT d.doc_id FROM batch d
+              |WHERE NOT EXISTS (SELECT 1 FROM hits WHERE hits.id = md5(d.text))
+              |ORDER BY doc_id""".stripMargin)),
+
     QuerySpec("x2_dedup_ngram_jaccard",
       "exact 3-gram Jaccard similarity on adjacent-id candidate pairs",
       (s, dir) => {
