@@ -381,42 +381,77 @@ object Dedup {
 
   // ---- SimHash ------------------------------------------------------
 
-  /** 32-bit SimHash over distinct whitespace tokens: bit j of the
+  /** SimHash banding parameters: a 64-bit signature split into `bands`
+    * equal-width bands. Pigeonhole recall guarantee: a pair within
+    * Hamming distance d ≤ bands-1 differs in at most d bands, so it
+    * shares ≥ 1 INTACT band and meets in that band's bucket — exact
+    * recall for the ≤ maxHamming ball as long as maxHamming < bands
+    * (enforced). Default 4 bands of 16 bits = 65536 buckets per band
+    * (the Manku/Google web-dedup shape): bucket occupancy is ~n/2^16,
+    * versus the n/256 a byte-banded 32-bit signature degrades to —
+    * that difference is what keeps the bucket self-join from going
+    * quadratic at web scale. `maxBucket` caps each bucket at its
+    * lowest ids (see [[simHashBucketOverflow]] — capping is never
+    * silent). */
+  final case class SimHashParams(bands: Int = 4, maxHamming: Int = 3,
+      maxBucket: Int = 1000) {
+    require(bands >= 2 && 64 % bands == 0,
+      "bands must be a divisor of 64, >= 2")
+    require(maxHamming >= 0 && maxHamming < bands,
+      "exact recall by pigeonhole needs maxHamming < bands")
+    /** Band width in bits. */
+    val width: Int = 64 / bands
+    /** Low-`width`-bits mask; applied AFTER the arithmetic shift so
+      * sign-extension bits never reach the band key (same trick in the
+      * DuckDB oracle, making the key shift-semantics-agnostic). */
+    val mask: Long = (1L << width) - 1
+  }
+
+  /** 64-bit SimHash over distinct whitespace tokens: bit j of the
     * signature is the sign of sum over tokens of ±1 according to bit j
-    * of the token's 60-bit md5 hash. */
-  def simHash32(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    * of the token's hash. Bits 0-31 draw from the first 60-bit md5
+    * half, bits 32-63 from the independent second half, so all 64 bits
+    * come out of ONE md5 evaluation per distinct token. The signature
+    * is assembled with bitwise OR of disjoint powers of two (no
+    * additive overflow to reason about under ANSI mode; bit 63 makes
+    * the long negative by two's complement, which both engines'
+    * xor/bit_count treat identically). */
+  def simHash64(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = docs.select(col(idCol),
         explode(array_distinct(wsTokens(col(textCol)))).as("t"))
-      .select(col(idCol), md5Hash60(col("t")).as("h"))
-    val sums = toks.groupBy(col(idCol)).agg(
-      bitSum(0).as("c0"), (1 until 32).map(j => bitSum(j).as(s"c$j")): _*)
-    val sig = (0 until 32)
+      .select(col(idCol), md5Hash60(col("t")).as("ha"),
+        md5Hash60b(col("t")).as("hb"))
+    val aggCols = (0 until 32).map(j => bitSum("ha", j).as(s"c$j")) ++
+      (0 until 32).map(j => bitSum("hb", j).as(s"c${32 + j}"))
+    val sums = toks.groupBy(col(idCol)).agg(aggCols.head, aggCols.tail: _*)
+    val sig = (0 until 64)
       .map(j => when(col(s"c$j") >= 0, lit(1L << j)).otherwise(lit(0L)))
-      .reduce(_ + _)
+      .reduce(_ bitwiseOR _)
     sums.select(col(idCol), sig.as("simhash"))
   }
 
-  private def bitSum(j: Int): Column =
-    sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1))
+  private def bitSum(h: String, j: Int): Column =
+    sum(when(shiftright(col(h), j).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1))
 
-  /** SimHash near-dup pairs: byte-band bucketing over the 32-bit
-    * signature (the Manku web-dedup scheme) — any pair within Hamming
-    * distance `maxHamming` ≤ 3 differs in at most 3 of the 4 bytes, so
-    * by pigeonhole it shares at least one INTACT byte and meets in
-    * that band's bucket: candidate recall for the ≤3 ball is exact,
-    * and the join stays an equi-join on (band, byte) — never
-    * all-pairs. Signatures ride the join (no re-join), mirroring
-    * minHashNearDupPairs. */
+  /** SimHash near-dup pairs: band-bucketed candidate generation over
+    * the 64-bit signature + exact Hamming filter. The pair join is an
+    * equi-join on (band, band key) — never all-pairs — and recall for
+    * Hamming ≤ p.maxHamming is exact by pigeonhole (SimHashParams).
+    * Signatures ride the join (no re-join), and each bucket is capped
+    * at its `p.maxBucket` lowest ids by a ranked window on the SAME
+    * (band, bkey) key the join shuffles on, so the cap adds no extra
+    * exchange — mirroring minHashNearDupPairs. Overflow is not
+    * silent: run [[simHashBucketOverflow]] alongside. */
   def simHashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataFrame = {
-    val sigs = simHash32(docs, idCol, textCol)
-    val bandCols = (0 until 4).map(b =>
-      shiftright(col("simhash"), 8 * b).bitwiseAND(lit(255L)).as(s"b$b"))
-    val bands = sigs
-      .select(Seq(col(idCol), col("simhash")) ++ bandCols: _*)
-      .unpivot(Array(col(idCol), col("simhash")),
-        (0 until 4).map(b => col(s"b$b")).toArray, "band", "bkey")
-    val cand = bands.as("x").join(bands.as("y"),
+      p: SimHashParams = SimHashParams()): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bands = simHashBands(simHash64(docs, idCol, textCol), idCol, p)
+    val capW = Window.partitionBy(col("band"), col("bkey"))
+      .orderBy(col(idCol))
+    val capped = bands
+      .withColumn("__rn", row_number().over(capW))
+      .filter(col("__rn") <= p.maxBucket).drop("__rn")
+    val cand = capped.as("x").join(capped.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
           col(s"x.$idCol") < col(s"y.$idCol"))
       .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"),
@@ -425,24 +460,89 @@ object Dedup {
     cand.select(col("id_a"), col("id_b"),
         bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long")
           .as("hamming"))
-      .filter(col("hamming") <= maxHamming)
+      .filter(col("hamming") <= p.maxHamming)
   }
 
-  /** DuckDB oracle SQL mirroring simHash32. */
+  /** Diagnostic for the SimHash bucket cap: (band, bkey, n_docs) for
+    * every band bucket larger than `p.maxBucket` — run alongside the
+    * pair query so capping is never a silent truncation. */
+  def simHashBucketOverflow(docs: DataFrame, idCol: String, textCol: String,
+      p: SimHashParams = SimHashParams()): DataFrame =
+    simHashBands(simHash64(docs, idCol, textCol), idCol, p)
+      .groupBy(col("band"), col("bkey"))
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") > p.maxBucket)
+
+  /** Long-form (id, simhash, band, bkey): band b's key is signature
+    * bits [b*width, (b+1)*width) — arithmetic shift then mask, so the
+    * sign bit never leaks into a key. */
+  private def simHashBands(sigs: DataFrame, idCol: String,
+      p: SimHashParams): DataFrame = {
+    val bandCols = (0 until p.bands).map(b =>
+      shiftright(col("simhash"), p.width * b).bitwiseAND(lit(p.mask))
+        .as(s"b$b"))
+    sigs.select(Seq(col(idCol), col("simhash")) ++ bandCols: _*)
+      .unpivot(Array(col(idCol), col("simhash")),
+        (0 until p.bands).map(b => col(s"b$b")).toArray, "band", "bkey")
+  }
+
+  /** `1L << j` as a DuckDB BIGINT literal. DuckDB refuses `1 << 63`
+    * (overflow check), so bit 63 is spelled as the two's-complement
+    * min-long expression instead. */
+  private def duckBitLit(j: Int): String =
+    if (j == 63) "(-9223372036854775807 - 1)" else (1L << j).toString
+
+  /** DuckDB oracle SQL mirroring simHash64. */
   def simHashOracleSql(table: String, idCol: String, textCol: String): String = {
-    val sums = (0 until 32).map(j =>
-      s"CAST(sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS c$j")
+    val sums = ((0 until 32).map(j =>
+      s"CAST(sum(CASE WHEN (ha >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS c$j") ++
+      (0 until 32).map(j =>
+        s"CAST(sum(CASE WHEN (hb >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS c${32 + j}"))
       .mkString(", ")
-    val sig = (0 until 32)
-      .map(j => s"(CASE WHEN c$j >= 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
+    val sig = (0 until 64)
+      .map(j => s"(CASE WHEN c$j >= 0 THEN ${duckBitLit(j)} ELSE 0 END)")
+      .mkString(" | ")
     s"""WITH toks AS (
        |  SELECT DISTINCT $idCol, unnest(string_split_regex(trim($textCol), '\\s+')) AS t
        |  FROM $table),
        |hashed AS (
-       |  SELECT $idCol, ('0x' || substr(md5(t), 1, 15))::BIGINT AS h FROM toks),
+       |  SELECT $idCol, ('0x' || substr(md5(t), 1, 15))::BIGINT AS ha,
+       |         ('0x' || substr(md5(t), 17, 15))::BIGINT AS hb
+       |  FROM toks),
        |sums AS (SELECT $idCol, $sums FROM hashed GROUP BY $idCol)
        |SELECT $idCol, CAST($sig AS BIGINT) AS simhash FROM sums
        |ORDER BY $idCol""".stripMargin
+  }
+
+  /** DuckDB oracle SQL mirroring simHashNearDupPairs exactly,
+    * including the band parameterization and the bucket cap. */
+  def simHashPairsOracleSql(table: String, idCol: String, textCol: String,
+      p: SimHashParams = SimHashParams()): String = {
+    val sig = simHashOracleSql(table, idCol, textCol)
+      .replace("\n", "\n    ")
+    val bandExprs = (0 until p.bands).map(b =>
+      s"SELECT $idCol AS id, simhash, $b AS band, " +
+        s"(simhash >> ${p.width * b}) & ${p.mask} AS bkey FROM sig")
+      .mkString("\n  UNION ALL\n  ")
+    s"""WITH sig AS (
+       |  SELECT * FROM (
+       |    $sig)),
+       |bands AS (
+       |  $bandExprs),
+       |capped AS (
+       |  SELECT id, simhash, band, bkey FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY band, bkey
+       |                                 ORDER BY id) AS rn
+       |    FROM bands) ranked
+       |  WHERE rn <= ${p.maxBucket}),
+       |cand AS (
+       |  SELECT DISTINCT x.id AS id_a, y.id AS id_b,
+       |         x.simhash AS sa, y.simhash AS sb
+       |  FROM capped x JOIN capped y
+       |    ON x.band = y.band AND x.bkey = y.bkey AND x.id < y.id)
+       |SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+       |FROM cand WHERE bit_count(xor(sa, sb)) <= ${p.maxHamming}
+       |ORDER BY id_a, id_b""".stripMargin
   }
 
   // ---- exact n-gram Jaccard ----------------------------------------

@@ -148,8 +148,9 @@ object ExtensionQueries {
       Some(Dedup.minHashOracleSql("documents", "doc_id", "text"))),
 
     QuerySpec("x4_dedup_simhash",
-      "32-bit SimHash signatures over distinct tokens",
-      (s, dir) => Dedup.simHash32(t(s, dir, "documents"), "doc_id", "text")
+      "64-bit SimHash signatures over distinct tokens (one md5 per " +
+        "token feeds all 64 bit-sums)",
+      (s, dir) => Dedup.simHash64(t(s, dir, "documents"), "doc_id", "text")
         .orderBy(col("doc_id")),
       Some(Dedup.simHashOracleSql("documents", "doc_id", "text"))),
 
@@ -173,33 +174,12 @@ object ExtensionQueries {
              |ORDER BY id_a""".stripMargin)),
 
     QuerySpec("x4b_simhash_hamming_pairs",
-      "SimHash near-dup pairs: byte-band bucketing (exact recall for " +
-        "Hamming <= 3 by pigeonhole) + exact Hamming filter",
+      "SimHash near-dup pairs: 64-bit signature, 4 bands of 16 bits " +
+        "(exact recall for Hamming <= 3 by pigeonhole, 65536 buckets " +
+        "per band), capped buckets + exact Hamming filter",
       (s, dir) => Dedup.simHashNearDupPairs(t(s, dir, "documents"),
           "doc_id", "text").orderBy(col("id_a"), col("id_b")),
-      Some {
-        val sig = Dedup.simHashOracleSql("documents", "doc_id", "text")
-          .replace("\n", "\n    ")
-        s"""WITH sig AS (
-           |  SELECT * FROM (
-           |    $sig)),
-           |bands AS (
-           |  SELECT doc_id, simhash, 0 AS band, (simhash >> 0) & 255 AS bkey FROM sig
-           |  UNION ALL
-           |  SELECT doc_id, simhash, 1, (simhash >> 8) & 255 FROM sig
-           |  UNION ALL
-           |  SELECT doc_id, simhash, 2, (simhash >> 16) & 255 FROM sig
-           |  UNION ALL
-           |  SELECT doc_id, simhash, 3, (simhash >> 24) & 255 FROM sig),
-           |cand AS (
-           |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
-           |         x.simhash AS sa, y.simhash AS sb
-           |  FROM bands x JOIN bands y
-           |    ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id)
-           |SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
-           |FROM cand WHERE bit_count(xor(sa, sb)) <= 3
-           |ORDER BY id_a, id_b""".stripMargin
-      }),
+      Some(Dedup.simHashPairsOracleSql("documents", "doc_id", "text"))),
 
     QuerySpec("x5_ann_cosine_topk",
       "brute-force cosine top-5 neighbors for query vectors (vec_id < 8)",

@@ -74,12 +74,48 @@ class DedupSpec extends SparkSpec {
     assert(got == Map(10L -> 10L, 20L -> 20L))
   }
 
-  test("simHash32 identical docs share signatures; near-dups are close") {
-    val sigs = Dedup.simHash32(docs, "doc_id", "text")
+  test("simHash64 identical docs share signatures; near-dups are close") {
+    val sigs = Dedup.simHash64(docs, "doc_id", "text")
       .as[(Long, Long)].collect().toMap
     assert(sigs(1L) == sigs(2L))
     def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
     assert(hamming(sigs(1L), sigs(3L)) < hamming(sigs(1L), sigs(4L)))
+  }
+
+  test("simHash banding recall is exact for Hamming <= maxHamming " +
+      "(vs brute-force all-pairs)") {
+    // 40 docs drawn from two clusters plus noise: enough band
+    // collisions to exercise the bucket join, small enough to
+    // brute-force the ground truth
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val many = (1L to 40L).map { i =>
+      val words = base.split(" ").toSeq ++ Seq(s"w${i % 7}", s"v${i % 3}")
+      (i, words.mkString(" "))
+    }.toDF("doc_id", "text")
+    val p = Dedup.SimHashParams()
+    val sigs = Dedup.simHash64(many, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    val truth = (for {
+      a <- sigs.keys; b <- sigs.keys if a < b
+      h = java.lang.Long.bitCount(sigs(a) ^ sigs(b)) if h <= p.maxHamming
+    } yield (a, b, h.toLong)).toSet
+    val got = Dedup.simHashNearDupPairs(many, "doc_id", "text", p)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == truth) // pigeonhole: no pair within the ball is missed
+  }
+
+  test("simHash bucket cap bounds pair volume and overflow is reported") {
+    // token-identical docs -> identical signatures -> one hot bucket
+    val hot = (1L to 8L).map(i => (i, "same tokens here" + (" " * i.toInt)))
+      .toDF("doc_id", "text")
+    val p = Dedup.SimHashParams(maxBucket = 3)
+    val capped = Dedup.simHashNearDupPairs(hot, "doc_id", "text", p)
+    assert(capped.count() == 3) // C(3,2) pairs from the 3 lowest ids
+    assert(Dedup.simHashBucketOverflow(hot, "doc_id", "text", p).count() > 0)
+    // recall-guarantee precondition is enforced
+    intercept[IllegalArgumentException] {
+      Dedup.SimHashParams(bands = 4, maxHamming = 4)
+    }
   }
 
   test("incremental dedup: exact filter and band screen drop known docs") {
@@ -118,6 +154,7 @@ class DedupSpec extends SparkSpec {
   test("simHashNearDupPairs finds identical-signature pairs at hamming 0") {
     val pairs = Dedup.simHashNearDupPairs(docs, "doc_id", "text")
       .as[(Long, Long, Long)].collect().toSeq
+    // (64-bit signatures: exact and token-identical dups still collide)
     // docs 1, 2 (exact) and 5 (token-identical) share a signature
     assert(pairs.contains((1L, 2L, 0L)))
     assert(pairs.contains((1L, 5L, 0L)))

@@ -27,7 +27,7 @@ class EmptyInputSpec extends SparkSpec {
   }
 
   test("simhash on empty input is empty") {
-    assert(Dedup.simHash32(emptyDocs, "doc_id", "text").count() == 0)
+    assert(Dedup.simHash64(emptyDocs, "doc_id", "text").count() == 0)
   }
 
   test("brute-force ANN with empty queries or corpus is empty") {
