@@ -40,10 +40,12 @@ object SparkEntry {
     ListMap(Catalog.specs.map(s => s.name -> s.run): _*)
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on the
-    * same parquet tables. Omitted for non-SQL-expressible ops (the
-    * approximate LSH variant) → driver records a rows-only check. */
+    * same parquet tables. Late-bound oracles (oracleGen) are evaluated
+    * here — i.e. after `queries` ran, per Verify's ordering — so SQL
+    * can embed values the run computed (trained IVF centroids). A None
+    * from either source → driver records a rows-only check. */
   def oracleSql: Map[String, String] =
-    ListMap(Catalog.specs.collect {
-      case s if s.oracle.isDefined => s.name -> s.oracle.get
+    ListMap(Catalog.specs.flatMap { s =>
+      s.oracle.orElse(s.oracleGen()).map(sql => s.name -> sql)
     }: _*)
 }

@@ -120,7 +120,7 @@ object Similarity {
       .select(col(vecCol)).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
     val dim = if (centroids.nonEmpty) centroids(0).length else 0
-    (0 until iters).foreach { _ =>
+    if (dim > 0) (0 until iters).foreach { _ =>
       // try_element_at: NULL (not an ANSI error) past a ragged vector's
       // end, so short vectors simply don't contribute to that dimension
       val meanCols = (0 until dim).map(d =>
@@ -140,8 +140,16 @@ object Similarity {
             else row.getDouble(d + 1)))
       }
     }
+    lastTrainedCentroids = Some(centroids)
     centroids
   }
+
+  /** Centroids from the most recent [[ivfTrain]] call, stashed so a
+    * late-bound oracle (QuerySpec.oracleGen, evaluated after the run)
+    * can embed the exact trained values as SQL literals. Training is
+    * fully deterministic, so the stash equals what any re-run over the
+    * same data would produce. */
+  @volatile var lastTrainedCentroids: Option[Array[Array[Double]]] = None
 
   /** Nearest-centroid cell id as a pure projection: argmax dot product
     * against literal centroid arrays (greatest over (score, idx)
@@ -185,6 +193,87 @@ object Similarity {
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("did"))
     scored.withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= k)
+  }
+
+  // ---- DuckDB oracles ----------------------------------------------
+  // Both LSH and IVF are deterministic end-to-end (md5-derived planes,
+  // RNG-free Lloyd), so their "approximate" output is still exactly
+  // reproducible: the generators below embed the plane weights /
+  // trained centroids as SQL literals (Double.toString round-trips
+  // through DuckDB's correctly-rounded parse bit-for-bit).
+
+  private def dlit(d: Double): String = java.lang.Double.toString(d)
+
+  private def arrLit(a: Array[Double]): String =
+    a.map(dlit).mkString("[", ", ", "]")
+
+  /** Shared ranked-top-k tail over a `scored(qid, did, cos)` CTE. */
+  private def rankedTailSql(k: Int): String =
+    s"""ranked AS (
+       |  SELECT qid, did, cos, CAST(row_number() OVER
+       |    (PARTITION BY qid ORDER BY cos DESC, did) AS BIGINT) AS rn
+       |  FROM scored)
+       |SELECT qid, rn, did, round(cos, 6) AS cos_r
+       |FROM ranked WHERE rn <= $k ORDER BY qid, rn""".stripMargin
+
+  /** DuckDB oracle mirroring lshTopK: the md5-derived Rademacher plane
+    * weights are embedded as literal arrays, so the bucket expression
+    * is the same arithmetic both engines run. `queryPred` selects the
+    * query rows (e.g. "vec_id < 8"). */
+  def lshOracleSql(table: String, idCol: String, vecCol: String, k: Int,
+      nPlanes: Int, dim: Int, queryPred: String): String = {
+    val w = planeWeights(nPlanes, dim)
+    def bucketSql(v: String): String = (0 until nPlanes).map { p =>
+      s"(CASE WHEN list_dot_product($v, ${arrLit(w(p))}) >= 0 " +
+        s"THEN ${1L << p} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH q0 AS (SELECT $idCol AS qid, $vecCol::DOUBLE[] AS qvec
+       |           FROM $table WHERE $queryPred),
+       |c0 AS (SELECT $idCol AS did, $vecCol::DOUBLE[] AS dvec FROM $table),
+       |q AS (SELECT qid, qvec, sqrt(list_dot_product(qvec, qvec)) AS qn,
+       |             ${bucketSql("qvec")} AS bucket
+       |      FROM q0),
+       |c AS (SELECT did, dvec, sqrt(list_dot_product(dvec, dvec)) AS dn,
+       |             ${bucketSql("dvec")} AS bucket
+       |      FROM c0),
+       |scored AS (
+       |  SELECT qid, did,
+       |    CASE WHEN qn * dn > 0
+       |      THEN list_dot_product(qvec, dvec) / (qn * dn)
+       |      ELSE 0.0 END AS cos
+       |  FROM c JOIN q USING (bucket) WHERE qid <> did),
+       |${rankedTailSql(k)}""".stripMargin
+  }
+
+  /** DuckDB oracle mirroring ivfTopK, given the trained centroids.
+    * Cell assignment replicates cellExpr's greatest-over-(score, idx)
+    * structs via list_sort DESC (max score, ties to the larger index —
+    * verified identical semantics), and probe selection replicates the
+    * reverse(array_sort(...)) slice the same way. */
+  def ivfOracleSql(table: String, idCol: String, vecCol: String, k: Int,
+      centroids: Array[Array[Double]], nProbes: Int,
+      queryPred: String): String = {
+    val structs = (v: String) => centroids.zipWithIndex.map { case (c, i) =>
+      s"{'s': list_dot_product($v, ${arrLit(c)}), 'i': $i}"
+    }.mkString("[", ", ", "]")
+    s"""WITH q0 AS (SELECT $idCol AS qid, $vecCol::DOUBLE[] AS qvec
+       |           FROM $table WHERE $queryPred),
+       |c0 AS (SELECT $idCol AS did, $vecCol::DOUBLE[] AS dvec FROM $table),
+       |c AS (SELECT did, dvec, sqrt(list_dot_product(dvec, dvec)) AS dn,
+       |             list_sort(${structs("dvec")}, 'DESC')[1].i AS cell
+       |      FROM c0),
+       |q1 AS (SELECT qid, qvec, sqrt(list_dot_product(qvec, qvec)) AS qn,
+       |              unnest(list_sort(${structs("qvec")}, 'DESC')[1:$nProbes])
+       |                AS probe
+       |       FROM q0),
+       |q AS (SELECT qid, qvec, qn, probe.i AS cell FROM q1),
+       |scored AS (
+       |  SELECT qid, did,
+       |    CASE WHEN qn * dn > 0
+       |      THEN list_dot_product(qvec, dvec) / (qn * dn)
+       |      ELSE 0.0 END AS cos
+       |  FROM c JOIN q USING (cell) WHERE qid <> did),
+       |${rankedTailSql(k)}""".stripMargin
   }
 
   /** Approximate top-k: exact cosine ranking restricted to the query's

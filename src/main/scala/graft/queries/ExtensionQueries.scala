@@ -209,7 +209,9 @@ object ExtensionQueries {
       Some(annTopkOracle)),
 
     QuerySpec("x6_ann_lsh_bucketed",
-      "sign-LSH bucketed ANN (approximate; Spark-plan-specific, rows-only check)",
+      "sign-LSH bucketed ANN: approximate by design but fully " +
+        "deterministic (md5-derived Rademacher planes), so the oracle " +
+        "embeds the plane weights as literals and hash-matches",
       (s, dir) => {
         val emb = t(s, dir, "embeddings")
         Similarity.lshTopK(emb, emb.filter(col("vec_id") < 8),
@@ -218,11 +220,13 @@ object ExtensionQueries {
             round(col("cos"), 6).as("cos_r"))
           .orderBy(col("qid"), col("rn"))
       },
-      None),
+      Some(Similarity.lshOracleSql("embeddings", "vec_id", "embedding",
+        5, nPlanes = 4, dim = 64, queryPred = "vec_id < 8"))),
 
     QuerySpec("x6b_ann_ivf",
       "IVF-cell ANN: deterministic Lloyd-trained inverted file, 2-probe " +
-        "search (approximate; rows-only check)",
+        "search; the late-bound oracle embeds the trained centroids " +
+        "as literals and hash-matches",
       (s, dir) => {
         val emb = t(s, dir, "embeddings")
         Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 8),
@@ -231,7 +235,10 @@ object ExtensionQueries {
             round(col("cos"), 6).as("cos_r"))
           .orderBy(col("qid"), col("rn"))
       },
-      None),
+      None,
+      oracleGen = () => Similarity.lastTrainedCentroids.map(cents =>
+        Similarity.ivfOracleSql("embeddings", "vec_id", "embedding", 5,
+          cents, nProbes = 2, queryPred = "vec_id < 8"))),
 
     QuerySpec("x7_dedup_embedding_cosine",
       "embedding-cosine near-dup scan over adjacent-id pairs",

@@ -15,7 +15,13 @@ final case class QuerySpec(
     name: String,
     doc: String,
     run: (SparkSession, String) => DataFrame,
-    oracle: Option[String])
+    oracle: Option[String],
+    /** Late-bound oracle for queries whose SQL embeds values computed
+      * DURING the run (e.g. trained IVF centroids): evaluated at dump
+      * time, AFTER every `run` has executed (Verify's ordering), so it
+      * can read state the run deterministically stashed. Returning
+      * None falls back to a rows-only check. */
+    oracleGen: () => Option[String] = () => None)
 
 object Catalog {
   lazy val specs: Seq[QuerySpec] =
