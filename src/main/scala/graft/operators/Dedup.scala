@@ -335,9 +335,11 @@ object Dedup {
     * groupBy — both shuffle on node id — and labels/edges are
     * localCheckpoint'ed so lineage stays flat across iterations (the
     * standard Spark shape for iterative graph passes). Convergence is
-    * detected by the strictly-decreasing label sum, one tiny aggregate
-    * per round. The fixpoint (min id per component) is unique, so the
-    * result is deterministic regardless of iteration schedule.
+    * detected by counting changed labels (zero changes = fixpoint),
+    * one tiny existence probe per round that works for ANY id type —
+    * numeric, string, or otherwise. The fixpoint (min id per
+    * component) is unique, so the result is deterministic regardless
+    * of iteration schedule.
     *
     * `maxIters` is a safety valve, not a truncation: if the fixpoint
     * is not reached within it (a component whose min-label distance
@@ -347,29 +349,24 @@ object Dedup {
     * at most the largest component diameter rounds. */
   def connectedComponents(ids: DataFrame, idCol: String, pairs: DataFrame,
       maxIters: Int = 50): DataFrame = {
-    import org.apache.spark.sql.types.DecimalType
     val edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
       .union(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
       .distinct()
       .localCheckpoint(true)
     var labels = ids.select(col(idCol).as("u"), col(idCol).as("label"))
       .localCheckpoint(true)
-    def checksum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("label").cast(DecimalType(38, 0)))).head().getDecimal(0)
-    var prev = checksum(labels)
     var i = 0
     var done = edges.isEmpty
     while (!done && i < maxIters) {
       val nbrMin = edges
         .join(labels.select(col("u").as("v"), col("label").as("nl")), "v")
         .groupBy(col("u")).agg(min(col("nl")).as("nbr"))
-      labels = labels.join(nbrMin, Seq("u"), "left")
-        .select(col("u"),
+      val stepped = labels.join(nbrMin, Seq("u"), "left")
+        .select(col("u"), col("label").as("__prev"),
           least(col("label"), coalesce(col("nbr"), col("label"))).as("label"))
         .localCheckpoint(true)
-      val cur = checksum(labels)
-      done = prev != null && cur != null && prev.compareTo(cur) == 0
-      prev = cur
+      done = stepped.filter(col("label") =!= col("__prev")).isEmpty
+      labels = stepped.select(col("u"), col("label"))
       i += 1
     }
     if (!done)

@@ -38,7 +38,14 @@ object Relational {
     * separator cannot shift boundaries and collide across different
     * natural keys, and a NULL component (md5(NULL) = NULL, coalesced
     * to '-', which no 32-hex digest can equal) cannot collide with any
-    * real value. */
+    * real value.
+    *
+    * DETERMINISM PRECONDITION: `tieBreak` must totally order the rows
+    * WITHIN each natural key. With duplicate (naturalKey, tieBreak)
+    * tuples whose other columns differ, row_number assigns the ordinal
+    * (and thus the key) to an arbitrary one of them per run. If no
+    * natural total order exists, append a deterministic final
+    * tie-break (e.g. md5 over all remaining columns). */
   def factKey(df: DataFrame, prefix: String, keyCol: String,
       naturalKey: Seq[Column], tieBreak: Seq[Column]): DataFrame = {
     val w = Window.partitionBy(naturalKey: _*).orderBy(tieBreak: _*)

@@ -23,8 +23,12 @@ import graft.etl.WorldCup
 object WorldCupQueries {
 
   /** Fixture CSVs live in-repo; both engines read them by absolute
-    * path, independent of the sf data directory. */
-  val fixturesDir = "/root/repo/src/test/resources/worldcup"
+    * path, independent of the sf data directory. Overridable for
+    * checkouts elsewhere (system property wins over env var). */
+  val fixturesDir: String =
+    sys.props.get("graft.worldcup.fixtures")
+      .orElse(sys.env.get("GRAFT_WORLDCUP_FIXTURES"))
+      .getOrElse("/root/repo/src/test/resources/worldcup")
 
   private def built(s: SparkSession, name: String): DataFrame =
     WorldCup.build(s, WorldCup.csvSources(s, fixturesDir))(name)

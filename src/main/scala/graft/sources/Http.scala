@@ -43,11 +43,13 @@ object Http {
       val tmp = Files.createTempFile(local.getParent, s".$name.", ".part")
       try {
         Files.write(tmp, bytes)
+        // ATOMIC_MOVE on POSIX replaces an existing target (rename(2)),
+        // so a concurrent fetch race resolves to last-writer-wins with
+        // both writers having written complete identical content —
+        // no existence check needed, and none would be atomic anyway.
         Files.move(tmp, local,
           java.nio.file.StandardCopyOption.ATOMIC_MOVE)
       } catch {
-        case e: java.nio.file.FileAlreadyExistsException =>
-          Files.deleteIfExists(tmp) // concurrent fetch won; use theirs
         case e: Throwable =>
           Files.deleteIfExists(tmp); throw e
       }

@@ -66,6 +66,17 @@ class DedupSpec extends SparkSpec {
       5L -> 5L, 6L -> 5L, 7L -> 7L))
   }
 
+  test("connectedComponents converges on string ids (non-numeric labels)") {
+    val ids = Seq("apple", "banana", "cherry", "date", "elder")
+      .toDF("doc_id")
+    val pairs = Seq(("banana", "cherry"), ("apple", "banana"))
+      .toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(ids, "doc_id", pairs)
+      .as[(String, String)].collect().toMap
+    assert(got == Map("apple" -> "apple", "banana" -> "apple",
+      "cherry" -> "apple", "date" -> "date", "elder" -> "elder"))
+  }
+
   test("connectedComponents with no edges labels every id itself") {
     val ids = Seq(10L, 20L).toDF("doc_id")
     val none = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
