@@ -273,9 +273,10 @@ object Dedup {
     * bucket the historical corpus already occupies (`seen` is a
     * [[bandInventory]] persisted at prior ingests). Stricter than
     * pairwise estimation — a shared bucket is treated as dup
-    * evidence — which is the cheap first-pass filter; route survivors
-    * to minHashNearDupPairs against the bucket's members for exact
-    * adjudication when precision matters.
+    * evidence — which is the cheap first-pass filter; when precision
+    * matters, use [[incrementalNearAdjudicated]] (against a
+    * [[signatureInventory]]) to adjudicate each bucket hit by its
+    * actual MinHash estimate instead.
     *
     * The screen is keyed by TEXT digest, not row id, so EVERY batch
     * copy of a flagged text drops (band keys are computed once per
@@ -285,18 +286,7 @@ object Dedup {
     * current params throws instead of silently screening nothing. */
   def incrementalNearNew(batch: DataFrame, idCol: String, textCol: String,
       seen: DataFrame, p: MinHashParams = MinHashParams()): DataFrame = {
-    val seenBands =
-      if (!seen.columns.contains("minhash_params"))
-        seen.select(col("band"), col("band_key"))
-      else {
-        val matching = seen.filter(col("minhash_params") === paramsTag(p))
-        if (matching.isEmpty && !seen.isEmpty)
-          throw new IllegalStateException(
-            s"band inventory was built with different MinHashParams " +
-              s"than ${paramsTag(p)}; rebuild it (a mismatched screen " +
-              "would silently pass every duplicate)")
-        matching.select(col("band"), col("band_key"))
-      }
+    val seenBands = guardParams(seen, p).select(col("band"), col("band_key"))
     val keyedTexts = batch.select(md5(col(textCol)).as("__tid"),
       col(textCol)).distinct()
     val hitTexts = bandKeys(
@@ -308,8 +298,79 @@ object Dedup {
       .drop("__tid")
   }
 
+  /** Two-stage incremental near-dup ingest — the precision path the
+    * band screen's scaladoc promises: the cheap (band, band_key)
+    * equi-join still generates candidates, but instead of treating a
+    * shared bucket as dup evidence, each candidate (batch text,
+    * historical signature) pair is ADJUDICATED by the MinHash Jaccard
+    * estimate, and only texts with an adjudicated match ≥ `minEst`
+    * drop. `seen` is a [[signatureInventory]] persisted at prior
+    * ingests — signatures ride the inventory, so history text is never
+    * re-read OR re-hashed. Keyed by text digest like the screen (every
+    * batch copy of an adjudicated-dup text drops), with the same
+    * params-drift guard. Scale shape: one equi-join on the band key, a
+    * pure-projection estimate, one anti-join on the digest. */
+  def incrementalNearAdjudicated(batch: DataFrame, idCol: String,
+      textCol: String, seen: DataFrame, p: MinHashParams = MinHashParams(),
+      minEst: Double = 0.75): DataFrame = {
+    val seenSigs = guardParams(seen, p)
+      .select(col("band"), col("band_key"), col("sig").as("__hsig"))
+    val keyedTexts = batch.select(md5(col(textCol)).as("__tid"),
+      col(textCol)).distinct()
+    val qBands = bandKeys(
+      minHashArraySigs(keyedTexts, "__tid", textCol, p), "__tid", p,
+      carrySig = true)
+    val cand = qBands.join(seenSigs, Seq("band", "band_key"))
+      .select(col("__tid"), col("sig"), col("__hsig"))
+      .distinct()
+    val matches = aggregate(
+      zip_with(col("sig"), col("__hsig"),
+        (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, v) => acc + v)
+    val hitTexts = cand
+      .filter(matches.cast("double") / p.k >= minEst)
+      .select(col("__tid")).distinct()
+    batch.withColumn("__tid", md5(col(textCol)))
+      .join(hitTexts, Seq("__tid"), "left_anti")
+      .drop("__tid")
+  }
+
+  /** The (id, sig, band, band_key) inventory of a corpus with its
+    * MinHash parameter tag — the richer sibling of [[bandInventory]]:
+    * persisting signatures alongside the band keys is what lets the
+    * next delta's screen hits be adjudicated pairwise
+    * ([[incrementalNearAdjudicated]]) without touching history text. */
+  def signatureInventory(docs: DataFrame, idCol: String, textCol: String,
+      p: MinHashParams = MinHashParams()): DataFrame =
+    bandKeys(minHashArraySigs(docs, idCol, textCol, p), idCol, p,
+      carrySig = true)
+      .withColumn("minhash_params", lit(paramsTag(p)))
+
+  /** Shared params-drift guard: an inventory tagged with different
+    * MinHashParams than the caller's throws instead of silently
+    * screening nothing. Untagged inventories pass through. */
+  private def guardParams(seen: DataFrame, p: MinHashParams): DataFrame =
+    if (!seen.columns.contains("minhash_params")) seen
+    else {
+      val matching = seen.filter(col("minhash_params") === paramsTag(p))
+      if (matching.isEmpty && !seen.isEmpty)
+        throw new IllegalStateException(
+          s"inventory was built with different MinHashParams " +
+            s"than ${paramsTag(p)}; rebuild it (a mismatched screen " +
+            "would silently pass every duplicate)")
+      matching
+    }
+
   private def paramsTag(p: MinHashParams): String =
     s"k${p.k}b${p.bands}n${p.shingleN}"
+
+  /** DuckDB expression: count of matching signature slots between sig
+    * CTE aliases `a` and `b` (the pairwise MinHash match sum). */
+  def sigMatchSql(a: String, b: String,
+      p: MinHashParams = MinHashParams()): String =
+    (0 until p.k)
+      .map(j => s"(CASE WHEN $a.s$j = $b.s$j THEN 1 ELSE 0 END)")
+      .mkString(" + ")
 
   /** The (band, band_key) inventory of a corpus, tagged with the
     * MinHash parameters it was built under — persist this at each

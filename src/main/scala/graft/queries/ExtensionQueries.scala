@@ -116,6 +116,42 @@ object ExtensionQueries {
               |WHERE NOT EXISTS (SELECT 1 FROM hits WHERE hits.id = md5(d.text))
               |ORDER BY doc_id""".stripMargin)),
 
+    QuerySpec("x1d_incremental_adjudicated",
+      "two-stage incremental near-dup: LSH band screen generates " +
+        "candidates, each bucket hit is adjudicated by the MinHash " +
+        "estimate against historical signatures (>= 0.75 drops) — " +
+        "strictly higher precision than x1c's shared-bucket-drops rule",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val seen = Dedup.signatureInventory(docs.filter(col("doc_id") < 250),
+          "doc_id", "text")
+        Dedup.incrementalNearAdjudicated(docs.filter(col("doc_id") >= 250),
+            "doc_id", "text", seen)
+          .select(col("doc_id"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH hist AS (
+              |  SELECT doc_id AS id, text FROM documents WHERE doc_id < 250),
+              |${Dedup.bandsSqlCtes("hist", "h")},
+              |batch AS (
+              |  SELECT doc_id, text FROM documents WHERE doc_id >= 250),
+              |btexts AS (
+              |  SELECT DISTINCT md5(text) AS id, text FROM batch),
+              |${Dedup.bandsSqlCtes("btexts", "q")},
+              |cand AS (
+              |  SELECT DISTINCT q.id AS qid, h.id AS hid
+              |  FROM q_bands q JOIN h_bands h USING (band, band_key)),
+              |hits AS (
+              |  SELECT DISTINCT c.qid AS id
+              |  FROM cand c
+              |  JOIN q_sigs sq ON sq.id = c.qid
+              |  JOIN h_sigs sh ON sh.id = c.hid
+              |  WHERE CAST(${Dedup.sigMatchSql("sq", "sh")} AS DOUBLE) / 12
+              |          >= 0.75)
+              |SELECT d.doc_id FROM batch d
+              |WHERE NOT EXISTS (SELECT 1 FROM hits WHERE hits.id = md5(d.text))
+              |ORDER BY doc_id""".stripMargin)),
+
     QuerySpec("x2_dedup_ngram_jaccard",
       "exact 3-gram Jaccard similarity on adjacent-id candidate pairs",
       (s, dir) => {

@@ -162,6 +162,31 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("incrementalNearAdjudicated: adjudicated drops are a subset of " +
+      "screen drops; guard still throws on params drift") {
+    val history = docs.filter(col("doc_id") <= 2)
+    val batch = docs.filter(col("doc_id") >= 3)
+      .union(Seq((9L, "the quick brown fox jumps over the lazy dog again and again"))
+        .toDF("doc_id", "text"))
+    val sigInv = Dedup.signatureInventory(history, "doc_id", "text")
+    val keptAdj = Dedup.incrementalNearAdjudicated(batch, "doc_id", "text",
+        sigInv)
+      .select("doc_id").as[Long].collect().toSet
+    // token-identical docs 5, 9 adjudicate at est 1.0 -> drop;
+    // unrelated doc 4 survives
+    assert(!keptAdj.contains(5L) && !keptAdj.contains(9L))
+    assert(keptAdj.contains(4L))
+    // precision only ever KEEPS more than the shared-bucket screen
+    val keptScreen = Dedup.incrementalNearNew(batch, "doc_id", "text",
+        Dedup.bandInventory(history, "doc_id", "text"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(keptScreen.subsetOf(keptAdj))
+    intercept[IllegalStateException] {
+      Dedup.incrementalNearAdjudicated(batch, "doc_id", "text", sigInv,
+        Dedup.MinHashParams(k = 12, bands = 4))
+    }
+  }
+
   test("simHashNearDupPairs finds identical-signature pairs at hamming 0") {
     val pairs = Dedup.simHashNearDupPairs(docs, "doc_id", "text")
       .as[(Long, Long, Long)].collect().toSeq
