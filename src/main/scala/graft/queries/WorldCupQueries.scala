@@ -57,6 +57,15 @@ object WorldCupQueries {
        |  FROM (SELECT DISTINCT stage_name, group_stage
        |        FROM ${duckCsv("tournament_stages")}))""".stripMargin
 
+  /** position dim twin: surrogate keys by position_code order. */
+  private def duckPosition: String =
+    s"""pos AS (
+       |  SELECT 'POS-' || CAST(row_number() OVER (ORDER BY position_code)
+       |           AS VARCHAR) AS position_id,
+       |         position_code, position_name
+       |  FROM (SELECT DISTINCT position_code, position_name
+       |        FROM ${duckCsv("player_appearances")}))""".stripMargin
+
   /** stage_detail rule twin (capitalize / de-pluralize trailing 's'). */
   private def duckStageDetail(g: String, st: String): String =
     s"""CASE WHEN contains($g, 'Group') THEN $g
@@ -287,6 +296,193 @@ object WorldCupQueries {
               |       THEN penalties_for - penalties_against END
               |    AS penalties_differential
               |FROM ${duckCsv("team_appearances")}
-              |ORDER BY match_id, team_id""".stripMargin))
+              |ORDER BY match_id, team_id""".stripMargin)),
+
+    QuerySpec("e11_worldcup_award",
+      "ELT `award` dim vs DuckDB: rename select incl. the reference's " +
+        "year_introuced spelling quirk (build_db.py:102-123)",
+      (s, dir) => built(s, "award").orderBy(col("id")),
+      Some(s"""SELECT award_id AS id, award_name AS name, description,
+              |       year_introduced AS year_introuced
+              |FROM ${duckCsv("awards")} ORDER BY id""".stripMargin)),
+
+    QuerySpec("e12_worldcup_city",
+      "ELT `city` dim vs DuckDB: stadium-city dedup + ordered " +
+        "surrogate keys (build_db.py:135-164)",
+      (s, dir) => built(s, "city").orderBy(col("id")),
+      Some(s"""SELECT 'CTY-' || CAST(row_number() OVER
+              |         (ORDER BY city_name, country_name) AS VARCHAR) AS id,
+              |       city_name AS name, country_name,
+              |       city_wikipedia_link AS wikipedia_link
+              |FROM (SELECT DISTINCT city_name, country_name, city_wikipedia_link
+              |      FROM ${duckCsv("stadiums")})
+              |ORDER BY id""".stripMargin)),
+
+    QuerySpec("e13_worldcup_confederation",
+      "ELT `confederation` dim vs DuckDB: rename select " +
+        "(build_db.py:172-199)",
+      (s, dir) => built(s, "confederation").orderBy(col("id")),
+      Some(s"""SELECT confederation_id AS id, confederation_code AS code,
+              |       confederation_name AS name,
+              |       confederation_wikipedia_link AS wikipedia_link
+              |FROM ${duckCsv("confederations")} ORDER BY id""".stripMargin)),
+
+    QuerySpec("e14_worldcup_event_type",
+      "ELT `event_type` literal dim vs DuckDB: replace-FIRST underscore " +
+        "(Polars str.replace semantics) + super_type cases " +
+        "(build_db.py:214-256)",
+      (s, dir) => built(s, "event_type").orderBy(col("id")),
+      Some("""SELECT 'EV-' || CAST(i AS VARCHAR) AS id,
+             |       regexp_replace(n, '_', ' ') AS name,
+             |       CASE WHEN n IN ('goal', 'own goal', 'penalty') THEN 'goal'
+             |            WHEN n IN ('going_off', 'coming_on') THEN 'substitution'
+             |            ELSE 'booking' END AS super_type
+             |FROM (VALUES (1, 'goal'), (2, 'own goal'), (3, 'penalty'),
+             |             (4, 'going_off'), (5, 'coming_on'),
+             |             (6, 'yellow_card'), (7, 'second_yellow_card'),
+             |             (8, 'red_card')) AS t(i, n)
+             |ORDER BY id""".stripMargin)),
+
+    QuerySpec("e15_worldcup_manager",
+      "ELT `manager` dim vs DuckDB: rename select incl. given_type " +
+        "quirk (build_db.py:317-339)",
+      (s, dir) => built(s, "manager").orderBy(col("id")),
+      Some(s"""SELECT manager_id AS id, family_name,
+              |       given_name AS given_type, country_name
+              |FROM ${duckCsv("managers")} ORDER BY id""".stripMargin)),
+
+    QuerySpec("e16_worldcup_position_type",
+      "ELT `position_type` literal dim vs DuckDB (build_db.py:352-385)",
+      (s, dir) => built(s, "position_type").orderBy(col("id")),
+      Some("""SELECT * FROM (VALUES
+             |  ('PTYP-1', 'GK', 'Goal Keeper'), ('PTYP-2', 'DF', 'Defence'),
+             |  ('PTYP-3', 'MF', 'Midfield'), ('PTYP-4', 'FW', 'Forward'))
+             |  AS t(id, code, name)
+             |ORDER BY id""".stripMargin)),
+
+    QuerySpec("e17_worldcup_position",
+      "ELT `position` dim vs DuckDB: appearance-code dedup + ordered " +
+        "surrogate keys + code -> type mapping (build_db.py:401-441)",
+      (s, dir) => built(s, "position").orderBy(col("id")),
+      Some(s"""WITH $duckPosition
+              |SELECT position_id AS id, position_code AS code,
+              |       position_name AS name,
+              |  CASE WHEN position_code = 'GK' THEN 'PTYP-1'
+              |       WHEN position_code IN ('DF', 'RB', 'LB', 'CB', 'SW',
+              |                              'RWB', 'LWB') THEN 'PTYP-2'
+              |       WHEN position_code IN ('FW', 'CF', 'SS', 'LF', 'RF')
+              |         THEN 'PTYP-4'
+              |       ELSE 'PTYP-3' END AS position_type_id
+              |FROM pos
+              |ORDER BY id""".stripMargin)),
+
+    QuerySpec("e18_worldcup_player",
+      "ELT `player` dim vs DuckDB: rename select with DATE column " +
+        "(build_db.py:454-479)",
+      (s, dir) => built(s, "player").orderBy(col("id")),
+      Some(s"""SELECT player_id AS id, family_name, given_name AS given_type,
+              |       birth_date, n_tournaments, wikipedia_link
+              |FROM ${duckCsv("players")} ORDER BY id""".stripMargin)),
+
+    QuerySpec("e19_worldcup_referee",
+      "ELT `referee` dim vs DuckDB: rename select (build_db.py:487-512)",
+      (s, dir) => built(s, "referee").orderBy(col("id")),
+      Some(s"""SELECT referee_id AS id, family_name, given_name AS given_type,
+              |       country_name, confederation_id, wikipedia_link
+              |FROM ${duckCsv("referees")} ORDER BY id""".stripMargin)),
+
+    QuerySpec("e20_worldcup_stage",
+      "ELT `stage` dim vs DuckDB: name dedup, capitalize-first, " +
+        "Group/Knockout typing (build_db.py:568-606)",
+      (s, dir) => built(s, "stage").orderBy(col("id")),
+      Some(s"""SELECT 'STG-' || CAST(row_number() OVER (ORDER BY stage_name)
+              |         AS VARCHAR) AS id,
+              |       upper(substr(stage_name, 1, 1)) || substr(stage_name, 2)
+              |         AS name,
+              |       CASE WHEN group_stage = 1 THEN 'Group'
+              |            ELSE 'Knockout' END AS type
+              |FROM (SELECT DISTINCT stage_name, group_stage
+              |      FROM ${duckCsv("tournament_stages")})
+              |ORDER BY id""".stripMargin)),
+
+    QuerySpec("e21_worldcup_team",
+      "ELT `team` dim vs DuckDB: federation surrogate resolve by name " +
+        "(build_db.py:617-646)",
+      (s, dir) => built(s, "team").orderBy(col("id")),
+      Some(s"""WITH fed AS (
+              |  SELECT 'FED-' || CAST(row_number() OVER
+              |           (ORDER BY federation_name) AS VARCHAR) AS federation_id,
+              |         federation_name
+              |  FROM (SELECT DISTINCT federation_name, region_name,
+              |               federation_wikipedia_link, confederation_id
+              |        FROM ${duckCsv("teams")}))
+              |SELECT t.team_id AS id, t.team_code AS code,
+              |       t.team_name AS name,
+              |       t.team_wikipedia_link AS wikipedia_link, f.federation_id
+              |FROM ${duckCsv("teams")} t JOIN fed f USING (federation_name)
+              |ORDER BY id""".stripMargin)),
+
+    QuerySpec("e22_worldcup_stadium",
+      "ELT `stadium` dim vs DuckDB: city surrogate resolve by name " +
+        "(build_db.py:522-555)",
+      (s, dir) => built(s, "stadium").orderBy(col("id")),
+      Some(s"""WITH city AS (
+              |  SELECT 'CTY-' || CAST(row_number() OVER
+              |           (ORDER BY city_name, country_name) AS VARCHAR)
+              |           AS city_id,
+              |         city_name
+              |  FROM (SELECT DISTINCT city_name, country_name,
+              |               city_wikipedia_link
+              |        FROM ${duckCsv("stadiums")}))
+              |SELECT s.stadium_id AS id, s.stadium_name AS name,
+              |       s.stadium_capacity AS capacity,
+              |       s.stadium_wikipedia_link AS wikipedia_link, c.city_id
+              |FROM ${duckCsv("stadiums")} s JOIN city c USING (city_name)
+              |ORDER BY id""".stripMargin)),
+
+    QuerySpec("e23_worldcup_tournament_referee",
+      "ELT `tournament_referee` fact vs DuckDB (build_db.py:706-728)",
+      (s, dir) => built(s, "tournament_referee")
+        .orderBy(col("tournament_id"), col("referee_id")),
+      Some(s"""SELECT tournament_id, referee_id
+              |FROM ${duckCsv("referee_appointments")}
+              |ORDER BY tournament_id, referee_id""".stripMargin)),
+
+    QuerySpec("e24_worldcup_tournament_manager",
+      "ELT `tournament_manager` fact vs DuckDB (build_db.py:867-891)",
+      (s, dir) => built(s, "tournament_manager")
+        .orderBy(col("tournament_id"), col("team_id"), col("manager_id")),
+      Some(s"""SELECT tournament_id, team_id, manager_id
+              |FROM ${duckCsv("manager_appointments")}
+              |ORDER BY tournament_id, team_id, manager_id""".stripMargin)),
+
+    QuerySpec("e25_worldcup_penalty_kick",
+      "ELT `penalty_kick` fact vs DuckDB: flag -> boolean " +
+        "(build_db.py:1149-1178)",
+      (s, dir) => built(s, "penalty_kick").orderBy(col("id")),
+      Some(s"""SELECT penalty_kick_id AS id, match_id, team_id, player_id,
+              |       (converted = 1) AS did_convert
+              |FROM ${duckCsv("penalty_kicks")} ORDER BY id""".stripMargin)),
+
+    QuerySpec("e26_worldcup_match_player",
+      "ELT `match_player` fact vs DuckDB: position surrogate resolve " +
+        "by code + starter/captain booleans (build_db.py:1224-1260)",
+      (s, dir) => built(s, "match_player")
+        .orderBy(col("match_id"), col("team_id"), col("player_id")),
+      Some(s"""WITH $duckPosition
+              |SELECT a.match_id, a.team_id, a.player_id, p.position_id,
+              |       (a.starter = 1) AS is_starter,
+              |       (a.captain = 1) AS is_captain
+              |FROM ${duckCsv("player_appearances")} a
+              |JOIN pos p USING (position_code)
+              |ORDER BY match_id, team_id, player_id""".stripMargin)),
+
+    QuerySpec("e27_worldcup_award_winner",
+      "ELT `award_winner` fact vs DuckDB (build_db.py:1332-1356)",
+      (s, dir) => built(s, "award_winner")
+        .orderBy(col("tournament_id"), col("award_id"), col("player_id")),
+      Some(s"""SELECT tournament_id, award_id, player_id
+              |FROM ${duckCsv("award_winners")}
+              |ORDER BY tournament_id, award_id, player_id""".stripMargin))
   )
 }
