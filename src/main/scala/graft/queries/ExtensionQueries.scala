@@ -1,9 +1,12 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.joins.SortMergeJoinExec
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
+import graft.catalog.Warehouse
 import graft.functions.TextFunctions._
 import graft.functions.VectorFunctions._
 import graft.operators.{Dedup, Similarity, TextAnalysis}
@@ -662,6 +665,48 @@ object ExtensionQueries {
              |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
              |FROM sess GROUP BY user_id, sess_id
              |ORDER BY user_id, session_start""".stripMargin)),
+
+    QuerySpec("s10_bucketed_colocated_join",
+      "bucketed persistent fact tables: both sides pre-shuffled on the " +
+        "join key at write time, so the join plans with ZERO shuffle " +
+        "exchanges below it (asserted in-query on the physical plan); " +
+        "the result hash-matches the plain-join oracle",
+      (s, dir) => {
+        Warehouse.saveBucketed(t(s, dir, "orders"), "orders_bkt",
+          Seq("o_orderkey"), 8)
+        Warehouse.saveBucketed(t(s, dir, "lineitem"), "lineitem_bkt",
+          Seq("l_orderkey"), 8)
+        // merge hint: keep the demonstration a sort-merge join even at
+        // scale factors where the orders side would broadcast
+        val joined = s.table("lineitem_bkt").hint("merge")
+          .join(s.table("orders_bkt"),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n_items"),
+            sum(dec2(col("l_extendedprice"))).cast("double").as("sum_price"))
+          .orderBy(col("o_orderpriority"))
+        // plan contract, enforced non-silently: the join consumes
+        // co-located buckets, so no exchange may appear below it (the
+        // groupBy on the non-bucket column is the only shuffle)
+        val smjs = joined.queryExecution.sparkPlan.collect {
+          case j: SortMergeJoinExec => j
+        }
+        require(smjs.nonEmpty,
+          "expected a sort-merge join over the bucketed tables")
+        val shufflesBelowJoin = smjs.head.collect {
+          case e: ShuffleExchangeExec => e
+        }
+        require(shufflesBelowJoin.isEmpty,
+          s"bucketed co-located join must not shuffle; got:\n${smjs.head}")
+        joined
+      },
+      Some("""SELECT o.o_orderpriority,
+             |  CAST(count(*) AS BIGINT) AS n_items,
+             |  CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             |    AS sum_price
+             |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+             |GROUP BY o.o_orderpriority
+             |ORDER BY o_orderpriority""".stripMargin)),
 
     QuerySpec("m1_multimodal_binary_meta",
       "binary-column plumbing: opaque bytes + typed metadata extraction",
