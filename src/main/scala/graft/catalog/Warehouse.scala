@@ -177,12 +177,22 @@ object Warehouse {
     * path for repeatedly-joined 100 TB facts). `BucketingSpec` proves
     * the exchange-free join plan. */
   def saveBucketed(df: DataFrame, table: String, bucketCols: Seq[String],
-      nBuckets: Int): Unit =
+      nBuckets: Int): Unit = {
+    val spark = df.sparkSession
+    // A previous session's managed-table directory blocks saveAsTable
+    // even though the fresh catalog has no such table: drop any
+    // registration AND clear the stale location first.
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table)
+    loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(loc, true)
     df.write.mode("overwrite")
       .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
       .sortBy(bucketCols.head, bucketCols.tail: _*)
       .format("parquet")
       .saveAsTable(table)
+  }
 
   /** Reset registry (test isolation). */
   def clear(): Unit = registry.clear()

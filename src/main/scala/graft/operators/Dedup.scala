@@ -113,24 +113,46 @@ object Dedup {
       .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"),
         col("x.sig").as("sig_a"), col("y.sig").as("sig_b"))
       .distinct()
-    val matches = aggregate(
-      zip_with(col("sig_a"), col("sig_b"),
-        (x, y) => when(x === y, 1).otherwise(0)),
-      lit(0), (acc, v) => acc + v)
     cand.select(col("id_a"), col("id_b"),
-        (matches.cast("double") / p.k).as("est_jaccard"))
+        (sigMatches(col("sig_a"), col("sig_b"), p).cast("double") / p.k)
+          .as("est_jaccard"))
       .filter(col("est_jaccard") >= minEst)
   }
 
+  /** Matching-slot count between two k-length signature arrays,
+    * unrolled into k element_at comparisons: stays inside whole-stage
+    * codegen on the candidate hot path (a higher-order
+    * aggregate-over-zip_with is interpreted per pair) — the Spark twin
+    * of [[sigMatchSql]]. */
+  private def sigMatches(a: Column, b: Column, p: MinHashParams): Column =
+    (0 until p.k)
+      .map(j => when(element_at(a, j + 1) === element_at(b, j + 1), 1)
+        .otherwise(0))
+      .reduce(_ + _)
+
   /** Diagnostic for the bucket cap: (band, band_key, n_docs) for every
     * bucket larger than `maxBucket` — run alongside the pair query so
-    * capping is never a silent truncation. */
+    * capping is never a silent truncation. Recomputes signatures from
+    * raw docs; on a shared pass persist [[minHashBandKeys]] once and
+    * use [[minHashBucketOverflowFromBands]]. */
   def minHashBucketOverflow(docs: DataFrame, idCol: String, textCol: String,
       p: MinHashParams = MinHashParams(), maxBucket: Int = 1000): DataFrame =
-    bandKeys(minHashArraySigs(docs, idCol, textCol, p), idCol, p)
-      .groupBy(col("band"), col("band_key"))
+    minHashBucketOverflowFromBands(
+      minHashBandKeys(docs, idCol, textCol, p), maxBucket)
+
+  /** Overflow diagnostic over a precomputed [[minHashBandKeys]] frame. */
+  def minHashBucketOverflowFromBands(bands: DataFrame,
+      maxBucket: Int = 1000): DataFrame =
+    bands.groupBy(col("band"), col("band_key"))
       .agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") > maxBucket)
+
+  /** Long-form (id[, sig], band, band_key) keys over exact-deduped
+    * docs — the shared input of the pair join and the overflow
+    * diagnostic (set `carrySig` when feeding the pair path). */
+  def minHashBandKeys(docs: DataFrame, idCol: String, textCol: String,
+      p: MinHashParams = MinHashParams(), carrySig: Boolean = false): DataFrame =
+    bandKeys(minHashArraySigs(docs, idCol, textCol, p), idCol, p, carrySig)
 
   /** Array-form signatures over exact-deduped docs (lowest id kept per
     * identical text): one `sig` column instead of k, string-identical
@@ -323,12 +345,9 @@ object Dedup {
     val cand = qBands.join(seenSigs, Seq("band", "band_key"))
       .select(col("__tid"), col("sig"), col("__hsig"))
       .distinct()
-    val matches = aggregate(
-      zip_with(col("sig"), col("__hsig"),
-        (x, y) => when(x === y, 1).otherwise(0)),
-      lit(0), (acc, v) => acc + v)
     val hitTexts = cand
-      .filter(matches.cast("double") / p.k >= minEst)
+      .filter(sigMatches(col("sig"), col("__hsig"), p).cast("double") / p.k
+        >= minEst)
       .select(col("__tid")).distinct()
     batch.withColumn("__tid", md5(col(textCol)))
       .join(hitTexts, Seq("__tid"), "left_anti")
@@ -501,9 +520,17 @@ object Dedup {
     * exchange — mirroring minHashNearDupPairs. Overflow is not
     * silent: run [[simHashBucketOverflow]] alongside. */
   def simHashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
+      p: SimHashParams = SimHashParams()): DataFrame =
+    simHashNearDupPairsFromBands(simHashBandKeys(docs, idCol, textCol, p),
+      idCol, p)
+
+  /** Pair generation over a precomputed [[simHashBandKeys]] frame —
+    * persist the banded frame once and feed BOTH this and
+    * [[simHashBucketOverflowFromBands]], so the signature pipeline
+    * (the dominant cost) runs once per dedup pass, not twice. */
+  def simHashNearDupPairsFromBands(bands: DataFrame, idCol: String,
       p: SimHashParams = SimHashParams()): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val bands = simHashBands(simHash64(docs, idCol, textCol), idCol, p)
     val capW = Window.partitionBy(col("band"), col("bkey"))
       .orderBy(col(idCol))
     val capped = bands
@@ -523,23 +550,31 @@ object Dedup {
 
   /** Diagnostic for the SimHash bucket cap: (band, bkey, n_docs) for
     * every band bucket larger than `p.maxBucket` — run alongside the
-    * pair query so capping is never a silent truncation. */
+    * pair query so capping is never a silent truncation. Recomputes
+    * signatures from raw docs; on a shared pass use
+    * [[simHashBucketOverflowFromBands]] with the same banded frame. */
   def simHashBucketOverflow(docs: DataFrame, idCol: String, textCol: String,
       p: SimHashParams = SimHashParams()): DataFrame =
-    simHashBands(simHash64(docs, idCol, textCol), idCol, p)
-      .groupBy(col("band"), col("bkey"))
+    simHashBucketOverflowFromBands(simHashBandKeys(docs, idCol, textCol, p), p)
+
+  /** Overflow diagnostic over a precomputed [[simHashBandKeys]] frame. */
+  def simHashBucketOverflowFromBands(bands: DataFrame,
+      p: SimHashParams = SimHashParams()): DataFrame =
+    bands.groupBy(col("band"), col("bkey"))
       .agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") > p.maxBucket)
 
-  /** Long-form (id, simhash, band, bkey): band b's key is signature
-    * bits [b*width, (b+1)*width) — arithmetic shift then mask, so the
-    * sign bit never leaks into a key. */
-  private def simHashBands(sigs: DataFrame, idCol: String,
-      p: SimHashParams): DataFrame = {
+  /** Long-form (id, simhash, band, bkey) band keys: band b's key is
+    * signature bits [b*width, (b+1)*width) — arithmetic shift then
+    * mask, so the sign bit never leaks into a key. The shared input
+    * of the pair join and the overflow diagnostic. */
+  def simHashBandKeys(docs: DataFrame, idCol: String, textCol: String,
+      p: SimHashParams = SimHashParams()): DataFrame = {
     val bandCols = (0 until p.bands).map(b =>
       shiftright(col("simhash"), p.width * b).bitwiseAND(lit(p.mask))
         .as(s"b$b"))
-    sigs.select(Seq(col(idCol), col("simhash")) ++ bandCols: _*)
+    simHash64(docs, idCol, textCol)
+      .select(Seq(col(idCol), col("simhash")) ++ bandCols: _*)
       .unpivot(Array(col(idCol), col("simhash")),
         (0 until p.bands).map(b => col(s"b$b")).toArray, "band", "bkey")
   }

@@ -140,16 +140,19 @@ object Similarity {
             else row.getDouble(d + 1)))
       }
     }
-    lastTrainedCentroids = Some(centroids)
+    trainedCentroids = trainedCentroids + ((nCells, iters) -> centroids)
     centroids
   }
 
-  /** Centroids from the most recent [[ivfTrain]] call, stashed so a
-    * late-bound oracle (QuerySpec.oracleGen, evaluated after the run)
-    * can embed the exact trained values as SQL literals. Training is
-    * fully deterministic, so the stash equals what any re-run over the
-    * same data would produce. */
-  @volatile var lastTrainedCentroids: Option[Array[Array[Double]]] = None
+  /** Centroids from [[ivfTrain]] calls this session, keyed by
+    * (nCells, iters) so trainers with different parameters cannot
+    * clobber each other's entry. A late-bound oracle
+    * (QuerySpec.oracleGen, evaluated after the runs) looks up ITS
+    * parameters and embeds the exact trained values as SQL literals.
+    * Training is fully deterministic, so an entry equals what any
+    * re-run over the same data would produce. */
+  @volatile var trainedCentroids: Map[(Int, Int), Array[Array[Double]]] =
+    Map.empty
 
   /** Nearest-centroid cell id as a pure projection: argmax dot product
     * against literal centroid arrays (greatest over (score, idx)
@@ -275,6 +278,23 @@ object Similarity {
        |  FROM c JOIN q USING (cell) WHERE qid <> did),
        |${rankedTailSql(k)}""".stripMargin
   }
+
+  /** Recall@k of an approximate ANN result against the exact one:
+    * per query, the fraction of true top-k neighbors the approximate
+    * path returned. Both inputs are (qid, did, ...) topk frames. The
+    * denominator is the query's ACTUAL exact-neighbor count (= k
+    * except on corpora smaller than k, where dividing by k would
+    * misreport a perfect path). The governance metric every
+    * production ANN deployment needs next to its throughput number —
+    * run it on a sampled query set to decide nProbes/nPlanes, then
+    * scale out with the chosen setting. */
+  def recallAtK(approx: DataFrame, exact: DataFrame): DataFrame =
+    exact.select(col("qid"), col("did"))
+      .join(approx.select(col("qid"), col("did"), lit(1).as("__hit")),
+        Seq("qid", "did"), "left")
+      .groupBy(col("qid"))
+      .agg((sum(coalesce(col("__hit"), lit(0))).cast("double") /
+        count(lit(1))).as("recall_at_k"))
 
   /** Approximate top-k: exact cosine ranking restricted to the query's
     * own LSH bucket. Recall < 1 by design; deterministic output. */

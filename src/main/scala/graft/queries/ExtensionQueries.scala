@@ -33,6 +33,11 @@ object ExtensionQueries {
     s"CAST(len(list_filter($duckWsTokens, t -> list_contains($arr, t))) AS BIGINT)"
   }
 
+  /** x1d twins: BOTH the Spark run and the generated oracle read these,
+    * so signature length and threshold cannot drift apart. */
+  private val x1dParams = Dedup.MinHashParams()
+  private val x1dMinEst = 0.75
+
   /** Shared by x5 (window form) and x5b (heap-aggregate form): both
     * must match this oracle bit-for-bit. */
   private val annTopkOracle: String =
@@ -127,20 +132,20 @@ object ExtensionQueries {
       (s, dir) => {
         val docs = t(s, dir, "documents")
         val seen = Dedup.signatureInventory(docs.filter(col("doc_id") < 250),
-          "doc_id", "text")
+          "doc_id", "text", x1dParams)
         Dedup.incrementalNearAdjudicated(docs.filter(col("doc_id") >= 250),
-            "doc_id", "text", seen)
+            "doc_id", "text", seen, x1dParams, x1dMinEst)
           .select(col("doc_id"))
           .orderBy(col("doc_id"))
       },
       Some(s"""WITH hist AS (
               |  SELECT doc_id AS id, text FROM documents WHERE doc_id < 250),
-              |${Dedup.bandsSqlCtes("hist", "h")},
+              |${Dedup.bandsSqlCtes("hist", "h", x1dParams)},
               |batch AS (
               |  SELECT doc_id, text FROM documents WHERE doc_id >= 250),
               |btexts AS (
               |  SELECT DISTINCT md5(text) AS id, text FROM batch),
-              |${Dedup.bandsSqlCtes("btexts", "q")},
+              |${Dedup.bandsSqlCtes("btexts", "q", x1dParams)},
               |cand AS (
               |  SELECT DISTINCT q.id AS qid, h.id AS hid
               |  FROM q_bands q JOIN h_bands h USING (band, band_key)),
@@ -149,8 +154,8 @@ object ExtensionQueries {
               |  FROM cand c
               |  JOIN q_sigs sq ON sq.id = c.qid
               |  JOIN h_sigs sh ON sh.id = c.hid
-              |  WHERE CAST(${Dedup.sigMatchSql("sq", "sh")} AS DOUBLE) / 12
-              |          >= 0.75)
+              |  WHERE CAST(${Dedup.sigMatchSql("sq", "sh", x1dParams)}
+              |          AS DOUBLE) / ${x1dParams.k} >= $x1dMinEst)
               |SELECT d.doc_id FROM batch d
               |WHERE NOT EXISTS (SELECT 1 FROM hits WHERE hits.id = md5(d.text))
               |ORDER BY doc_id""".stripMargin)),
@@ -275,9 +280,37 @@ object ExtensionQueries {
           .orderBy(col("qid"), col("rn"))
       },
       None,
-      oracleGen = () => Similarity.lastTrainedCentroids.map(cents =>
+      oracleGen = () => Similarity.trainedCentroids.get((8, 2)).map(cents =>
         Similarity.ivfOracleSql("embeddings", "vec_id", "embedding", 5,
           cents, nProbes = 2, queryPred = "vec_id < 8"))),
+
+    QuerySpec("x6c_ann_recall_eval",
+      "ANN governance: per-query recall@5 of the IVF path against the " +
+        "exact brute-force top-k — the metric that picks nProbes before " +
+        "scaling out; hash-gated via the same late-bound centroid oracle",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val q = emb.filter(col("vec_id") < 8)
+        val exact = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 5)
+        val approx = Similarity.ivfTopK(emb, q, "vec_id", "embedding", 5,
+          nCells = 8, nProbes = 2)
+        Similarity.recallAtK(approx, exact).orderBy(col("qid"))
+      },
+      None,
+      oracleGen = () => Similarity.trainedCentroids.get((8, 2)).map { cents =>
+        val exact = annTopkOracle.replace("\n", "\n    ")
+        val approx = Similarity.ivfOracleSql("embeddings", "vec_id",
+          "embedding", 5, cents, nProbes = 2, queryPred = "vec_id < 8")
+          .replace("\n", "\n    ")
+        s"""WITH exact AS (SELECT qid, did FROM (
+           |    $exact)),
+           |approx AS (SELECT qid, did FROM (
+           |    $approx))
+           |SELECT e.qid, CAST(count(a.did) AS DOUBLE) / count(*) AS recall_at_k
+           |FROM exact e LEFT JOIN approx a
+           |  ON e.qid = a.qid AND e.did = a.did
+           |GROUP BY e.qid ORDER BY e.qid""".stripMargin
+      }),
 
     QuerySpec("x7_dedup_embedding_cosine",
       "embedding-cosine near-dup scan over adjacent-id pairs",

@@ -48,14 +48,43 @@ object WorldCupQueries {
   }
 
   /** stage dim twin: surrogate keys by stage_name order (the Spark
-    * side's Relational.surrogateKey over the distinct stage rows). */
+    * side's Relational.surrogateKey over the distinct stage rows) —
+    * the ONE derivation every stage-consuming oracle shares. */
   private def duckStage: String =
     s"""stage AS (
        |  SELECT 'STG-' || CAST(row_number() OVER (ORDER BY stage_name)
        |           AS VARCHAR) AS stage_id,
+       |         upper(substr(stage_name, 1, 1)) || substr(stage_name, 2)
+       |           AS name,
+       |         CASE WHEN group_stage = 1 THEN 'Group'
+       |              ELSE 'Knockout' END AS type,
        |         stage_name AS orig_stage_name
        |  FROM (SELECT DISTINCT stage_name, group_stage
        |        FROM ${duckCsv("tournament_stages")}))""".stripMargin
+
+  /** federation dim twin (shared by e10 and the e21 team resolve). */
+  private def duckFederation: String =
+    s"""fed AS (
+       |  SELECT 'FED-' || CAST(row_number() OVER (ORDER BY federation_name)
+       |           AS VARCHAR) AS federation_id,
+       |         federation_name,
+       |         CASE WHEN region_name = 'Europe, Asia' THEN 'Eurasia'
+       |              ELSE region_name END AS region_name,
+       |         federation_wikipedia_link AS wikipedia_link,
+       |         confederation_id
+       |  FROM (SELECT DISTINCT federation_name, region_name,
+       |               federation_wikipedia_link, confederation_id
+       |        FROM ${duckCsv("teams")}))""".stripMargin
+
+  /** city dim twin (shared by e12 and the e22 stadium resolve). */
+  private def duckCity: String =
+    s"""city AS (
+       |  SELECT 'CTY-' || CAST(row_number() OVER
+       |           (ORDER BY city_name, country_name) AS VARCHAR) AS city_id,
+       |         city_name, country_name,
+       |         city_wikipedia_link AS wikipedia_link
+       |  FROM (SELECT DISTINCT city_name, country_name, city_wikipedia_link
+       |        FROM ${duckCsv("stadiums")}))""".stripMargin
 
   /** position dim twin: surrogate keys by position_code order. */
   private def duckPosition: String =
@@ -265,16 +294,10 @@ object WorldCupQueries {
         "surrogate keys + the 'Europe, Asia' -> Eurasia rewrite " +
         "(build_db.py:268-306, the A1/A2/P7 dim idiom)",
       (s, dir) => built(s, "federation").orderBy(col("id")),
-      Some(s"""SELECT 'FED-' || CAST(row_number() OVER (ORDER BY federation_name)
-              |         AS VARCHAR) AS id,
-              |       federation_name AS name,
-              |       CASE WHEN region_name = 'Europe, Asia' THEN 'Eurasia'
-              |            ELSE region_name END AS region_name,
-              |       federation_wikipedia_link AS wikipedia_link,
-              |       confederation_id
-              |FROM (SELECT DISTINCT federation_name, region_name,
-              |             federation_wikipedia_link, confederation_id
-              |      FROM ${duckCsv("teams")})
+      Some(s"""WITH $duckFederation
+              |SELECT federation_id AS id, federation_name AS name,
+              |       region_name, wikipedia_link, confederation_id
+              |FROM fed
               |ORDER BY id""".stripMargin)),
 
     QuerySpec("e4_worldcup_team_appearance",
@@ -310,12 +333,10 @@ object WorldCupQueries {
       "ELT `city` dim vs DuckDB: stadium-city dedup + ordered " +
         "surrogate keys (build_db.py:135-164)",
       (s, dir) => built(s, "city").orderBy(col("id")),
-      Some(s"""SELECT 'CTY-' || CAST(row_number() OVER
-              |         (ORDER BY city_name, country_name) AS VARCHAR) AS id,
-              |       city_name AS name, country_name,
-              |       city_wikipedia_link AS wikipedia_link
-              |FROM (SELECT DISTINCT city_name, country_name, city_wikipedia_link
-              |      FROM ${duckCsv("stadiums")})
+      Some(s"""WITH $duckCity
+              |SELECT city_id AS id, city_name AS name, country_name,
+              |       wikipedia_link
+              |FROM city
               |ORDER BY id""".stripMargin)),
 
     QuerySpec("e13_worldcup_confederation",
@@ -395,27 +416,15 @@ object WorldCupQueries {
       "ELT `stage` dim vs DuckDB: name dedup, capitalize-first, " +
         "Group/Knockout typing (build_db.py:568-606)",
       (s, dir) => built(s, "stage").orderBy(col("id")),
-      Some(s"""SELECT 'STG-' || CAST(row_number() OVER (ORDER BY stage_name)
-              |         AS VARCHAR) AS id,
-              |       upper(substr(stage_name, 1, 1)) || substr(stage_name, 2)
-              |         AS name,
-              |       CASE WHEN group_stage = 1 THEN 'Group'
-              |            ELSE 'Knockout' END AS type
-              |FROM (SELECT DISTINCT stage_name, group_stage
-              |      FROM ${duckCsv("tournament_stages")})
+      Some(s"""WITH $duckStage
+              |SELECT stage_id AS id, name, type FROM stage
               |ORDER BY id""".stripMargin)),
 
     QuerySpec("e21_worldcup_team",
       "ELT `team` dim vs DuckDB: federation surrogate resolve by name " +
         "(build_db.py:617-646)",
       (s, dir) => built(s, "team").orderBy(col("id")),
-      Some(s"""WITH fed AS (
-              |  SELECT 'FED-' || CAST(row_number() OVER
-              |           (ORDER BY federation_name) AS VARCHAR) AS federation_id,
-              |         federation_name
-              |  FROM (SELECT DISTINCT federation_name, region_name,
-              |               federation_wikipedia_link, confederation_id
-              |        FROM ${duckCsv("teams")}))
+      Some(s"""WITH $duckFederation
               |SELECT t.team_id AS id, t.team_code AS code,
               |       t.team_name AS name,
               |       t.team_wikipedia_link AS wikipedia_link, f.federation_id
@@ -426,14 +435,7 @@ object WorldCupQueries {
       "ELT `stadium` dim vs DuckDB: city surrogate resolve by name " +
         "(build_db.py:522-555)",
       (s, dir) => built(s, "stadium").orderBy(col("id")),
-      Some(s"""WITH city AS (
-              |  SELECT 'CTY-' || CAST(row_number() OVER
-              |           (ORDER BY city_name, country_name) AS VARCHAR)
-              |           AS city_id,
-              |         city_name
-              |  FROM (SELECT DISTINCT city_name, country_name,
-              |               city_wikipedia_link
-              |        FROM ${duckCsv("stadiums")}))
+      Some(s"""WITH $duckCity
               |SELECT s.stadium_id AS id, s.stadium_name AS name,
               |       s.stadium_capacity AS capacity,
               |       s.stadium_wikipedia_link AS wikipedia_link, c.city_id
