@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+
+/** End-to-end corpus hygiene — the composition a training-data ingest
+  * runs as ONE job over each raw batch: quality floor → language
+  * allowlist → exact dedup → near-dup clustering, keeping one
+  * representative per cluster. Every stage is one of this library's
+  * individually hash-verified operators; the composition itself is
+  * verified end-to-end by catalog query x21.
+  *
+  * Scale shape: the filters are pure codegen'd projections that
+  * evaluate BEFORE any shuffle (so 100 TB of rejects never move), the
+  * exact dedup is one shuffle on a 32-byte fingerprint, and the
+  * near-dup stage is the capped LSH path (Dedup.minHashNearDupPairs)
+  * plus min-label clustering over the pair edges only.
+  */
+object Corpus {
+
+  /** Clean `docs`, returning the kept (idCol, textCol) rows: quality
+    * ≥ `minQuality`, language in `langs`, exact dups collapsed to the
+    * lowest id per normalized fingerprint, near-dup clusters collapsed
+    * to their min-id representative. */
+  def clean(docs: DataFrame, idCol: String, textCol: String,
+      minQuality: Double, langs: Seq[String],
+      p: Dedup.MinHashParams = Dedup.MinHashParams(),
+      minEst: Double = 0.75): DataFrame = {
+    // tokens materialized ONCE, before the lambda-bearing scorers
+    val toks = docs.select(col(idCol), col(textCol),
+      wsTokens(col(textCol)).as("__tk"))
+    val filtered = toks
+      .filter(
+        TextAnalysis.qualityScoreFromTokens(col(textCol), col("__tk"))
+          >= minQuality &&
+        TextAnalysis.langIdFromTokens(col("__tk")).isin(langs: _*))
+      .select(col(idCol), col(textCol))
+    val exactKept = Dedup.exactKeepFirst(filtered,
+      md5Fingerprint(col(textCol)), col(idCol))
+    val pairs = Dedup
+      .minHashNearDupPairs(exactKept, idCol, textCol, p, minEst)
+      .select(col("id_a"), col("id_b"))
+    val clusters = Dedup.connectedComponents(
+      exactKept.select(col(idCol)), idCol, pairs)
+    exactKept.join(
+      clusters.filter(col(idCol) === col("cluster_id")).select(col(idCol)),
+      Seq(idCol), "left_semi")
+  }
+}

@@ -33,6 +33,43 @@ object ExtensionQueries {
     s"CAST(len(list_filter($duckWsTokens, t -> list_contains($arr, t))) AS BIGINT)"
   }
 
+  // TextAnalysis quality-metric twins over a `text` column — shared by
+  // x9 and the x21 pipeline so the formulas cannot drift apart.
+  private val duckNTok = s"CAST(len($duckWsTokens) AS BIGINT)"
+  private val duckSwCount = duckTokensIn(
+    Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it"))
+  private val duckAlpha =
+    "CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) " +
+      "AS DOUBLE) / length(text)"
+  private val duckLenSum = s"CAST(list_reduce(list_prepend(0, " +
+    s"list_transform($duckWsTokens, t -> length(t))), (a, b) -> a + b) " +
+    "AS BIGINT)"
+  private val duckMeanLen = s"CAST($duckLenSum AS DOUBLE) / $duckNTok"
+  private val duckQuality =
+    s"CAST($duckSwCount AS DOUBLE) / $duckNTok * 0.4 + ($duckAlpha) * 0.4 + " +
+      s"(CASE WHEN $duckMeanLen >= 3 AND $duckMeanLen <= 10 " +
+      "THEN 0.2 ELSE 0.0 END)"
+
+  /** Language-ID twin: CTE chain over `src(doc_id, text)` emitting
+    * `<out>`(doc_id, text, lang_pred) — shared by x8 and x21. */
+  private def duckLangCtes(src: String, out: String): String = {
+    val scores = TextAnalysis.langMarkers.map { case (lang, words) =>
+      s"${duckTokensIn(words)} AS s_$lang"
+    }.mkString(",\n  ")
+    val best = TextAnalysis.langMarkers
+      .map { case (l, _) => s"s_$l" }
+      .reduceRight((a, b) => s"greatest($a, $b)")
+    val cases = TextAnalysis.langMarkers.map { case (l, _) =>
+      s"WHEN s_$l = best AND s_$l > 0 THEN '$l'"
+    }.mkString(" ")
+    s"""${out}_scored AS (
+       |  SELECT doc_id, text, $scores
+       |  FROM $src),
+       |${out}_best AS (SELECT *, $best AS best FROM ${out}_scored),
+       |$out AS (SELECT doc_id, text, CASE $cases ELSE 'und' END AS lang_pred
+       |         FROM ${out}_best)""".stripMargin
+  }
+
   /** x1d twins: BOTH the Spark run and the generated oracle read these,
     * so signature length and threshold cannot drift apart. */
   private val x1dParams = Dedup.MinHashParams()
@@ -348,24 +385,9 @@ object ExtensionQueries {
         .select(TextAnalysis.langIdFromTokens(col("toks")).as("lang_pred"))
         .groupBy(col("lang_pred")).agg(count(lit(1)).as("n"))
         .orderBy(col("lang_pred")),
-      Some {
-        val scores = TextAnalysis.langMarkers.map { case (lang, words) =>
-          s"${duckTokensIn(words)} AS s_$lang"
-        }.mkString(",\n  ")
-        val best = TextAnalysis.langMarkers
-          .map { case (lang, _) => s"s_$lang" }
-          .reduceRight((a, b) => s"greatest($a, $b)")
-        val cases = TextAnalysis.langMarkers.map { case (lang, _) =>
-          s"WHEN s_$lang = best AND s_$lang > 0 THEN '$lang'"
-        }.mkString(" ")
-        s"""WITH scored AS (SELECT
-           |  $scores
-           |  FROM documents),
-           |best AS (SELECT *, $best AS best FROM scored),
-           |pred AS (SELECT CASE $cases ELSE 'und' END AS lang_pred FROM best)
-           |SELECT lang_pred, count(*) AS n FROM pred
-           |GROUP BY lang_pred ORDER BY lang_pred""".stripMargin
-      }),
+      Some(s"""WITH ${duckLangCtes("documents", "lp")}
+              |SELECT lang_pred, count(*) AS n FROM lp
+              |GROUP BY lang_pred ORDER BY lang_pred""".stripMargin)),
 
     QuerySpec("x9_text_quality",
       "per-document quality metrics: stopword/alpha ratios, mean token length, score",
@@ -378,24 +400,12 @@ object ExtensionQueries {
           TextAnalysis.qualityScoreFromTokens(col("text"), col("toks"))
             .as("quality"))
         .orderBy(col("doc_id")),
-      Some {
-        val sw = Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
-        val nTok = s"CAST(len($duckWsTokens) AS BIGINT)"
-        val swCount = duckTokensIn(sw)
-        val alpha = "CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) " +
-          "AS DOUBLE) / length(text)"
-        val lenSum = s"CAST(list_reduce(list_prepend(0, list_transform(" +
-          s"$duckWsTokens, t -> length(t))), (a, b) -> a + b) AS BIGINT)"
-        val meanLen = s"CAST($lenSum AS DOUBLE) / $nTok"
-        s"""SELECT doc_id,
-           |  CAST($swCount AS DOUBLE) / $nTok AS stopword_ratio,
-           |  $alpha AS alpha_ratio,
-           |  $meanLen AS mean_token_len,
-           |  CAST($swCount AS DOUBLE) / $nTok * 0.4 + ($alpha) * 0.4 +
-           |    (CASE WHEN $meanLen >= 3 AND $meanLen <= 10 THEN 0.2 ELSE 0.0 END)
-           |    AS quality
-           |FROM documents ORDER BY doc_id""".stripMargin
-      }),
+      Some(s"""SELECT doc_id,
+              |  CAST($duckSwCount AS DOUBLE) / $duckNTok AS stopword_ratio,
+              |  $duckAlpha AS alpha_ratio,
+              |  $duckMeanLen AS mean_token_len,
+              |  $duckQuality AS quality
+              |FROM documents ORDER BY doc_id""".stripMargin)),
 
     QuerySpec("x10_text_tokens",
       "token statistics: whitespace, BPE-ish regex, distinct counts",
@@ -665,6 +675,76 @@ object ExtensionQueries {
               |  FROM scored)
               |SELECT doc_id, rk, token, score FROM ranked
               |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin)),
+
+    QuerySpec("x21_corpus_clean_pipeline",
+      "end-to-end corpus hygiene (Corpus.clean): quality floor + " +
+        "language allowlist + exact dedup + near-dup cluster keep-one, " +
+        "composed from the individually verified operators and " +
+        "verified END-TO-END against a DuckDB re-derivation",
+      (s, dir) => graft.operators.Corpus.clean(t(s, dir, "documents"),
+          "doc_id", "text", minQuality = 0.55, langs = Seq("en"))
+        .select(col("doc_id"))
+        .orderBy(col("doc_id")),
+      Some(s"""WITH RECURSIVE ${duckLangCtes("documents", "lp")},
+              |filtered AS (
+              |  SELECT doc_id, text FROM lp
+              |  WHERE lang_pred IN ('en') AND ($duckQuality) >= 0.55),
+              |fps AS (
+              |  SELECT doc_id, text,
+              |    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS f
+              |  FROM filtered),
+              |kept AS (
+              |  SELECT p.doc_id, p.text
+              |  FROM fps p JOIN (SELECT f, min(doc_id) AS mid
+              |                   FROM fps GROUP BY f) k ON p.doc_id = k.mid),
+              |mh AS (SELECT id_a, id_b FROM (
+              |  ${Dedup.minHashOracleSql("kept", "doc_id", "text")
+                     .replace("\n", "\n  ")})),
+              |edges AS (
+              |  SELECT id_a AS u, id_b AS v FROM mh
+              |  UNION SELECT id_b, id_a FROM mh),
+              |reach(u, v) AS (
+              |  SELECT u, v FROM edges
+              |  UNION
+              |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+              |labels AS (SELECT u, min(v) AS mv FROM reach GROUP BY u)
+              |SELECT k.doc_id FROM kept k
+              |LEFT JOIN labels l ON l.u = k.doc_id
+              |WHERE least(k.doc_id, coalesce(l.mv, k.doc_id)) = k.doc_id
+              |ORDER BY doc_id""".stripMargin)),
+
+    QuerySpec("x22_embedding_quantize",
+      "symmetric int8 embedding quantization: per-vector scale + " +
+        "quantized-array aggregates (floor(x+0.5) rounding is " +
+        "bit-identical cross-engine; round()'s half-modes are not)",
+      (s, dir) => {
+        val q = t(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding"),
+            int8Scale(col("embedding")).as("scale"))
+          .select(col("vec_id"), col("scale"),
+            quantizeInt8(col("embedding"), col("scale")).as("q"))
+        q.select(col("vec_id"), col("scale"),
+            aggregate(col("q"), lit(0L), (a, x) => a + x).as("sum_q"),
+            array_max(transform(col("q"), x => abs(x))).as("max_abs_q"))
+          .orderBy(col("vec_id"))
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             |s AS (SELECT vec_id, v,
+             |        coalesce(list_max(list_transform(v, x -> abs(x))) / 127,
+             |                 0.0) AS scale
+             |      FROM e),
+             |q AS (SELECT vec_id, scale,
+             |        CASE WHEN scale > 0
+             |          THEN list_transform(v, x -> CAST(least(127, greatest(-127,
+             |                 floor(x / scale + 0.5))) AS BIGINT))
+             |          ELSE list_transform(v, x -> CAST(0 AS BIGINT)) END AS qv
+             |      FROM s)
+             |SELECT vec_id, scale,
+             |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), qv),
+             |    (a, b) -> a + b) AS BIGINT) AS sum_q,
+             |  CAST(list_max(list_transform(qv, x -> abs(x))) AS BIGINT)
+             |    AS max_abs_q
+             |FROM q ORDER BY vec_id""".stripMargin)),
 
     QuerySpec("x14b_session_window_builtin",
       "sessionization via Spark's NATIVE session_window aggregate " +

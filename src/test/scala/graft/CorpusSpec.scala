@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Corpus
+
+class CorpusSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog again and again"),
+    (2L, "the quick brown fox jumps over the lazy dog again and again"),
+    (3L, "the quick brown fox jumps over the lazy cat again and again"),
+    (4L, "completely different content about spark query engines at scale"),
+    (5L, "the quick brown fox jumps over the lazy dog again and again ")
+  ).toDF("doc_id", "text")
+
+  test("clean drops exact dups and whitespace variants, keeps a " +
+      "representative per cluster, respects the quality floor") {
+    val kept = Corpus.clean(docs, "doc_id", "text",
+        minQuality = 0.0, langs = Seq("en", "und"))
+      .select("doc_id").as[Long].collect().toSet
+    // 2 is byte-identical to 1; 5 normalizes to 1's fingerprint
+    assert(!kept.contains(2L) && !kept.contains(5L))
+    // each surviving cluster keeps its min id; 4 is untouched
+    assert(kept.contains(1L) && kept.contains(4L))
+    assert(kept.subsetOf(Set(1L, 3L, 4L)))
+    // an impossible quality floor rejects everything
+    assert(Corpus.clean(docs, "doc_id", "text", minQuality = 2.0,
+      langs = Seq("en", "und")).count() == 0)
+  }
+
+  test("language allowlist filters: nothing passes an empty allowlist") {
+    assert(Corpus.clean(docs, "doc_id", "text", 0.0, Seq("fr")).count() == 0)
+  }
+}

@@ -58,6 +58,25 @@ class EmptyInputSpec extends SparkSpec {
       Multimodal.decodeFeatures(media), 64, 64, 3).count() == 0)
   }
 
+  test("round-3 operators tolerate empty inputs") {
+    import graft.functions.VectorFunctions._
+    import graft.operators.Corpus
+    // full hygiene pipeline over an empty corpus
+    assert(Corpus.clean(emptyDocs, "doc_id", "text", 0.0, Seq("en", "und"))
+      .count() == 0)
+    // adjudicated incremental dedup with empty batch AND empty inventory
+    val inv = Dedup.signatureInventory(emptyDocs, "doc_id", "text")
+    assert(Dedup.incrementalNearAdjudicated(emptyDocs, "doc_id", "text", inv)
+      .count() == 0)
+    // recall over empty frames
+    val noPairs = Seq.empty[(Long, Long)].toDF("qid", "did")
+    assert(Similarity.recallAtK(noPairs, noPairs).count() == 0)
+    // quantization of empty vector set
+    assert(emptyVecs.withColumn("s", int8Scale(col("embedding")))
+      .withColumn("q", quantizeInt8(col("embedding"), col("s")))
+      .count() == 0)
+  }
+
   test("short documents (below shingle width) still shingle safely") {
     val tiny = Seq((1L, "ab"), (2L, "a b")).toDF("doc_id", "text")
     val sigs = Dedup.minHashSignatures(tiny, "doc_id", "text",

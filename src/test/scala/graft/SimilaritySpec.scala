@@ -19,6 +19,36 @@ class SimilaritySpec extends SparkSpec {
     assert(got == Seq(1.0, 0.0, -1.0, 0.0))
   }
 
+  test("int8 quantization: exact scale, rounding, clamp, zero-vector") {
+    val df = Seq(
+      (1L, Seq(0f, 1f, -2f, 4f)),
+      (2L, Seq(0f, 0f, 0f, 0f))
+    ).toDF("id", "v")
+      .withColumn("scale", int8Scale(col("v")))
+      .withColumn("q", quantizeInt8(col("v"), col("scale")))
+    val rows = df.select(col("id"), col("scale"), col("q"))
+      .as[(Long, Double, Seq[Long])].collect()
+      .map(t => t._1 -> (t._2, t._3)).toMap
+    val (s1, q1) = (rows(1L)._1, rows(1L)._2)
+    assert(s1 == 4.0 / 127)
+    // floor(v/scale + 0.5): 0 -> 0, 1 -> floor(32.25)=32,
+    // -2 -> floor(-63.0)=-63, 4 -> 127 (the scale-defining element)
+    assert(q1 == Seq(0L, 32L, -63L, 127L))
+    val (s2, q2) = (rows(2L)._1, rows(2L)._2)
+    assert(s2 == 0.0 && q2 == Seq(0L, 0L, 0L, 0L))
+  }
+
+  test("recallAtK: perfect approx = 1.0; disjoint approx = 0.0") {
+    val exact = Seq((1L, 10L), (1L, 11L), (2L, 10L)).toDF("qid", "did")
+    val perfect = Similarity.recallAtK(exact, exact)
+      .as[(Long, Double)].collect().toMap
+    assert(perfect == Map(1L -> 1.0, 2L -> 1.0))
+    val disjoint = Seq((1L, 99L), (2L, 98L)).toDF("qid", "did")
+    val none = Similarity.recallAtK(disjoint, exact)
+      .as[(Long, Double)].collect().toMap
+    assert(none == Map(1L -> 0.0, 2L -> 0.0))
+  }
+
   test("bruteForceTopK ranks by cosine, excludes self, respects k") {
     val vecs = Seq(
       (0L, Seq(1f, 0f, 0f)),
