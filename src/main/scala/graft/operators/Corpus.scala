@@ -37,8 +37,12 @@ object Corpus {
           >= minQuality &&
         TextAnalysis.langIdFromTokens(col("__tk")).isin(langs: _*))
       .select(col(idCol), col(textCol))
+    // Three consumers (pair generation, clustering, the final semi
+    // join) read this frame: checkpoint it so the scan+filter+dedup
+    // subtree executes once, not three times over the raw corpus.
     val exactKept = Dedup.exactKeepFirst(filtered,
       md5Fingerprint(col(textCol)), col(idCol))
+      .localCheckpoint(true)
     val pairs = Dedup
       .minHashNearDupPairs(exactKept, idCol, textCol, p, minEst)
       .select(col("id_a"), col("id_b"))
