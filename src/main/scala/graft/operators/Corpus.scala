@@ -28,23 +28,27 @@ object Corpus {
       minQuality: Double, langs: Seq[String],
       p: Dedup.MinHashParams = Dedup.MinHashParams(),
       minEst: Double = 0.75): DataFrame = {
-    // tokens materialized ONCE, before the lambda-bearing scorers
-    val toks = docs.select(col(idCol), col(textCol),
-      wsTokens(col(textCol)).as("__tk"))
-    val filtered = toks
-      .filter(
-        TextAnalysis.qualityScoreFromTokens(col(textCol), col("__tk"))
-          >= minQuality &&
-        TextAnalysis.langIdFromTokens(col("__tk")).isin(langs: _*))
-      .select(col(idCol), col(textCol))
+    import org.apache.spark.sql.GraftBridge
+    // ONE native predicate, not a composition: Catalyst pushes a
+    // deterministic filter through any token-materializing Project
+    // (alias substitution), which would re-tokenize each raw document
+    // once per metric reference — CorpusKeep tokenizes once per row
+    // and the rejects never reach a shuffle (see its scaladoc).
+    val keep = GraftBridge.column(graft.plans.CorpusKeep(
+      GraftBridge.expression(col(textCol)), minQuality, langs,
+      TextAnalysis.stopwords, TextAnalysis.langMarkers))
+    val filtered = docs.filter(keep).select(col(idCol), col(textCol))
     // Three consumers (pair generation, clustering, the final semi
     // join) read this frame: checkpoint it so the scan+filter+dedup
     // subtree executes once, not three times over the raw corpus.
     val exactKept = Dedup.exactKeepFirst(filtered,
       md5Fingerprint(col(textCol)), col(idCol))
       .localCheckpoint(true)
+    // fingerprint dedup already collapsed byte-identical texts, so the
+    // LSH stage's own prefilter would be a wasted full-text shuffle
     val pairs = Dedup
-      .minHashNearDupPairs(exactKept, idCol, textCol, p, minEst)
+      .minHashNearDupPairs(exactKept, idCol, textCol, p, minEst,
+        preDeduped = true)
       .select(col("id_a"), col("id_b"))
     val clusters = Dedup.connectedComponents(
       exactKept.select(col(idCol)), idCol, pairs)

@@ -97,9 +97,9 @@ object Dedup {
     * and no full-corpus signature table is pinned in memory. */
   def minHashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
       p: MinHashParams = MinHashParams(), minEst: Double = 0.75,
-      maxBucket: Int = 1000): DataFrame = {
+      maxBucket: Int = 1000, preDeduped: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val sigs = minHashArraySigs(docs, idCol, textCol, p)
+    val sigs = minHashArraySigs(docs, idCol, textCol, p, preDeduped)
     val bands = bandKeys(sigs, idCol, p, carrySig = true)
     val capW = Window.partitionBy(col("band"), col("band_key"))
       .orderBy(col(idCol))
@@ -156,10 +156,17 @@ object Dedup {
 
   /** Array-form signatures over exact-deduped docs (lowest id kept per
     * identical text): one `sig` column instead of k, string-identical
-    * to the per-column formulation so the DuckDB oracle reproduces it. */
+    * to the per-column formulation so the DuckDB oracle reproduces it.
+    * `preDeduped` skips the prefilter groupBy when the caller already
+    * guarantees distinct texts (e.g. after a fingerprint dedup, whose
+    * normalization subsumes byte identity) — the prefilter would be a
+    * full-text shuffle that re-establishes a held invariant. */
   private def minHashArraySigs(docs: DataFrame, idCol: String,
-      textCol: String, p: MinHashParams): DataFrame = {
-    val deduped = docs.groupBy(col(textCol)).agg(min(col(idCol)).as(idCol))
+      textCol: String, p: MinHashParams,
+      preDeduped: Boolean = false): DataFrame = {
+    val deduped =
+      if (preDeduped) docs.select(col(textCol), col(idCol))
+      else docs.groupBy(col(textCol)).agg(min(col(idCol)).as(idCol))
     val toks = deduped.select(col(idCol), trim(col(textCol)).as("__t"),
       wsTokens(col(textCol)).as("__tk"))
     val grams = toks.select(col(idCol),

@@ -58,10 +58,15 @@ object TextAnalysis {
   def stopwordRatio(textCol: Column): Column =
     stopwordRatioFromTokens(wsTokens(textCol))
 
-  /** Alphabetic-character ratio (needs the raw text, not tokens). */
+  /** Alphabetic-character ratio (needs the raw text, not tokens).
+    * Zero-guarded: an empty document scores 0 rather than tripping
+    * ANSI mode's DIVIDE_BY_ZERO — a hygiene filter must reject junk
+    * rows, not crash on them. */
   def alphaRatio(textCol: Column): Column =
-    length(regexp_replace(textCol, "[^A-Za-z]", "")).cast("double") /
-      length(textCol)
+    when(length(textCol) > 0,
+      length(regexp_replace(textCol, "[^A-Za-z]", "")).cast("double") /
+        length(textCol))
+      .otherwise(lit(0.0))
 
   /** Mean token length from a token array. */
   def meanTokenLenFromTokens(toks: Column): Column =

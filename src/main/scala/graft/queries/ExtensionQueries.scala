@@ -36,11 +36,11 @@ object ExtensionQueries {
   // TextAnalysis quality-metric twins over a `text` column — shared by
   // x9 and the x21 pipeline so the formulas cannot drift apart.
   private val duckNTok = s"CAST(len($duckWsTokens) AS BIGINT)"
-  private val duckSwCount = duckTokensIn(
-    Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it"))
+  private val duckSwCount = duckTokensIn(TextAnalysis.stopwords)
   private val duckAlpha =
-    "CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) " +
-      "AS DOUBLE) / length(text)"
+    "CASE WHEN length(text) > 0 THEN " +
+      "CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) " +
+      "AS DOUBLE) / length(text) ELSE 0.0 END"
   private val duckLenSum = s"CAST(list_reduce(list_prepend(0, " +
     s"list_transform($duckWsTokens, t -> length(t))), (a, b) -> a + b) " +
     "AS BIGINT)"

@@ -30,7 +30,22 @@ class CorpusSpec extends SparkSpec {
       langs = Seq("en", "und")).count() == 0)
   }
 
-  test("language allowlist filters: nothing passes an empty allowlist") {
+  test("language allowlist filters: non-matching and empty allowlists " +
+      "both keep nothing") {
     assert(Corpus.clean(docs, "doc_id", "text", 0.0, Seq("fr")).count() == 0)
+    assert(Corpus.clean(docs, "doc_id", "text", 0.0, Seq.empty).count() == 0)
+  }
+
+  test("junk rows are rejected, not fatal: empty and whitespace-only " +
+      "text pass through the quality filter as rejects under ANSI mode") {
+    val junk = docs.union(Seq((6L, ""), (7L, "   ")).toDF("doc_id", "text"))
+    val kept = Corpus.clean(junk, "doc_id", "text",
+        minQuality = 0.0, langs = Seq("en", "und"))
+      .select("doc_id").as[Long].collect().toSet
+    // minQuality 0.0: even junk scores 0 >= 0, but must not crash;
+    // a positive floor rejects it
+    assert(Corpus.clean(junk, "doc_id", "text", 0.01, Seq("en", "und"))
+      .select("doc_id").as[Long].collect().toSet.intersect(Set(6L, 7L)).isEmpty)
+    assert(kept.contains(1L) || kept.contains(4L))
   }
 }
