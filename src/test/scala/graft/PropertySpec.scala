@@ -72,6 +72,63 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("CorpusKeep equals the composed quality/language filter on " +
+      "arbitrary text (incl. whitespace edges)") {
+    import org.apache.spark.sql.GraftBridge
+    import graft.operators.TextAnalysis
+    // texts of random words joined by random whitespace runs, plus
+    // leading/trailing space sometimes — the alias-substitution twin
+    // must agree with the composed expressions on every one
+    val sep = Gen.oneOf(" ", "  ", "\t", " \t ")
+    val text: Gen[String] = for {
+      words <- Gen.listOf(Gen.oneOf(word, Gen.const("the"),
+        Gen.const("und3r_score"), Gen.const("la")))
+      seps <- Gen.listOfN(math.max(words.length - 1, 0), sep)
+      pre <- Gen.oneOf("", " ", "  ")
+      post <- Gen.oneOf("", " ")
+    } yield pre + words.zipAll(seps, "", "").map(t => t._1 + t._2).mkString + post
+    forAll(Gen.listOfN(12, text), minSuccessful(5)) { (texts: List[String]) =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val minQ = 0.3
+      val langs = Seq("en", "und")
+      val native = GraftBridge.column(graft.plans.CorpusKeep(
+        GraftBridge.expression(col("text")), minQ, langs,
+        TextAnalysis.stopwords, TextAnalysis.langMarkers))
+      val gotNative = df.filter(native).select("doc_id")
+        .as[Long].collect().toSet
+      val toks = df.select(col("doc_id"), col("text"),
+        wsTokens(col("text")).as("tk"))
+      val gotComposed = toks.filter(
+          TextAnalysis.qualityScoreFromTokens(col("text"), col("tk")) >= minQ &&
+          TextAnalysis.langIdFromTokens(col("tk")).isin(langs: _*))
+        .select("doc_id").as[Long].collect().toSet
+      assert(gotNative == gotComposed, s"texts=$texts")
+    }
+  }
+
+  test("int8 quantization error is bounded by scale/2 for every element") {
+    import graft.functions.VectorFunctions._
+    val vec: Gen[Seq[Float]] = Gen.nonEmptyListOf(
+      Gen.chooseNum(-100f, 100f)).map(_.toSeq)
+    forAll(Gen.listOfN(8, vec), minSuccessful(5)) { (vs: List[Seq[Float]]) =>
+      val df = vs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("id", "v")
+        .withColumn("scale", int8Scale(col("v")))
+        .withColumn("q", quantizeInt8(col("v"), col("scale")))
+      df.select(col("v"), col("scale"), col("q"))
+        .as[(Seq[Float], Double, Seq[Long])].collect().foreach {
+          case (v, scale, q) =>
+            assert(q.forall(x => x >= -127 && x <= 127))
+            if (scale > 0) v.zip(q).foreach { case (orig, qi) =>
+              val err = math.abs(orig.toDouble - qi * scale)
+              assert(err <= scale / 2 + 1e-9,
+                s"v=$orig q=$qi scale=$scale err=$err")
+            } else assert(q.forall(_ == 0L))
+        }
+    }
+  }
+
   test("rolling_hash equals the scala fold model for arbitrary ASCII") {
     graft.functions.Register.rollingHash(spark)
     def model(s: String): Long =
