@@ -746,6 +746,59 @@ object ExtensionQueries {
              |    AS max_abs_q
              |FROM q ORDER BY vec_id""".stripMargin)),
 
+    QuerySpec("x23_sequence_packing",
+      "LLM sequence packing: docs -> fixed token-budget packs via a " +
+        "distributed two-level prefix sum (bit-identical to the " +
+        "textbook global-cumsum oracle; no global window over docs)",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+          .select(col("doc_id"), wsTokenCount(col("text")).as("n_tokens"))
+        graft.operators.Packing
+          .assignPacks(docs, "doc_id", "n_tokens", budget = 256L)
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH d AS (
+              |  SELECT doc_id,
+              |    CAST(len($duckWsTokens) AS BIGINT) AS n_tokens
+              |  FROM documents),
+              |c AS (
+              |  SELECT doc_id, n_tokens,
+              |    sum(n_tokens) OVER (ORDER BY doc_id
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              |      - n_tokens AS excl
+              |  FROM d)
+              |SELECT doc_id, n_tokens,
+              |       CAST(excl // 256 AS BIGINT) AS pack_id
+              |FROM c ORDER BY doc_id""".stripMargin)),
+
+    QuerySpec("x23b_pack_manifest",
+      "pack manifest for the shard writer: per-pack doc count, token " +
+        "total, id range",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+          .select(col("doc_id"), wsTokenCount(col("text")).as("n_tokens"))
+        val assigned = graft.operators.Packing
+          .assignPacks(docs, "doc_id", "n_tokens", budget = 256L)
+        graft.operators.Packing.packManifest(assigned, "doc_id", "n_tokens")
+          .orderBy(col("pack_id"))
+      },
+      Some(s"""WITH d AS (
+              |  SELECT doc_id,
+              |    CAST(len($duckWsTokens) AS BIGINT) AS n_tokens
+              |  FROM documents),
+              |c AS (
+              |  SELECT doc_id, n_tokens,
+              |    sum(n_tokens) OVER (ORDER BY doc_id
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              |      - n_tokens AS excl
+              |  FROM d),
+              |a AS (SELECT doc_id, n_tokens,
+              |             CAST(excl // 256 AS BIGINT) AS pack_id FROM c)
+              |SELECT pack_id, CAST(count(*) AS BIGINT) AS n_docs,
+              |       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+              |       min(doc_id) AS first_id, max(doc_id) AS last_id
+              |FROM a GROUP BY pack_id ORDER BY pack_id""".stripMargin)),
+
     QuerySpec("x14b_session_window_builtin",
       "sessionization via Spark's NATIVE session_window aggregate " +
         "(merge-on-overlap; end = last event + gap) — one aggregation, " +

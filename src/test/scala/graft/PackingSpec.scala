@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Packing
+
+class PackingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("assignPacks equals the sequential model regardless of bucket size") {
+    // sparse, unordered-insert ids with varied token counts
+    val rows = Seq((3L, 10L), (10L, 50L), (90L, 200L), (91L, 5L),
+      (4000L, 100L), (4100L, 300L), (9000L, 1L), (9001L, 256L))
+    val df = rows.toDF("doc_id", "n_tokens")
+    // sequential ground truth: exclusive running sum div budget
+    val expected = rows.sortBy(_._1)
+      .scanLeft((0L, 0L, 0L)) { case ((_, _, cum), (id, n)) => (id, n, cum + n) }
+      .drop(1)
+      .map { case (id, n, cumIncl) => id -> (cumIncl - n) / 256L }
+      .toMap
+    for (bucket <- Seq(2L, 64L, 4096L, 1000000L)) {
+      val got = Packing.assignPacks(df, "doc_id", "n_tokens", 256L, bucket)
+        .select("doc_id", "pack_id").as[(Long, Long)].collect().toMap
+      assert(got == expected, s"idBucket=$bucket")
+    }
+  }
+
+  test("packManifest totals cover every doc exactly once") {
+    val df = (1L to 100L).map(i => (i, i % 7 + 1)).toDF("doc_id", "n_tokens")
+    val assigned = Packing.assignPacks(df, "doc_id", "n_tokens", 64L)
+    val m = Packing.packManifest(assigned, "doc_id", "n_tokens")
+    val (docs, toks) = m.agg(sum("n_docs"), sum("n_tokens"))
+      .as[(Long, Long)].head()
+    assert(docs == 100L)
+    assert(toks == (1L to 100L).map(_ % 7 + 1).sum)
+    // pack ids are contiguous from 0
+    val ids = m.select("pack_id").as[Long].collect().sorted
+    assert(ids.head == 0L && ids.toSeq == (0L until ids.length).toSeq)
+  }
+
+  test("empty input yields no packs") {
+    val empty = Seq.empty[(Long, Long)].toDF("doc_id", "n_tokens")
+    assert(Packing.assignPacks(empty, "doc_id", "n_tokens", 256L).count() == 0)
+  }
+}
