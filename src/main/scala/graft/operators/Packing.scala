@@ -23,21 +23,38 @@ object Packing {
 
   /** (idCol, nTokCol, pack_id) for every row: pack_id =
     * floor(exclusive_running_token_sum / budget) over rows ordered by
-    * `idCol`. `idBucket` sizes the prefix-sum buckets (id range per
-    * bucket, not row count — ids need not be dense). */
+    * `idCol`.
+    *
+    * PRECONDITION: `idCol` values must be unique — the running sum is
+    * ordered by id alone, so duplicate ids would make tie order (and
+    * thus pack boundaries) run-dependent, like any non-total ORDER BY.
+    *
+    * Buckets come from `repartitionByRange` over the id (sampled,
+    * balanced boundaries), NOT from the id VALUE space — value-range
+    * buckets degenerate to one row per bucket under sparse hash ids,
+    * which would blow up the offsets broadcast and the over-buckets
+    * window. `nBuckets` therefore bounds the offsets frame regardless
+    * of id distribution. The sampled boundaries may differ between
+    * runs, but the prefix sum is associative, so pack ids are
+    * IDENTICAL for any bucketing — determinism does not depend on the
+    * sampling (PackingSpec checks equivalence across bucket counts),
+    * and a task retry recomputes the same pure id→partition mapping. */
   def assignPacks(docs: DataFrame, idCol: String, nTokCol: String,
-      budget: Long, idBucket: Long = 4096L): DataFrame = {
+      budget: Long, nBuckets: Int = 1024): DataFrame = {
     require(budget > 0, "budget must be positive")
-    val bucket = (col(idCol) / idBucket).cast("long").as("__b")
+    require(nBuckets > 0, "nBuckets must be positive")
+    val bucketed = docs.select(col(idCol), col(nTokCol))
+      .repartitionByRange(nBuckets, col(idCol))
+      .withColumn("__b", spark_partition_id().cast("long"))
     val inBucket = Window.partitionBy(col("__b"))
       .orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val withCum = docs.select(col(idCol), col(nTokCol), bucket)
+    val withCum = bucketed
       .withColumn("__cum_in", sum(col(nTokCol)).over(inBucket))
-    // per-bucket totals: a tiny frame (one row per bucket) — the only
-    // global window runs over it
+    // per-bucket totals: at most nBuckets rows — the only global
+    // window runs over this tiny frame
     val bucketTotals = withCum.groupBy(col("__b"))
-      .agg(max(col("__cum_in")).as("__tot"))
+      .agg(sum(col(nTokCol)).as("__tot"))
     val overBuckets = Window.orderBy(col("__b"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val offsets = bucketTotals

@@ -758,8 +758,7 @@ object ExtensionQueries {
           .orderBy(col("doc_id"))
       },
       Some(s"""WITH d AS (
-              |  SELECT doc_id,
-              |    CAST(len($duckWsTokens) AS BIGINT) AS n_tokens
+              |  SELECT doc_id, $duckNTok AS n_tokens
               |  FROM documents),
               |c AS (
               |  SELECT doc_id, n_tokens,
@@ -783,8 +782,7 @@ object ExtensionQueries {
           .orderBy(col("pack_id"))
       },
       Some(s"""WITH d AS (
-              |  SELECT doc_id,
-              |    CAST(len($duckWsTokens) AS BIGINT) AS n_tokens
+              |  SELECT doc_id, $duckNTok AS n_tokens
               |  FROM documents),
               |c AS (
               |  SELECT doc_id, n_tokens,

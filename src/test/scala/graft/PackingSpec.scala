@@ -18,11 +18,29 @@ class PackingSpec extends SparkSpec {
       .drop(1)
       .map { case (id, n, cumIncl) => id -> (cumIncl - n) / 256L }
       .toMap
-    for (bucket <- Seq(2L, 64L, 4096L, 1000000L)) {
-      val got = Packing.assignPacks(df, "doc_id", "n_tokens", 256L, bucket)
+    for (nBuckets <- Seq(1, 2, 7, 64)) {
+      val got = Packing.assignPacks(df, "doc_id", "n_tokens", 256L, nBuckets)
         .select("doc_id", "pack_id").as[(Long, Long)].collect().toMap
-      assert(got == expected, s"idBucket=$bucket")
+      assert(got == expected, s"nBuckets=$nBuckets")
     }
+  }
+
+  test("sparse 60-bit hash ids do not degrade the bucket frame") {
+    // ids drawn from a huge sparse space: value-range bucketing would
+    // make ~1 bucket per row; rank-based ranges must keep pack ids
+    // equal to the sequential model regardless
+    val rows = Seq(7L, 1L << 58, (1L << 59) + 3, 12345678901L, 42L,
+      (1L << 57) - 11, 999999999999999L, 3L)
+      .distinct.map(id => (id, id % 97 + 1))
+    val df = rows.toDF("doc_id", "n_tokens")
+    val expected = rows.sortBy(_._1)
+      .scanLeft((0L, 0L, 0L)) { case ((_, _, cum), (id, n)) => (id, n, cum + n) }
+      .drop(1)
+      .map { case (id, n, cumIncl) => id -> (cumIncl - n) / 128L }
+      .toMap
+    val got = Packing.assignPacks(df, "doc_id", "n_tokens", 128L, 4)
+      .select("doc_id", "pack_id").as[(Long, Long)].collect().toMap
+    assert(got == expected)
   }
 
   test("packManifest totals cover every doc exactly once") {
