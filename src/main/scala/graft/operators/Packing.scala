@@ -42,30 +42,41 @@ object Packing {
   def assignPacks(docs: DataFrame, idCol: String, nTokCol: String,
       budget: Long, nBuckets: Int = 1024): DataFrame = {
     require(budget > 0, "budget must be positive")
+    exclusiveRunningSum(docs, idCol, nTokCol, nBuckets)
+      // integer DIV, not `/`: double division would lose exactness
+      // once running token sums pass 2^53
+      .select(col(idCol), col(nTokCol),
+        expr(s"CAST(__excl DIV $budget AS BIGINT)").as("pack_id"))
+  }
+
+  /** The distributed global EXCLUSIVE running sum of `valueCol` over
+    * rows ordered by (unique) `idCol`, as column `__excl` — the
+    * two-level prefix-sum primitive behind pack assignment and
+    * weighted corpus mixing. See [[assignPacks]] for the bucketing
+    * rationale and the uniqueness precondition. */
+  def exclusiveRunningSum(docs: DataFrame, idCol: String,
+      valueCol: String, nBuckets: Int = 1024): DataFrame = {
     require(nBuckets > 0, "nBuckets must be positive")
-    val bucketed = docs.select(col(idCol), col(nTokCol))
+    val bucketed = docs.select(col(idCol), col(valueCol))
       .repartitionByRange(nBuckets, col(idCol))
       .withColumn("__b", spark_partition_id().cast("long"))
     val inBucket = Window.partitionBy(col("__b"))
       .orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val withCum = bucketed
-      .withColumn("__cum_in", sum(col(nTokCol)).over(inBucket))
+      .withColumn("__cum_in", sum(col(valueCol)).over(inBucket))
     // per-bucket totals: at most nBuckets rows — the only global
     // window runs over this tiny frame
     val bucketTotals = withCum.groupBy(col("__b"))
-      .agg(sum(col(nTokCol)).as("__tot"))
+      .agg(sum(col(valueCol)).as("__tot"))
     val overBuckets = Window.orderBy(col("__b"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val offsets = bucketTotals
       .withColumn("__off", sum(col("__tot")).over(overBuckets) - col("__tot"))
       .select(col("__b"), col("__off"))
     withCum.join(broadcast(offsets), Seq("__b"))
-      // integer DIV, not `/`: double division would lose exactness
-      // once running token sums pass 2^53
-      .withColumn("__excl", col("__cum_in") + col("__off") - col(nTokCol))
-      .select(col(idCol), col(nTokCol),
-        expr(s"CAST(__excl DIV $budget AS BIGINT)").as("pack_id"))
+      .withColumn("__excl", col("__cum_in") + col("__off") - col(valueCol))
+      .select(col(idCol), col(valueCol), col("__excl"))
   }
 
   /** Pack manifest: per pack, its row count, token total, and id

@@ -797,6 +797,34 @@ object ExtensionQueries {
               |       min(doc_id) AS first_id, max(doc_id) AS last_id
               |FROM a GROUP BY pack_id ORDER BY pack_id""".stripMargin)),
 
+    QuerySpec("x24_corpus_mixing",
+      "weighted deterministic corpus mixing: stride-interleave two " +
+        "sources at a 2:1 ratio via per-source distributed ranks — " +
+        "no RNG, stable under re-runs and appends",
+      (s, dir) => {
+        val docs = t(s, dir, "documents").select(col("doc_id"))
+        val even = docs.filter(col("doc_id") % 2 === 0)
+        val odd = docs.filter(col("doc_id") % 2 === 1)
+        graft.operators.Mixing.weightedInterleave(
+            Seq(("even", even, 2.0), ("odd", odd, 1.0)), "doc_id")
+          .orderBy(col("mix_key"), col("source"), col("doc_id"))
+      },
+      Some("""WITH ev AS (SELECT doc_id FROM documents WHERE doc_id % 2 = 0),
+             |od AS (SELECT doc_id FROM documents WHERE doc_id % 2 = 1),
+             |r_ev AS (SELECT doc_id,
+             |  CAST(row_number() OVER (ORDER BY doc_id) - 1 AS DOUBLE) AS r
+             |  FROM ev),
+             |r_od AS (SELECT doc_id,
+             |  CAST(row_number() OVER (ORDER BY doc_id) - 1 AS DOUBLE) AS r
+             |  FROM od),
+             |u AS (
+             |  SELECT 'even' AS source, doc_id, (r + 0.5) / 2.0 AS mix_key
+             |  FROM r_ev
+             |  UNION ALL
+             |  SELECT 'odd', doc_id, (r + 0.5) / 1.0 FROM r_od)
+             |SELECT source, doc_id, mix_key FROM u
+             |ORDER BY mix_key, source, doc_id""".stripMargin)),
+
     QuerySpec("x14b_session_window_builtin",
       "sessionization via Spark's NATIVE session_window aggregate " +
         "(merge-on-overlap; end = last event + gap) — one aggregation, " +

@@ -60,4 +60,24 @@ class PackingSpec extends SparkSpec {
     val empty = Seq.empty[(Long, Long)].toDF("doc_id", "n_tokens")
     assert(Packing.assignPacks(empty, "doc_id", "n_tokens", 256L).count() == 0)
   }
+
+  test("weightedInterleave: 2:1 weights give exactly 2:1 read order") {
+    import graft.operators.Mixing
+    val a = (1L to 20L).toDF("doc_id")
+    val b = (101L to 120L).toDF("doc_id")
+    val mixed = Mixing.weightedInterleave(
+        Seq(("a", a, 2.0), ("b", b, 1.0)), "doc_id", nBuckets = 3)
+      .orderBy(col("mix_key"), col("source"), col("doc_id"))
+      .select("source").as[String].collect()
+    // keys: a -> (r+0.5)/2 (0.25, 0.75, 1.25, ...), b -> r+0.5
+    // (0.5, 1.5, ...): among the first 15 reads, 10 a's and 5 b's
+    val first15 = mixed.take(15)
+    assert(first15.count(_ == "a") == 10 && first15.count(_ == "b") == 5)
+    // deterministic across runs
+    val again = Mixing.weightedInterleave(
+        Seq(("a", a, 2.0), ("b", b, 1.0)), "doc_id", nBuckets = 3)
+      .orderBy(col("mix_key"), col("source"), col("doc_id"))
+      .select("source").as[String].collect()
+    assert(mixed.toSeq == again.toSeq)
+  }
 }
