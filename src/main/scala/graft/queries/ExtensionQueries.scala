@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
 import org.apache.spark.sql.execution.joins.SortMergeJoinExec
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.types.{DecimalType, LongType, StringType, StructType}
 
 import graft.catalog.Warehouse
 import graft.functions.TextFunctions._
@@ -899,6 +899,29 @@ object ExtensionQueries {
              |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
              |GROUP BY o.o_orderpriority
              |ORDER BY o_orderpriority""".stripMargin)),
+
+    QuerySpec("s11_jsonl_roundtrip",
+      "JSONL source/sink round-trip: corpus written as newline-" +
+        "delimited JSON, read back under a DECLARED schema, content " +
+        "digests verified — DuckDB reads the very same part files",
+      (s, dir) => {
+        val path = sys.props.getOrElse("graft.jsonl.tmp",
+          "/tmp/graft_jsonl_docs")
+        val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        graft.sources.Jsonl.write(docs, path)
+        val schema = new StructType()
+          .add("doc_id", LongType).add("text", StringType)
+        graft.sources.Jsonl.read(s, path, schema)
+          .select(col("doc_id"), md5(col("text")).as("text_md5"),
+            length(col("text")).cast("long").as("n_chars"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id, md5(text) AS text_md5,
+             |       CAST(length(text) AS BIGINT) AS n_chars
+             |FROM read_json('/tmp/graft_jsonl_docs/part-*',
+             |       format='newline_delimited',
+             |       columns={doc_id: 'BIGINT', text: 'VARCHAR'})
+             |ORDER BY doc_id""".stripMargin)),
 
     QuerySpec("m1_multimodal_binary_meta",
       "binary-column plumbing: opaque bytes + typed metadata extraction",

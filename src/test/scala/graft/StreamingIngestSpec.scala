@@ -1,0 +1,51 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.GraftBridge
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.operators.TextAnalysis
+import graft.streaming.Streams
+
+case class IngestDoc(doc_id: Long, ts: Timestamp, text: String)
+
+/** The hygiene path must compose with Structured Streaming: the same
+  * CorpusKeep predicate that gates a batch ingest filters a stream,
+  * and the watermark-bounded dedup drops in-window duplicate
+  * fingerprints — a live micro-batch corpus ingest. */
+class StreamingIngestSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("streaming ingest: CorpusKeep filter + watermarked fingerprint dedup") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[IngestDoc]
+    val keep = GraftBridge.column(graft.plans.CorpusKeep(
+      GraftBridge.expression(col("text")), 0.01, Seq("en", "und"),
+      TextAnalysis.stopwords, TextAnalysis.langMarkers))
+    val cleaned = mem.toDS().toDF()
+      .filter(keep)
+      .withColumn("md5_fp",
+        graft.functions.TextFunctions.md5Fingerprint(col("text")))
+    val deduped = Streams.streamingDedup(cleaned, Seq("md5_fp"), "ts",
+      "1 hour")
+    val q = deduped.writeStream.outputMode("append").format("memory")
+      .queryName("ingest_out").start()
+    try {
+      val t0 = Timestamp.valueOf("2024-01-01 10:00:00")
+      mem.addData(
+        IngestDoc(1, t0, "the quick brown fox is in the house again"),
+        IngestDoc(2, t0, ""), // junk: rejected by quality, must not crash
+        IngestDoc(3, t0, "the quick brown fox is in the house again")) // dup of 1
+      q.processAllAvailable()
+      // later batch: whitespace variant of doc 1 (same fingerprint)
+      mem.addData(IngestDoc(4, Timestamp.valueOf("2024-01-01 10:30:00"),
+        "the quick brown  fox is in the house again"))
+      q.processAllAvailable()
+      val ids = spark.table("ingest_out").select("doc_id")
+        .as[Long].collect().toSeq.sorted
+      assert(ids == Seq(1L))
+    } finally q.stop()
+  }
+}
