@@ -903,12 +903,17 @@ object ExtensionQueries {
     QuerySpec("s11_jsonl_roundtrip",
       "JSONL source/sink round-trip: corpus written as newline-" +
         "delimited JSON, read back under a DECLARED schema, content " +
-        "digests verified — DuckDB reads the very same part files",
+        "digests verified — the late-bound oracle reads the very " +
+        "same part files this run wrote (NOTE: like s10, building " +
+        "this query performs the write eagerly — it IS the sink op)",
       (s, dir) => {
+        // per-scale path so a later different-sf run can never leave
+        // files a re-checked oracle would silently mis-validate
         val path = sys.props.getOrElse("graft.jsonl.tmp",
-          "/tmp/graft_jsonl_docs")
+          s"/tmp/graft_jsonl_docs_${new java.io.File(dir).getName}")
         val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
         graft.sources.Jsonl.write(docs, path)
+        graft.sources.Jsonl.lastRoundTripPath = Some(path)
         val schema = new StructType()
           .add("doc_id", LongType).add("text", StringType)
         graft.sources.Jsonl.read(s, path, schema)
@@ -916,12 +921,14 @@ object ExtensionQueries {
             length(col("text")).cast("long").as("n_chars"))
           .orderBy(col("doc_id"))
       },
-      Some("""SELECT doc_id, md5(text) AS text_md5,
-             |       CAST(length(text) AS BIGINT) AS n_chars
-             |FROM read_json('/tmp/graft_jsonl_docs/part-*',
-             |       format='newline_delimited',
-             |       columns={doc_id: 'BIGINT', text: 'VARCHAR'})
-             |ORDER BY doc_id""".stripMargin)),
+      None,
+      oracleGen = () => graft.sources.Jsonl.lastRoundTripPath.map(p =>
+        s"""SELECT doc_id, md5(text) AS text_md5,
+           |       CAST(length(text) AS BIGINT) AS n_chars
+           |FROM read_json('$p/part-*',
+           |       format='newline_delimited',
+           |       columns={doc_id: 'BIGINT', text: 'VARCHAR'})
+           |ORDER BY doc_id""".stripMargin)),
 
     QuerySpec("m1_multimodal_binary_meta",
       "binary-column plumbing: opaque bytes + typed metadata extraction",

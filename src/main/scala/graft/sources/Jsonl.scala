@@ -20,8 +20,18 @@ object Jsonl {
       .schema(if (keepCorrupt) schema.add("_corrupt_record", "string")
         else schema)
       .option("mode", if (keepCorrupt) "PERMISSIVE" else "FAILFAST")
+      // pin the quarantine column name: relying on the session default
+      // (spark.sql.columnNameOfCorruptRecord) silently breaks the
+      // isNull/isNotNull quarantine pattern under non-default configs
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
     base.json(path)
   }
+
+  /** Path of the most recent catalog round-trip write, stashed so the
+    * late-bound oracle (QuerySpec.oracleGen) reads the exact files the
+    * run wrote — never a hardcoded path that a sys-prop override or a
+    * different-scale run could desynchronize. */
+  @volatile var lastRoundTripPath: Option[String] = None
 
   /** Write as uncompressed JSONL part files (one JSON object per
     * line), the layout every downstream tokenizer pipeline accepts. */
