@@ -645,6 +645,46 @@ object Dedup {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  // ---- line-level boilerplate removal ------------------------------
+
+  /** Lines occurring in at least `minDocs` DISTINCT documents — the
+    * C4-style boilerplate set (navigation chrome, license banners,
+    * cookie notices repeat across a crawl; real prose does not).
+    * One explode + one groupBy on the line text. */
+  def boilerplateLines(docs: DataFrame, idCol: String, textCol: String,
+      minDocs: Long = 2L): DataFrame =
+    docLines(docs, idCol, textCol)
+      .groupBy(col("line"))
+      .agg(countDistinct(col(idCol)).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+
+  /** Rebuild each document keeping only its non-boilerplate lines (in
+    * original order; documents reduced to nothing keep an empty
+    * text). The removal join is a broadcast-friendly anti-join on the
+    * line text; reassembly sorts each doc's surviving (pos, line)
+    * pairs locally — state per group is one document's lines. */
+  def stripBoilerplate(docs: DataFrame, idCol: String, textCol: String,
+      minDocs: Long = 2L): DataFrame = {
+    val lines = docLines(docs, idCol, textCol)
+    val bp = boilerplateLines(docs, idCol, textCol, minDocs)
+      .select(col("line"))
+    val rebuilt = lines.join(bp, Seq("line"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+          s => s.getField("line")),
+        "\n").as("__kept"))
+    docs.select(col(idCol))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("__kept"), lit("")).as(textCol))
+  }
+
+  /** (id, pos, line) — documents exploded into 0-indexed lines. */
+  private def docLines(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    docs.select(col(idCol),
+      posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+
   // ---- exact n-gram Jaccard ----------------------------------------
 
   /** Exact character-n-gram Jaccard for given candidate pairs.

@@ -825,6 +825,37 @@ object ExtensionQueries {
              |SELECT source, doc_id, mix_key FROM u
              |ORDER BY mix_key, source, doc_id""".stripMargin)),
 
+    QuerySpec("x25_boilerplate_removal",
+      "C4-style boilerplate stripping: lines repeated across >= 2 " +
+        "distinct docs are removed, documents rebuilt in original " +
+        "line order (single-line corpora degenerate to cross-doc " +
+        "text dedup, which is the honest semantic here)",
+      (s, dir) => Dedup.stripBoilerplate(t(s, dir, "documents"),
+          "doc_id", "text")
+        .select(col("doc_id"), md5(col("text")).as("cleaned_md5"),
+          length(col("text")).cast("long").as("n_chars"))
+        .orderBy(col("doc_id")),
+      Some("""WITH lines AS (
+             |  SELECT doc_id,
+             |    unnest(range(1, len(string_split(text, chr(10))) + 1)) AS pos,
+             |    unnest(string_split(text, chr(10))) AS line
+             |  FROM documents),
+             |bp AS (
+             |  SELECT line FROM lines
+             |  GROUP BY line HAVING count(DISTINCT doc_id) >= 2),
+             |kept AS (
+             |  SELECT l.doc_id, l.pos, l.line FROM lines l
+             |  WHERE NOT EXISTS (SELECT 1 FROM bp WHERE bp.line = l.line)),
+             |rebuilt AS (
+             |  SELECT doc_id,
+             |    string_agg(line, chr(10) ORDER BY pos) AS cleaned
+             |  FROM kept GROUP BY doc_id)
+             |SELECT d.doc_id,
+             |  md5(coalesce(r.cleaned, '')) AS cleaned_md5,
+             |  CAST(length(coalesce(r.cleaned, '')) AS BIGINT) AS n_chars
+             |FROM documents d LEFT JOIN rebuilt r USING (doc_id)
+             |ORDER BY doc_id""".stripMargin)),
+
     QuerySpec("x14b_session_window_builtin",
       "sessionization via Spark's NATIVE session_window aggregate " +
         "(merge-on-overlap; end = last event + gap) — one aggregation, " +

@@ -198,6 +198,25 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists { case (a, b, _) => a == 4L || b == 4L })
   }
 
+  test("stripBoilerplate removes cross-doc repeated lines, keeps order, " +
+      "empties fully-boilerplate docs") {
+    val pages = Seq(
+      (1L, "COOKIE NOTICE\nunique alpha prose\nCOPYRIGHT FOOTER"),
+      (2L, "COOKIE NOTICE\nother beta content\nmore beta\nCOPYRIGHT FOOTER"),
+      (3L, "COOKIE NOTICE\nCOPYRIGHT FOOTER"), // nothing but boilerplate
+      (4L, "standalone gamma page")
+    ).toDF("doc_id", "text")
+    val bp = Dedup.boilerplateLines(pages, "doc_id", "text")
+      .select("line").as[String].collect().toSet
+    assert(bp == Set("COOKIE NOTICE", "COPYRIGHT FOOTER"))
+    val cleaned = Dedup.stripBoilerplate(pages, "doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(cleaned(1L) == "unique alpha prose")
+    assert(cleaned(2L) == "other beta content\nmore beta") // order kept
+    assert(cleaned(3L) == "")
+    assert(cleaned(4L) == "standalone gamma page")
+  }
+
   test("ngramJaccard: identical pair scores 1.0, near-dup scores high") {
     val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("id_a", "id_b")
     val j = Dedup.ngramJaccard(docs, pairs, "doc_id", "text", 3)
