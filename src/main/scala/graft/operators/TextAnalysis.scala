@@ -97,4 +97,40 @@ object TextAnalysis {
         size(col("__tk")).cast("long").as("n_ws_tokens"),
         bpeishTokenCount(col(textCol)).as("n_bpe_tokens"),
         size(array_distinct(col("__tk"))).cast("long").as("n_uniq_tokens"))
+
+  /** Gopher-style within-document repetition metrics — the signals
+    * that catch degenerate generations and scraped spam which
+    * per-token quality scores miss:
+    *  - dup_line_frac: 1 - distinct/total lines (0 for single-line),
+    *  - top_bigram_frac: occurrences of the document's most frequent
+    *    word bigram over all bigram slots (0 when < 2 tokens).
+    * Shapes: one explode + two groupBys keyed by doc id — repetition
+    * state never leaves the document. Exact integer-ratio arithmetic,
+    * so the DuckDB twin is bit-identical. */
+  def repetitionStats(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val withLines = docs.select(col(idCol),
+      split(col(textCol), "\n").as("__ls"), wsTokens(col(textCol)).as("__tk"))
+    val lineStats = withLines.select(col(idCol),
+      when(size(col("__ls")) > 0,
+        lit(1.0) - size(array_distinct(col("__ls"))).cast("double") /
+          size(col("__ls")))
+        .otherwise(lit(0.0)).as("dup_line_frac"))
+    // bigrams from the bound token array (HOF recompute contract)
+    val bigrams = withLines.select(col(idCol),
+        when(size(col("__tk")) >= 2,
+          expr("transform(sequence(1, size(__tk) - 1), " +
+            "i -> concat(element_at(__tk, i), ' ', element_at(__tk, i + 1)))"))
+          .otherwise(array().cast("array<string>")).as("__bg"))
+      .select(col(idCol), explode_outer(col("__bg")).as("bigram"))
+    val counts = bigrams.filter(col("bigram").isNotNull)
+      .groupBy(col(idCol), col("bigram"))
+      .agg(count(lit(1)).as("__n"))
+    val topFrac = counts.groupBy(col(idCol))
+      .agg((max(col("__n")).cast("double") / sum(col("__n")))
+        .as("top_bigram_frac"))
+    lineStats.join(topFrac, Seq(idCol), "left")
+      .select(col(idCol), col("dup_line_frac"),
+        coalesce(col("top_bigram_frac"), lit(0.0)).as("top_bigram_frac"))
+  }
 }

@@ -856,6 +856,41 @@ object ExtensionQueries {
              |FROM documents d LEFT JOIN rebuilt r USING (doc_id)
              |ORDER BY doc_id""".stripMargin)),
 
+    QuerySpec("x26_repetition_stats",
+      "Gopher-style within-doc repetition: duplicate-line fraction + " +
+        "top-bigram fraction — the degenerate-text signals per-token " +
+        "quality scores miss",
+      (s, dir) => TextAnalysis.repetitionStats(t(s, dir, "documents"),
+          "doc_id", "text")
+        .orderBy(col("doc_id")),
+      Some("""WITH base AS (
+             |  SELECT doc_id,
+             |    string_split(text, chr(10)) AS ls,
+             |    string_split_regex(trim(text), '\s+') AS tk
+             |  FROM documents),
+             |line_stats AS (
+             |  SELECT doc_id,
+             |    CASE WHEN len(ls) > 0
+             |      THEN 1.0 - CAST(len(list_distinct(ls)) AS DOUBLE) / len(ls)
+             |      ELSE 0.0 END AS dup_line_frac
+             |  FROM base),
+             |bg AS (
+             |  SELECT doc_id, unnest(list_transform(
+             |    range(1, len(tk) - 1 + 1),
+             |    i -> tk[i] || ' ' || tk[i + 1])) AS bigram
+             |  FROM base WHERE len(tk) >= 2),
+             |counts AS (
+             |  SELECT doc_id, bigram, count(*) AS n
+             |  FROM bg GROUP BY doc_id, bigram),
+             |top AS (
+             |  SELECT doc_id, CAST(max(n) AS DOUBLE) / sum(n)
+             |           AS top_bigram_frac
+             |  FROM counts GROUP BY doc_id)
+             |SELECT l.doc_id, l.dup_line_frac,
+             |       coalesce(t.top_bigram_frac, 0.0) AS top_bigram_frac
+             |FROM line_stats l LEFT JOIN top t USING (doc_id)
+             |ORDER BY doc_id""".stripMargin)),
+
     QuerySpec("x14b_session_window_builtin",
       "sessionization via Spark's NATIVE session_window aggregate " +
         "(merge-on-overlap; end = last event + gap) — one aggregation, " +

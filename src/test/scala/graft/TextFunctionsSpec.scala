@@ -48,4 +48,21 @@ class TextFunctionsSpec extends SparkSpec {
     val b = one[String](md5Fingerprint($"s"), "hello world")
     assert(a == b)
   }
+
+  test("repetitionStats: duplicate lines and dominant bigrams measured") {
+    import graft.operators.TextAnalysis
+    val docs = Seq(
+      (1L, "same line\nsame line\nother line"),          // 1 dup of 3 lines
+      (2L, "go go go go"),                                // bigram "go go" x3/3
+      (3L, "all distinct words here"),                    // no repetition
+      (4L, "x")                                           // single token
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionStats(docs, "doc_id", "text")
+      .as[(Long, Double, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(math.abs(got(1L)._1 - (1.0 - 2.0 / 3)) < 1e-15)
+    assert(got(2L) == (0.0, 1.0))      // "go go" fills all 3 bigram slots
+    assert(got(3L) == (0.0, 1.0 / 3))  // 3 distinct bigrams, max 1
+    assert(got(4L) == (0.0, 0.0))      // no bigram slots at all
+  }
 }
