@@ -38,6 +38,25 @@ object Profile {
     val pairs = graft.operators.Dedup.minHashNearDupPairs(docs, "doc_id", "text")
     time("full pairs")(pairs.count())
     time("full pairs again")(pairs.count())
+    // hygiene filter: native once-per-row predicate vs the composed
+    // form (whose condition Catalyst pushes through the token
+    // projection, re-tokenizing per metric reference)
+    import graft.operators.TextAnalysis
+    val keep = org.apache.spark.sql.GraftBridge.column(
+      graft.plans.CorpusKeep(
+        org.apache.spark.sql.GraftBridge.expression(col("text")),
+        0.55, Seq("en"), TextAnalysis.stopwords, TextAnalysis.langMarkers))
+    (1 to 3).foreach { i =>
+      time(s"filter native CorpusKeep #$i")(docs.filter(keep).count())
+    }
+    val toksF = docs.select(col("doc_id"), col("text"),
+      wsTokens(col("text")).as("tkf"))
+    val composed = toksF.filter(
+      TextAnalysis.qualityScoreFromTokens(col("text"), col("tkf")) >= 0.55 &&
+        TextAnalysis.langIdFromTokens(col("tkf")).isin("en"))
+    (1 to 3).foreach { i =>
+      time(s"filter composed (pushed-down) #$i")(composed.count())
+    }
     spark.stop()
   }
 }
