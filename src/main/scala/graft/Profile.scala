@@ -42,10 +42,7 @@ object Profile {
     // form (whose condition Catalyst pushes through the token
     // projection, re-tokenizing per metric reference)
     import graft.operators.TextAnalysis
-    val keep = org.apache.spark.sql.GraftBridge.column(
-      graft.plans.CorpusKeep(
-        org.apache.spark.sql.GraftBridge.expression(col("text")),
-        0.55, Seq("en"), TextAnalysis.stopwords, TextAnalysis.langMarkers))
+    val keep = TextAnalysis.corpusKeep(col("text"), 0.55, Seq("en"))
     (1 to 3).foreach { i =>
       time(s"filter native CorpusKeep #$i")(docs.filter(keep).count())
     }

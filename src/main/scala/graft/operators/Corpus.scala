@@ -28,16 +28,14 @@ object Corpus {
       minQuality: Double, langs: Seq[String],
       p: Dedup.MinHashParams = Dedup.MinHashParams(),
       minEst: Double = 0.75): DataFrame = {
-    import org.apache.spark.sql.GraftBridge
     // ONE native predicate, not a composition: Catalyst pushes a
     // deterministic filter through any token-materializing Project
     // (alias substitution), which would re-tokenize each raw document
     // once per metric reference — CorpusKeep tokenizes once per row
     // and the rejects never reach a shuffle (see its scaladoc).
-    val keep = GraftBridge.column(graft.plans.CorpusKeep(
-      GraftBridge.expression(col(textCol)), minQuality, langs,
-      TextAnalysis.stopwords, TextAnalysis.langMarkers))
-    val filtered = docs.filter(keep).select(col(idCol), col(textCol))
+    val filtered = docs
+      .filter(TextAnalysis.corpusKeep(col(textCol), minQuality, langs))
+      .select(col(idCol), col(textCol))
     // Three consumers (pair generation, clustering, the final semi
     // join) read this frame: checkpoint it so the scan+filter+dedup
     // subtree executes once, not three times over the raw corpus.

@@ -650,24 +650,32 @@ object Dedup {
   /** Lines occurring in at least `minDocs` DISTINCT documents — the
     * C4-style boilerplate set (navigation chrome, license banners,
     * cookie notices repeat across a crawl; real prose does not).
-    * One explode + one groupBy on the line text. */
+    * Blank/whitespace-only lines are structure, not boilerplate —
+    * they are excluded, or every paragraph separator in the corpus
+    * would be classified boilerplate and stripped. One explode + one
+    * groupBy on the line text. */
   def boilerplateLines(docs: DataFrame, idCol: String, textCol: String,
       minDocs: Long = 2L): DataFrame =
-    docLines(docs, idCol, textCol)
+    boilerplateFromLines(docLines(docs, idCol, textCol), idCol, minDocs)
+
+  private def boilerplateFromLines(lines: DataFrame, idCol: String,
+      minDocs: Long): DataFrame =
+    lines.filter(trim(col("line")) =!= "")
       .groupBy(col("line"))
       .agg(countDistinct(col(idCol)).as("n_docs"))
       .filter(col("n_docs") >= minDocs)
 
   /** Rebuild each document keeping only its non-boilerplate lines (in
     * original order; documents reduced to nothing keep an empty
-    * text). The removal join is a broadcast-friendly anti-join on the
-    * line text; reassembly sorts each doc's surviving (pos, line)
-    * pairs locally — state per group is one document's lines. */
+    * text). The exploded lines frame is checkpointed once and feeds
+    * BOTH the boilerplate aggregate and the removal anti-join; the
+    * join is broadcast-friendly on the line text, and reassembly
+    * sorts each doc's surviving (pos, line) pairs locally — state per
+    * group is one document's lines. */
   def stripBoilerplate(docs: DataFrame, idCol: String, textCol: String,
       minDocs: Long = 2L): DataFrame = {
-    val lines = docLines(docs, idCol, textCol)
-    val bp = boilerplateLines(docs, idCol, textCol, minDocs)
-      .select(col("line"))
+    val lines = docLines(docs, idCol, textCol).localCheckpoint(true)
+    val bp = boilerplateFromLines(lines, idCol, minDocs).select(col("line"))
     val rebuilt = lines.join(bp, Seq("line"), "left_anti")
       .groupBy(col(idCol))
       .agg(array_join(

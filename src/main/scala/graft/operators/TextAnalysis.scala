@@ -51,6 +51,18 @@ object TextAnalysis {
     * Convenience form — prefer langIdFromTokens on hot paths. */
   def langId(textCol: Column): Column = langIdFromTokens(wsTokens(textCol))
 
+  /** The corpus-hygiene keep predicate (graft.plans.CorpusKeep) wired
+    * with this object's stopwords and language markers — the ONE
+    * assembly point, so every call site (pipeline, profiler,
+    * streaming ingest) benchmarks and runs the same predicate. */
+  def corpusKeep(textCol: Column, minQuality: Double,
+      langs: Seq[String]): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(graft.plans.CorpusKeep(
+      GraftBridge.expression(textCol), minQuality, langs,
+      stopwords, langMarkers))
+  }
+
   /** Stopword ratio over a token array (English stopword set). */
   def stopwordRatioFromTokens(toks: Column): Column =
     tokensInArr(toks, stopwords).cast("double") / size(toks).cast("long")
@@ -101,7 +113,9 @@ object TextAnalysis {
   /** Gopher-style within-document repetition metrics — the signals
     * that catch degenerate generations and scraped spam which
     * per-token quality scores miss:
-    *  - dup_line_frac: 1 - distinct/total lines (0 for single-line),
+    *  - dup_line_frac: 1 - distinct/total over NON-BLANK lines (blank
+    *    paragraph separators are structure; counting them would flag
+    *    ordinary multi-paragraph prose as repetitive),
     *  - top_bigram_frac: occurrences of the document's most frequent
     *    word bigram over all bigram slots (0 when < 2 tokens).
     * Shapes: one explode + two groupBys keyed by doc id — repetition
@@ -110,7 +124,8 @@ object TextAnalysis {
   def repetitionStats(docs: DataFrame, idCol: String,
       textCol: String): DataFrame = {
     val withLines = docs.select(col(idCol),
-      split(col(textCol), "\n").as("__ls"), wsTokens(col(textCol)).as("__tk"))
+      filter(split(col(textCol), "\n"), l => trim(l) =!= "").as("__ls"),
+      wsTokens(col(textCol)).as("__tk"))
     val lineStats = withLines.select(col(idCol),
       when(size(col("__ls")) > 0,
         lit(1.0) - size(array_distinct(col("__ls"))).cast("double") /
@@ -122,8 +137,8 @@ object TextAnalysis {
           expr("transform(sequence(1, size(__tk) - 1), " +
             "i -> concat(element_at(__tk, i), ' ', element_at(__tk, i + 1)))"))
           .otherwise(array().cast("array<string>")).as("__bg"))
-      .select(col(idCol), explode_outer(col("__bg")).as("bigram"))
-    val counts = bigrams.filter(col("bigram").isNotNull)
+      .select(col(idCol), explode(col("__bg")).as("bigram"))
+    val counts = bigrams
       .groupBy(col(idCol), col("bigram"))
       .agg(count(lit(1)).as("__n"))
     val topFrac = counts.groupBy(col(idCol))

@@ -841,7 +841,7 @@ object ExtensionQueries {
              |    unnest(string_split(text, chr(10))) AS line
              |  FROM documents),
              |bp AS (
-             |  SELECT line FROM lines
+             |  SELECT line FROM lines WHERE trim(line) <> ''
              |  GROUP BY line HAVING count(DISTINCT doc_id) >= 2),
              |kept AS (
              |  SELECT l.doc_id, l.pos, l.line FROM lines l
@@ -863,11 +863,12 @@ object ExtensionQueries {
       (s, dir) => TextAnalysis.repetitionStats(t(s, dir, "documents"),
           "doc_id", "text")
         .orderBy(col("doc_id")),
-      Some("""WITH base AS (
-             |  SELECT doc_id,
-             |    string_split(text, chr(10)) AS ls,
-             |    string_split_regex(trim(text), '\s+') AS tk
-             |  FROM documents),
+      Some(s"""WITH base AS (
+              |  SELECT doc_id,
+              |    list_filter(string_split(text, chr(10)),
+              |                x -> trim(x) <> '') AS ls,
+              |    $duckWsTokens AS tk
+              |  FROM documents),
              |line_stats AS (
              |  SELECT doc_id,
              |    CASE WHEN len(ls) > 0

@@ -201,18 +201,19 @@ class DedupSpec extends SparkSpec {
   test("stripBoilerplate removes cross-doc repeated lines, keeps order, " +
       "empties fully-boilerplate docs") {
     val pages = Seq(
-      (1L, "COOKIE NOTICE\nunique alpha prose\nCOPYRIGHT FOOTER"),
-      (2L, "COOKIE NOTICE\nother beta content\nmore beta\nCOPYRIGHT FOOTER"),
+      (1L, "COOKIE NOTICE\nunique alpha prose\n\nCOPYRIGHT FOOTER"),
+      (2L, "COOKIE NOTICE\nother beta content\n\nmore beta\nCOPYRIGHT FOOTER"),
       (3L, "COOKIE NOTICE\nCOPYRIGHT FOOTER"), // nothing but boilerplate
       (4L, "standalone gamma page")
     ).toDF("doc_id", "text")
     val bp = Dedup.boilerplateLines(pages, "doc_id", "text")
       .select("line").as[String].collect().toSet
+    // blank separator lines shared by docs 1 and 2 are NOT boilerplate
     assert(bp == Set("COOKIE NOTICE", "COPYRIGHT FOOTER"))
     val cleaned = Dedup.stripBoilerplate(pages, "doc_id", "text")
       .as[(Long, String)].collect().toMap
-    assert(cleaned(1L) == "unique alpha prose")
-    assert(cleaned(2L) == "other beta content\nmore beta") // order kept
+    assert(cleaned(1L) == "unique alpha prose\n") // blank line survives
+    assert(cleaned(2L) == "other beta content\n\nmore beta") // order kept
     assert(cleaned(3L) == "")
     assert(cleaned(4L) == "standalone gamma page")
   }

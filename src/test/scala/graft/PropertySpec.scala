@@ -74,7 +74,6 @@ class PropertySpec extends SparkSpec {
 
   test("CorpusKeep equals the composed quality/language filter on " +
       "arbitrary text (incl. whitespace edges)") {
-    import org.apache.spark.sql.GraftBridge
     import graft.operators.TextAnalysis
     // texts of random words joined by random whitespace runs, plus
     // leading/trailing space sometimes — the alias-substitution twin
@@ -92,10 +91,9 @@ class PropertySpec extends SparkSpec {
         .toDF("doc_id", "text")
       val minQ = 0.3
       val langs = Seq("en", "und")
-      val native = GraftBridge.column(graft.plans.CorpusKeep(
-        GraftBridge.expression(col("text")), minQ, langs,
-        TextAnalysis.stopwords, TextAnalysis.langMarkers))
-      val gotNative = df.filter(native).select("doc_id")
+      val gotNative = df
+        .filter(TextAnalysis.corpusKeep(col("text"), minQ, langs))
+        .select("doc_id")
         .as[Long].collect().toSet
       val toks = df.select(col("doc_id"), col("text"),
         wsTokens(col("text")).as("tk"))

@@ -2,7 +2,6 @@ package graft
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.GraftBridge
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
@@ -21,9 +20,7 @@ class StreamingIngestSpec extends SparkSpec {
   test("streaming ingest: CorpusKeep filter + watermarked fingerprint dedup") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[IngestDoc]
-    val keep = GraftBridge.column(graft.plans.CorpusKeep(
-      GraftBridge.expression(col("text")), 0.01, Seq("en", "und"),
-      TextAnalysis.stopwords, TextAnalysis.langMarkers))
+    val keep = TextAnalysis.corpusKeep(col("text"), 0.01, Seq("en", "und"))
     val cleaned = mem.toDS().toDF()
       .filter(keep)
       .withColumn("md5_fp",

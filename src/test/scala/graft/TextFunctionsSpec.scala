@@ -55,7 +55,8 @@ class TextFunctionsSpec extends SparkSpec {
       (1L, "same line\nsame line\nother line"),          // 1 dup of 3 lines
       (2L, "go go go go"),                                // bigram "go go" x3/3
       (3L, "all distinct words here"),                    // no repetition
-      (4L, "x")                                           // single token
+      (4L, "x"),                                          // single token
+      (5L, "p1 one\n\np2 two\n\np3 three")                // blank separators
     ).toDF("doc_id", "text")
     val got = TextAnalysis.repetitionStats(docs, "doc_id", "text")
       .as[(Long, Double, Double)].collect()
@@ -64,5 +65,7 @@ class TextFunctionsSpec extends SparkSpec {
     assert(got(2L) == (0.0, 1.0))      // "go go" fills all 3 bigram slots
     assert(got(3L) == (0.0, 1.0 / 3))  // 3 distinct bigrams, max 1
     assert(got(4L) == (0.0, 0.0))      // no bigram slots at all
+    // blank paragraph separators are NOT duplicate lines
+    assert(got(5L)._1 == 0.0)
   }
 }
