@@ -194,6 +194,32 @@ object Warehouse {
       .saveAsTable(table)
   }
 
+  /** Per-column data profile — the analog of DuckDB's SUMMARIZE
+    * (the reference engine's built-in profiling surface): one row per
+    * column with its declared type, row count, null count, and EXACT
+    * distinct count, computed in a single aggregation pass.
+    *
+    * Scale note: exact multi-column distinct aggregates plan as an
+    * Expand (one duplicate of the input per counted column) — the
+    * standard cost of exact profiling. At 100 TB profile a
+    * `Sampling.hashSample` slice, or swap countDistinct for
+    * approx_count_distinct where ±2% is acceptable; this exact form
+    * is what the cross-engine gate can verify. */
+  def profile(df: DataFrame): DataFrame = {
+    val aggs = df.schema.fields.flatMap(f => Seq(
+      sum(when(col(f.name).isNull, 1).otherwise(0)).cast("long")
+        .as(s"__n_${f.name}"),
+      countDistinct(col(f.name)).as(s"__d_${f.name}")))
+    val row = df.agg(count(lit(1)).as("__rows"), aggs.toSeq: _*)
+    val entries = df.schema.fields.map(f => struct(
+      lit(f.name).as("column_name"),
+      lit(f.dataType.simpleString).as("data_type"),
+      col("__rows").as("n_rows"),
+      col(s"__n_${f.name}").as("n_nulls"),
+      col(s"__d_${f.name}").as("n_distinct")))
+    row.select(explode(array(entries.toSeq: _*)).as("c")).select("c.*")
+  }
+
   /** Reset registry (test isolation). */
   def clear(): Unit = registry.clear()
 }

@@ -997,6 +997,29 @@ object ExtensionQueries {
            |       columns={doc_id: 'BIGINT', text: 'VARCHAR'})
            |ORDER BY doc_id""".stripMargin)),
 
+    QuerySpec("q5_profile_summarize",
+      "per-column data profile (the DuckDB SUMMARIZE surface): type, " +
+        "rows, nulls, exact distinct count per column in one pass",
+      (s, dir) => Warehouse.profile(t(s, dir, "orders"))
+        .orderBy(col("column_name")),
+      Some {
+        // the orders schema is stable synthetic test data; the Spark
+        // side derives names/types from the frame at runtime
+        val cols = Seq(
+          "o_orderkey" -> "bigint", "o_custkey" -> "bigint",
+          "o_orderstatus" -> "string", "o_totalprice" -> "double",
+          // Spark 4 reads parquet timestamps without timezone as NTZ
+          "o_orderdate" -> "timestamp_ntz", "o_orderpriority" -> "string")
+        cols.map { case (c, t) =>
+          s"""SELECT '$c' AS column_name, '$t' AS data_type,
+             |  CAST(count(*) AS BIGINT) AS n_rows,
+             |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_nulls,
+             |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct
+             |FROM orders""".stripMargin
+        }.mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
+      }),
+
     QuerySpec("m1_multimodal_binary_meta",
       "binary-column plumbing: opaque bytes + typed metadata extraction",
       (s, dir) => t(s, dir, "documents")

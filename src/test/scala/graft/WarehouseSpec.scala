@@ -106,4 +106,18 @@ class WarehouseSpec extends SparkSpec {
     val sql = java.nio.file.Files.readString(java.nio.file.Paths.get(s"$out/schema.sql"))
     assert(sql.contains("CREATE OR REPLACE TABLE orders"))
   }
+
+  test("profile: per-column rows/nulls/exact-distinct in one pass") {
+    val df = Seq(
+      (1L, Some("a"), Some(1.5)),
+      (2L, None, Some(1.5)),
+      (3L, Some("a"), None)
+    ).toDF("id", "s", "v")
+    val got = Warehouse.profile(df).orderBy("column_name")
+      .as[(String, String, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("id", "bigint", 3L, 0L, 3L),
+      ("s", "string", 3L, 1L, 1L),   // countDistinct ignores NULL
+      ("v", "double", 3L, 1L, 1L)))
+  }
 }
