@@ -33,26 +33,35 @@ object Bench {
     // Time a noop-sink write, not count(): under count() Catalyst prunes
     // every projection/sort, silently flattering expression-heavy queries.
     // The noop v2 sink consumes all output columns with zero IO cost.
-    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // A throwing query must surface as an ERROR, not bench as a
+    // near-zero median that reads green-fast: record the exception
+    // class per query and keep errored queries out of `total`.
+    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : (Double, Option[String]) = {
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
-      (System.nanoTime() - t0) / 1e9
+      val err =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None }
+        catch { case e: Throwable => Some(e.getClass.getSimpleName) }
+      ((System.nanoTime() - t0) / 1e9, err)
     }
     def median(sorted: Seq[Double]): Double =
       if (sorted.length % 2 == 1) sorted(sorted.length / 2)
       else (sorted(sorted.length / 2 - 1) + sorted(sorted.length / 2)) / 2
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val times = (1 to runs).map(_ => timeOnce(fn)).sorted
-      name -> (median(times), times.last - times.head)
+      val outcomes = (1 to runs).map(_ => timeOnce(fn))
+      val times = outcomes.map(_._1).sorted
+      name -> (median(times), times.last - times.head,
+        outcomes.flatMap(_._2).headOption)
     }
-    def jmap(f: ((String, (Double, Double))) => Double): String =
+    def jmap(f: ((String, (Double, Double, Option[String]))) => Double): String =
       results.map { case (k, v) => s"\"" + k + "\":" + f(k -> v) }
         .mkString("{", ",", "}")
     val qs = jmap(_._2._1)
     val spreads = jmap(_._2._2)
-    val total = results.values.map(_._1).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"queries":$qs,"spread":$spreads,"sf":"$sfDir"}""")
+    val errs = results.collect { case (k, (_, _, Some(e))) =>
+      s"\"" + k + "\":\"" + e + "\"" }.mkString("{", ",", "}")
+    val total = results.values.collect { case (m, _, None) => m }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"n_errors":${results.values.count(_._3.isDefined)},"errors":$errs,"queries":$qs,"spread":$spreads,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

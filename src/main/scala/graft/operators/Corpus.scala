@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions._
@@ -54,4 +54,35 @@ object Corpus {
       clusters.filter(col(idCol) === col("cluster_id")).select(col(idCol)),
       Seq(idCol), "left_semi")
   }
+
+  // ---- PII scrubbing -----------------------------------------------
+
+  /** Deterministic PII redaction classes, applied IN ORDER (credit
+    * cards before IPs/phones so a card number is never half-eaten by a
+    * narrower digit pattern). Patterns use only the regex subset with
+    * identical semantics in Java regex (Spark) and RE2 (DuckDB):
+    * character classes, bounded quantifiers, non-capturing groups and
+    * `\b` — no lookaround, no backreferences. */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    ("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("\\b\\d{4}[- ]\\d{4}[- ]\\d{4}[- ]\\d{4}\\b", "<CC>"),
+    ("\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b", "<IP>"),
+    ("\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b", "<PHONE>"))
+
+  /** Scrub `c`: every PII class replaced by its redaction token. A
+    * chain of codegen'd regexp_replace projections — narrow, no
+    * shuffle, runs where the text already is. */
+  def scrubPii(c: Column): Column =
+    piiPatterns.foldLeft(c) { case (acc, (pat, tok)) =>
+      regexp_replace(acc, pat, tok)
+    }
+
+  /** DuckDB twin of [[scrubPii]] over SQL expression `e` — generated
+    * from the SAME pattern table so the two engines cannot drift
+    * (DuckDB single-quoted strings keep backslashes literal, so the
+    * pattern embeds verbatim). */
+  def scrubPiiSql(e: String): String =
+    piiPatterns.foldLeft(e) { case (acc, (pat, tok)) =>
+      s"regexp_replace($acc, '$pat', '$tok', 'g')"
+    }
 }

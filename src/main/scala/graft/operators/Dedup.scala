@@ -710,4 +710,79 @@ object Dedup {
         (col("i").cast("double") / (col("na") + col("nb") - col("i")))
           .as("jaccard"))
   }
+
+  // ---- benchmark decontamination -----------------------------------
+
+  /** Distinct (id, 60-bit word-n-gram hash) pairs of a corpus. The
+    * per-document gram set is already distinct from the shingle
+    * transform (array_distinct), so no extra shuffle-distinct is
+    * needed — explode is map-side only. */
+  private def gramHashes(docs: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    val toks = docs.select(col(idCol), trim(col(textCol)).as("__t"),
+      wsTokens(col(textCol)).as("__tk"))
+    toks.select(col(idCol),
+        explode(wordShinglesFromTokens(col("__tk"), col("__t"), n)).as("g"))
+      .select(col(idCol), md5Hash60(col("g")).as("gram_h"))
+  }
+
+  /** Benchmark-decontamination scores: for each training document, the
+    * fraction of its distinct word `n`-grams that appear ANYWHERE in
+    * the eval/benchmark set — the standard "n-gram overlap" test-set
+    * leakage check run before LLM training.
+    *
+    * Output: (id, n_grams, n_matched, overlap_frac).
+    *
+    * Scale shape: eval suites are MBs while corpora are TBs, so the
+    * distinct eval gram-hash set (60-bit longs, deduped) is BROADCAST;
+    * scoring is then a map-side hash join on gram_h plus one keyed
+    * groupBy on doc id — the corpus text itself is never shuffled and
+    * nothing is ever all-pairs. */
+  def contaminationScores(corpus: DataFrame, evalSet: DataFrame,
+      idCol: String, textCol: String, n: Int = 3): DataFrame = {
+    val evalGrams = gramHashes(evalSet, idCol, textCol, n)
+      .select(col("gram_h")).distinct()
+      .withColumn("__hit", lit(1L))
+    gramHashes(corpus, idCol, textCol, n)
+      .join(broadcast(evalGrams), Seq("gram_h"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        coalesce(sum(col("__hit")), lit(0L)).as("n_matched"))
+      .withColumn("overlap_frac",
+        col("n_matched").cast("double") / col("n_grams"))
+  }
+
+  /** Drop contaminated training documents: rows whose
+    * [[contaminationScores]] overlap reaches `maxOverlap` are removed
+    * by one anti-join on the id. */
+  def decontaminate(corpus: DataFrame, evalSet: DataFrame, idCol: String,
+      textCol: String, n: Int = 3, maxOverlap: Double = 0.5): DataFrame =
+    corpus.join(
+      contaminationScores(corpus, evalSet, idCol, textCol, n)
+        .filter(col("overlap_frac") >= maxOverlap)
+        .select(col(idCol)),
+      Seq(idCol), "left_anti")
+
+  /** The overflow-style companion report: which EVAL items were hit,
+    * by how many training docs, and how hard. A training doc "hits" an
+    * eval doc when they share ≥ `minShared` distinct gram hashes.
+    * Output: (eval_id, n_train_hits, max_shared).
+    *
+    * Same broadcast shape as [[contaminationScores]] — the per-pair
+    * groupBy keys on (eval_id, train id), which is bounded by
+    * candidate pairs that actually share grams, not by |corpus|×|eval|. */
+  def contaminationReport(corpus: DataFrame, evalSet: DataFrame,
+      idCol: String, textCol: String, n: Int = 3,
+      minShared: Int = 3): DataFrame = {
+    val evalGrams = gramHashes(evalSet, idCol, textCol, n)
+      .select(col(idCol).as("eval_id"), col("gram_h"))
+    gramHashes(corpus, idCol, textCol, n)
+      .join(broadcast(evalGrams), Seq("gram_h"))
+      .groupBy(col("eval_id"), col(idCol))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .groupBy(col("eval_id"))
+      .agg(count(lit(1)).as("n_train_hits"),
+        max(col("n_shared")).as("max_shared"))
+  }
 }

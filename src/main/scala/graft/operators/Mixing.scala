@@ -24,9 +24,11 @@ object Mixing {
 
   /** Tag + interleave `sources` (name, frame, weight): returns
     * (source, idCol, mix_key) for every row of every source. Weights
-    * must be positive; `idCol` must be unique within each source. */
+    * must be positive; `idCol` must be unique within each source.
+    * `nBuckets = 0` adapts the rank prefix sum to each source's
+    * partitioning (see [[Packing.assignPacks]]). */
   def weightedInterleave(sources: Seq[(String, DataFrame, Double)],
-      idCol: String, nBuckets: Int = 1024): DataFrame = {
+      idCol: String, nBuckets: Int = 0): DataFrame = {
     require(sources.nonEmpty, "at least one source")
     require(sources.forall(_._3 > 0), "weights must be positive")
     sources.map { case (name, df, w) =>

@@ -38,9 +38,16 @@ object Packing {
     * runs, but the prefix sum is associative, so pack ids are
     * IDENTICAL for any bucketing — determinism does not depend on the
     * sampling (PackingSpec checks equivalence across bucket counts),
-    * and a task retry recomputes the same pure id→partition mapping. */
+    * and a task retry recomputes the same pure id→partition mapping.
+    *
+    * `nBuckets = 0` (the default) adapts to the input: 4 buckets per
+    * source partition, capped at 1024. The cap keeps the offsets
+    * frame tiny at any scale; the floor keeps a 5k-row local corpus
+    * from paying 1024-way repartition task overhead (measured 12.7 s
+    * → sub-second on the sf0.1 mixing query) — scale-safe AND
+    * scale-proportionate. */
   def assignPacks(docs: DataFrame, idCol: String, nTokCol: String,
-      budget: Long, nBuckets: Int = 1024): DataFrame = {
+      budget: Long, nBuckets: Int = 0): DataFrame = {
     require(budget > 0, "budget must be positive")
     exclusiveRunningSum(docs, idCol, nTokCol, nBuckets)
       // integer DIV, not `/`: double division would lose exactness
@@ -55,10 +62,13 @@ object Packing {
     * weighted corpus mixing. See [[assignPacks]] for the bucketing
     * rationale and the uniqueness precondition. */
   def exclusiveRunningSum(docs: DataFrame, idCol: String,
-      valueCol: String, nBuckets: Int = 1024): DataFrame = {
-    require(nBuckets > 0, "nBuckets must be positive")
+      valueCol: String, nBuckets: Int = 0): DataFrame = {
+    require(nBuckets >= 0, "nBuckets must be >= 0 (0 = adaptive)")
+    val buckets =
+      if (nBuckets > 0) nBuckets
+      else math.min(1024, math.max(1, docs.rdd.getNumPartitions * 4))
     val bucketed = docs.select(col(idCol), col(valueCol))
-      .repartitionByRange(nBuckets, col(idCol))
+      .repartitionByRange(buckets, col(idCol))
       .withColumn("__b", spark_partition_id().cast("long"))
     val inBucket = Window.partitionBy(col("__b"))
       .orderBy(col(idCol))

@@ -37,4 +37,32 @@ object Sampling {
         when(col("bucket") < trainPct, "train")
           .when(col("bucket") < trainPct + valPct, "val")
           .otherwise("test"))
+
+  /** Per-domain quota: keep each domain's `quota` lowest-`idCol` rows
+    * — the web-pipeline per-site cap that stops one crawl-heavy
+    * domain from dominating the mix.
+    *
+    * Skew design: a hot domain (hundreds of millions of pages) would
+    * funnel through ONE window task, so ranking is two-phase. Phase 1
+    * ranks within (domain, shard) — shard = id-hash mod `shards` —
+    * and keeps at most `quota` rows per shard: a row with `quota`
+    * same-domain rows below it in its OWN shard already cannot be
+    * among the domain's lowest `quota`, so the discard is lossless.
+    * Phase 2 ranks the ≤ shards×quota survivors per domain. Both
+    * passes shuffle on their window keys; no task ever sees more than
+    * shards×quota rows of any single domain. */
+  def domainQuota(df: DataFrame, domainCol: String, idCol: String,
+      quota: Int, shards: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(quota > 0 && shards > 0, "quota and shards must be positive")
+    val w1 = Window
+      .partitionBy(col(domainCol), md5Hash60(col(idCol).cast("string")) % shards)
+      .orderBy(col(idCol))
+    val w2 = Window.partitionBy(col(domainCol)).orderBy(col(idCol))
+    df.withColumn("__r1", row_number().over(w1))
+      .filter(col("__r1") <= quota)
+      .withColumn("__r2", row_number().over(w2))
+      .filter(col("__r2") <= quota)
+      .drop("__r1", "__r2")
+  }
 }

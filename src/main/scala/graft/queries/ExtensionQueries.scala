@@ -75,6 +75,31 @@ object ExtensionQueries {
   private val x1dParams = Dedup.MinHashParams()
   private val x1dMinEst = 0.75
 
+  /** x28 twin: '<EMAIL>' → n_email etc. — same count-column name on
+    * both sides. */
+  private def piiCountCol(tok: String): String =
+    "n_" + tok.replaceAll("[<>]", "").toLowerCase
+
+  /** x27 twins: CTE chain hashing the distinct word-trigram shingles of
+    * `src(doc_id, text)` — the DuckDB mirror of Dedup.gramHashes.
+    * Emits `<a>_toks`, `<a>_grams`, `<a>_hashes`; reference the last
+    * (doc_id, gram_h). */
+  private def decontamGramCtes(src: String, a: String, n: Int = 3): String = {
+    val joined = (0 until n).map(k => s"tk[i + $k]").mkString(" || ' ' || ")
+    s"""${a}_toks AS (
+       |  SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS tk
+       |  FROM $src),
+       |${a}_grams AS (
+       |  SELECT DISTINCT doc_id, unnest(
+       |    CASE WHEN len(tk) >= $n THEN
+       |      list_transform(range(1, len(tk) - ${n - 1} + 1), i -> $joined)
+       |    ELSE [trim(text)] END) AS g
+       |  FROM ${a}_toks),
+       |${a}_hashes AS (
+       |  SELECT doc_id, ('0x' || substr(md5(g), 1, 15))::BIGINT AS gram_h
+       |  FROM ${a}_grams)""".stripMargin
+  }
+
   /** Shared by x5 (window form) and x5b (heap-aggregate form): both
     * must match this oracle bit-for-bit. */
   private val annTopkOracle: String =
@@ -892,6 +917,124 @@ object ExtensionQueries {
              |FROM line_stats l LEFT JOIN top t USING (doc_id)
              |ORDER BY doc_id""".stripMargin)),
 
+    QuerySpec("x27_decontaminate",
+      "benchmark decontamination: per-training-doc fraction of distinct " +
+        "word trigrams appearing anywhere in the held-out eval slice " +
+        "(doc_id % 10 = 7); contaminated = overlap >= 0.5. Eval gram " +
+        "set broadcast — corpus text never shuffles",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val ev = docs.filter(pmod(col("doc_id"), lit(10)) === 7)
+        val train = docs.filter(pmod(col("doc_id"), lit(10)) =!= 7)
+        Dedup.contaminationScores(train, ev, "doc_id", "text", n = 3)
+          .withColumn("contaminated", col("overlap_frac") >= lit(0.5))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH train AS (
+              |  SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 7),
+              |ev AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 7),
+              |${decontamGramCtes("train", "tg")},
+              |${decontamGramCtes("ev", "eg")},
+              |eh AS (SELECT DISTINCT gram_h FROM eg_hashes),
+              |scored AS (
+              |  SELECT t.doc_id, count(*) AS n_grams,
+              |    CAST(coalesce(sum(CASE WHEN e.gram_h IS NOT NULL
+              |                            THEN 1 END), 0) AS BIGINT)
+              |      AS n_matched
+              |  FROM tg_hashes t LEFT JOIN eh e USING (gram_h)
+              |  GROUP BY t.doc_id)
+              |SELECT doc_id, n_grams, n_matched,
+              |  CAST(n_matched AS DOUBLE) / n_grams AS overlap_frac,
+              |  (CAST(n_matched AS DOUBLE) / n_grams >= 0.5) AS contaminated
+              |FROM scored ORDER BY doc_id""".stripMargin)),
+
+    QuerySpec("x27b_decontamination_report",
+      "which eval items were hit: per eval doc, the number of training " +
+        "docs sharing >= 3 distinct trigram hashes with it, and the " +
+        "deepest overlap — the audit trail for every dropped doc",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val ev = docs.filter(pmod(col("doc_id"), lit(10)) === 7)
+        val train = docs.filter(pmod(col("doc_id"), lit(10)) =!= 7)
+        Dedup.contaminationReport(train, ev, "doc_id", "text",
+            n = 3, minShared = 3)
+          .orderBy(col("eval_id"))
+      },
+      Some(s"""WITH train AS (
+              |  SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 7),
+              |ev AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 7),
+              |${decontamGramCtes("train", "tg")},
+              |${decontamGramCtes("ev", "eg")},
+              |pairs AS (
+              |  SELECT e.doc_id AS eval_id, t.doc_id, count(*) AS n_shared
+              |  FROM tg_hashes t
+              |  JOIN eg_hashes e ON t.gram_h = e.gram_h
+              |  GROUP BY e.doc_id, t.doc_id
+              |  HAVING count(*) >= 3)
+              |SELECT eval_id, count(*) AS n_train_hits,
+              |       max(n_shared) AS max_shared
+              |FROM pairs GROUP BY eval_id ORDER BY eval_id""".stripMargin)),
+
+    QuerySpec("x28_pii_scrub",
+      "PII scrubbing: emails / credit cards / IPv4s / phone numbers " +
+        "redacted by the shared Corpus.piiPatterns table (documents " +
+        "augmented with deterministic synthetic PII so the gate " +
+        "exercises every class; both engines build and scrub the same " +
+        "bytes)",
+      (s, dir) => {
+        val idS = col("doc_id").cast("string")
+        val aug = t(s, dir, "documents").select(col("doc_id"), concat(
+          col("text"),
+          when(pmod(col("doc_id"), lit(2)) === 0,
+            concat(lit(" reach me at user"), idS, lit("@mail.example.org")))
+            .otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(3)) === 0,
+            concat(lit(" from host 10.1."),
+              pmod(col("doc_id"), lit(200)).cast("string"), lit(".77")))
+            .otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(5)) === 0, lit(" call 555-867-5309"))
+            .otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(7)) === 0,
+            lit(" card 4111 1111 1111 1111 on file")).otherwise(lit("")))
+          .as("ptext"))
+        val counted = graft.operators.Corpus.piiPatterns
+          .foldLeft(aug) { case (df, (pat, tok)) =>
+            df.withColumn(piiCountCol(tok),
+              regexp_count(col("ptext"), lit(pat)).cast("long"))
+          }
+        counted
+          .withColumn("scrubbed_md5",
+            md5(graft.operators.Corpus.scrubPii(col("ptext"))))
+          .select(col("doc_id") +: col("scrubbed_md5") +:
+            graft.operators.Corpus.piiPatterns.map { case (_, tok) =>
+              col(piiCountCol(tok)) }: _*)
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        val countCols = graft.operators.Corpus.piiPatterns
+          .map { case (pat, tok) =>
+            s"CAST(len(regexp_extract_all(ptext, '$pat')) AS BIGINT) " +
+              s"AS ${piiCountCol(tok)}"
+          }.mkString(",\n  ")
+        s"""WITH aug AS (
+           |  SELECT doc_id, text ||
+           |    CASE WHEN doc_id % 2 = 0 THEN ' reach me at user' ||
+           |      CAST(doc_id AS VARCHAR) || '@mail.example.org'
+           |      ELSE '' END ||
+           |    CASE WHEN doc_id % 3 = 0 THEN ' from host 10.1.' ||
+           |      CAST(doc_id % 200 AS VARCHAR) || '.77' ELSE '' END ||
+           |    CASE WHEN doc_id % 5 = 0 THEN ' call 555-867-5309'
+           |      ELSE '' END ||
+           |    CASE WHEN doc_id % 7 = 0 THEN ' card 4111 1111 1111 1111 on file'
+           |      ELSE '' END AS ptext
+           |  FROM documents)
+           |SELECT doc_id,
+           |  md5(${graft.operators.Corpus.scrubPiiSql("ptext")})
+           |    AS scrubbed_md5,
+           |  $countCols
+           |FROM aug ORDER BY doc_id""".stripMargin
+      }),
+
     QuerySpec("x14b_session_window_builtin",
       "sessionization via Spark's NATIVE session_window aggregate " +
         "(merge-on-overlap; end = last event + gap) — one aggregation, " +
@@ -1017,6 +1160,45 @@ object ExtensionQueries {
              |    AS n_nulls,
              |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct
              |FROM orders""".stripMargin
+        }.mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
+      }),
+
+    QuerySpec("x30_domain_quota",
+      "per-domain quota sampling (the CC per-site cap): keep each " +
+        "source's 10 lowest-id docs via the two-phase sharded rank — " +
+        "no task ever sees more than shards*quota rows of one domain",
+      (s, dir) => graft.operators.Sampling.domainQuota(
+          t(s, dir, "documents"), "source", "doc_id", quota = 10)
+        .select(col("source"), col("doc_id"))
+        .orderBy(col("source"), col("doc_id")),
+      Some("""SELECT source, doc_id FROM (
+             |  SELECT source, doc_id, row_number() OVER
+             |    (PARTITION BY source ORDER BY doc_id) AS rn
+             |  FROM documents) t
+             |WHERE rn <= 10 ORDER BY source, doc_id""".stripMargin)),
+
+    QuerySpec("q5b_profile_sampled_approx",
+      "the 100 TB profile form: deterministic 10% hash-sample slice " +
+        "profiled exactly + HLL++ distinct asserted within 5% of the " +
+        "sampled-exact count (g4's bound-assertion pattern per column)",
+      (s, dir) => Warehouse.profileSampled(t(s, dir, "orders"),
+          "o_orderkey", pct = 10)
+        .orderBy(col("column_name")),
+      Some {
+        val cols = Seq(
+          "o_orderkey" -> "bigint", "o_custkey" -> "bigint",
+          "o_orderstatus" -> "string", "o_totalprice" -> "double",
+          "o_orderdate" -> "timestamp_ntz", "o_orderpriority" -> "string")
+        val slice = "('0x' || substr(md5(CAST(o_orderkey AS VARCHAR))" +
+          ", 1, 15))::BIGINT % 100 < 10"
+        cols.map { case (c, t) =>
+          s"""SELECT '$c' AS column_name, '$t' AS data_type,
+             |  CAST(count(*) AS BIGINT) AS n_rows,
+             |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_nulls,
+             |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+             |  TRUE AS approx_within_tol
+             |FROM orders WHERE $slice""".stripMargin
         }.mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
       }),
 

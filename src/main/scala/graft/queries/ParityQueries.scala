@@ -404,15 +404,33 @@ object ParityQueries {
               |ORDER BY status, priority""".stripMargin)),
 
     QuerySpec("g4_approx_distinct",
-      "HLL++ approximate distinct counts (sketch aggregate; estimator " +
-        "differs from DuckDB's so rows-only check — accuracy pinned in " +
-        "unit tests)",
-      (s, dir) => t(s, dir, "lineitem")
-        .groupBy(col("l_returnflag"))
-        .agg(approx_count_distinct(col("l_orderkey")).as("approx_orders"),
-          countDistinct(col("l_orderkey")).as("exact_orders"))
-        .orderBy(col("l_returnflag")),
-      None),
+      "HLL++ approximate distinct counts as a cross-engine ACCURACY " +
+        "gate: Spark's estimate (rsd=0.02) must land within 5% of the " +
+        "exact count; the oracle asserts the bound (exact count + " +
+        "literal TRUE), so a drifting sketch breaks the hash instead " +
+        "of going unchecked",
+      (s, dir) => {
+        // sketch and exact in SEPARATE aggregations: the multi-distinct
+        // rewrite would otherwise allocate the ~1.5k-word HLL buffer
+        // per (group, distinct-key) pair in the Expand — measured 9 s
+        // vs 1.3 s on sf0.1 lineitem
+        val li = t(s, dir, "lineitem")
+        val approx = li.groupBy(col("l_returnflag"))
+          .agg(approx_count_distinct(col("l_orderkey"), 0.02).as("__approx"))
+        val exact = li.groupBy(col("l_returnflag"))
+          .agg(countDistinct(col("l_orderkey")).as("exact_orders"))
+        exact.join(approx, Seq("l_returnflag"))
+          .select(col("l_returnflag"), col("exact_orders"),
+            (abs(col("__approx").cast("double") - col("exact_orders")) <=
+              col("exact_orders").cast("double") * lit(0.05))
+              .as("within_5pct"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""SELECT l_returnflag,
+             |       count(DISTINCT l_orderkey) AS exact_orders,
+             |       TRUE AS within_5pct
+             |FROM lineitem GROUP BY l_returnflag
+             |ORDER BY l_returnflag""".stripMargin)),
 
     QuerySpec("a5_pivot",
       "pivot (inverse of A3's melt): long event rows -> wide per-user " +
@@ -667,8 +685,10 @@ object ParityQueries {
 
     QuerySpec("q1_schema_introspection",
       "Q1/Q3/S6: catalog registration with PK/FK metadata + " +
-        "information_schema-style doc (no DuckDB oracle: introspects the " +
-        "Spark catalog, not the data)",
+        "information_schema-style doc. Oracle = the expected rows as a " +
+        "VALUES literal: the introspection output is a fixed spec " +
+        "(FIXTURES.md schemas + the registered metas), so embedding it " +
+        "turns the catalog surface into a hash-gated query too",
       (s, dir) => {
         import graft.catalog.Warehouse
         import graft.catalog.Warehouse.{FkEdge, TableMeta}
@@ -684,13 +704,38 @@ object ParityQueries {
         Warehouse.schemaDoc(s)
           .orderBy(col("table_name"), col("ordinal_position"))
       },
-      None),
+      Some("""SELECT * FROM (VALUES
+             |  ('customer', 1, 'c_custkey', 'BIGINT', 'PK'),
+             |  ('customer', 2, 'c_name', 'STRING', ''),
+             |  ('customer', 3, 'c_nationkey', 'INT', ''),
+             |  ('customer', 4, 'c_acctbal', 'DOUBLE', ''),
+             |  ('customer', 5, 'c_mktsegment', 'STRING', ''),
+             |  ('lineitem', 1, 'l_orderkey', 'BIGINT', 'FK'),
+             |  ('lineitem', 2, 'l_partkey', 'BIGINT', ''),
+             |  ('lineitem', 3, 'l_suppkey', 'BIGINT', ''),
+             |  ('lineitem', 4, 'l_linenumber', 'INT', ''),
+             |  ('lineitem', 5, 'l_quantity', 'DOUBLE', ''),
+             |  ('lineitem', 6, 'l_extendedprice', 'DOUBLE', ''),
+             |  ('lineitem', 7, 'l_discount', 'DOUBLE', ''),
+             |  ('lineitem', 8, 'l_tax', 'DOUBLE', ''),
+             |  ('lineitem', 9, 'l_returnflag', 'STRING', ''),
+             |  ('lineitem', 10, 'l_linestatus', 'STRING', ''),
+             |  ('lineitem', 11, 'l_shipdate', 'TIMESTAMP_NTZ', ''),
+             |  ('orders', 1, 'o_orderkey', 'BIGINT', 'PK'),
+             |  ('orders', 2, 'o_custkey', 'BIGINT', ''),
+             |  ('orders', 3, 'o_orderstatus', 'STRING', ''),
+             |  ('orders', 4, 'o_totalprice', 'DOUBLE', ''),
+             |  ('orders', 5, 'o_orderdate', 'TIMESTAMP_NTZ', ''),
+             |  ('orders', 6, 'o_orderpriority', 'STRING', '')
+             |) AS t(table_name, ordinal_position, column_name,
+             |       data_type, "constraint")
+             |ORDER BY table_name, ordinal_position""".stripMargin)),
 
     QuerySpec("q1b_information_schema_sql",
       "Q1/Q3 as ad-hoc SQL: SELECT over the registered " +
         "information_schema_columns view — the reference's " +
-        "introspection workflow verbatim (no DuckDB oracle: " +
-        "introspects the Spark catalog, not the data)",
+        "introspection workflow verbatim (oracle = expected rows as a " +
+        "VALUES literal, same spec-as-literal pattern as q1)",
       (s, dir) => {
         import graft.catalog.Warehouse
         import graft.catalog.Warehouse.{FkEdge, TableMeta}
@@ -707,7 +752,11 @@ object ParityQueries {
                 |WHERE table_name = 'lineitem' AND `constraint` <> ''
                 |ORDER BY table_name, ordinal_position""".stripMargin)
       },
-      None),
+      Some("""SELECT * FROM (VALUES
+             |  ('lineitem', 1, 'l_orderkey', 'BIGINT', 'FK')
+             |) AS t(table_name, ordinal_position, column_name,
+             |       data_type, "constraint")
+             |ORDER BY table_name, ordinal_position""".stripMargin)),
 
     QuerySpec("c1_pk_check",
       "§5: PK-uniqueness validation (replaces DuckDB INSERT-time enforcement)",

@@ -48,4 +48,28 @@ class CorpusSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet.intersect(Set(6L, 7L)).isEmpty)
     assert(kept.contains(1L) || kept.contains(4L))
   }
+
+  test("scrubPii redacts every class and composes with clean") {
+    val pii = Seq(
+      (1L, "the cat sat on the mat email bob.smith+x@ex-ample.co.uk ok"),
+      (2L, "the dog sat card 4024 0071 5336 1885 and ip 192.168.0.254 " +
+        "call 415-555-2671 done"),
+      (3L, "the cow sat on the mat with no personal data at all here")
+    ).toDF("doc_id", "text")
+    val out = pii.select(col("doc_id"),
+        Corpus.scrubPii(col("text")).as("t"))
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) == "the cat sat on the mat email <EMAIL> ok")
+    assert(out(2L) == "the dog sat card <CC> and ip <IP> call <PHONE> done")
+    assert(out(3L) == pii.filter(col("doc_id") === 3).
+      select("text").as[String].head())
+    // composition: scrub AFTER hygiene keeps the pipeline shape —
+    // clean's output still scrubs (column fn applies to any stage)
+    val cleaned = Corpus.clean(pii, "doc_id", "text",
+      minQuality = 0.0, langs = Seq("en", "und"))
+    val scrubbed = cleaned.select(col("doc_id"),
+      Corpus.scrubPii(col("text")).as("text"))
+    assert(scrubbed.filter(col("text").rlike(
+      "[A-Za-z0-9._%+-]+@")).count() == 0)
+  }
 }

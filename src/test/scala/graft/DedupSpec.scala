@@ -227,4 +227,34 @@ class DedupSpec extends SparkSpec {
     assert(j((1L, 3L)) > 0.7 && j((1L, 3L)) < 1.0)
     assert(j((1L, 4L)) < 0.3)
   }
+
+  test("contaminationScores: copied doc scores 1.0, unrelated near 0, " +
+      "decontaminate drops only the contaminated doc") {
+    val ev = Seq(
+      (100L, "what is the capital of france paris is the answer here"),
+      (101L, "solve two plus two equals four in this benchmark item")
+    ).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "what is the capital of france paris is the answer here"), // copy
+      (2L, "totally unrelated training prose about distributed shuffles"),
+      (3L, "solve two plus two equals four in this benchmark item " +
+        "padded with lots of extra novel training words beyond the item")
+    ).toDF("doc_id", "text")
+    val scores = Dedup.contaminationScores(train, ev, "doc_id", "text")
+      .as[(Long, Long, Long, Double)].collect()
+      .map { case (id, ng, nm, f) => id -> ((ng, nm, f)) }.toMap
+    assert(scores(1L)._3 == 1.0) // verbatim eval copy
+    assert(scores(2L)._3 == 0.0) // disjoint vocab
+    // doc 3 contains eval item 101 verbatim plus novel padding:
+    // partially contaminated, strictly between
+    assert(scores(3L)._3 > 0.3 && scores(3L)._3 < 1.0)
+    val kept = Dedup.decontaminate(train, ev, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L, 3L))
+    val report = Dedup.contaminationReport(train, ev, "doc_id", "text")
+      .as[(Long, Long, Long)].collect()
+      .map { case (e, n, m) => e -> ((n, m)) }.toMap
+    // both eval items are hit by exactly one training doc each
+    assert(report(100L)._1 == 1L && report(101L)._1 == 1L)
+  }
 }

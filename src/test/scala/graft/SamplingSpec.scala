@@ -31,4 +31,25 @@ class SamplingSpec extends SparkSpec {
       .select("id", "split").as[(Long, String)].collect().toMap
     sub.foreach { case (id, s) => assert(split(id) == s) }
   }
+
+  test("domainQuota keeps each domain's quota lowest ids, identical to " +
+      "the single-window model, for any shard count") {
+    val rows = (for {
+      d <- Seq("a.com", "b.org", "hot.net")
+      i <- 1L to (if (d == "hot.net") 200L else 7L)
+    } yield (d, d.hashCode.toLong * 1000 + i)).toDF("domain", "id")
+    val naive = rows.withColumn("rn",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("domain")).orderBy(col("id"))))
+      .filter(col("rn") <= 5).drop("rn")
+      .as[(String, Long)].collect().toSet
+    for (shards <- Seq(1, 4, 64)) {
+      val got = Sampling.domainQuota(rows, "domain", "id", 5, shards)
+        .as[(String, Long)].collect().toSet
+      assert(got == naive, s"shards=$shards")
+    }
+    // quota larger than any domain keeps everything
+    assert(Sampling.domainQuota(rows, "domain", "id", 1000).count()
+      == rows.count())
+  }
 }
