@@ -83,6 +83,41 @@ object TextFunctions {
   def wordShingles(c: Column, n: Int): Column =
     wordShinglesFromTokens(wsTokens(c), trim(c), n)
 
+  /** Sennrich-style BPE encode of a single word against an ordered
+    * merges table: start from characters, then apply each merge rank
+    * in order as ONE exhaustive left-to-right pass (the original BPE
+    * algorithm). Token state is a wrapped string — every token is
+    * `|tok|`, adjacent tokens abut as `||` — so merging pair (a, b) is
+    * the literal replacement `|a||b|` → `|ab|`: the pipes delimit
+    * complete tokens (a pair can never match inside a longer token),
+    * and because each match consumes BOTH wrappers, consecutive
+    * occurrences never share a boundary character — left-to-right
+    * non-overlapping `replace` (identical in Java and DuckDB) IS the
+    * exhaustive merge pass, including runs like `lll` → `ll,l`.
+    *
+    * Returns the token ARRAY. Precondition: the word must not contain
+    * `|` (strip or remap it upstream); merges apply in the given order
+    * and each pair's parts must be tokens producible by earlier ranks
+    * (chars or prior merges), as in any BPE merges file. */
+  def bpeTokens(word: Column, merges: Seq[(String, String)]): Column = {
+    val wrapped = regexp_replace(word, "(.)", "|$1|")
+    val merged = merges.foldLeft(wrapped) { case (s, (a, b)) =>
+      replace(s, lit(s"|$a||$b|"), lit(s"|$a$b|"))
+    }
+    split(btrim(merged, lit("|")), "\\|\\|")
+  }
+
+  /** DuckDB twin of [[bpeTokens]] COUNT over SQL expression `w`,
+    * generated from the same merges table so the chain cannot drift:
+    * `len(string_split(trim(<chain>, '|'), '||'))`. */
+  def bpeTokenCountSql(w: String, merges: Seq[(String, String)]): String = {
+    val init = s"regexp_replace($w, '(.)', '|\\1|', 'g')"
+    val chain = merges.foldLeft(init) { case (s, (a, b)) =>
+      s"replace($s, '|$a||$b|', '|$a$b|')"
+    }
+    s"len(string_split(trim($chain, '|'), '||'))"
+  }
+
   /** Word shingles over an ALREADY-MATERIALIZED token-array column.
     * Performance-critical: if `tk` is an inline `split(...)` expression,
     * every `element_at` inside the transform lambda re-evaluates the

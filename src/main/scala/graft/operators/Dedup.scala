@@ -228,11 +228,13 @@ object Dedup {
        |${a}_bands AS ($bandExprs)""".stripMargin
   }
 
-  /** DuckDB oracle SQL mirroring minHashNearDupPairs exactly,
-    * including the exact-dedup prefilter and the bucket cap. */
-  def minHashOracleSql(table: String, idCol: String, textCol: String,
-      p: MinHashParams = MinHashParams(), minEst: Double = 0.75,
-      maxBucket: Int = 1000): String = {
+  /** DuckDB CTE chain `docs → toks → grams → hashed → sigs → bands →
+    * capped → cand(id_a, id_b)` mirroring [[lshCandidatePairs]] over
+    * `table` (exact-dedup prefilter and bucket cap included) — shared
+    * by [[minHashOracleSql]] and the x2b adjudication oracle so the
+    * candidate-generation SQL cannot drift from the Spark path. */
+  def lshCandSqlCtes(table: String, idCol: String, textCol: String,
+      p: MinHashParams = MinHashParams(), maxBucket: Int = 1000): String = {
     val n = p.shingleN
     val sigExprs = (0 until p.k).map(j =>
       s"CAST(min((a + $j * (b % ${1L << 40})) % ${1L << 60}) AS BIGINT) AS s$j").mkString(", ")
@@ -241,10 +243,8 @@ object Dedup {
         .map(j => s"CAST(s$j AS VARCHAR)").mkString(" || '|' || ")
       s"SELECT $idCol AS id, $b AS band, md5($slice) AS band_key FROM sigs"
     }.mkString(" UNION ALL ")
-    val matchSum = (0 until p.k)
-      .map(j => s"(CASE WHEN sa.s$j = sb.s$j THEN 1 ELSE 0 END)").mkString(" + ")
     val joined = (0 until n).map(k => s"tk[i + $k]").mkString(" || ' ' || ")
-    s"""WITH docs AS (
+    s"""docs AS (
        |  SELECT min($idCol) AS $idCol, $textCol
        |  FROM $table GROUP BY $textCol),
        |toks AS (
@@ -272,7 +272,17 @@ object Dedup {
        |cand AS (
        |  SELECT DISTINCT x.id AS id_a, y.id AS id_b
        |  FROM capped x JOIN capped y
-       |    ON x.band = y.band AND x.band_key = y.band_key AND x.id < y.id)
+       |    ON x.band = y.band AND x.band_key = y.band_key AND x.id < y.id)""".stripMargin
+  }
+
+  /** DuckDB oracle SQL mirroring minHashNearDupPairs exactly,
+    * including the exact-dedup prefilter and the bucket cap. */
+  def minHashOracleSql(table: String, idCol: String, textCol: String,
+      p: MinHashParams = MinHashParams(), minEst: Double = 0.75,
+      maxBucket: Int = 1000): String = {
+    val matchSum = (0 until p.k)
+      .map(j => s"(CASE WHEN sa.s$j = sb.s$j THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""WITH ${lshCandSqlCtes(table, idCol, textCol, p, maxBucket)}
        |SELECT c.id_a, c.id_b,
        |       CAST($matchSum AS DOUBLE) / ${p.k} AS est_jaccard
        |FROM cand c
@@ -280,6 +290,28 @@ object Dedup {
        |JOIN sigs sb ON sb.$idCol = c.id_b
        |WHERE CAST($matchSum AS DOUBLE) / ${p.k} >= $minEst
        |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** The candidate-GENERATION stage of [[minHashNearDupPairs]] alone:
+    * distinct (id_a, id_b) sharing ≥1 capped LSH bucket over
+    * exact-deduped docs, no estimate filter — the pair source to feed
+    * any pairwise adjudicator (Levenshtein, exact Jaccard, embedding
+    * cosine). Same scale shape: equi-join on (band, band_key), capped
+    * buckets, never all-pairs. */
+  def lshCandidatePairs(docs: DataFrame, idCol: String, textCol: String,
+      p: MinHashParams = MinHashParams(), maxBucket: Int = 1000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bands = minHashBandKeys(docs, idCol, textCol, p)
+    val capW = Window.partitionBy(col("band"), col("band_key"))
+      .orderBy(col(idCol))
+    val capped = bands.withColumn("__rn", row_number().over(capW))
+      .filter(col("__rn") <= maxBucket).drop("__rn")
+    capped.as("x").join(capped.as("y"),
+        col("x.band") === col("y.band") &&
+          col("x.band_key") === col("y.band_key") &&
+          col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"))
+      .distinct()
   }
 
   // ---- incremental (delta-vs-history) dedup ------------------------

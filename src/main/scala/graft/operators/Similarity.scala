@@ -223,13 +223,19 @@ object Similarity {
     * weights are embedded as literal arrays, so the bucket expression
     * is the same arithmetic both engines run. `queryPred` selects the
     * query rows (e.g. "vec_id < 8"). */
-  def lshOracleSql(table: String, idCol: String, vecCol: String, k: Int,
-      nPlanes: Int, dim: Int, queryPred: String): String = {
+  /** DuckDB twin of [[bucketExpr]] over SQL vector expression `v`:
+    * the md5-derived plane weights embedded as literal arrays. */
+  def bucketSqlExpr(v: String, nPlanes: Int, dim: Int): String = {
     val w = planeWeights(nPlanes, dim)
-    def bucketSql(v: String): String = (0 until nPlanes).map { p =>
+    (0 until nPlanes).map { p =>
       s"(CASE WHEN list_dot_product($v, ${arrLit(w(p))}) >= 0 " +
         s"THEN ${1L << p} ELSE 0 END)"
     }.mkString(" + ")
+  }
+
+  def lshOracleSql(table: String, idCol: String, vecCol: String, k: Int,
+      nPlanes: Int, dim: Int, queryPred: String): String = {
+    def bucketSql(v: String): String = bucketSqlExpr(v, nPlanes, dim)
     s"""WITH q0 AS (SELECT $idCol AS qid, $vecCol::DOUBLE[] AS qvec
        |           FROM $table WHERE $queryPred),
        |c0 AS (SELECT $idCol AS did, $vecCol::DOUBLE[] AS dvec FROM $table),

@@ -75,10 +75,26 @@ object ExtensionQueries {
   private val x1dParams = Dedup.MinHashParams()
   private val x1dMinEst = 0.75
 
+  /** x2b's candidate-generation MinHash: 6 bands of 2 rows — collision
+    * probability j², deliberately permissive so the adjudicator (not
+    * the screen) makes the call and candidates exist even in corpora
+    * with only moderate similarity. */
+  private val x2bParams = Dedup.MinHashParams(k = 12, bands = 6)
+
   /** x28 twin: '<EMAIL>' → n_email etc. — same count-column name on
     * both sides. */
   private def piiCountCol(tok: String): String =
     "n_" + tok.replaceAll("[<>]", "").toLowerCase
+
+  /** x29's embedded merges table (rank order), read by BOTH the Spark
+    * run and the generated oracle. Each pair's parts are chars or
+    * earlier merges, as in a real BPE merges file; the chains build
+    * common corpus words (table, data, the, row) through multiple
+    * ranks so the gate exercises merge STACKING, not single merges. */
+  private val bpeMerges: Seq[(String, String)] = Seq(
+    ("t", "a"), ("l", "e"), ("r", "o"), ("d", "a"), ("t", "h"),
+    ("b", "le"), ("ta", "ble"), ("ro", "w"), ("da", "ta"), ("th", "e"),
+    ("a", "n"), ("s", "c"), ("sc", "an"), ("e", "r"), ("o", "r"))
 
   /** x27 twins: CTE chain hashing the distinct word-trigram shingles of
     * `src(doc_id, text)` — the DuckDB mirror of Dedup.gramHashes.
@@ -261,23 +277,32 @@ object ExtensionQueries {
       Some(Dedup.simHashOracleSql("documents", "doc_id", "text"))),
 
     QuerySpec("x2b_dedup_levenshtein",
-      "edit-distance near-dup scan: Levenshtein over bounded prefixes " +
-        "on adjacent-id candidate pairs (cost-capped at 64 chars)",
+      "edit-distance ADJUDICATION over LSH candidate pairs (permissive " +
+        "6-band/2-row MinHash for recall): Levenshtein on 64-char " +
+        "prefixes scores only bucket-colocated pairs — the " +
+        "candidates-then-adjudicate pipeline shape, never all-pairs",
       (s, dir) => {
-        val d = t(s, dir, "documents")
-          .select(col("doc_id"), substring(col("text"), 1, 64).as("p"))
-        val a = d.select(col("doc_id").as("id_a"), col("p").as("pa"))
-        val b = d.select(col("doc_id").as("id_b"), col("p").as("pb"))
-        a.join(b, col("id_a") + 1 === col("id_b"))
+        val docs = t(s, dir, "documents")
+        val pairs = Dedup.lshCandidatePairs(docs, "doc_id", "text",
+          x2bParams)
+        val d = docs.select(col("doc_id"),
+          substring(col("text"), 1, 64).as("p"))
+        pairs
+          .join(d.select(col("doc_id").as("id_a"), col("p").as("pa")), "id_a")
+          .join(d.select(col("doc_id").as("id_b"), col("p").as("pb")), "id_b")
           .select(col("id_a"), col("id_b"),
             levenshtein(col("pa"), col("pb")).cast("long").as("edit_dist"))
-          .orderBy(col("id_a"))
+          .orderBy(col("id_a"), col("id_b"))
       },
-      Some("""WITH d AS (SELECT doc_id, substr(text, 1, 64) AS p FROM documents)
-             |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-             |       CAST(levenshtein(a.p, b.p) AS BIGINT) AS edit_dist
-             |FROM d a JOIN d b ON a.doc_id + 1 = b.doc_id
-             |ORDER BY id_a""".stripMargin)),
+      Some(s"""WITH ${Dedup.lshCandSqlCtes("documents", "doc_id", "text",
+                  x2bParams)},
+              |d AS (SELECT doc_id, substr(text, 1, 64) AS p FROM documents)
+              |SELECT c.id_a, c.id_b,
+              |       CAST(levenshtein(a.p, b.p) AS BIGINT) AS edit_dist
+              |FROM cand c
+              |JOIN d a ON a.doc_id = c.id_a
+              |JOIN d b ON b.doc_id = c.id_b
+              |ORDER BY id_a, id_b""".stripMargin)),
 
     QuerySpec("x4b_simhash_hamming_pairs",
       "SimHash near-dup pairs: 64-bit signature, 4 bands of 16 bits " +
@@ -375,33 +400,42 @@ object ExtensionQueries {
       }),
 
     QuerySpec("x7_dedup_embedding_cosine",
-      "embedding-cosine near-dup scan over adjacent-id pairs",
+      "embedding-cosine near-dup ADJUDICATION over sign-LSH bucket " +
+        "candidates (6 md5-derived planes, 64 buckets): exact cosine + " +
+        "threshold flag on bucket-colocated pairs only — candidate " +
+        "volume shrinks ~2^planes-fold vs all-pairs",
       (s, dir) => {
         val e = t(s, dir, "embeddings")
-        val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"))
-        val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
-        a.join(b, col("id_a") + 1 === col("id_b"))
+        val b = e.select(col("vec_id"), col("embedding"),
+          Similarity.bucketExpr(col("embedding"), 6, 64).as("bucket"))
+        val a = b.select(col("bucket"), col("vec_id").as("id_a"),
+          col("embedding").as("va"))
+        val c = b.select(col("bucket"), col("vec_id").as("id_b"),
+          col("embedding").as("vb"))
+        a.join(c, Seq("bucket")).filter(col("id_a") < col("id_b"))
           .select(col("id_a"), col("id_b"),
             round(cosine(col("va"), col("vb")), 6).as("cos_r"))
           .withColumn("is_near_dup", col("cos_r") >= 0.3)
-          .orderBy(col("id_a"))
+          .orderBy(col("id_a"), col("id_b"))
       },
-      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
-             |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-             |  round(CASE WHEN sqrt(list_dot_product(a.v, a.v)) *
-             |                  sqrt(list_dot_product(b.v, b.v)) > 0
-             |    THEN list_dot_product(a.v, b.v) /
-             |         (sqrt(list_dot_product(a.v, a.v)) *
-             |          sqrt(list_dot_product(b.v, b.v)))
-             |    ELSE 0.0 END, 6) AS cos_r,
-             |  (round(CASE WHEN sqrt(list_dot_product(a.v, a.v)) *
-             |                   sqrt(list_dot_product(b.v, b.v)) > 0
-             |    THEN list_dot_product(a.v, b.v) /
-             |         (sqrt(list_dot_product(a.v, a.v)) *
-             |          sqrt(list_dot_product(b.v, b.v)))
-             |    ELSE 0.0 END, 6) >= 0.3) AS is_near_dup
-             |FROM e a JOIN e b ON a.vec_id + 1 = b.vec_id
-             |ORDER BY id_a""".stripMargin)),
+      Some {
+        val cosSql =
+          """CASE WHEN sqrt(list_dot_product(x.v, x.v)) *
+            |                  sqrt(list_dot_product(y.v, y.v)) > 0
+            |    THEN list_dot_product(x.v, y.v) /
+            |         (sqrt(list_dot_product(x.v, x.v)) *
+            |          sqrt(list_dot_product(y.v, y.v)))
+            |    ELSE 0.0 END""".stripMargin
+        s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+           |b AS (SELECT vec_id, v,
+           |        ${Similarity.bucketSqlExpr("v", 6, 64)} AS bucket
+           |      FROM e)
+           |SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+           |  round($cosSql, 6) AS cos_r,
+           |  (round($cosSql, 6) >= 0.3) AS is_near_dup
+           |FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+           |ORDER BY id_a, id_b""".stripMargin
+      }),
 
     QuerySpec("x8_text_langid",
       "language ID via stopword-marker scoring, distribution by language",
@@ -1034,6 +1068,31 @@ object ExtensionQueries {
            |  $countCols
            |FROM aug ORDER BY doc_id""".stripMargin
       }),
+
+    QuerySpec("x29_bpe_tokenize",
+      "merges-table BPE encode (Sennrich rank-order passes over " +
+        "wrapped-token strings): per-doc word and BPE-token counts " +
+        "under the embedded 15-merge table — the real-token-budget " +
+        "counter behind packing",
+      (s, dir) => {
+        val words = t(s, dir, "documents")
+          .select(col("doc_id"), explode(wsTokens(col("text"))).as("w"))
+        words
+          .select(col("doc_id"),
+            size(bpeTokens(col("w"), bpeMerges)).cast("long").as("n_tok"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_words"),
+            sum(col("n_tok")).as("n_bpe_tokens"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH words AS (
+              |  SELECT doc_id,
+              |    unnest(string_split_regex(trim(text), '\\s+')) AS w
+              |  FROM documents)
+              |SELECT doc_id, count(*) AS n_words,
+              |  CAST(sum(${bpeTokenCountSql("w", bpeMerges)}) AS BIGINT)
+              |    AS n_bpe_tokens
+              |FROM words GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
     QuerySpec("x14b_session_window_builtin",
       "sessionization via Spark's NATIVE session_window aggregate " +

@@ -68,4 +68,22 @@ class TextFunctionsSpec extends SparkSpec {
     // blank paragraph separators are NOT duplicate lines
     assert(got(5L)._1 == 0.0)
   }
+
+  test("bpeTokens applies merges in rank order, exhaustive per pass") {
+    val merges = Seq(("t", "a"), ("l", "e"), ("b", "le"), ("ta", "ble"),
+      ("l", "l"))
+    val words = Seq("table", "tale", "lll", "z", "", "bleak")
+      .toDF("w")
+    val got = words.select(col("w"),
+        bpeTokens(col("w"), merges).as("toks"))
+      .as[(String, Seq[String])].collect().toMap
+    assert(got("table") == Seq("table"))       // ta+ble via 4 stacked ranks
+    assert(got("tale") == Seq("ta", "le"))     // partial stack
+    // leftmost-first exhaustive pass on a run: lll -> ll, l (not l, ll)
+    assert(got("lll") == Seq("ll", "l"))
+    assert(got("z") == Seq("z"))               // no merge applies
+    assert(got("") == Seq(""))                 // empty word -> one empty token
+    // "ble" inside a longer word merges only as complete tokens
+    assert(got("bleak") == Seq("ble", "a", "k"))
+  }
 }
