@@ -255,6 +255,40 @@ object Warehouse {
     row.select(explode(array(entries.toSeq: _*)).as("c")).select("c.*")
   }
 
+  /** Numeric quantile profile with an asserted approximation bound:
+    * per column, exact min/max plus a boolean per requested quantile
+    * stating that `approx_percentile(accuracy)` landed within
+    * `tolFrac` of the column's value RANGE from the exact percentile
+    * (approx returns a real data value while exact INTERPOLATES, so
+    * discrete columns intrinsically cost up to one value step)
+    * (the g4 pattern again — cross-engine sketches can't hash-match,
+    * so the oracle asserts the bound with literal TRUE). The exact
+    * percentile exists only to power the assertion; the product
+    * operator at 100 TB is the approx one. */
+  def profileQuantiles(df: DataFrame, cols: Seq[String], ps: Seq[Double],
+      accuracy: Int = 10000, tolFrac: Double = 0.05): DataFrame = {
+    val aggs = cols.flatMap { c =>
+      Seq(min(col(c)).cast("double").as(s"__min_$c"),
+        max(col(c)).cast("double").as(s"__max_$c")) ++
+        ps.zipWithIndex.flatMap { case (p, i) => Seq(
+          percentile_approx(col(c), lit(p), lit(accuracy)).cast("double")
+            .as(s"__ap_${i}_$c"),
+          expr(s"percentile($c, $p)").as(s"__ex_${i}_$c")) }
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*)
+    val entries = cols.map { c =>
+      val fields = Seq(lit(c).as("column_name"),
+        col(s"__min_$c").as("min_val"), col(s"__max_$c").as("max_val")) ++
+        ps.zipWithIndex.map { case (p, i) =>
+          (abs(col(s"__ap_${i}_$c") - col(s"__ex_${i}_$c")) <=
+            (col(s"__max_$c") - col(s"__min_$c")) * tolFrac + lit(1e-9))
+            .as(s"p${math.round(p * 100)}_within_tol")
+        }
+      struct(fields: _*)
+    }
+    row.select(explode(array(entries: _*)).as("c")).select("c.*")
+  }
+
   /** Reset registry (test isolation). */
   def clear(): Unit = registry.clear()
 }

@@ -20,14 +20,13 @@ import graft.functions.TextFunctions._
   */
 object Corpus {
 
-  /** Clean `docs`, returning the kept (idCol, textCol) rows: quality
-    * ≥ `minQuality`, language in `langs`, exact dups collapsed to the
-    * lowest id per normalized fingerprint, near-dup clusters collapsed
-    * to their min-id representative. */
-  def clean(docs: DataFrame, idCol: String, textCol: String,
-      minQuality: Double, langs: Seq[String],
-      p: Dedup.MinHashParams = Dedup.MinHashParams(),
-      minEst: Double = 0.75): DataFrame = {
+  /** Shared hygiene front-end of [[clean]] / [[cleanKeepBest]]:
+    * quality floor + language allowlist + exact dedup + near-dup
+    * clustering. Returns (exactKept, clusters) — clusters maps EVERY
+    * surviving id to its cluster label (singletons label themselves). */
+  private def hygieneClusters(docs: DataFrame, idCol: String,
+      textCol: String, minQuality: Double, langs: Seq[String],
+      p: Dedup.MinHashParams, minEst: Double): (DataFrame, DataFrame) = {
     // ONE native predicate, not a composition: Catalyst pushes a
     // deterministic filter through any token-materializing Project
     // (alias substitution), which would re-tokenize each raw document
@@ -50,9 +49,49 @@ object Corpus {
       .select(col("id_a"), col("id_b"))
     val clusters = Dedup.connectedComponents(
       exactKept.select(col(idCol)), idCol, pairs)
+    (exactKept, clusters)
+  }
+
+  /** Clean `docs`, returning the kept (idCol, textCol) rows: quality
+    * ≥ `minQuality`, language in `langs`, exact dups collapsed to the
+    * lowest id per normalized fingerprint, near-dup clusters collapsed
+    * to their min-id representative. */
+  def clean(docs: DataFrame, idCol: String, textCol: String,
+      minQuality: Double, langs: Seq[String],
+      p: Dedup.MinHashParams = Dedup.MinHashParams(),
+      minEst: Double = 0.75): DataFrame = {
+    val (exactKept, clusters) =
+      hygieneClusters(docs, idCol, textCol, minQuality, langs, p, minEst)
     exactKept.join(
       clusters.filter(col(idCol) === col("cluster_id")).select(col(idCol)),
       Seq(idCol), "left_semi")
+  }
+
+  /** [[clean]], but each near-dup cluster keeps its HIGHEST-QUALITY
+    * member (ties → lowest id) instead of its lowest id — what a real
+    * ingest wants: near-dups usually differ by boilerplate or
+    * truncation, and min-id keeps whichever arrived first, not the
+    * best copy. The rank window is per-cluster (clusters are tiny), so
+    * no global window appears at any scale. */
+  def cleanKeepBest(docs: DataFrame, idCol: String, textCol: String,
+      minQuality: Double, langs: Seq[String],
+      p: Dedup.MinHashParams = Dedup.MinHashParams(),
+      minEst: Double = 0.75): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (exactKept, clusters) =
+      hygieneClusters(docs, idCol, textCol, minQuality, langs, p, minEst)
+    // materialize tokens before the ratio lambdas (HOF recompute trap)
+    val scored = exactKept
+      .select(col(idCol), col(textCol), wsTokens(col(textCol)).as("__tk"))
+      .withColumn("__q",
+        TextAnalysis.qualityScoreFromTokens(col(textCol), col("__tk")))
+      .drop("__tk")
+      .join(clusters, Seq(idCol))
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("__q").desc, col(idCol))
+    scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col(idCol), col(textCol))
   }
 
   // ---- PII scrubbing -----------------------------------------------

