@@ -56,9 +56,13 @@ object Bench {
       name -> (median(times), times.last - times.head,
         outcomes.flatMap(_._2).headOption)
     }
+    // errored queries emit null (not their near-zero fail-fast times)
+    // so per-query regression tracking can never read a broken query
+    // as the suite's fastest
     def jmap(f: ((String, (Double, Double, Option[String]))) => Double): String =
-      results.map { case (k, v) => s"\"" + k + "\":" + f(k -> v) }
-        .mkString("{", ",", "}")
+      results.map { case (k, v) =>
+        s"\"" + k + "\":" + (if (v._3.isDefined) "null" else f(k -> v).toString)
+      }.mkString("{", ",", "}")
     val qs = jmap(_._2._1)
     val spreads = jmap(_._2._2)
     val errs = results.collect { case (k, (_, _, Some(e))) =>

@@ -7,9 +7,18 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
     // optional 3rd arg: comma-separated name prefixes — dump only
-    // matching queries (local iteration; the driver always passes 2)
+    // matching queries (local iteration; the driver always passes 2).
+    // A filtered run CLEARS outDir first: stale parquet from an
+    // earlier full dump next to a filtered oracle_sql.json would let
+    // a subset check read as full parity.
     val keep: String => Boolean = args.lift(2) match {
       case Some(pfx) =>
+        val root = Paths.get(args(1))
+        if (Files.exists(root)) {
+          import scala.jdk.CollectionConverters._
+          Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+            .iterator().asScala.foreach(Files.delete)
+        }
         val ps = pfx.split(","); name => ps.exists(name.startsWith)
       case None => _ => true
     }

@@ -257,31 +257,40 @@ object Warehouse {
 
   /** Numeric quantile profile with an asserted approximation bound:
     * per column, exact min/max plus a boolean per requested quantile
-    * stating that `approx_percentile(accuracy)` landed within
-    * `tolFrac` of the column's value RANGE from the exact percentile
-    * (approx returns a real data value while exact INTERPOLATES, so
-    * discrete columns intrinsically cost up to one value step)
-    * (the g4 pattern again — cross-engine sketches can't hash-match,
-    * so the oracle asserts the bound with literal TRUE). The exact
-    * percentile exists only to power the assertion; the product
-    * operator at 100 TB is the approx one. */
+    * stating that `approx_percentile(accuracy)` landed inside the
+    * RANK-tolerance envelope [percentile(p−δ), percentile(p+δ)] — the
+    * ε-approximate-quantile guarantee the sketch actually makes
+    * (rank error ≤ n/accuracy), so the bound is independent of value
+    * granularity: a coarse discrete column cannot fail it through the
+    * approx-returns-a-value vs exact-interpolates gap (the g4 pattern
+    * again — cross-engine sketches can't hash-match, so the oracle
+    * asserts the bound with literal TRUE). The exact percentiles
+    * exist only to power the assertion; the product operator at
+    * 100 TB is the approx one. */
   def profileQuantiles(df: DataFrame, cols: Seq[String], ps: Seq[Double],
-      accuracy: Int = 10000, tolFrac: Double = 0.05): DataFrame = {
+      accuracy: Int = 10000, rankTol: Double = 0.005): DataFrame = {
+    def pc(p: Double): Double = math.min(1.0, math.max(0.0, p))
+    // ONE array-percentile aggregate per column (each exact percentile
+    // buffers the whole column per agg instance — per-p instances
+    // quadrupled the buffered bytes and ran 10 s vs 2.5 s on sf0.1
+    // lineitem), and one array sketch likewise
+    val envelope = ps.flatMap(p => Seq(pc(p - rankTol), pc(p + rankTol)))
     val aggs = cols.flatMap { c =>
       Seq(min(col(c)).cast("double").as(s"__min_$c"),
-        max(col(c)).cast("double").as(s"__max_$c")) ++
-        ps.zipWithIndex.flatMap { case (p, i) => Seq(
-          percentile_approx(col(c), lit(p), lit(accuracy)).cast("double")
-            .as(s"__ap_${i}_$c"),
-          expr(s"percentile($c, $p)").as(s"__ex_${i}_$c")) }
+        max(col(c)).cast("double").as(s"__max_$c"),
+        expr(s"percentile($c, array(${envelope.mkString(", ")}))")
+          .as(s"__ex_$c"),
+        percentile_approx(col(c), array(ps.map(lit): _*), lit(accuracy))
+          .cast("array<double>").as(s"__ap_$c"))
     }
     val row = df.agg(aggs.head, aggs.tail: _*)
     val entries = cols.map { c =>
       val fields = Seq(lit(c).as("column_name"),
         col(s"__min_$c").as("min_val"), col(s"__max_$c").as("max_val")) ++
         ps.zipWithIndex.map { case (p, i) =>
-          (abs(col(s"__ap_${i}_$c") - col(s"__ex_${i}_$c")) <=
-            (col(s"__max_$c") - col(s"__min_$c")) * tolFrac + lit(1e-9))
+          val ap = element_at(col(s"__ap_$c"), i + 1)
+          (ap >= element_at(col(s"__ex_$c"), 2 * i + 1) - lit(1e-9) &&
+            ap <= element_at(col(s"__ex_$c"), 2 * i + 2) + lit(1e-9))
             .as(s"p${math.round(p * 100)}_within_tol")
         }
       struct(fields: _*)

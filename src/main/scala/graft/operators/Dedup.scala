@@ -98,14 +98,8 @@ object Dedup {
   def minHashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
       p: MinHashParams = MinHashParams(), minEst: Double = 0.75,
       maxBucket: Int = 1000, preDeduped: Boolean = false): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val sigs = minHashArraySigs(docs, idCol, textCol, p, preDeduped)
-    val bands = bandKeys(sigs, idCol, p, carrySig = true)
-    val capW = Window.partitionBy(col("band"), col("band_key"))
-      .orderBy(col(idCol))
-    val capped = bands
-      .withColumn("__rn", row_number().over(capW))
-      .filter(col("__rn") <= maxBucket).drop("__rn")
+    val capped = cappedBands(docs, idCol, textCol, p, maxBucket,
+      carrySig = true, preDeduped = preDeduped)
     val cand = capped.as("x").join(capped.as("y"),
         col("x.band") === col("y.band") &&
           col("x.band_key") === col("y.band_key") &&
@@ -117,6 +111,24 @@ object Dedup {
         (sigMatches(col("sig_a"), col("sig_b"), p).cast("double") / p.k)
           .as("est_jaccard"))
       .filter(col("est_jaccard") >= minEst)
+  }
+
+  /** Shared cap stage of the pair and candidate paths: long-form band
+    * keys ranked within their (band, band_key) bucket, keeping each
+    * bucket's `maxBucket` lowest ids — ONE definition of the cap/key
+    * shape so [[minHashNearDupPairs]] and [[lshCandidatePairs]] (and
+    * through them the x1d/x2b gates) can never drift apart. */
+  private def cappedBands(docs: DataFrame, idCol: String, textCol: String,
+      p: MinHashParams, maxBucket: Int, carrySig: Boolean,
+      preDeduped: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bands = bandKeys(
+      minHashArraySigs(docs, idCol, textCol, p, preDeduped), idCol, p,
+      carrySig)
+    val capW = Window.partitionBy(col("band"), col("band_key"))
+      .orderBy(col(idCol))
+    bands.withColumn("__rn", row_number().over(capW))
+      .filter(col("__rn") <= maxBucket).drop("__rn")
   }
 
   /** Matching-slot count between two k-length signature arrays,
@@ -300,12 +312,8 @@ object Dedup {
     * buckets, never all-pairs. */
   def lshCandidatePairs(docs: DataFrame, idCol: String, textCol: String,
       p: MinHashParams = MinHashParams(), maxBucket: Int = 1000): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val bands = minHashBandKeys(docs, idCol, textCol, p)
-    val capW = Window.partitionBy(col("band"), col("band_key"))
-      .orderBy(col(idCol))
-    val capped = bands.withColumn("__rn", row_number().over(capW))
-      .filter(col("__rn") <= maxBucket).drop("__rn")
+    val capped = cappedBands(docs, idCol, textCol, p, maxBucket,
+      carrySig = false)
     capped.as("x").join(capped.as("y"),
         col("x.band") === col("y.band") &&
           col("x.band_key") === col("y.band_key") &&

@@ -40,12 +40,15 @@ object Packing {
     * sampling (PackingSpec checks equivalence across bucket counts),
     * and a task retry recomputes the same pure id→partition mapping.
     *
-    * `nBuckets = 0` (the default) adapts to the input: 4 buckets per
-    * source partition, capped at 1024. The cap keeps the offsets
-    * frame tiny at any scale; the floor keeps a 5k-row local corpus
-    * from paying 1024-way repartition task overhead (measured 12.7 s
-    * → sub-second on the sf0.1 mixing query) — scale-safe AND
-    * scale-proportionate. */
+    * `nBuckets = 0` (the default) adapts to the CLUSTER: 4 buckets
+    * per default-parallelism slot, capped at 1024. The cap keeps the
+    * offsets frame tiny at any scale; the floor keeps a 5k-row local
+    * corpus from paying 1024-way repartition task overhead (measured
+    * 12.7 s → ~1 s on the sf0.1 mixing query). Deliberately NOT
+    * derived from `df.rdd.getNumPartitions`: under AQE, `.rdd`
+    * materializes the final plan — executing every upstream shuffle
+    * once just to count partitions, then recomputing it all on the
+    * real action. `defaultParallelism` is a pure driver-side read. */
   def assignPacks(docs: DataFrame, idCol: String, nTokCol: String,
       budget: Long, nBuckets: Int = 0): DataFrame = {
     require(budget > 0, "budget must be positive")
@@ -66,7 +69,8 @@ object Packing {
     require(nBuckets >= 0, "nBuckets must be >= 0 (0 = adaptive)")
     val buckets =
       if (nBuckets > 0) nBuckets
-      else math.min(1024, math.max(1, docs.rdd.getNumPartitions * 4))
+      else math.min(1024, math.max(1,
+        docs.sparkSession.sparkContext.defaultParallelism * 4))
     val bucketed = docs.select(col(idCol), col(valueCol))
       .repartitionByRange(buckets, col(idCol))
       .withColumn("__b", spark_partition_id().cast("long"))

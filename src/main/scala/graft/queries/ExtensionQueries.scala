@@ -1272,10 +1272,10 @@ object ExtensionQueries {
 
     QuerySpec("g7_quantile_bound",
       "numeric quantile profiling with an asserted sketch bound: " +
-        "exact min/max per column + approx_percentile(10k) landing " +
-        "within 5% of the value range from the exact percentile " +
-        "(p50, p95; discrete columns cost one interpolation step) — " +
-        "the percentile analog of g4's HLL gate",
+        "exact min/max per column + approx_percentile(10k) required " +
+        "inside the rank-tolerance envelope [exact(p-.005), " +
+        "exact(p+.005)] (p50, p95) — the epsilon-quantile guarantee " +
+        "the sketch makes, granularity-independent; g4's pattern",
       (s, dir) => Warehouse.profileQuantiles(t(s, dir, "lineitem"),
           Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"),
           Seq(0.5, 0.95))
