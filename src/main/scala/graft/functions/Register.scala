@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{GraftBridge, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.Literal
 
-import graft.plans.{ArrayDotProduct, RollingHash, TopKPairs}
+import graft.plans.{ArrayDotProduct, RollingHash, TopBigramFraction, TopKPairs}
 
 /** Session-scoped registration of graft's custom Catalyst expressions,
   * making them callable from SQL text and `expr(...)`. Idempotent. */
@@ -15,6 +15,10 @@ object Register {
   def arrayDot(spark: SparkSession): Unit =
     GraftBridge.registerFunction(spark, "array_dot",
       exprs => ArrayDotProduct(exprs(0), exprs(1)))
+
+  def topBigramFrac(spark: SparkSession): Unit =
+    GraftBridge.registerFunction(spark, "top_bigram_frac",
+      exprs => TopBigramFraction(exprs.head))
 
   def topKPairs(spark: SparkSession): Unit =
     GraftBridge.registerFunction(spark, "top_k_pairs", exprs => {
@@ -36,6 +40,7 @@ object Register {
   def all(spark: SparkSession): Unit = {
     rollingHash(spark)
     arrayDot(spark)
+    topBigramFrac(spark)
     topKPairs(spark)
   }
 }

@@ -1,7 +1,9 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, GraftBridge}
 import org.apache.spark.sql.functions._
+
+import graft.plans.TopBigramFraction
 
 /** Scalar string functions re-expressing the reference's string surface
   * (SURVEY.md §2.5) plus the text-analysis extensions, all as
@@ -42,6 +44,12 @@ object TextFunctions {
 
   /** Whitespace token count as BIGINT. */
   def wsTokenCount(c: Column): Column = size(wsTokens(c)).cast("long")
+
+  /** Most-frequent-adjacent-bigram fraction of a token array, computed
+    * in-row by the native `graft.plans.TopBigramFraction` expression —
+    * zero shuffles vs the explode/groupBy composition. */
+  def topBigramFrac(tokens: Column): Column =
+    GraftBridge.column(TopBigramFraction(GraftBridge.expression(tokens)))
 
   /** BPE-ish token count: runs of letters, runs of digits, and single
     * other non-space chars each count as one token — the classic

@@ -123,29 +123,20 @@ object TextAnalysis {
     * so the DuckDB twin is bit-identical. */
   def repetitionStats(docs: DataFrame, idCol: String,
       textCol: String): DataFrame = {
-    val withLines = docs.select(col(idCol),
-      filter(split(col(textCol), "\n"), l => trim(l) =!= "").as("__ls"),
-      wsTokens(col(textCol)).as("__tk"))
-    val lineStats = withLines.select(col(idCol),
-      when(size(col("__ls")) > 0,
-        lit(1.0) - size(array_distinct(col("__ls"))).cast("double") /
-          size(col("__ls")))
-        .otherwise(lit(0.0)).as("dup_line_frac"))
-    // bigrams from the bound token array (HOF recompute contract)
-    val bigrams = withLines.select(col(idCol),
-        when(size(col("__tk")) >= 2,
-          expr("transform(sequence(1, size(__tk) - 1), " +
-            "i -> concat(element_at(__tk, i), ' ', element_at(__tk, i + 1)))"))
-          .otherwise(array().cast("array<string>")).as("__bg"))
-      .select(col(idCol), explode(col("__bg")).as("bigram"))
-    val counts = bigrams
-      .groupBy(col(idCol), col("bigram"))
-      .agg(count(lit(1)).as("__n"))
-    val topFrac = counts.groupBy(col(idCol))
-      .agg((max(col("__n")).cast("double") / sum(col("__n")))
-        .as("top_bigram_frac"))
-    lineStats.join(topFrac, Seq(idCol), "left")
-      .select(col(idCol), col("dup_line_frac"),
-        coalesce(col("top_bigram_frac"), lit(0.0)).as("top_bigram_frac"))
+    // Both signals are per-row scalars, so the whole operator is one
+    // narrow projection: the top-bigram fraction counts inside a
+    // native expression (graft.plans.TopBigramFraction) instead of
+    // exploding every bigram through two keyed shuffles and a join —
+    // at corpus scale that explode re-keys the entire text volume
+    // twice for what is a per-document statistic.
+    docs.select(col(idCol),
+        filter(split(col(textCol), "\n"), l => trim(l) =!= "").as("__ls"),
+        wsTokens(col(textCol)).as("__tk"))
+      .select(col(idCol),
+        when(size(col("__ls")) > 0,
+          lit(1.0) - size(array_distinct(col("__ls"))).cast("double") /
+            size(col("__ls")))
+          .otherwise(lit(0.0)).as("dup_line_frac"),
+        topBigramFrac(col("__tk")).as("top_bigram_frac"))
   }
 }
