@@ -59,16 +59,22 @@ object Bench {
     // errored queries emit null (not their near-zero fail-fast times)
     // so per-query regression tracking can never read a broken query
     // as the suite's fastest
+    // millisecond precision keeps the line compact (the caller captures
+    // a bounded tail of stdout); sub-ms digits are pure noise here
+    def r3(x: Double): String = {
+      val s = (math.rint(x * 1000) / 1000).toString
+      if (s.endsWith(".0")) s.dropRight(2) else s
+    }
     def jmap(f: ((String, (Double, Double, Option[String]))) => Double): String =
       results.map { case (k, v) =>
-        s"\"" + k + "\":" + (if (v._3.isDefined) "null" else f(k -> v).toString)
+        s"\"" + k + "\":" + (if (v._3.isDefined) "null" else r3(f(k -> v)))
       }.mkString("{", ",", "}")
     val qs = jmap(_._2._1)
     val spreads = jmap(_._2._2)
     val errs = results.collect { case (k, (_, _, Some(e))) =>
       s"\"" + k + "\":\"" + e + "\"" }.mkString("{", ",", "}")
     val total = results.values.collect { case (m, _, None) => m }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"n_errors":${results.values.count(_._3.isDefined)},"errors":$errs,"queries":$qs,"spread":$spreads,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","runs":$runs,"n_errors":${results.values.count(_._3.isDefined)},"errors":$errs,"queries":$qs,"spread":$spreads,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
