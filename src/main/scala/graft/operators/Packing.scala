@@ -93,6 +93,48 @@ object Packing {
       .select(col(idCol), col(valueCol), col("__excl"))
   }
 
+  /** Sliding-window chunking: split each document into
+    * `chunkSize`-token chunks whose starts advance by
+    * `chunkSize - overlap` tokens — the context-window prep that
+    * turns long documents into trainable sequences without losing
+    * the text that straddles a boundary. The final chunk may be
+    * shorter; a document with at most `chunkSize` tokens yields
+    * exactly one chunk.
+    *
+    * Emits (idCol, chunk_id, start_tok, n_tokens, chunk_md5) —
+    * chunk content travels as an md5 digest because downstream
+    * consumers (dedup, manifests, the oracle gate) only need
+    * identity; a writer variant would keep the text column.
+    *
+    * Scale shape: tokenization, chunk slicing, and hashing all
+    * happen INSIDE one row before a posexplode — a narrow operator
+    * with zero shuffles whose output is ~n_tokens/step rows per doc.
+    * The token array is materialized in a projection first and only
+    * the BOUND attribute is referenced inside the transform lambda
+    * (the HOF-recompute contract), so per-chunk work is one slice +
+    * join + md5, not a re-tokenization. */
+  def slidingChunks(docs: DataFrame, idCol: String, textCol: String,
+      chunkSize: Int, overlap: Int): DataFrame = {
+    require(chunkSize > 0, "chunkSize must be positive")
+    require(overlap >= 0 && overlap < chunkSize,
+      "overlap must be in [0, chunkSize)")
+    val step = chunkSize - overlap
+    docs.select(col(idCol),
+        graft.functions.TextFunctions.wsTokens(col(textCol)).as("__tk"))
+      .select(col(idCol), expr(
+        s"""transform(
+           |  sequence(1, greatest(size(__tk) - $overlap, 1), $step),
+           |  st -> struct(
+           |    CAST(st AS BIGINT) AS start_tok,
+           |    CAST(least($chunkSize, size(__tk) - st + 1) AS BIGINT)
+           |      AS n_tokens,
+           |    md5(array_join(slice(__tk, st, $chunkSize), ' '))
+           |      AS chunk_md5))""".stripMargin).as("__chunks"))
+      .select(col(idCol), posexplode(col("__chunks")))
+      .select(col(idCol), col("pos").cast("long").as("chunk_id"),
+        col("col.start_tok"), col("col.n_tokens"), col("col.chunk_md5"))
+  }
+
   /** Pack manifest: per pack, its row count, token total, and id
     * range — what a shard writer consumes. */
   def packManifest(assigned: DataFrame, idCol: String,

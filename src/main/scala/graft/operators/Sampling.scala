@@ -38,6 +38,26 @@ object Sampling {
           .when(col("bucket") < trainPct + valPct, "val")
           .otherwise("test"))
 
+  /** Stratified deterministic sampling: keep rows whose 0..99 id-hash
+    * bucket is below their class's percentage — per-class `fractions`
+    * (e.g. "wiki" -> 100, "commoncrawl" -> 10) with `defaultPct` for
+    * unlisted classes. The standard corpus-mixing knob (up-weight
+    * curated sources, down-sample crawl bulk) as a pure narrow
+    * filter: no shuffle, no rand(), pushdown-friendly, and a row's
+    * keep/drop never changes as the corpus grows or re-runs.
+    *
+    * The class percentage is a literal CASE chain (classes are a
+    * config, not data), so the whole predicate reaches the scan. */
+  def stratifiedSample(df: DataFrame, classCol: String, idCol: String,
+      fractions: Map[String, Int], defaultPct: Int = 0): DataFrame = {
+    require((fractions.values ++ Seq(defaultPct)).forall(p => p >= 0 && p <= 100),
+      "percentages must be in [0, 100]")
+    val pct = fractions.toSeq.sortBy(_._1).foldLeft(lit(defaultPct)) {
+      case (acc, (cls, p)) => when(col(classCol) === cls, lit(p)).otherwise(acc)
+    }
+    df.filter(hashBucket(col(idCol), 100) < pct)
+  }
+
   /** Per-domain quota: keep each domain's `quota` lowest-`idCol` rows
     * — the web-pipeline per-site cap that stops one crawl-heavy
     * domain from dominating the mix.
