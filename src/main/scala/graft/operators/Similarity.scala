@@ -162,7 +162,9 @@ object Similarity {
       struct(dotProduct(vecCol, array(c.map(lit): _*)).as("s"),
         lit(i).as("i"))
     }
-    greatest(scored.toSeq: _*).getField("i")
+    // greatest requires >= 2 args; a single cell is trivially cell 0
+    if (scored.length == 1) lit(0)
+    else greatest(scored.toSeq: _*).getField("i")
   }
 
   /** IVF ANN: corpus rows live in their nearest-centroid cell; each
@@ -259,12 +261,23 @@ object Similarity {
     * structs via list_sort DESC (max score, ties to the larger index —
     * verified identical semantics), and probe selection replicates the
     * reverse(array_sort(...)) slice the same way. */
+  /** DuckDB list of (score, idx) structs against literal centroids —
+    * the shared building block of [[cellSqlExpr]] and the probe slice
+    * in [[ivfOracleSql]]. */
+  def cellStructsSql(v: String, centroids: Array[Array[Double]]): String =
+    centroids.zipWithIndex.map { case (c, i) =>
+      s"{'s': list_dot_product($v, ${arrLit(c)}), 'i': $i}"
+    }.mkString("[", ", ", "]")
+
+  /** DuckDB twin of [[cellExpr]]: list_sort DESC [1].i == greatest over
+    * (score, idx) structs — max score, ties to the larger index. */
+  def cellSqlExpr(v: String, centroids: Array[Array[Double]]): String =
+    s"list_sort(${cellStructsSql(v, centroids)}, 'DESC')[1].i"
+
   def ivfOracleSql(table: String, idCol: String, vecCol: String, k: Int,
       centroids: Array[Array[Double]], nProbes: Int,
       queryPred: String): String = {
-    val structs = (v: String) => centroids.zipWithIndex.map { case (c, i) =>
-      s"{'s': list_dot_product($v, ${arrLit(c)}), 'i': $i}"
-    }.mkString("[", ", ", "]")
+    val structs = (v: String) => cellStructsSql(v, centroids)
     s"""WITH q0 AS (SELECT $idCol AS qid, $vecCol::DOUBLE[] AS qvec
        |           FROM $table WHERE $queryPred),
        |c0 AS (SELECT $idCol AS did, $vecCol::DOUBLE[] AS dvec FROM $table),
@@ -322,4 +335,73 @@ object Similarity {
     scored.withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= k)
   }
+
+  // ---- Semantic dedup (SemDeDup-style) -----------------------------
+
+  /** Semantic dedup over an embedding column, SemDeDup-shaped (Abbas
+    * et al. 2023, arXiv:2303.09540): cluster the corpus with the
+    * deterministic IVF trainer, then look for near-duplicate pairs
+    * ONLY within a cell — candidate volume shrinks ~nCells-fold vs
+    * all-pairs, and the pair search is a cell-keyed equi-join, never a
+    * cartesian. A row is dropped when some LOWER-id row in its cell
+    * has cosine ≥ tau against it (deterministic keep-lowest-id
+    * dominance — unlike the paper's random keeper, reproducible across
+    * runs and engines; cosines are rounded to 6 dp before the
+    * threshold so both engines decide identical boundary cases).
+    *
+    * Returns every corpus row with its cell, the max (rounded) cosine
+    * against any lower-id cell-mate (-1.0 when none), and the verdict,
+    * so the caller can either filter `kept` or audit the margin.
+    *
+    * 100 TB shape: cell assignment is a narrow projection against
+    * literal centroids (zero shuffle); the only wide ops are the
+    * cell-keyed self-join and a per-id max. Within-cell pair volume is
+    * bounded by the cell-size distribution — at scale raise nCells so
+    * cells stay O(10^4) rows (the paper uses tens of thousands of
+    * clusters for billions of docs); skewed cells can additionally be
+    * sub-bucketed with [[bucketExpr]] planes. */
+  def semanticDedup(corpus: DataFrame, idCol: String, vecCol: String,
+      nCells: Int, tau: Double, iters: Int = 2): DataFrame = {
+    val centroids = ivfTrain(corpus, idCol, vecCol, nCells, iters)
+    val c = corpus.select(col(idCol).as("__id"), col(vecCol).as("__v"),
+      l2Norm(col(vecCol)).as("__n"),
+      cellExpr(col(vecCol), centroids).as("cell"))
+    val lo = c.select(col("cell"), col("__id").as("id_a"),
+      col("__v").as("va"), col("__n").as("na"))
+    val hi = c.select(col("cell"), col("__id").as("id_b"),
+      col("__v").as("vb"), col("__n").as("nb"))
+    val pairCos = lo.join(hi, Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_b").as("__id"),
+        round(when(col("na") * col("nb") > 0,
+            dotProduct(col("va"), col("vb")) / (col("na") * col("nb")))
+          .otherwise(lit(0.0)), 6).as("cos_r"))
+    val maxLower = pairCos.groupBy(col("__id"))
+      .agg(max(col("cos_r")).as("max_lower_cos_r"))
+    c.select(col("__id"), col("cell"))
+      .join(maxLower, Seq("__id"), "left")
+      .select(col("__id").as(idCol), col("cell"),
+        coalesce(col("max_lower_cos_r"), lit(-1.0)).as("max_lower_cos_r"),
+        (coalesce(col("max_lower_cos_r"), lit(-1.0)) < tau).as("kept"))
+  }
+
+  /** DuckDB oracle mirroring [[semanticDedup]], given the trained
+    * centroids (late-bound via [[trainedCentroids]]). */
+  def semanticDedupOracleSql(table: String, idCol: String, vecCol: String,
+      centroids: Array[Array[Double]], tau: Double): String =
+    s"""WITH e AS (SELECT $idCol AS id, $vecCol::DOUBLE[] AS v FROM $table),
+       |c AS (SELECT id, v, sqrt(list_dot_product(v, v)) AS n,
+       |             ${cellSqlExpr("v", centroids)} AS cell
+       |      FROM e),
+       |p AS (SELECT y.id AS id,
+       |        round(CASE WHEN x.n * y.n > 0
+       |          THEN list_dot_product(x.v, y.v) / (x.n * y.n)
+       |          ELSE 0.0 END, 6) AS cos_r
+       |      FROM c x JOIN c y ON x.cell = y.cell AND x.id < y.id),
+       |m AS (SELECT id, max(cos_r) AS mc FROM p GROUP BY id)
+       |SELECT c.id AS $idCol, c.cell,
+       |  coalesce(m.mc, -1.0) AS max_lower_cos_r,
+       |  (coalesce(m.mc, -1.0) < ${java.lang.Double.toString(tau)}) AS kept
+       |FROM c LEFT JOIN m ON c.id = m.id
+       |ORDER BY $idCol""".stripMargin
 }

@@ -467,6 +467,19 @@ object ExtensionQueries {
            |ORDER BY id_a, id_b""".stripMargin
       }),
 
+    QuerySpec("x31_semantic_dedup",
+      "SemDeDup-style semantic dedup: deterministic IVF cells (16), " +
+        "exact cosine only against lower-id cell-mates, keep-lowest-id " +
+        "dominance at tau=0.9 — cell-keyed equi-join, never all-pairs; " +
+        "hash-gated via the late-bound trained-centroid oracle",
+      (s, dir) => Similarity.semanticDedup(t(s, dir, "embeddings"),
+          "vec_id", "embedding", nCells = 16, tau = 0.9)
+        .orderBy(col("vec_id")),
+      None,
+      oracleGen = () => Similarity.trainedCentroids.get((16, 2)).map(cents =>
+        Similarity.semanticDedupOracleSql("embeddings", "vec_id",
+          "embedding", cents, 0.9))),
+
     QuerySpec("x8_text_langid",
       "language ID via stopword-marker scoring, distribution by language",
       (s, dir) => t(s, dir, "documents")

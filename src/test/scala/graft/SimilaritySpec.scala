@@ -145,4 +145,35 @@ class SimilaritySpec extends SparkSpec {
       .select("qid", "did").as[(Long, Long)].collect().toSeq
     assert(top == Seq((0L, 1L)))
   }
+
+  test("semanticDedup drops exact twins, keeps the lowest id, " +
+      "spares dissimilar cell-mates") {
+    // 0 and 5 are identical; 9 is a scaled copy of 0 (cos = 1); 2 is
+    // orthogonal-ish noise that must survive regardless of its cell.
+    val vecs = Seq(
+      (0L, Seq(1f, 0f, 0f, 0f)),
+      (2L, Seq(0f, 1f, 0f, 0f)),
+      (5L, Seq(1f, 0f, 0f, 0f)),
+      (9L, Seq(3f, 0f, 0f, 0f))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.semanticDedup(vecs, "vec_id", "embedding",
+        nCells = 2, tau = 0.95)
+      .select($"vec_id", $"kept").as[(Long, Boolean)].collect().toMap
+    assert(got(0L), "lowest id of the twin group must be kept")
+    assert(!got(5L) && !got(9L), "twins of a lower id must drop")
+    assert(got(2L), "a dissimilar vector must be kept")
+    assert(got.size == 4)
+  }
+
+  test("semanticDedup verdicts use the rounded cosine against tau") {
+    val vecs = Seq(
+      (1L, Seq(1f, 0f)),
+      (2L, Seq(1f, 0f))
+    ).toDF("vec_id", "embedding")
+    val row = Similarity.semanticDedup(vecs, "vec_id", "embedding",
+        nCells = 1, tau = 1.0)
+      .filter($"vec_id" === 2)
+      .select($"max_lower_cos_r", $"kept").as[(Double, Boolean)].head()
+    assert(row._1 == 1.0 && !row._2)
+  }
 }
