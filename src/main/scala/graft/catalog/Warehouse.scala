@@ -194,6 +194,27 @@ object Warehouse {
       .saveAsTable(table)
   }
 
+  /** Hive-style partitioned parquet layout: one directory per distinct
+    * value combination of `partCols`. The 100 TB companion to
+    * [[saveBucketed]] — bucketing co-locates JOIN keys, partitioning
+    * makes selective FILTERS skip whole directories at planning time
+    * (partition pruning: the scan never lists, opens, or reads pruned
+    * partitions). Partition by low-cardinality, always-filtered
+    * columns (date, source, event type); high-cardinality partition
+    * keys produce a small-files explosion — bucket those instead.
+    * Returns the written location. */
+  def savePartitioned(df: DataFrame, dirName: String,
+      partCols: Seq[String]): String = {
+    val spark = df.sparkSession
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), dirName)
+    loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(loc, true)
+    df.write.mode("overwrite").partitionBy(partCols: _*)
+      .parquet(loc.toString)
+    loc.toString
+  }
+
   /** Per-column data profile — the analog of DuckDB's SUMMARIZE
     * (the reference engine's built-in profiling surface): one row per
     * column with its declared type, row count, null count, and EXACT

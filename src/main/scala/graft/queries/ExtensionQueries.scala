@@ -1216,6 +1216,41 @@ object ExtensionQueries {
              |GROUP BY o.o_orderpriority
              |ORDER BY o_orderpriority""".stripMargin)),
 
+    QuerySpec("s13_partition_pruned_scan",
+      "hive-partitioned parquet layout + pruned read: events rewritten " +
+        "partitioned by event_type, the filtered scan carries a " +
+        "partition filter (asserted in-query) so pruned directories " +
+        "are never listed or read; result hash-matches the plain " +
+        "filtered oracle over the original parquet",
+      (s, dir) => {
+        val path = Warehouse.savePartitioned(t(s, dir, "events"),
+          "events_part", Seq("event_type"))
+        val q = s.read.parquet(path)
+          .filter(col("event_type") === "purchase")
+          .groupBy((col("user_id") % 100).as("user_bucket"))
+          .agg(count(lit(1)).as("n_events"),
+            min(col("event_id")).as("min_event_id"),
+            max(col("event_id")).as("max_event_id"))
+          .orderBy(col("user_bucket"))
+        // plan contract: the scan must prune on the partition column,
+        // not post-filter full data — a missing partition filter here
+        // means the layout silently lost its only reason to exist
+        val scans = q.queryExecution.sparkPlan.collect {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+        }
+        require(scans.nonEmpty, "expected a parquet file scan")
+        require(scans.head.partitionFilters.exists(
+            _.references.exists(_.name == "event_type")),
+          s"scan must carry an event_type partition filter; got:\n${scans.head}")
+        q
+      },
+      Some("""SELECT user_id % 100 AS user_bucket,
+             |  CAST(count(*) AS BIGINT) AS n_events,
+             |  min(event_id) AS min_event_id,
+             |  max(event_id) AS max_event_id
+             |FROM events WHERE event_type = 'purchase'
+             |GROUP BY user_bucket ORDER BY user_bucket""".stripMargin)),
+
     QuerySpec("s11_jsonl_roundtrip",
       "JSONL source/sink round-trip: corpus written as newline-" +
         "delimited JSON, read back under a DECLARED schema, content " +

@@ -107,6 +107,22 @@ class WarehouseSpec extends SparkSpec {
     assert(sql.contains("CREATE OR REPLACE TABLE orders"))
   }
 
+  test("savePartitioned lays out value directories and prunes reads") {
+    val df = Seq(
+      (1L, "click", 10L), (2L, "view", 20L), (3L, "click", 30L)
+    ).toDF("id", "etype", "v")
+    val path = Warehouse.savePartitioned(df, "wspec_part", Seq("etype"))
+    val root = new java.io.File(new java.net.URI(path))
+    assert(root.listFiles().map(_.getName).toSet
+      .filter(_.startsWith("etype=")) == Set("etype=click", "etype=view"))
+    val pruned = spark.read.parquet(path).filter($"etype" === "click")
+    assert(pruned.select("id").as[Long].collect().toSet == Set(1L, 3L))
+    val scan = pruned.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.head
+    assert(scan.partitionFilters.nonEmpty)
+  }
+
   test("profile: per-column rows/nulls/exact-distinct in one pass") {
     val df = Seq(
       (1L, Some("a"), Some(1.5)),
