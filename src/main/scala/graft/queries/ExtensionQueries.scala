@@ -1216,6 +1216,30 @@ object ExtensionQueries {
              |GROUP BY o.o_orderpriority
              |ORDER BY o_orderpriority""".stripMargin)),
 
+    QuerySpec("x33_context_chunking",
+      "fixed-context chunking with overlap: each document's token " +
+        "sequence split into 64-token windows advancing by 48 (16 " +
+        "overlap) — the pretraining context-window step; per-chunk " +
+        "offsets + content md5, all in-row (narrow projection + " +
+        "posexplode, zero shuffles before the gate's ORDER BY)",
+      (s, dir) => graft.operators.Packing.slidingChunks(
+          t(s, dir, "documents"), "doc_id", "text",
+          chunkSize = 64, overlap = 16)
+        .orderBy(col("doc_id"), col("chunk_id")),
+      Some(s"""WITH base AS (
+              |  SELECT doc_id, $duckWsTokens AS tk FROM documents),
+              |st AS (
+              |  SELECT doc_id, tk,
+              |    unnest(range(1, greatest(len(tk) - 16, 1) + 1, 48)) AS st
+              |  FROM base)
+              |SELECT doc_id,
+              |  CAST((st - 1) // 48 AS BIGINT) AS chunk_id,
+              |  CAST(st AS BIGINT) AS start_tok,
+              |  CAST(least(64, len(tk) - st + 1) AS BIGINT) AS n_tokens,
+              |  md5(array_to_string(list_slice(tk, st, st + 63), ' '))
+              |    AS chunk_md5
+              |FROM st ORDER BY doc_id, chunk_id""".stripMargin)),
+
     QuerySpec("s13_partition_pruned_scan",
       "hive-partitioned parquet layout + pruned read: events rewritten " +
         "partitioned by event_type, the filtered scan carries a " +

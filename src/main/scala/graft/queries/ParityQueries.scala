@@ -599,6 +599,31 @@ object ParityQueries {
              |             ORDER BY o_orderdate, o_orderkey)
              |ORDER BY o_custkey, o_orderkey""".stripMargin)),
 
+    QuerySpec("g8_rolling_window",
+      "bounded-frame rolling window: per-user last-3-events count, " +
+        "rolling max(value) (comparison-only, so cross-engine exact " +
+        "on doubles) and previous event id over an event_id-ordered " +
+        "timeline — the sliding-metric shape ROWS frames exist for",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+        val w3 = w.rowsBetween(-2, Window.currentRow)
+        t(s, dir, "events")
+          .select(col("user_id"), col("event_id"),
+            count(lit(1)).over(w3).as("n_w3"),
+            max(col("value")).over(w3).as("max_v_w3"),
+            lag(col("event_id"), 1).over(w).as("prev_event_id"))
+          .orderBy(col("event_id"))
+      },
+      Some("""SELECT user_id, event_id,
+             |  CAST(count(*) OVER w3 AS BIGINT) AS n_w3,
+             |  max(value) OVER w3 AS max_v_w3,
+             |  lag(event_id) OVER (PARTITION BY user_id ORDER BY event_id)
+             |    AS prev_event_id
+             |FROM events
+             |WINDOW w3 AS (PARTITION BY user_id ORDER BY event_id
+             |              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+             |ORDER BY event_id""".stripMargin)),
+
     QuerySpec("f2_string_functions",
       "F2/F3/F4/F6: replace-first, contains, ends_with, capitalize-first",
       (s, dir) => t(s, dir, "part")

@@ -80,4 +80,30 @@ class PackingSpec extends SparkSpec {
       .select("source").as[String].collect()
     assert(mixed.toSeq == again.toSeq)
   }
+
+  test("slidingChunks: stride windows, short trailing chunk, " +
+      "short doc = one chunk") {
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 tokens
+      (2L, "a b")                                     // 2 tokens
+    ).toDF("doc_id", "text")
+    val got = Packing.slidingChunks(docs, "doc_id", "text",
+        chunkSize = 8, overlap = 4)
+      .orderBy(col("doc_id"), col("chunk_id"))
+      .select("doc_id", "chunk_id", "start_tok", "n_tokens")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // doc 1: starts at 1 and 5 (stride 4); the second window is
+    // truncated to the 6 remaining tokens. doc 2: one short chunk.
+    assert(got == Seq(
+      (1L, 0L, 1L, 8L), (1L, 1L, 5L, 6L),
+      (2L, 0L, 1L, 2L)))
+    // every chunk digest matches the md5 of its joined token slice
+    val md5s = Packing.slidingChunks(docs, "doc_id", "text", 8, 4)
+      .filter(col("doc_id") === 1L && col("chunk_id") === 1L)
+      .select("chunk_md5").as[String].head()
+    val want = java.security.MessageDigest.getInstance("MD5")
+      .digest((5 to 10).map(i => s"t$i").mkString(" ").getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+    assert(md5s == want)
+  }
 }
