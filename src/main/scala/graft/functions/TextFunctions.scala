@@ -51,6 +51,14 @@ object TextFunctions {
   def topBigramFrac(tokens: Column): Column =
     GraftBridge.column(TopBigramFraction(GraftBridge.expression(tokens)))
 
+  /** In-row n-gram repetition signals (struct of `top_frac`,
+    * `dup_frac`) via the native `graft.plans.NgramRepetition`
+    * expression — the full Gopher repetition rule set without
+    * re-shuffling the corpus' gram strings. */
+  def ngramRepetition(tokens: Column, n: Int): Column =
+    GraftBridge.column(
+      graft.plans.NgramRepetition(GraftBridge.expression(tokens), n))
+
   /** BPE-ish token count: runs of letters, runs of digits, and single
     * other non-space chars each count as one token — the classic
     * pre-tokenizer regex shape. */
@@ -118,12 +126,18 @@ object TextFunctions {
   /** DuckDB twin of [[bpeTokens]] COUNT over SQL expression `w`,
     * generated from the same merges table so the chain cannot drift:
     * `len(string_split(trim(<chain>, '|'), '||'))`. */
-  def bpeTokenCountSql(w: String, merges: Seq[(String, String)]): String = {
+  def bpeTokenCountSql(w: String, merges: Seq[(String, String)]): String =
+    s"len(${bpeTokensSql(w, merges)})"
+
+  /** DuckDB twin of [[bpeTokens]] (the token LIST) over SQL expression
+    * `w`, generated from the same merges table so the chain cannot
+    * drift. */
+  def bpeTokensSql(w: String, merges: Seq[(String, String)]): String = {
     val init = s"regexp_replace($w, '(.)', '|\\1|', 'g')"
     val chain = merges.foldLeft(init) { case (s, (a, b)) =>
       s"replace($s, '|$a||$b|', '|$a$b|')"
     }
-    s"len(string_split(trim($chain, '|'), '||'))"
+    s"string_split(trim($chain, '|'), '||')"
   }
 
   /** Word shingles over an ALREADY-MATERIALIZED token-array column.

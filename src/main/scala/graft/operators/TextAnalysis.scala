@@ -102,6 +102,25 @@ object TextAnalysis {
   def qualityScore(textCol: Column): Column =
     qualityScoreFromTokens(textCol, wsTokens(textCol))
 
+  /** Linear quality-classifier margin with embedded trained weights —
+    * the fasttext-style learned keep/drop stage that follows the
+    * heuristic [[qualityScoreFromTokens]] in real pipelines. Emits the
+    * raw decision margin, NOT sigmoid(margin): exp() is not
+    * bit-reproducible across engines' libms, the keep decision only
+    * needs the sign, and the margin is monotone in the probability
+    * anyway. Features are exact integer-count ratios (plus a capped
+    * length normalizer), so the whole score is deterministic IEEE
+    * arithmetic both engines execute identically. */
+  def classifierMargin(textCol: Column, toks: Column): Column = {
+    val mtl = meanTokenLenFromTokens(toks)
+    lit(-1.2) +
+      stopwordRatioFromTokens(toks) * lit(2.0) +
+      alphaRatio(textCol) * lit(1.5) +
+      when(mtl >= 3 && mtl <= 10, lit(0.8)).otherwise(lit(0.0)) +
+      least(size(toks).cast("long"), lit(400L)).cast("double") /
+        lit(400.0) * lit(0.5)
+  }
+
   /** Per-document token statistics (tokens materialized internally). */
   def tokenStats(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol), col(textCol), wsTokens(col(textCol)).as("__tk"))

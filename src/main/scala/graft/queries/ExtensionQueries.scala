@@ -509,6 +509,30 @@ object ExtensionQueries {
               |  $duckQuality AS quality
               |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    QuerySpec("x34_quality_classifier",
+      "embedded-weights linear quality classifier: logistic-regression " +
+        "decision margin over exact count-ratio features (no sigmoid — " +
+        "exp() is not bit-reproducible across libms and the verdict " +
+        "only needs the sign); per-doc margin + keep flag, bit-exact",
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id"), col("text"), wsTokens(col("text")).as("toks"))
+        .withColumn("margin_r",
+          round(TextAnalysis.classifierMargin(col("text"), col("toks")), 6))
+        .select(col("doc_id"), col("margin_r"),
+          (col("margin_r") >= 0).as("keep"))
+        .orderBy(col("doc_id")),
+      Some {
+        val margin =
+          s"-1.2 + (CAST($duckSwCount AS DOUBLE) / $duckNTok) * 2.0 + " +
+            s"($duckAlpha) * 1.5 + " +
+            s"(CASE WHEN $duckMeanLen >= 3 AND $duckMeanLen <= 10 " +
+            "THEN 0.8 ELSE 0.0 END) + " +
+            s"CAST(least($duckNTok, 400) AS DOUBLE) / 400.0 * 0.5"
+        s"""SELECT doc_id, round($margin, 6) AS margin_r,
+           |  (round($margin, 6) >= 0) AS keep
+           |FROM documents ORDER BY doc_id""".stripMargin
+      }),
+
     QuerySpec("x10_text_tokens",
       "token statistics: whitespace, BPE-ish regex, distinct counts",
       (s, dir) => TextAnalysis.tokenStats(t(s, dir, "documents"),
@@ -998,6 +1022,56 @@ object ExtensionQueries {
              |FROM line_stats l LEFT JOIN top t USING (doc_id)
              |ORDER BY doc_id""".stripMargin)),
 
+    QuerySpec("x26b_gopher_repetition",
+      "full Gopher repetition rule set: top-3-gram / top-4-gram " +
+        "fractions and duplicate-5-gram mass, each computed in-row by " +
+        "the native NgramRepetition expression (one counting pass per " +
+        "n; zero shuffles) — the composed explode/groupBy form would " +
+        "re-key every gram string in the corpus twice per n",
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id"), wsTokens(col("text")).as("tk"))
+        .select(col("doc_id"),
+          ngramRepetition(col("tk"), 3).as("r3"),
+          ngramRepetition(col("tk"), 4).as("r4"),
+          ngramRepetition(col("tk"), 5).as("r5"))
+        .select(col("doc_id"),
+          col("r3.top_frac").as("top_3gram_frac"),
+          col("r4.top_frac").as("top_4gram_frac"),
+          col("r5.dup_frac").as("dup_5gram_frac"))
+        .orderBy(col("doc_id")),
+      Some {
+        def ngramCtes(n: Int): String = {
+          val gram = (0 until n).map(k => s"tk[i + $k]")
+            .mkString(" || ' ' || ")
+          s"""g$n AS (
+             |  SELECT doc_id, unnest(list_transform(
+             |    range(1, len(tk) - $n + 2), i -> $gram)) AS g
+             |  FROM base WHERE len(tk) >= $n),
+             |c$n AS (SELECT doc_id, g, count(*) AS n
+             |        FROM g$n GROUP BY doc_id, g),
+             |s$n AS (
+             |  SELECT doc_id,
+             |    CAST(max(n) AS DOUBLE) / sum(n) AS topf,
+             |    CAST(coalesce(sum(CASE WHEN n > 1 THEN n END), 0)
+             |      AS DOUBLE) / sum(n) AS dupf
+             |  FROM c$n GROUP BY doc_id)""".stripMargin
+        }
+        s"""WITH base AS (
+           |  SELECT doc_id, $duckWsTokens AS tk FROM documents),
+           |${ngramCtes(3)},
+           |${ngramCtes(4)},
+           |${ngramCtes(5)}
+           |SELECT b.doc_id,
+           |  coalesce(s3.topf, 0.0) AS top_3gram_frac,
+           |  coalesce(s4.topf, 0.0) AS top_4gram_frac,
+           |  coalesce(s5.dupf, 0.0) AS dup_5gram_frac
+           |FROM base b
+           |LEFT JOIN s3 USING (doc_id)
+           |LEFT JOIN s4 USING (doc_id)
+           |LEFT JOIN s5 USING (doc_id)
+           |ORDER BY b.doc_id""".stripMargin
+      }),
+
     QuerySpec("x27_decontaminate",
       "benchmark decontamination: per-training-doc fraction of distinct " +
         "word trigrams appearing anywhere in the held-out eval slice " +
@@ -1140,6 +1214,51 @@ object ExtensionQueries {
               |  CAST(sum(${bpeTokenCountSql("w", bpeMerges)}) AS BIGINT)
               |    AS n_bpe_tokens
               |FROM words GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    QuerySpec("x29b_bpe_fertility",
+      "tokenizer-fit governance over the x29 merges table: per-doc " +
+        "fertility (BPE tokens per word), single-char fallback mass " +
+        "(the OOV proxy — chars no merge covered) and chars-per-token " +
+        "compression — the metrics that pick a vocab before a " +
+        "100 TB tokenization run",
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id"), explode(wsTokens(col("text"))).as("w"))
+        .select(col("doc_id"), length(col("w")).cast("long").as("n_chars"),
+          bpeTokens(col("w"), bpeMerges).as("bt"))
+        .select(col("doc_id"), col("n_chars"),
+          size(col("bt")).cast("long").as("n_tok"),
+          size(filter(col("bt"), t => length(t) === 1)).cast("long")
+            .as("n_single"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_words"),
+          (sum(col("n_tok")).cast("double") /
+            count(lit(1)).cast("double")).as("fertility"),
+          (sum(col("n_single")).cast("double") /
+            sum(col("n_tok")).cast("double")).as("singleton_frac"),
+          (sum(col("n_chars")).cast("double") /
+            sum(col("n_tok")).cast("double")).as("chars_per_tok"))
+        .orderBy(col("doc_id")),
+      Some(s"""WITH words AS (
+              |  SELECT doc_id,
+              |    unnest(string_split_regex(trim(text), '\\s+')) AS w
+              |  FROM documents),
+              |pw AS (
+              |  SELECT doc_id, CAST(length(w) AS BIGINT) AS n_chars,
+              |    ${bpeTokensSql("w", bpeMerges)} AS bt
+              |  FROM words),
+              |pw2 AS (
+              |  SELECT doc_id, n_chars, CAST(len(bt) AS BIGINT) AS n_tok,
+              |    CAST(len(list_filter(bt, t -> length(t) = 1)) AS BIGINT)
+              |      AS n_single
+              |  FROM pw)
+              |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+              |  CAST(sum(n_tok) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+              |    AS fertility,
+              |  CAST(sum(n_single) AS DOUBLE) / CAST(sum(n_tok) AS DOUBLE)
+              |    AS singleton_frac,
+              |  CAST(sum(n_chars) AS DOUBLE) / CAST(sum(n_tok) AS DOUBLE)
+              |    AS chars_per_tok
+              |FROM pw2 GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
     QuerySpec("x14b_session_window_builtin",
       "sessionization via Spark's NATIVE session_window aggregate " +

@@ -86,4 +86,40 @@ class TextFunctionsSpec extends SparkSpec {
     // "ble" inside a longer word merges only as complete tokens
     assert(got("bleak") == Seq("ble", "a", "k"))
   }
+
+  test("ngramRepetition: top and duplicate fractions per n, " +
+      "short-array zeroing") {
+    val df = Seq(
+      (1L, Seq("a", "b", "a", "b", "a")), // 3-grams: aba, bab, aba
+      (2L, Seq("x", "y")),                // shorter than any n >= 3
+      (3L, Seq("c", "c", "c", "c", "c", "c", "c"))
+    ).toDF("id", "tk")
+    val got = df.select(col("id"),
+        ngramRepetition(col("tk"), 3).as("r3"),
+        ngramRepetition(col("tk"), 5).as("r5"))
+      .select(col("id"), col("r3.top_frac"), col("r3.dup_frac"),
+        col("r5.top_frac"), col("r5.dup_frac"))
+      .as[(Long, Double, Double, Double, Double)].collect()
+      .map(t => t._1 -> (t._2, t._3, t._4, t._5)).toMap
+    assert(got(1L) == ((2.0 / 3, 2.0 / 3, 1.0, 0.0)))
+    assert(got(2L) == ((0.0, 0.0, 0.0, 0.0)))
+    // degenerate run: one distinct gram owns all occurrences
+    assert(got(3L) == ((1.0, 1.0, 1.0, 1.0)))
+  }
+
+  test("classifierMargin rewards stopword-rich alpha text, " +
+      "penalizes junk") {
+    import graft.operators.TextAnalysis
+    val df = Seq(
+      (1L, "the data table shows the row and the scan for all of it"),
+      (2L, "@@@@ #### 1234 %%%% !!!!")
+    ).toDF("id", "text")
+    val got = df
+      .select(col("id"), col("text"), wsTokens(col("text")).as("tk"))
+      .select(col("id"),
+        TextAnalysis.classifierMargin(col("text"), col("tk")).as("m"))
+      .as[(Long, Double)].collect().toMap
+    assert(got(1L) > 0, s"good text should clear the margin, got ${got(1L)}")
+    assert(got(2L) < 0, s"junk should fail the margin, got ${got(2L)}")
+  }
 }
