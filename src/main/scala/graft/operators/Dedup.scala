@@ -113,6 +113,39 @@ object Dedup {
       .filter(col("est_jaccard") >= minEst)
   }
 
+  /** Near-duplicate LINKS between two corpora (train vs freshly
+    * crawled, train vs licensed, shard vs shard): candidates share an
+    * LSH band bucket across the two sides, each candidate adjudicated
+    * by the MinHash estimate — the cross-corpus form of
+    * [[minHashNearDupPairs]]. Where [[Dedup.decontaminate]] answers
+    * "does this doc OVERLAP the eval set anywhere" (n-gram
+    * containment), this answers "is this doc a near-COPY of some
+    * specific other-corpus doc", and names the partner.
+    *
+    * Both sides are exact-deduped and bucket-capped by the shared
+    * [[cappedBands]] stage; the join is an equi-join on
+    * (band, band_key) — never all-pairs — and the signature arrays
+    * ride the join so no re-join against raw texts is needed. At
+    * 100 TB each side shuffles once on band keys; candidate volume is
+    * bounded by the bucket cap with the overflow reporter naming any
+    * truncation. */
+  def crossCorpusNearDupPairs(a: DataFrame, b: DataFrame, idCol: String,
+      textCol: String, p: MinHashParams = MinHashParams(),
+      minEst: Double = 0.75, maxBucket: Int = 1000): DataFrame = {
+    val ca = cappedBands(a, idCol, textCol, p, maxBucket, carrySig = true)
+    val cb = cappedBands(b, idCol, textCol, p, maxBucket, carrySig = true)
+    val cand = ca.as("x").join(cb.as("y"),
+        col("x.band") === col("y.band") &&
+          col("x.band_key") === col("y.band_key"))
+      .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"),
+        col("x.sig").as("sig_a"), col("y.sig").as("sig_b"))
+      .distinct()
+    cand.select(col("id_a"), col("id_b"),
+        (sigMatches(col("sig_a"), col("sig_b"), p).cast("double") / p.k)
+          .as("est_jaccard"))
+      .filter(col("est_jaccard") >= minEst)
+  }
+
   /** Shared cap stage of the pair and candidate paths: long-form band
     * keys ranked within their (band, band_key) bucket, keeping each
     * bucket's `maxBucket` lowest ids — ONE definition of the cap/key

@@ -299,6 +299,52 @@ object ExtensionQueries {
           "doc_id", "text").orderBy(col("id_a"), col("id_b")),
       Some(Dedup.minHashOracleSql("documents", "doc_id", "text"))),
 
+    QuerySpec("x32_cross_corpus_neardup",
+      "cross-corpus near-dup LINKS (src0 docs vs the rest): band-" +
+        "bucket candidates across the two sides, MinHash-adjudicated, " +
+        "partner ids named — the shard-vs-shard / train-vs-crawl " +
+        "linker; same capped-bucket machinery as x3, never all-pairs",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        Dedup.crossCorpusNearDupPairs(
+            docs.filter(col("source") === "src0"),
+            docs.filter(col("source") =!= "src0"),
+            "doc_id", "text")
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some {
+        val p = Dedup.MinHashParams()
+        def capped(side: String): String =
+          s"""${side}_capped AS (
+             |  SELECT id, band, band_key FROM (
+             |    SELECT id, band, band_key, row_number() OVER
+             |      (PARTITION BY band, band_key ORDER BY id) AS rn
+             |    FROM ${side}_bands) WHERE rn <= 1000)""".stripMargin
+        s"""WITH a_src AS (
+           |  SELECT min(doc_id) AS id, text FROM documents
+           |  WHERE source = 'src0' GROUP BY text),
+           |${Dedup.bandsSqlCtes("a_src", "a", p)},
+           |b_src AS (
+           |  SELECT min(doc_id) AS id, text FROM documents
+           |  WHERE source <> 'src0' GROUP BY text),
+           |${Dedup.bandsSqlCtes("b_src", "b", p)},
+           |${capped("a")},
+           |${capped("b")},
+           |cand AS (
+           |  SELECT DISTINCT x.id AS id_a, y.id AS id_b
+           |  FROM a_capped x JOIN b_capped y USING (band, band_key)),
+           |est AS (
+           |  SELECT c.id_a, c.id_b,
+           |    CAST(${Dedup.sigMatchSql("sa", "sb", p)} AS DOUBLE)
+           |      / ${p.k} AS est_jaccard
+           |  FROM cand c
+           |  JOIN a_sigs sa ON sa.id = c.id_a
+           |  JOIN b_sigs sb ON sb.id = c.id_b)
+           |SELECT id_a, id_b, est_jaccard FROM est
+           |WHERE est_jaccard >= 0.75
+           |ORDER BY id_a, id_b""".stripMargin
+      }),
+
     QuerySpec("x4_dedup_simhash",
       "64-bit SimHash signatures over distinct tokens (one md5 per " +
         "token feeds all 64 bit-sums)",

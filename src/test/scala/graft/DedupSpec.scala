@@ -257,4 +257,21 @@ class DedupSpec extends SparkSpec {
     // both eval items are hit by exactly one training doc each
     assert(report(100L)._1 == 1L && report(101L)._1 == 1L)
   }
+
+  test("crossCorpusNearDupPairs links twins across corpora only") {
+    val a = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six")
+    ).toDF("doc_id", "text")
+    val b = Seq(
+      // token-identical to a's doc 1 (trailing whitespace variant)
+      (10L, "alpha beta gamma delta epsilon zeta  "),
+      (11L, "seven eight nine ten eleven twelve")
+    ).toDF("doc_id", "text")
+    val links = Dedup.crossCorpusNearDupPairs(a, b, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(links.exists { case (x, y, est) =>
+      x == 1L && y == 10L && est == 1.0 })
+    assert(!links.exists { case (x, y, _) => x == 2L || y == 11L })
+  }
 }
