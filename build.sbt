@@ -15,6 +15,10 @@ run / fork := true
 // in sbt's "[info] " logger prefix — Bench's one-line JSON contract
 // must reach the caller as a bare, machine-parseable line.
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// Suppress the trailing "[success] Total time: ..." line: the caller
+// captures a bounded tail of stdout and parses the LAST line as JSON,
+// so Bench's contract line must be the final thing printed.
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

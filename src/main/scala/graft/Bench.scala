@@ -74,7 +74,29 @@ object Bench {
     val errs = results.collect { case (k, (_, _, Some(e))) =>
       s"\"" + k + "\":\"" + e + "\"" }.mkString("{", ",", "}")
     val total = results.values.collect { case (m, _, None) => m }.sum
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","runs":$runs,"n_errors":${results.values.count(_._3.isDefined)},"errors":$errs,"queries":$qs,"spread":$spreads,"sf":"$sfDir"}""")
+    val nErr = results.values.count(_._3.isDefined)
+    val detail = s"""{"metric":"total","value":${r3(total)},"unit":"sec","runs":$runs,"n_queries":${results.size},"n_errors":$nErr,"errors":$errs,"queries":$qs,"spread":$spreads,"sf":"$sfDir"}"""
+    // Full per-query detail (all queries + spreads + errors) goes to a
+    // file and an early stdout line; the caller only keeps a ~2000-char
+    // TAIL of stdout and parses its LAST line, so the final line must
+    // be a compact contract line that provably fits that window. The
+    // detail line alone is >4 KB at 120+ queries — emitting it last is
+    // exactly why rounds 1-5 recorded "parsed": null.
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_DETAIL.json"), detail + "\n")
+    println(detail)
+    // Compact final line: total + the slowest queries, dropped from the
+    // end until the line fits well inside the tail window.
+    val slowest = results.toSeq.collect { case (k, (m, _, None)) => k -> m }
+      .sortBy(-_._2)
+    def compact(n: Int): String = {
+      val top = slowest.take(n)
+        .map { case (k, m) => s"\"" + k + "\":" + r3(m) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","runs":$runs,"n_queries":${results.size},"n_errors":$nErr,"queries_are_slowest":$n,"detail":"BENCH_DETAIL.json","queries":$top,"sf":"$sfDir"}"""
+    }
+    val line = (24 to 0 by -1).map(compact).find(_.length <= 1800).get
+    println(line)
     spark.stop()
   }
 }
