@@ -215,6 +215,21 @@ object Warehouse {
     loc.toString
   }
 
+  /** Write `df` under the warehouse dir in the given file `format`
+    * ("parquet", "orc", "json", "csv") and return the location —
+    * the storage-format interop surface (ORC carries the same
+    * columnar pushdown/pruning contract as parquet; Spark's reader
+    * exposes PushedFilters either way). */
+  def saveFormat(df: DataFrame, dirName: String, format: String): String = {
+    val spark = df.sparkSession
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), dirName)
+    loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(loc, true)
+    df.write.mode("overwrite").format(format).save(loc.toString)
+    loc.toString
+  }
+
   /** Per-column data profile — the analog of DuckDB's SUMMARIZE
     * (the reference engine's built-in profiling surface): one row per
     * column with its declared type, row count, null count, and EXACT

@@ -858,4 +858,121 @@ object Dedup {
       .agg(count(lit(1)).as("n_train_hits"),
         max(col("n_shared")).as("max_shared"))
   }
+
+  // ---- exact-substring (span) dedup --------------------------------
+
+  /** Exact duplicated-SPAN removal: any `l`-token window whose text
+    * occurs more than once in the corpus (across documents or repeated
+    * within one) is a duplicated span; every occurrence except the
+    * globally first — lowest (id, position) — is removed token-wise
+    * from its document, and the survivors are reassembled in order.
+    *
+    * This is the ExactSubstr operation of Lee et al., "Deduplicating
+    * Training Data Makes Language Models Better" (ACL 2022), §4.1,
+    * re-expressed for a shuffle engine: the paper builds a corpus-wide
+    * suffix array (inherently sequential, memory-heavy) to find
+    * duplicated substrings of length ≥ L; hashing every L-token
+    * rolling window and grouping on the 60-bit window hash finds the
+    * same ≥ L duplications as pure keyed dataflow — window extraction
+    * is an in-row projection, duplicate detection is ONE shuffle keyed
+    * on the window hash, and removal is one groupBy(id) whose state is
+    * a single document's duplicate starts. Nothing is ever pairwise
+    * and no task ever holds more than one document.
+    *
+    * Output: (id, n_tokens, n_dup_tokens, textCol) with textCol the
+    * cleaned document — surviving tokens joined by single spaces
+    * (whitespace is canonicalized for every row, so cleaned and
+    * untouched documents are directly comparable).
+    *
+    * Documents shorter than `l` tokens pass through unchanged. Token
+    * coverage is computed in-row from the (few) duplicate starts via
+    * position-set membership; a pathological row where duplicates
+    * cover most of a very long document costs O(n_tokens × n_starts)
+    * in that row only — switch to a sorted-interval merge fold if a
+    * corpus ever exhibits that shape. */
+  def exactSubstringDedup(docs: DataFrame, idCol: String, textCol: String,
+      l: Int = 8): DataFrame = {
+    require(l >= 2, s"window length must be >= 2, got $l")
+    import org.apache.spark.sql.expressions.Window
+
+    // (id, tokens, n) — feeds window extraction AND reassembly; the
+    // checkpoint stops the token split from re-running in both arms.
+    val base = docs
+      .select(col(idCol), wsTokens(col(textCol)).as("__tk"))
+      .withColumn("__n", size(col("__tk")).cast("int"))
+      .localCheckpoint(true)
+
+    // All L-token window hashes, in-row. sequence(1, 0) would count
+    // DOWNWARD, so short docs get an explicit empty array.
+    val winArr = when(col("__n") >= l,
+        transform(sequence(lit(1), col("__n") - (l - 1)),
+          i => md5Hash60(array_join(slice(col("__tk"), i, l), " "))))
+      .otherwise(array().cast("array<bigint>"))
+    val wins = base
+      .select(col(idCol), posexplode(winArr).as(Seq("__p0", "win_h")))
+      .select(col(idCol), (col("__p0") + 1).cast("int").as("pos"),
+        col("win_h"))
+
+    // One shuffle on win_h: occurrences beyond the globally first of
+    // a >1-occurrence window are removals. Both window functions
+    // share the partition spec, so this is a single exchange.
+    val byHash = Window.partitionBy(col("win_h"))
+    val ordered = byHash.orderBy(col(idCol), col("pos"))
+    val removals = wins
+      .withColumn("__cnt", count(lit(1)).over(byHash))
+      .withColumn("__rn", row_number().over(ordered))
+      .filter(col("__cnt") > 1 && col("__rn") > 1)
+      .select(col(idCol), col("pos"))
+
+    // Per-doc covered token positions (distinct union of the removed
+    // windows' [pos, pos+l-1] ranges), then in-row rebuild.
+    val covered = removals.groupBy(col(idCol))
+      .agg(array_distinct(flatten(collect_list(
+        sequence(col("pos"), col("pos") + (l - 1))))).as("__cov"))
+    val cov = coalesce(col("__cov"), array().cast("array<int>"))
+    base.join(covered, Seq(idCol), "left")
+      .select(col(idCol),
+        col("__n").cast("long").as("n_tokens"),
+        size(cov).cast("long").as("n_dup_tokens"),
+        array_join(
+          transform(
+            filter(sequence(lit(1), col("__n")),
+              i => !array_contains(cov, i)),
+            i => element_at(col("__tk"), i)),
+          " ").as(textCol))
+  }
+
+  /** DuckDB twin of [[exactSubstringDedup]] over `table`. */
+  def exactSubstringOracleSql(table: String, idCol: String,
+      textCol: String, l: Int = 8): String =
+    s"""WITH base AS (
+       |  SELECT $idCol, string_split_regex(trim($textCol), '\\s+') AS tk,
+       |    len(string_split_regex(trim($textCol), '\\s+')) AS n
+       |  FROM $table),
+       |wins AS (
+       |  SELECT $idCol, s AS pos,
+       |    ('0x' || substr(md5(array_to_string(
+       |       list_slice(tk, s, s + ${l - 1}), ' ')), 1, 15))::BIGINT AS win_h
+       |  FROM (SELECT $idCol, tk, unnest(range(1, n - ${l - 1} + 1)) AS s
+       |        FROM base WHERE n >= $l)),
+       |marked AS (
+       |  SELECT $idCol, pos,
+       |    count(*) OVER (PARTITION BY win_h) AS cnt,
+       |    row_number() OVER (PARTITION BY win_h
+       |                       ORDER BY $idCol, pos) AS rn
+       |  FROM wins),
+       |cov AS (
+       |  SELECT $idCol,
+       |    list_distinct(flatten(list(range(pos, pos + $l)))) AS covered
+       |  FROM marked WHERE cnt > 1 AND rn > 1 GROUP BY $idCol)
+       |SELECT b.$idCol, CAST(b.n AS BIGINT) AS n_tokens,
+       |  CAST(coalesce(len(c.covered), 0) AS BIGINT) AS n_dup_tokens,
+       |  array_to_string(
+       |    list_transform(
+       |      list_filter(range(1, b.n + 1),
+       |        i -> NOT list_contains(coalesce(c.covered, []), i)),
+       |      i -> b.tk[i]),
+       |    ' ') AS $textCol
+       |FROM base b LEFT JOIN cov c USING ($idCol)
+       |ORDER BY $idCol""".stripMargin
 }

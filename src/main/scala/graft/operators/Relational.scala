@@ -102,4 +102,61 @@ object Relational {
       explode(sequence(lit(0), lit(saltFactor - 1))))
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")
   }
+
+  /** Slowly-changing-dimension type-2 merge — the warehouse upsert that
+    * keeps full history instead of overwriting (Kimball SCD2; the
+    * MERGE INTO ... WHEN MATCHED pattern, expressed as pure dataflow
+    * so it needs no table format with transactional merge support).
+    *
+    * `dim` is the dimension WITH history: one row per (key, version),
+    * columns = key, `tracked` attribute columns, `valid_from` DATE,
+    * `valid_to` DATE (null = open), `is_current` BOOLEAN. `updates` is
+    * the incoming snapshot batch: key + tracked columns, one row per
+    * key. Result:
+    *
+    *  - closed history rows pass through untouched;
+    *  - current rows whose key is absent from the batch, or whose
+    *    tracked values are unchanged (null-safe compare), pass through;
+    *  - changed current rows are CLOSED (valid_to = effectiveDate,
+    *    is_current = false) and a new open version row is appended;
+    *  - batch keys with no current row become brand-new open rows.
+    *
+    * Scale shape: one full-outer equi-join on the key between the
+    * CURRENT slice and the batch (history rows never join), then
+    * narrow projections unioned by name. At 100 TB the join shuffles
+    * once on the dimension key; no windows, no driver state. */
+  def scd2Merge(dim: DataFrame, updates: DataFrame, keyCol: String,
+      tracked: Seq[String], effectiveDate: Column): DataFrame = {
+    val hist = dim.filter(!col("is_current"))
+    val cur = dim.filter(col("is_current"))
+
+    val u = updates.select(col(keyCol).as("__uk") +:
+      tracked.map(c => col(c).as(s"__u_$c")): _*)
+    val joined = cur.join(u, col(keyCol) === col("__uk"), "full_outer")
+
+    val inBoth = col(keyCol).isNotNull && col("__uk").isNotNull
+    val changed = inBoth &&
+      tracked.map(c => !(col(c) <=> col(s"__u_$c"))).reduce(_ || _)
+
+    val dimCols = dim.columns.map(col)
+    // untouched: current rows with no batch key or no tracked change
+    val untouched = joined
+      .filter(col(keyCol).isNotNull && (col("__uk").isNull || !changed))
+      .select(dimCols: _*)
+    // closed-out predecessors of changed keys
+    val closed = joined.filter(changed)
+      .select(dimCols: _*)
+      .withColumn("valid_to", effectiveDate)
+      .withColumn("is_current", lit(false))
+    // new open versions: changed keys + brand-new keys
+    val opened = joined
+      .filter(changed || (col(keyCol).isNull && col("__uk").isNotNull))
+      .select(col("__uk").as(keyCol) +:
+        tracked.map(c => col(s"__u_$c").as(c)) :+
+        effectiveDate.as("valid_from") :+
+        lit(null).cast("date").as("valid_to") :+
+        lit(true).as("is_current"): _*)
+
+    unionDiagonal(Seq(hist, untouched, closed, opened))
+  }
 }

@@ -1,0 +1,129 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+
+/** BM25 ranked retrieval over a document corpus — the lexical scoring
+  * half of a RAG / training-data search stack (Robertson & Zaragoza,
+  * "The Probabilistic Relevance Framework: BM25 and Beyond", 2009).
+  *
+  * Engine-parity design: the classic BM25 idf is `ln((N-df+0.5)/
+  * (df+0.5))`, but `ln` is a transcendental whose last bit is not
+  * guaranteed identical across engines' libm implementations. The
+  * rational core `(N-df+0.5)/(df+0.5)` is IEEE-exact arithmetic
+  * (+,-,*,/ are bit-specified), so this implementation keeps the
+  * rational idf un-logged: per-term weights stay strictly monotone in
+  * the classic idf (log is monotone), so ranking behaviour for
+  * single-term scoring is identical, and every output bit is
+  * reproducible by the DuckDB oracle. The same trick as the catalog's
+  * log-free tf-idf (x20).
+  *
+  * Cross-term summation order is pinned: per-doc term scores are
+  * collected, sorted BY TERM, and folded left-to-right — floating
+  * addition is not associative, so an unordered SUM() could differ
+  * between engines/partitionings by an ULP. `aggregate` over a sorted
+  * array makes the fold order part of the query's semantics.
+  *
+  * Scale shape: `terms` is a query literal (a handful of strings), so
+  * the token scan filters to query terms BEFORE any shuffle — the
+  * corpus text is never shuffled. Two keyed aggregations (tf per
+  * (doc, term), df per term) + one broadcast of the tiny (term, df)
+  * frame + one broadcast of the 1-row corpus stats. Top-k lands on
+  * TakeOrderedAndProject, not a global sort.
+  */
+object Retrieval {
+
+  /** BM25 top-`k` documents for the literal query `terms`.
+    * Output: (id, score, n_terms_hit), ordered by (score DESC, id),
+    * limited to `k`. Documents matching no term score 0 and are
+    * excluded (standard retrieval semantics). */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], k: Int, k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "query terms must be non-empty")
+    require(terms.distinct.length == terms.length, "query terms must be unique")
+    val id = col(idCol)
+
+    // (id, dl, token) restricted to query terms — the only rows that
+    // can contribute; everything else dies at the scan.
+    val tok = docs
+      .select(id, wsTokenCount(col(textCol)).as("dl"),
+        explode(wsTokens(col(textCol))).as("token"))
+      .filter(col("token").isin(terms: _*))
+
+    val tf = tok.groupBy(id, col("dl"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tok.groupBy(col("token"))
+      .agg(countDistinct(id).as("df"))
+    val stats = docs.agg(count(lit(1)).as("n_docs"),
+      sum(wsTokenCount(col(textCol))).as("sum_dl"))
+
+    val avgdl = col("sum_dl").cast("double") / col("n_docs")
+    val idf = ((col("n_docs") - col("df")).cast("double") + lit(0.5)) /
+      (col("df").cast("double") + lit(0.5))
+    val tfc = col("tf").cast("double") * (lit(k1) + 1.0) /
+      (col("tf").cast("double") +
+        lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl").cast("double") / avgdl))
+
+    val termScores = tf
+      .join(broadcast(df), "token")
+      .crossJoin(broadcast(stats))
+      .select(id, col("token"), (idf * tfc).as("s"))
+
+    // Deterministic fold: sort per-doc term scores by token, sum
+    // left-to-right from 0.0.
+    termScores.groupBy(id)
+      .agg(count(lit(1)).as("n_terms_hit"),
+        aggregate(
+          transform(array_sort(collect_list(struct(col("token"), col("s")))),
+            x => x.getField("s")),
+          lit(0.0), (acc, x) => acc + x).as("score"))
+      .orderBy(col("score").desc, id)
+      .limit(k)
+      .select(id, col("score"), col("n_terms_hit"))
+  }
+
+  /** DuckDB twin of [[bm25TopK]] over table `table` — same rational
+    * idf, same sorted left-to-right fold. */
+  def bm25OracleSql(table: String, idCol: String, textCol: String,
+      terms: Seq[String], k: Int, k1: Double = 1.2,
+      b: Double = 0.75): String = {
+    val termList = terms.map(t => s"'$t'").mkString("[", ", ", "]")
+    s"""WITH tok AS (
+       |  SELECT $idCol,
+       |    CAST(len(string_split_regex(trim($textCol), '\\s+')) AS BIGINT) AS dl,
+       |    unnest(string_split_regex(trim($textCol), '\\s+')) AS token
+       |  FROM $table),
+       |qtok AS (SELECT * FROM tok WHERE list_contains($termList, token)),
+       |tf AS (
+       |  SELECT $idCol, dl, token, CAST(count(*) AS BIGINT) AS tf
+       |  FROM qtok GROUP BY $idCol, dl, token),
+       |df AS (
+       |  SELECT token, CAST(count(DISTINCT $idCol) AS BIGINT) AS df
+       |  FROM qtok GROUP BY token),
+       |stats AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(CAST(len(string_split_regex(trim($textCol), '\\s+'))
+       |      AS BIGINT)) AS BIGINT) AS sum_dl
+       |  FROM $table),
+       |ts AS (
+       |  SELECT t.$idCol, t.token,
+       |    ((CAST(s.n_docs - d.df AS DOUBLE) + 0.5) /
+       |     (CAST(d.df AS DOUBLE) + 0.5)) *
+       |    (CAST(t.tf AS DOUBLE) * ($k1 + 1.0) /
+       |     (CAST(t.tf AS DOUBLE) +
+       |      $k1 * (1.0 - $b + $b * CAST(t.dl AS DOUBLE) /
+       |             (CAST(s.sum_dl AS DOUBLE) / s.n_docs)))) AS s
+       |  FROM tf t JOIN df d USING (token) CROSS JOIN stats s),
+       |folded AS (
+       |  SELECT $idCol, CAST(count(*) AS BIGINT) AS n_terms_hit,
+       |    list_reduce(
+       |      list_prepend(CAST(0.0 AS DOUBLE), list(s ORDER BY token)),
+       |      (acc, x) -> acc + x) AS score
+       |  FROM ts GROUP BY $idCol)
+       |SELECT $idCol, score, n_terms_hit FROM folded
+       |ORDER BY score DESC, $idCol LIMIT $k""".stripMargin
+  }
+}
