@@ -889,24 +889,33 @@ object Dedup {
     * position-set membership; a pathological row where duplicates
     * cover most of a very long document costs O(n_tokens × n_starts)
     * in that row only — switch to a sorted-interval merge fold if a
-    * corpus ever exhibits that shape. */
+    * corpus ever exhibits that shape.
+    *
+    * The tokenized base frame feeds BOTH the window-extraction arm and
+    * the final reassembly join, so by default the scan + split runs
+    * twice — deliberate: recomputation keeps full lineage (any lost
+    * partition is rebuilt from source), whereas an eager
+    * localCheckpoint would pin blocks to executor-local storage and
+    * die with the executor. Callers for whom the double scan is the
+    * dominant cost can pass `materialize = _.persist(StorageLevel.
+    * DISK_ONLY)` (and unpersist afterwards) — persist caches WITHOUT
+    * truncating lineage. */
   def exactSubstringDedup(docs: DataFrame, idCol: String, textCol: String,
-      l: Int = 8): DataFrame = {
+      l: Int = 8, materialize: DataFrame => DataFrame = identity)
+      : DataFrame = {
     require(l >= 2, s"window length must be >= 2, got $l")
     import org.apache.spark.sql.expressions.Window
 
-    // (id, tokens, n) — feeds window extraction AND reassembly; the
-    // checkpoint stops the token split from re-running in both arms.
-    val base = docs
+    // (id, tokens, n) — feeds window extraction AND reassembly.
+    val base = materialize(docs
       .select(col(idCol), wsTokens(col(textCol)).as("__tk"))
-      .withColumn("__n", size(col("__tk")).cast("int"))
-      .localCheckpoint(true)
+      .withColumn("__n", size(col("__tk")).cast("int")))
 
     // All L-token window hashes, in-row. sequence(1, 0) would count
     // DOWNWARD, so short docs get an explicit empty array.
     val winArr = when(col("__n") >= l,
         transform(sequence(lit(1), col("__n") - (l - 1)),
-          i => md5Hash60(array_join(slice(col("__tk"), i, l), " "))))
+          i => md5Hash60(array_join(slice(col("__tk"), i, lit(l)), " "))))
       .otherwise(array().cast("array<bigint>"))
     val wins = base
       .select(col(idCol), posexplode(winArr).as(Seq("__p0", "win_h")))
