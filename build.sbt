@@ -19,6 +19,10 @@ run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // captures a bounded tail of stdout and parses the LAST line as JSON,
 // so Bench's contract line must be the final thing printed.
 Global / showSuccess := false
+// (verified: with this set, the forked main's println IS the last
+// stdout line — no trailing banner). Silence the lintUnused false
+// positive: showSuccess is read by sbt's command loop, not by a task.
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -97,6 +97,10 @@ object Bench {
     }
     val line = (24 to 0 by -1).map(compact).find(_.length <= 1800).get
     println(line)
+    // Nothing may print after the contract line: stop() can emit WARN
+    // shutdown-hook chatter that would displace it as the tail's last
+    // line, so drop to ERROR for the teardown.
+    spark.sparkContext.setLogLevel("ERROR")
     spark.stop()
   }
 }

@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Column, GraftBridge}
 import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
 import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
-import org.apache.spark.sql.functions.lit
+import org.apache.spark.sql.functions.{lit, xxhash64}
 
 /** Column wrappers over Spark's own bloom-filter expressions — the
   * exact machinery Catalyst's InjectRuntimeFilter uses for runtime
@@ -23,20 +23,33 @@ import org.apache.spark.sql.functions.lit
   */
 object SketchFunctions {
 
-  /** Aggregate a key column into a bloom-filter sketch (binary).
-    * Accepts int/long/string keys — Spark's native
-    * BloomFilterAggregate. */
+  /** Spark 4.1.2's BloomFilterMightContain type-checks ONLY
+    * (Binary, Long) — a sketch built directly from a string column
+    * could never be probed (analysis error), and int keys would need
+    * an explicit cast. So BOTH sides normalize the key through
+    * xxhash64 (any atomic type → long) — exactly how Catalyst's
+    * InjectRuntimeFilter handles non-long join keys. The extra hash
+    * only adds collisions WITHIN the bloom's false-positive contract;
+    * no-false-negatives is preserved because build and probe hash
+    * identically. */
+  private def normKey(key: Column): Column = xxhash64(key)
+
+  /** Aggregate a key column (any atomic type) into a bloom-filter
+    * sketch (binary) — Spark's native BloomFilterAggregate over the
+    * xxhash64-normalized key. */
   def bloomFilterAgg(key: Column, expectedItems: Long): Column =
     GraftBridge.column(
-      new BloomFilterAggregate(GraftBridge.expression(key), expectedItems)
-        .toAggregateExpression())
+      new BloomFilterAggregate(GraftBridge.expression(normKey(key)),
+        expectedItems).toAggregateExpression())
 
   /** Probe a driver-collected sketch: true if `key` MIGHT be in the
-    * set the sketch was built from (no false negatives). The sketch
-    * rides the plan as a literal — broadcast with the task binary,
-    * never shuffled. */
+    * set the sketch was built from (no false negatives — callers must
+    * still re-verify positives with an exact join or equality). The
+    * sketch rides the plan as a literal — broadcast with the task
+    * binary, never shuffled. `key` must be normalized the same way as
+    * the build side, which happens here: pass the raw column. */
   def mightContain(sketch: Array[Byte], key: Column): Column =
     GraftBridge.column(BloomFilterMightContain(
       GraftBridge.expression(lit(sketch)),
-      GraftBridge.expression(key)))
+      GraftBridge.expression(normKey(key))))
 }

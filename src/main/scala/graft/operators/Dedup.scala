@@ -976,12 +976,12 @@ object Dedup {
        |  FROM marked WHERE cnt > 1 AND rn > 1 GROUP BY $idCol)
        |SELECT b.$idCol, CAST(b.n AS BIGINT) AS n_tokens,
        |  CAST(coalesce(len(c.covered), 0) AS BIGINT) AS n_dup_tokens,
-       |  array_to_string(
+       |  coalesce(array_to_string(
        |    list_transform(
        |      list_filter(range(1, b.n + 1),
        |        i -> NOT list_contains(coalesce(c.covered, []), i)),
        |      i -> b.tk[i]),
-       |    ' ') AS $textCol
+       |    ' '), '') AS $textCol
        |FROM base b LEFT JOIN cov c USING ($idCol)
        |ORDER BY $idCol""".stripMargin
 }

@@ -127,6 +127,12 @@ object Relational {
     * once on the dimension key; no windows, no driver state. */
   def scd2Merge(dim: DataFrame, updates: DataFrame, keyCol: String,
       tracked: Seq[String], effectiveDate: Column): DataFrame = {
+    // an empty tracked list would make the change-detection reduce
+    // throw an opaque UnsupportedOperationException at plan time
+    require(tracked.nonEmpty, "scd2Merge needs at least one tracked column")
+    // NOTE: `updates` must hold ONE row per key (it is a snapshot
+    // batch); duplicate keys would silently fan out the full-outer
+    // join into one closed+opened pair per duplicate.
     val hist = dim.filter(!col("is_current"))
     val cur = dim.filter(col("is_current"))
 

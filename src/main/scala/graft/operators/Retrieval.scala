@@ -9,16 +9,18 @@ import graft.functions.TextFunctions._
   * half of a RAG / training-data search stack (Robertson & Zaragoza,
   * "The Probabilistic Relevance Framework: BM25 and Beyond", 2009).
   *
-  * Engine-parity design: the classic BM25 idf is `ln((N-df+0.5)/
-  * (df+0.5))`, but `ln` is a transcendental whose last bit is not
-  * guaranteed identical across engines' libm implementations. The
-  * rational core `(N-df+0.5)/(df+0.5)` is IEEE-exact arithmetic
-  * (+,-,*,/ are bit-specified), so this implementation keeps the
-  * rational idf un-logged: per-term weights stay strictly monotone in
-  * the classic idf (log is monotone), so ranking behaviour for
-  * single-term scoring is identical, and every output bit is
-  * reproducible by the DuckDB oracle. The same trick as the catalog's
-  * log-free tf-idf (x20).
+  * This is CLASSIC BM25, log idf included: `idf = ln((N-df+0.5)/
+  * (df+0.5))` per term (negative for terms in more than half the
+  * corpus — standard Robertson behaviour, kept as-is). An earlier
+  * draft kept the idf un-logged for bit-exactness, but summing raw
+  * odds ratios across terms is NOT order-equivalent to summing
+  * log-idf scores — rare terms would dominate ~N/df instead of
+  * ln(N/df) — so multi-term rankings could diverge materially from
+  * real BM25. Instead, cross-engine determinism is handled at the
+  * output boundary: the final score is rounded to 6 dp on BOTH
+  * engines before it is ranked or compared (ln differs across libms
+  * by ~1 ulp at most; at 6 dp both engines see the same number, the
+  * same trick as the catalog's cos_r / margin_r columns).
   *
   * Cross-term summation order is pinned: per-doc term scores are
   * collected, sorted BY TERM, and folded left-to-right — floating
@@ -36,9 +38,11 @@ import graft.functions.TextFunctions._
 object Retrieval {
 
   /** BM25 top-`k` documents for the literal query `terms`.
-    * Output: (id, score, n_terms_hit), ordered by (score DESC, id),
-    * limited to `k`. Documents matching no term score 0 and are
-    * excluded (standard retrieval semantics). */
+    * Output: (id, score_r, n_terms_hit) with score_r the 6-dp-rounded
+    * BM25 score, ordered by (score_r DESC, id), limited to `k`.
+    * Documents matching no term are excluded (standard retrieval
+    * semantics). Ranking and the k-boundary use the ROUNDED score so
+    * both engines cut the same tail. */
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
       terms: Seq[String], k: Int, k1: Double = 1.2,
       b: Double = 0.75): DataFrame = {
@@ -61,8 +65,8 @@ object Retrieval {
       sum(wsTokenCount(col(textCol))).as("sum_dl"))
 
     val avgdl = col("sum_dl").cast("double") / col("n_docs")
-    val idf = ((col("n_docs") - col("df")).cast("double") + lit(0.5)) /
-      (col("df").cast("double") + lit(0.5))
+    val idf = log(((col("n_docs") - col("df")).cast("double") + lit(0.5)) /
+      (col("df").cast("double") + lit(0.5)))
     val tfc = col("tf").cast("double") * (lit(k1) + 1.0) /
       (col("tf").cast("double") +
         lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl").cast("double") / avgdl))
@@ -73,24 +77,29 @@ object Retrieval {
       .select(id, col("token"), (idf * tfc).as("s"))
 
     // Deterministic fold: sort per-doc term scores by token, sum
-    // left-to-right from 0.0.
+    // left-to-right from 0.0; round once at the end.
     termScores.groupBy(id)
       .agg(count(lit(1)).as("n_terms_hit"),
-        aggregate(
+        round(aggregate(
           transform(array_sort(collect_list(struct(col("token"), col("s")))),
             x => x.getField("s")),
-          lit(0.0), (acc, x) => acc + x).as("score"))
-      .orderBy(col("score").desc, id)
+          lit(0.0), (acc, x) => acc + x), 6).as("score_r"))
+      .orderBy(col("score_r").desc, id)
       .limit(k)
-      .select(id, col("score"), col("n_terms_hit"))
+      .select(id, col("score_r"), col("n_terms_hit"))
   }
 
-  /** DuckDB twin of [[bm25TopK]] over table `table` — same rational
-    * idf, same sorted left-to-right fold. */
+  /** DuckDB twin of [[bm25TopK]] over table `table` — same ln idf,
+    * same sorted left-to-right fold, same 6-dp rounding before rank.
+    * Terms are SQL-escaped ('' doubling): this is a test-oracle
+    * surface, but a term with a quote must not break the SQL. */
   def bm25OracleSql(table: String, idCol: String, textCol: String,
       terms: Seq[String], k: Int, k1: Double = 1.2,
       b: Double = 0.75): String = {
-    val termList = terms.map(t => s"'$t'").mkString("[", ", ", "]")
+    val termList = terms.map(t => s"'${t.replace("'", "''")}'")
+      .mkString("[", ", ", "]")
+    val k1s = java.lang.Double.toString(k1)
+    val bs = java.lang.Double.toString(b)
     s"""WITH tok AS (
        |  SELECT $idCol,
        |    CAST(len(string_split_regex(trim($textCol), '\\s+')) AS BIGINT) AS dl,
@@ -110,20 +119,20 @@ object Retrieval {
        |  FROM $table),
        |ts AS (
        |  SELECT t.$idCol, t.token,
-       |    ((CAST(s.n_docs - d.df AS DOUBLE) + 0.5) /
-       |     (CAST(d.df AS DOUBLE) + 0.5)) *
-       |    (CAST(t.tf AS DOUBLE) * ($k1 + 1.0) /
+       |    ln((CAST(s.n_docs - d.df AS DOUBLE) + 0.5) /
+       |       (CAST(d.df AS DOUBLE) + 0.5)) *
+       |    (CAST(t.tf AS DOUBLE) * ($k1s + 1.0) /
        |     (CAST(t.tf AS DOUBLE) +
-       |      $k1 * (1.0 - $b + $b * CAST(t.dl AS DOUBLE) /
+       |      $k1s * (1.0 - $bs + $bs * CAST(t.dl AS DOUBLE) /
        |             (CAST(s.sum_dl AS DOUBLE) / s.n_docs)))) AS s
        |  FROM tf t JOIN df d USING (token) CROSS JOIN stats s),
        |folded AS (
        |  SELECT $idCol, CAST(count(*) AS BIGINT) AS n_terms_hit,
-       |    list_reduce(
+       |    round(list_reduce(
        |      list_prepend(CAST(0.0 AS DOUBLE), list(s ORDER BY token)),
-       |      (acc, x) -> acc + x) AS score
+       |      (acc, x) -> acc + x), 6) AS score_r
        |  FROM ts GROUP BY $idCol)
-       |SELECT $idCol, score, n_terms_hit FROM folded
-       |ORDER BY score DESC, $idCol LIMIT $k""".stripMargin
+       |SELECT $idCol, score_r, n_terms_hit FROM folded
+       |ORDER BY score_r DESC, $idCol LIMIT $k""".stripMargin
   }
 }

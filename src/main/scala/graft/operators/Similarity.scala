@@ -355,20 +355,33 @@ object Similarity {
     *
     * 100 TB shape: cell assignment is a narrow projection against
     * literal centroids (zero shuffle); the only wide ops are the
-    * cell-keyed self-join and a per-id max. Within-cell pair volume is
-    * bounded by the cell-size distribution — at scale raise nCells so
-    * cells stay O(10^4) rows (the paper uses tens of thousands of
-    * clusters for billions of docs); skewed cells can additionally be
-    * sub-bucketed with [[bucketExpr]] planes. */
+    * cell-keyed self-join and a per-id max. Within-cell pair volume
+    * is HARD-bounded, not assumed: each cell is capped at its
+    * `maxCell` lowest ids (ranked by the same window key the join
+    * shuffles on, so the cap adds no extra exchange) and only capped
+    * rows enter the pair join — ≤ maxCell²/2 pairs per cell no matter
+    * how skewed the embedding distribution. Rows beyond the cap get
+    * no verdict (kept=true, max_lower_cos_r=-1.0) — the same
+    * recall-for-boundedness trade as the MinHash/SimHash bucket caps,
+    * and like them it is never silent: [[semanticCellOverflow]] names
+    * every capped cell. At scale raise nCells so cells stay O(10^4)
+    * rows (the paper uses tens of thousands of clusters for billions
+    * of docs); the cap is the backstop for the skewed tail, not the
+    * primary sizing tool. */
   def semanticDedup(corpus: DataFrame, idCol: String, vecCol: String,
-      nCells: Int, tau: Double, iters: Int = 2): DataFrame = {
+      nCells: Int, tau: Double, iters: Int = 2,
+      maxCell: Int = 1000): DataFrame = {
+    require(maxCell >= 2, s"maxCell must be >= 2, got $maxCell")
     val centroids = ivfTrain(corpus, idCol, vecCol, nCells, iters)
     val c = corpus.select(col(idCol).as("__id"), col(vecCol).as("__v"),
       l2Norm(col(vecCol)).as("__n"),
       cellExpr(col(vecCol), centroids).as("cell"))
-    val lo = c.select(col("cell"), col("__id").as("id_a"),
+    val capW = Window.partitionBy(col("cell")).orderBy(col("__id"))
+    val capped = c.withColumn("__rn", row_number().over(capW))
+      .filter(col("__rn") <= maxCell)
+    val lo = capped.select(col("cell"), col("__id").as("id_a"),
       col("__v").as("va"), col("__n").as("na"))
-    val hi = c.select(col("cell"), col("__id").as("id_b"),
+    val hi = capped.select(col("cell"), col("__id").as("id_b"),
       col("__v").as("vb"), col("__n").as("nb"))
     val pairCos = lo.join(hi, Seq("cell"))
       .filter(col("id_a") < col("id_b"))
@@ -385,19 +398,40 @@ object Similarity {
         (coalesce(col("max_lower_cos_r"), lit(-1.0)) < tau).as("kept"))
   }
 
+  /** Per-cell membership counts for every cell that [[semanticDedup]]
+    * would cap at `maxCell` — the overflow reporter that keeps the cap
+    * from being a silent truncation. Output: (cell, n_rows), only
+    * cells with n_rows > maxCell. Same centroid training as the dedup
+    * itself, so the reported cells are exactly the capped ones. */
+  def semanticCellOverflow(corpus: DataFrame, idCol: String,
+      vecCol: String, nCells: Int, maxCell: Int = 1000,
+      iters: Int = 2): DataFrame = {
+    val centroids = ivfTrain(corpus, idCol, vecCol, nCells, iters)
+    corpus.select(cellExpr(col(vecCol), centroids).as("cell"))
+      .groupBy(col("cell")).agg(count(lit(1)).as("n_rows"))
+      .filter(col("n_rows") > maxCell)
+  }
+
   /** DuckDB oracle mirroring [[semanticDedup]], given the trained
-    * centroids (late-bound via [[trainedCentroids]]). */
+    * centroids (late-bound via [[trainedCentroids]]) — including the
+    * per-cell cap, which is part of the operator's semantics, not an
+    * engine-side shortcut. */
   def semanticDedupOracleSql(table: String, idCol: String, vecCol: String,
-      centroids: Array[Array[Double]], tau: Double): String =
+      centroids: Array[Array[Double]], tau: Double,
+      maxCell: Int = 1000): String =
     s"""WITH e AS (SELECT $idCol AS id, $vecCol::DOUBLE[] AS v FROM $table),
        |c AS (SELECT id, v, sqrt(list_dot_product(v, v)) AS n,
        |             ${cellSqlExpr("v", centroids)} AS cell
        |      FROM e),
+       |k AS (SELECT *, row_number() OVER
+       |        (PARTITION BY cell ORDER BY id) AS rn
+       |      FROM c),
        |p AS (SELECT y.id AS id,
        |        round(CASE WHEN x.n * y.n > 0
        |          THEN list_dot_product(x.v, y.v) / (x.n * y.n)
        |          ELSE 0.0 END, 6) AS cos_r
-       |      FROM c x JOIN c y ON x.cell = y.cell AND x.id < y.id),
+       |      FROM k x JOIN k y ON x.cell = y.cell AND x.id < y.id
+       |      WHERE x.rn <= $maxCell AND y.rn <= $maxCell),
        |m AS (SELECT id, max(cos_r) AS mc FROM p GROUP BY id)
        |SELECT c.id AS $idCol, c.cell,
        |  coalesce(m.mc, -1.0) AS max_lower_cos_r,

@@ -7,9 +7,10 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, LongType, StringType, StructType}
 
 import graft.catalog.Warehouse
+import graft.functions.SketchFunctions
 import graft.functions.TextFunctions._
 import graft.functions.VectorFunctions._
-import graft.operators.{Dedup, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Relational, Retrieval, Similarity, TextAnalysis}
 import graft.sources.Tables
 
 /** Training-data-pipeline operator catalog (driver-mandated extensions,
@@ -516,15 +517,17 @@ object ExtensionQueries {
     QuerySpec("x31_semantic_dedup",
       "SemDeDup-style semantic dedup: deterministic IVF cells (16), " +
         "exact cosine only against lower-id cell-mates, keep-lowest-id " +
-        "dominance at tau=0.9 — cell-keyed equi-join, never all-pairs; " +
-        "hash-gated via the late-bound trained-centroid oracle",
+        "dominance at tau=0.9 — cell-keyed equi-join with a hard " +
+        "1000-row cap per cell (overflow reported, never silent), so " +
+        "a dense cell can never go quadratic; hash-gated via the " +
+        "late-bound trained-centroid oracle, cap included in the SQL",
       (s, dir) => Similarity.semanticDedup(t(s, dir, "embeddings"),
-          "vec_id", "embedding", nCells = 16, tau = 0.9)
+          "vec_id", "embedding", nCells = 16, tau = 0.9, maxCell = 1000)
         .orderBy(col("vec_id")),
       None,
       oracleGen = () => Similarity.trainedCentroids.get((16, 2)).map(cents =>
         Similarity.semanticDedupOracleSql("embeddings", "vec_id",
-          "embedding", cents, 0.9))),
+          "embedding", cents, 0.9, maxCell = 1000))),
 
     QuerySpec("x8_text_langid",
       "language ID via stopword-marker scoring, distribution by language",
@@ -1440,6 +1443,55 @@ object ExtensionQueries {
              |FROM events WHERE event_type = 'purchase'
              |GROUP BY user_bucket ORDER BY user_bucket""".stripMargin)),
 
+    QuerySpec("s12_scd2_merge",
+      "SCD2 dimension merge: customer segments as a type-2 history, " +
+        "one batch with changed (%7), unchanged-resent (%5, exercises " +
+        "the null-safe no-change path) and brand-new (+1M keys, %13) " +
+        "rows — changed keys close their predecessor and open a new " +
+        "version; ONE full-outer shuffle on the key, history rows " +
+        "never join",
+      (s, dir) => {
+        val cust = t(s, dir, "customer")
+        val dim = cust.select(col("c_custkey"), col("c_mktsegment"),
+          to_date(lit("1995-01-01")).as("valid_from"),
+          lit(null).cast("date").as("valid_to"),
+          lit(true).as("is_current"))
+        val updates = cust.filter(col("c_custkey") % 7 === 0)
+            .select(col("c_custkey"),
+              concat(col("c_mktsegment"), lit("-R2")).as("c_mktsegment"))
+          .unionAll(cust
+            .filter(col("c_custkey") % 5 === 0 && col("c_custkey") % 7 =!= 0)
+            .select(col("c_custkey"), col("c_mktsegment")))
+          .unionAll(cust.filter(col("c_custkey") % 13 === 0)
+            .select((col("c_custkey") + 1000000).as("c_custkey"),
+              lit("NEW").as("c_mktsegment")))
+        Relational.scd2Merge(dim, updates, "c_custkey",
+            Seq("c_mktsegment"), to_date(lit("2000-06-01")))
+          .orderBy(col("c_custkey"), col("valid_from"))
+      },
+      // the oracle states the RESULT directly: '-R2' always differs,
+      // resent rows never do, so the merge mechanics reduce to set
+      // arithmetic on the key residues
+      Some("""WITH res AS (
+             |  SELECT c_custkey, c_mktsegment,
+             |    DATE '1995-01-01' AS valid_from,
+             |    CAST(NULL AS DATE) AS valid_to, TRUE AS is_current
+             |  FROM customer WHERE c_custkey % 7 <> 0
+             |  UNION ALL
+             |  SELECT c_custkey, c_mktsegment,
+             |    DATE '1995-01-01', DATE '2000-06-01', FALSE
+             |  FROM customer WHERE c_custkey % 7 = 0
+             |  UNION ALL
+             |  SELECT c_custkey, c_mktsegment || '-R2',
+             |    DATE '2000-06-01', NULL, TRUE
+             |  FROM customer WHERE c_custkey % 7 = 0
+             |  UNION ALL
+             |  SELECT c_custkey + 1000000, 'NEW',
+             |    DATE '2000-06-01', NULL, TRUE
+             |  FROM customer WHERE c_custkey % 13 = 0)
+             |SELECT * FROM res
+             |ORDER BY c_custkey, valid_from""".stripMargin)),
+
     QuerySpec("s11_jsonl_roundtrip",
       "JSONL source/sink round-trip: corpus written as newline-" +
         "delimited JSON, read back under a DECLARED schema, content " +
@@ -1625,6 +1677,62 @@ object ExtensionQueries {
              |  FROM resized)
              |SELECT id, width, height, resized_w, resized_h, frame_idx,
              |  CAST(frame_idx * dur // 3 AS BIGINT) AS frame_offset_ms
-             |FROM frames ORDER BY id, frame_idx""".stripMargin))
+             |FROM frames ORDER BY id, frame_idx""".stripMargin)),
+
+    QuerySpec("x35_exact_substring_dedup",
+      "exact duplicated-SPAN removal (Lee et al. 2022 ExactSubstr " +
+        "re-expressed as keyed dataflow): every 8-token window hashed " +
+        "in-row, occurrences past the global first removed token-wise, " +
+        "survivors reassembled — one window-hash shuffle + one per-doc " +
+        "groupBy; never pairwise, no suffix array, no task ever holds " +
+        "more than one document",
+      (s, dir) => Dedup.exactSubstringDedup(t(s, dir, "documents"),
+          "doc_id", "text", l = 8)
+        .orderBy(col("doc_id")),
+      Some(Dedup.exactSubstringOracleSql("documents", "doc_id", "text", 8))),
+
+    QuerySpec("x36_bm25_retrieval",
+      "BM25 top-20 lexical retrieval (Robertson & Zaragoza 2009) for " +
+        "a 3-term query: ln-idf BM25, per-doc term scores folded in " +
+        "sorted order, score rounded to 6dp before ranking so both " +
+        "engines cut the same top-k; terms filtered AT THE SCAN so the " +
+        "corpus text is never shuffled, top-k is TakeOrdered not a " +
+        "global sort",
+      (s, dir) => Retrieval.bm25TopK(t(s, dir, "documents"),
+        "doc_id", "text", Seq("spark", "window", "merge"), k = 20),
+      Some(Retrieval.bm25OracleSql("documents", "doc_id", "text",
+        Seq("spark", "window", "merge"), k = 20))),
+
+    QuerySpec("x37_bloom_join_prefilter",
+      "bloom-sketch join prefilter: Spark's native bloom aggregate " +
+        "over high-value order keys (driver-collected KB-scale binary " +
+        "riding the plan as a literal — InjectRuntimeFilter's own " +
+        "materialization shape), pruning lineitem codegen'd at the " +
+        "scan with zero shuffle; the exact join re-verifies survivors " +
+        "so bloom false positives never reach the result",
+      (s, dir) => {
+        val hot = t(s, dir, "orders")
+          .filter(col("o_totalprice") > 150000)
+          .select(col("o_orderkey"), col("o_orderpriority"))
+        val sketch = hot.agg(SketchFunctions.bloomFilterAgg(
+            col("o_orderkey"), 100000L).as("bf"))
+          .head.getAs[Array[Byte]]("bf")
+        t(s, dir, "lineitem")
+          .filter(SketchFunctions.mightContain(sketch, col("l_orderkey")))
+          .join(hot, col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n_items"),
+            sum(dec2(col("l_extendedprice")) *
+              (lit(1) - dec2(col("l_discount"))))
+              .cast("double").as("revenue"))
+          .orderBy(col("o_orderpriority"))
+      },
+      Some("""SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_items,
+             |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+             |       (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+             |    AS revenue
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |WHERE o_totalprice > 150000
+             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin))
   )
 }

@@ -274,4 +274,59 @@ class DedupSpec extends SparkSpec {
       x == 1L && y == 10L && est == 1.0 })
     assert(!links.exists { case (x, y, _) => x == 2L || y == 11L })
   }
+
+  test("crossCorpusNearDupPairs: a hot band on BOTH sides stays " +
+      "capped — candidate volume is maxBucket², not n_a × n_b") {
+    // whitespace variants tokenize identically but survive the
+    // exact-dedup prefilter (distinct raw texts) -> every doc of a
+    // side lands in the same buckets: the skewed-corpus worst case
+    def side(ids: Range) = ids.map(i =>
+      (i.toLong, "hot shard skew test tokens" + (" " * (i % 7 + 1))))
+      .toDF("doc_id", "text")
+    val links = Dedup.crossCorpusNearDupPairs(
+      side(1 to 20), side(100 to 119), "doc_id", "text", maxBucket = 3)
+    // each side capped at its 3 lowest ids per bucket -> <= 9 pairs
+    assert(links.count() <= 9 && links.count() > 0)
+    val ids = links.select("id_a", "id_b").as[(Long, Long)].collect()
+    assert(ids.forall { case (x, y) => x <= 3L && y <= 102L })
+  }
+
+  // ---- exactSubstringDedup (Lee et al. ExactSubstr) ----------------
+
+  test("exactSubstringDedup: short docs pass through unchanged") {
+    val docs = Seq((1L, "tiny doc"), (2L, "seven tokens is not enough here no"))
+      .toDF("doc_id", "text")
+    val got = Dedup.exactSubstringDedup(docs, "doc_id", "text", l = 8)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(got == Seq(
+      (1L, 2L, 0L, "tiny doc"),
+      (2L, 7L, 0L, "seven tokens is not enough here no")))
+  }
+
+  test("exactSubstringDedup removes a cross-doc duplicated span from " +
+      "the later doc only") {
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "x x2 a b c d e f g h y z")
+    ).toDF("doc_id", "text")
+    val got = Dedup.exactSubstringDedup(docs, "doc_id", "text", l = 8)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    // doc 1 holds the global-first occurrence of "a b c d e f g h":
+    // untouched; doc 2 loses exactly that 8-token span
+    assert(got == Seq(
+      (1L, 10L, 0L, "a b c d e f g h i j"),
+      (2L, 12L, 8L, "x x2 y z")))
+  }
+
+  test("exactSubstringDedup removes within-doc repetition, keeping " +
+      "the first occurrence") {
+    val docs = Seq(
+      (1L, "p q r s t u v w p q r s t u v w end")
+    ).toDF("doc_id", "text")
+    val got = Dedup.exactSubstringDedup(docs, "doc_id", "text", l = 8)
+      .as[(Long, Long, Long, String)].head()
+    assert(got == ((1L, 17L, 8L, "p q r s t u v w end")))
+  }
 }

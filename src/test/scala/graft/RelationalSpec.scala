@@ -88,4 +88,42 @@ class RelationalSpec extends SparkSpec {
       .select(when($"x" > 5, "big").as("label"))
     assert(df.as[Option[String]].collect().toSeq == Seq(None, Some("big")))
   }
+
+  test("scd2Merge: closes changed rows, appends new versions, passes " +
+      "history and unchanged/resent rows through") {
+    def d(s: String) = java.sql.Date.valueOf(s)
+    val dim = Seq(
+      // key 1: has closed history + a current row that the batch changes
+      (1L, "old", d("1990-01-01"), Option(d("1995-01-01")), false),
+      (1L, "mid", d("1995-01-01"), None, true),
+      // key 2: current row resent UNCHANGED in the batch
+      (2L, "keep", d("1995-01-01"), None, true),
+      // key 3: current row absent from the batch
+      (3L, "stay", d("1995-01-01"), None, true)
+    ).toDF("k", "seg", "valid_from", "valid_to", "is_current")
+    val updates = Seq((1L, "new"), (2L, "keep"), (9L, "fresh"))
+      .toDF("k", "seg")
+    val got = Relational.scd2Merge(dim, updates, "k", Seq("seg"),
+        to_date(lit("2000-06-01")))
+      .orderBy($"k", $"valid_from")
+      .as[(Long, String, java.sql.Date, Option[java.sql.Date], Boolean)]
+      .collect().toSeq
+    assert(got == Seq(
+      (1L, "old", d("1990-01-01"), Some(d("1995-01-01")), false),
+      (1L, "mid", d("1995-01-01"), Some(d("2000-06-01")), false),
+      (1L, "new", d("2000-06-01"), None, true),
+      (2L, "keep", d("1995-01-01"), None, true),
+      (3L, "stay", d("1995-01-01"), None, true),
+      (9L, "fresh", d("2000-06-01"), None, true)))
+  }
+
+  test("scd2Merge rejects an empty tracked-column list") {
+    val dim = Seq((1L, "a", java.sql.Date.valueOf("1995-01-01"),
+      Option.empty[java.sql.Date], true))
+      .toDF("k", "seg", "valid_from", "valid_to", "is_current")
+    intercept[IllegalArgumentException] {
+      Relational.scd2Merge(dim, Seq((1L, "b")).toDF("k", "seg"), "k",
+        Seq.empty, to_date(lit("2000-06-01")))
+    }
+  }
 }

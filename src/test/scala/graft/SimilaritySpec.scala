@@ -165,6 +165,32 @@ class SimilaritySpec extends SparkSpec {
     assert(got.size == 4)
   }
 
+  test("semanticDedup: a deliberately dense cell is capped — rows " +
+      "past the cap get no verdict and the overflow reporter names " +
+      "the cell") {
+    // 50 identical vectors -> one cell holds everything: the skewed
+    // embedding-distribution worst case the cap exists for
+    val vecs = (0L until 50L).map(i => (i, Seq(1f, 0f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.semanticDedup(vecs, "vec_id", "embedding",
+        nCells = 1, tau = 0.9, maxCell = 10)
+      .select($"vec_id", $"max_lower_cos_r", $"kept")
+      .as[(Long, Double, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got.size == 50, "every row must still get a verdict row")
+    assert(got(0L) == ((-1.0, true)), "lowest id has no lower cell-mate")
+    (1L until 10L).foreach(i =>
+      assert(got(i) == ((1.0, false)), s"capped row $i must drop"))
+    (10L until 50L).foreach(i =>
+      assert(got(i) == ((-1.0, true)),
+        s"row $i beyond the cap must pass through un-judged"))
+    val overflow = Similarity.semanticCellOverflow(vecs, "vec_id",
+        "embedding", nCells = 1, maxCell = 10)
+      .as[(Int, Long)].collect().toSeq
+    assert(overflow.map(_._2) == Seq(50L),
+      "the dense cell must be reported, not silently truncated")
+  }
+
   test("semanticDedup verdicts use the rounded cosine against tau") {
     val vecs = Seq(
       (1L, Seq(1f, 0f)),
