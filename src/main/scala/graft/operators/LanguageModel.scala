@@ -1,0 +1,145 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+
+/** CCNet-style language-model quality filtering (Wenzek et al., "CCNet:
+  * Extracting High Quality Monolingual Datasets from Web Crawl Data",
+  * LREC 2020): score every document by its cross-entropy under a
+  * unigram LM trained on a trusted reference slice, then split each
+  * language into head / middle / tail terciles — the standard
+  * perplexity-bucketing stage of a web-scale pretraining pipeline
+  * (CCNet keeps "head+middle" and drops "tail").
+  *
+  * Differences from the paper, chosen for engine-verifiability:
+  * - unigram instead of 5-gram KenLM: the model is a (token, count)
+  *   table + two scalars, so both engines can recompute it exactly;
+  * - cross-entropy in nats per token instead of perplexity: ppl =
+  *   exp(H) and exp() is not bit-reproducible across libms (same
+  *   reasoning as x34's margin-without-sigmoid), while exp is monotone
+  *   so the tercile split is IDENTICAL either way;
+  * - terciles by ntile(3) over a TOTAL order (h_r, doc id) per
+  *   language, not by approximate percentile thresholds — bit-stable
+  *   across engines and partitionings.
+  *
+  * Scale shape: one shuffle to count reference tokens (map-side
+  * combined), one shuffle for per-doc term frequencies, one equi-join
+  * tf⋈vocab on token (AQE broadcasts the vocab when it fits — CCNet
+  * caps the LM vocabulary, so at 100 TB the capped vocab is still
+  * broadcastable; an uncapped vocab degrades to a shuffle join, never
+  * a cartesian), one per-doc fold, one per-language window. The
+  * documents' text is never shuffled — only (id, token, tf) rows.
+  *
+  * Determinism: per-doc summation folds tf·ln p over tokens sorted BY
+  * TOKEN, left-to-right from 0.0 (floating addition is not
+  * associative; an unordered SUM could differ by an ULP between
+  * engines). ln differs across libms by ≤1 ulp; h_r is rounded to 6
+  * dp before it is ranked or compared, the same boundary trick as
+  * x36's BM25 scores.
+  */
+object LanguageModel {
+
+  /** Per-document unigram cross-entropy + per-language tercile bucket.
+    *
+    * `refPredicate` selects the trusted reference slice (SQL boolean
+    * over the docs columns, e.g. "lang = 'en'"). Add-one smoothing:
+    * p(w) = (c(w)+1) / (N+V) with N = reference token instances, V =
+    * reference vocabulary size; out-of-vocabulary tokens get c = 0.
+    * Documents with zero tokens are excluded (cross-entropy is
+    * undefined; excluding beats emitting a NULL sort key, whose
+    * placement differs between Spark and DuckDB default orders).
+    *
+    * Output: (doc_id, lang, n_tok, h_r, bucket) where bucket is
+    * head / middle / tail by ascending h_r within the language. */
+  def crossEntropyBuckets(docs: DataFrame, idCol: String, textCol: String,
+      langCol: String, refPredicate: String): DataFrame = {
+    val id = col(idCol)
+
+    val tok = docs.select(id, col(langCol),
+        wsTokenCount(col(textCol)).as("n_tok"),
+        explode(wsTokens(col(textCol))).as("token"))
+      .filter(col("n_tok") > 0)
+
+    // Reference unigram counts + (N, V); counting from the exploded
+    // frame reuses the same tokenization, and the stats aggregate is
+    // over the tiny counts frame, not the corpus.
+    val refCounts = docs.filter(expr(refPredicate))
+      .select(explode(wsTokens(col(textCol))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("c"))
+    val stats = refCounts.agg(sum(col("c")).as("n_ref"),
+      count(lit(1)).as("v_ref"))
+
+    val tf = tok.groupBy(id, col(langCol), col("n_tok"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+
+    val lnp = log((coalesce(col("c"), lit(0L)).cast("double") + 1.0) /
+      (col("n_ref") + col("v_ref")).cast("double"))
+    val terms = tf.join(refCounts, Seq("token"), "left")
+      .crossJoin(broadcast(stats))
+      .select(id, col(langCol), col("n_tok"), col("token"),
+        (col("tf").cast("double") * lnp).as("contrib"))
+
+    val folded = terms.groupBy(id, col(langCol), col("n_tok"))
+      .agg(round(
+        -aggregate(
+          transform(array_sort(collect_list(struct(col("token"),
+            col("contrib")))), x => x.getField("contrib")),
+          lit(0.0), (acc, x) => acc + x) / col("n_tok").cast("double"),
+        6).as("h_r"))
+
+    val w = Window.partitionBy(col(langCol)).orderBy(col("h_r"), id)
+    folded
+      .withColumn("__t", ntile(3).over(w))
+      .select(id, col(langCol), col("n_tok"), col("h_r"),
+        when(col("__t") === 1, "head").when(col("__t") === 2, "middle")
+          .otherwise("tail").as("bucket"))
+      .orderBy(id)
+  }
+
+  /** DuckDB twin of [[crossEntropyBuckets]]: same tokenization, same
+    * add-one smoothing, same token-sorted left fold, same 6-dp
+    * rounding before the per-language ntile. */
+  def crossEntropyOracleSql(table: String, idCol: String, textCol: String,
+      langCol: String, refPredicate: String): String = {
+    val ws = s"string_split_regex(trim($textCol), '\\s+')"
+    s"""WITH tok AS (
+       |  SELECT $idCol, $langCol,
+       |    CAST(len($ws) AS BIGINT) AS n_tok, unnest($ws) AS token
+       |  FROM $table WHERE len($ws) > 0),
+       |refc AS (
+       |  SELECT token, CAST(count(*) AS BIGINT) AS c
+       |  FROM (SELECT unnest($ws) AS token FROM $table
+       |        WHERE $refPredicate)
+       |  GROUP BY token),
+       |stats AS (
+       |  SELECT CAST(sum(c) AS BIGINT) AS n_ref,
+       |    CAST(count(*) AS BIGINT) AS v_ref FROM refc),
+       |tf AS (
+       |  SELECT $idCol, $langCol, n_tok, token,
+       |    CAST(count(*) AS BIGINT) AS tf
+       |  FROM tok GROUP BY $idCol, $langCol, n_tok, token),
+       |term AS (
+       |  SELECT $idCol, $langCol, n_tok, token,
+       |    CAST(tf AS DOUBLE) *
+       |      ln((CAST(coalesce(c, 0) AS DOUBLE) + 1.0) /
+       |         CAST(n_ref + v_ref AS DOUBLE)) AS contrib
+       |  FROM tf LEFT JOIN refc USING (token) CROSS JOIN stats),
+       |folded AS (
+       |  SELECT $idCol, $langCol, n_tok,
+       |    round(-list_reduce(
+       |      list_prepend(CAST(0.0 AS DOUBLE), list(contrib ORDER BY token)),
+       |      (acc, x) -> acc + x) / CAST(n_tok AS DOUBLE), 6) AS h_r
+       |  FROM term GROUP BY $idCol, $langCol, n_tok),
+       |bucketed AS (
+       |  SELECT $idCol, $langCol, n_tok, h_r,
+       |    ntile(3) OVER (PARTITION BY $langCol ORDER BY h_r, $idCol) AS t
+       |  FROM folded)
+       |SELECT $idCol, $langCol, n_tok, h_r,
+       |  CASE WHEN t = 1 THEN 'head' WHEN t = 2 THEN 'middle'
+       |       ELSE 'tail' END AS bucket
+       |FROM bucketed ORDER BY $idCol""".stripMargin
+  }
+}

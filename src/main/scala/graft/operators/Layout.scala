@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Multi-dimensional data layout: Z-order (Morton-curve) clustering,
+  * the standard lakehouse answer to "this table is filtered on TWO
+  * columns and I can only sort by one" (Delta Lake OPTIMIZE ZORDER,
+  * Iceberg sort orders; Morton 1966).
+  *
+  * A linear sort on x gives perfect file-level min/max pruning on x
+  * and ZERO pruning on y (every file spans y's full range). Z-order
+  * interleaves the bits of both keys, so consecutive z-values are
+  * points of one small (x, y) tile — every file then covers a tight
+  * box in BOTH dimensions, and parquet row-group/file min-max stats
+  * prune selective filters on x, y, or both. At 100 TB this is the
+  * difference between a box query reading one file and reading the
+  * whole table; the write is one range-exchange + in-partition sort,
+  * exactly what a single-column sort already costs.
+  *
+  * The z-value is pure bit arithmetic (shift/and/or), identical in
+  * Spark and DuckDB — [[zValueSql]] is the oracle twin, and
+  * `LayoutSpec` proves the per-file box-tightness claim against a
+  * linear-sort baseline.
+  */
+object Layout {
+
+  /** Morton z-value of two non-negative integer keys, interleaving
+    * the low `bits` bits of each (x bit i → z bit 2i, y bit i → z bit
+    * 2i+1). `2*bits` must stay ≤ 62 so the value fits a signed long.
+    * Keys wider than `bits` bits lose their high bits (same cells
+    * collide — size `bits` to the key domain). */
+  def zValue(x: Column, y: Column, bits: Int): Column = {
+    require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
+    val xl = x.cast("long")
+    val yl = y.cast("long")
+    (0 until bits).map { i =>
+      shiftleft(shiftright(xl, i).bitwiseAND(lit(1L)), 2 * i)
+        .bitwiseOR(shiftleft(shiftright(yl, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }.reduceLeft(_ bitwiseOR _)
+  }
+
+  /** DuckDB twin of [[zValue]] over SQL expressions `x` and `y`. */
+  def zValueSql(x: String, y: String, bits: Int): String =
+    (0 until bits).map { i =>
+      s"((((CAST($x AS BIGINT) >> $i) & 1) << ${2 * i}) | " +
+        s"(((CAST($y AS BIGINT) >> $i) & 1) << ${2 * i + 1}))"
+    }.mkString("(", " | ", ")")
+
+  /** Write `df` as parquet clustered on the z-order of (`colX`,
+    * `colY`): one range-exchange on the z-value into `nFiles`
+    * z-contiguous partitions, each sorted by z within, so every
+    * output file covers a tight (x, y) box and carries min/max stats
+    * that prune on either column. The z column is dropped before the
+    * write (it is a layout device, not data — and dropping after the
+    * sort is a narrow projection that keeps the order). Returns the
+    * written location. */
+  def saveZOrdered(df: DataFrame, dirName: String, colX: String,
+      colY: String, bits: Int, nFiles: Int): String = {
+    val spark = df.sparkSession
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), dirName)
+    loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(loc, true)
+    df.withColumn("__z", zValue(col(colX), col(colY), bits))
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode("overwrite").parquet(loc.toString)
+    loc.toString
+  }
+}

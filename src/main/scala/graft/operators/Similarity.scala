@@ -438,4 +438,198 @@ object Similarity {
        |  (coalesce(m.mc, -1.0) < ${java.lang.Double.toString(tau)}) AS kept
        |FROM c LEFT JOIN m ON c.id = m.id
        |ORDER BY $idCol""".stripMargin
+
+  // ---- Product quantization (IVFADC) -------------------------------
+
+  /** PQ codebooks trained this session, keyed by (m, ksub, iters) —
+    * same late-bound-oracle contract as [[trainedCentroids]]. Layout:
+    * books(subspace)(codeword) = Array[Double] of length dim/m. */
+  @volatile var trainedCodebooks:
+      Map[(Int, Int, Int), Array[Array[Array[Double]]]] = Map.empty
+
+  private def halfNormSq(c: Array[Double]): Double =
+    0.5 * c.foldLeft(0.0)((a, x) => a + x * x)
+
+  /** Codeword id of subspace `sub` for a vector, as a pure projection:
+    * argmin squared-L2 against the subspace's codewords. Computed as
+    * argmax of (dot(sub, cw) - ||cw||²/2) — the ||sub||² term is
+    * constant across codewords so it cannot change the argmin, and
+    * dropping it lets the hot loop reuse the codegen'd dot product
+    * instead of materializing a per-codeword difference vector. The
+    * half-norm bias is a driver-computed literal (sequential fold), so
+    * the oracle embeds the identical double. Ties go to the larger
+    * codeword index (greatest over (s, i) structs — same semantics as
+    * [[cellExpr]] and its list_sort DESC mirror). */
+  def subCellExpr(vecCol: Column, sub: Int, codewords: Array[Array[Double]],
+      subDim: Int): Column = {
+    val sv = slice(vecCol, sub * subDim + 1, subDim)
+    val scored = codewords.zipWithIndex.map { case (cw, j) =>
+      struct((dotProduct(sv, array(cw.map(lit): _*)) - lit(halfNormSq(cw)))
+        .as("s"), lit(j).as("i"))
+    }
+    if (scored.length == 1) lit(0)
+    else greatest(scored.toSeq: _*).getField("i")
+  }
+
+  /** Deterministic product-quantization trainer (Jégou, Douze, Schmid,
+    * "Product Quantization for Nearest Neighbor Search", TPAMI 2011):
+    * the vector is split into `m` contiguous subspaces of dim/m and
+    * each subspace gets its own `ksub`-codeword Lloyd-trained codebook.
+    * Initialization is the ksub lowest-id rows' sub-vectors (RNG-free,
+    * like [[ivfTrain]]).
+    *
+    * Each iteration is ONE fused shuffle for ALL m subspaces: rows
+    * explode to (subspace, codeword) assignment pairs — m small rows,
+    * not m vector copies, since the per-dimension means index the
+    * ORIGINAL vector column through `sub * subDim + d` — and a single
+    * groupBy(sub, cell) computes every subspace's means with map-side
+    * combine. Per task the partial state is m×ksub×subDim = dim×ksub
+    * doubles regardless of data volume; the driver collects m×ksub
+    * rows per iteration. At 100 TB: iters full scans, each one
+    * map-combined shuffle, no per-subspace re-reads. */
+  def pqTrain(corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int, ksub: Int, iters: Int = 2): Array[Array[Array[Double]]] = {
+    val init: Array[Array[Double]] = corpus
+      .orderBy(col(idCol)).limit(ksub)
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    require(init.length == ksub,
+      s"pqTrain needs >= ksub=$ksub rows, got ${init.length}")
+    val dim = init(0).length
+    require(dim > 0 && dim % m == 0,
+      s"embedding dim $dim must be a positive multiple of m=$m")
+    val subDim = dim / m
+    var books: Array[Array[Array[Double]]] = Array.tabulate(m)(s =>
+      init.map(v => v.slice(s * subDim, (s + 1) * subDim)))
+    (0 until iters).foreach { _ =>
+      val assigns = (0 until m).map(s =>
+        struct(lit(s).as("sub"),
+          subCellExpr(col(vecCol), s, books(s), subDim).as("cell")))
+      val meanCols = (0 until subDim).map(d =>
+        avg(try_element_at(col(vecCol),
+          (col("sub") * subDim + (d + 1)).cast("int")).cast("double"))
+          .as(s"m$d"))
+      val means = corpus
+        .select(col(vecCol), explode(array(assigns: _*)).as("sc"))
+        .select(col(vecCol), col("sc.sub").as("sub"), col("sc.cell").as("cell"))
+        .groupBy(col("sub"), col("cell"))
+        .agg(meanCols.head, meanCols.tail: _*)
+        .collect()
+      means.foreach { row =>
+        val s = row.getInt(0)
+        val j = row.getInt(1)
+        // NULL mean (ragged short vectors) keeps the previous value,
+        // as in ivfTrain
+        books = books.updated(s, books(s).updated(j,
+          Array.tabulate(subDim)(d =>
+            if (row.isNullAt(d + 2)) books(s)(j)(d)
+            else row.getDouble(d + 2))))
+      }
+    }
+    trainedCodebooks = trainedCodebooks + ((m, ksub, iters) -> books)
+    books
+  }
+
+  /** IVFADC-shaped ANN: corpus rows are (a) assigned an IVF cell by
+    * the coarse quantizer and (b) compressed to m PQ codeword ids — a
+    * pure projection, after which ranking never touches the raw
+    * vectors again (at scale the scan reads dim/m/subDim-fold less:
+    * m bytes of codes instead of dim floats). Queries probe their
+    * nProbes nearest cells and carry m look-up tables (LUT_s[j] =
+    * dot(q_sub_s, codebook_s[j]), a per-query projection); the
+    * asymmetric score of a candidate is the left-to-right sum of m
+    * LUT lookups — the ADC inner-product variant (faiss IVFPQ with
+    * METRIC_INNER_PRODUCT; no residual encoding, the documented
+    * refinement for production recall). Candidate volume is bounded
+    * by the cell equi-join exactly as in [[ivfTopK]] — never a
+    * cartesian. Scores are bit-exact across engines (sequential dots,
+    * explicit sum chain), so ranking needs no rounding guard. */
+  def adcTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, m: Int, ksub: Int, nCells: Int,
+      nProbes: Int, iters: Int = 2): DataFrame = {
+    val books = pqTrain(corpus, idCol, vecCol, m, ksub, iters)
+    val centroids = ivfTrain(corpus, idCol, vecCol, nCells, iters)
+    val subDim = books(0)(0).length
+    val codeCols = (0 until m).map(s =>
+      subCellExpr(col(vecCol), s, books(s), subDim).as(s"code_$s"))
+    val c = corpus.select(col(idCol).as("did") +:
+      cellExpr(col(vecCol), centroids).as("cell") +: codeCols: _*)
+    val probeStructs = centroids.zipWithIndex.map { case (cent, i) =>
+      struct(dotProduct(col(vecCol), array(cent.map(lit): _*)).as("s"),
+        lit(i).as("i"))
+    }
+    val lutCols = (0 until m).map { s =>
+      val sv = slice(col(vecCol), s * subDim + 1, subDim)
+      array(books(s).map(cw =>
+        dotProduct(sv, array(cw.map(lit): _*))).toSeq: _*).as(s"lut_$s")
+    }
+    val q = queries
+      .select(col(idCol).as("qid") +:
+        explode(slice(reverse(array_sort(array(probeStructs.toSeq: _*))),
+          1, nProbes)).as("probe") +: lutCols: _*)
+      .select(col("qid") +: col("probe.i").as("cell") +:
+        (0 until m).map(s => col(s"lut_$s")): _*)
+    val adc = (0 until m)
+      .map(s => element_at(col(s"lut_$s"), col(s"code_$s") + 1))
+      .reduceLeft(_ + _)
+    val scored = c.join(broadcast(q), Seq("cell"))
+      .filter(col("qid") =!= col("did"))
+      .select(col("qid"), col("did"), adc.as("adc"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("adc").desc, col("did"))
+    scored.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+  }
+
+  /** DuckDB oracle mirroring [[adcTopK]], given the trained codebooks
+    * and coarse centroids (late-bound): same encode arithmetic (dot
+    * minus embedded half-norm literal, list_sort DESC tie semantics),
+    * same per-query LUTs, same explicit left-to-right ADC sum. */
+  def adcOracleSql(table: String, idCol: String, vecCol: String, k: Int,
+      books: Array[Array[Array[Double]]], centroids: Array[Array[Double]],
+      nProbes: Int, queryPred: String): String = {
+    val m = books.length
+    val subDim = books(0)(0).length
+    def sliceSql(v: String, s: Int): String =
+      s"list_slice($v, ${s * subDim + 1}, ${(s + 1) * subDim})"
+    def subCellSql(v: String, s: Int): String = {
+      val structs = books(s).zipWithIndex.map { case (cw, j) =>
+        s"{'s': list_dot_product(${sliceSql(v, s)}, ${arrLit(cw)}) - " +
+          s"${dlit(halfNormSq(cw))}, 'i': $j}"
+      }.mkString("[", ", ", "]")
+      s"list_sort($structs, 'DESC')[1].i"
+    }
+    def lutSql(v: String, s: Int): String =
+      books(s).map(cw =>
+        s"list_dot_product(${sliceSql(v, s)}, ${arrLit(cw)})")
+        .mkString("[", ", ", "]")
+    val codeSel = (0 until m)
+      .map(s => s"${subCellSql("dvec", s)} AS code_$s").mkString(",\n        ")
+    val lutSel = (0 until m)
+      .map(s => s"${lutSql("qvec", s)} AS lut_$s").mkString(",\n        ")
+    val adcExpr = (0 until m).map(s => s"lut_$s[code_$s + 1]").mkString(" + ")
+    s"""WITH q0 AS (SELECT $idCol AS qid, $vecCol::DOUBLE[] AS qvec
+       |           FROM $table WHERE $queryPred),
+       |c0 AS (SELECT $idCol AS did, $vecCol::DOUBLE[] AS dvec FROM $table),
+       |c AS (SELECT did,
+       |        list_sort(${cellStructsSql("dvec", centroids)}, 'DESC')[1].i
+       |          AS cell,
+       |        $codeSel
+       |      FROM c0),
+       |q1 AS (SELECT qid, qvec,
+       |         unnest(list_sort(${cellStructsSql("qvec", centroids)},
+       |           'DESC')[1:$nProbes]) AS probe
+       |       FROM q0),
+       |q AS (SELECT qid, probe.i AS cell,
+       |        $lutSel
+       |      FROM q1),
+       |scored AS (
+       |  SELECT qid, did, $adcExpr AS adc
+       |  FROM c JOIN q USING (cell) WHERE qid <> did),
+       |ranked AS (
+       |  SELECT qid, did, adc, CAST(row_number() OVER
+       |    (PARTITION BY qid ORDER BY adc DESC, did) AS BIGINT) AS rn
+       |  FROM scored)
+       |SELECT qid, rn, did, round(adc, 6) AS adc_r
+       |FROM ranked WHERE rn <= $k ORDER BY qid, rn""".stripMargin
+  }
 }

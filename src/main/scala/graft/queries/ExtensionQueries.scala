@@ -10,7 +10,7 @@ import graft.catalog.Warehouse
 import graft.functions.SketchFunctions
 import graft.functions.TextFunctions._
 import graft.functions.VectorFunctions._
-import graft.operators.{Dedup, Relational, Retrieval, Similarity, TextAnalysis}
+import graft.operators.{Dedup, LanguageModel, Relational, Retrieval, Similarity, TextAnalysis}
 import graft.sources.Tables
 
 /** Training-data-pipeline operator catalog (driver-mandated extensions,
@@ -1733,6 +1733,43 @@ object ExtensionQueries {
              |    AS revenue
              |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
              |WHERE o_totalprice > 150000
-             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin))
+             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
+    QuerySpec("x38_perplexity_buckets",
+      "CCNet-style LM quality filter (Wenzek et al. 2020): per-doc " +
+        "unigram cross-entropy under a model trained on the trusted " +
+        "English slice, add-one smoothing, then head/middle/tail " +
+        "terciles PER LANGUAGE via ntile over a total order — the " +
+        "perplexity-bucketing stage of a web-scale pretraining " +
+        "pipeline; token-sorted left fold + 6dp rounding make the ln " +
+        "arithmetic hash-stable across engines",
+      (s, dir) => LanguageModel.crossEntropyBuckets(
+        t(s, dir, "documents"), "doc_id", "text", "lang", "lang = 'en'"),
+      Some(LanguageModel.crossEntropyOracleSql(
+        "documents", "doc_id", "text", "lang", "lang = 'en'"))),
+
+    QuerySpec("x39_pq_adc_topk",
+      "product-quantization ANN, IVFADC shape (Jégou et al. 2011): " +
+        "corpus compressed to 8 one-byte PQ codes by a deterministic " +
+        "per-subspace Lloyd trainer (ONE fused shuffle per iteration " +
+        "for all subspaces), IVF cell pruning, per-query LUTs, " +
+        "asymmetric inner-product scoring that never re-reads the raw " +
+        "vectors; late-bound oracle embeds the trained codebooks AND " +
+        "coarse centroids as literals and hash-matches bit-for-bit",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        Similarity.adcTopK(emb, emb.filter(col("vec_id") < 8),
+            "vec_id", "embedding", 5, m = 8, ksub = 8, nCells = 8,
+            nProbes = 2)
+          .select(col("qid"), col("rn"), col("did"),
+            round(col("adc"), 6).as("adc_r"))
+          .orderBy(col("qid"), col("rn"))
+      },
+      None,
+      oracleGen = () => for {
+        books <- Similarity.trainedCodebooks.get((8, 8, 2))
+        cents <- Similarity.trainedCentroids.get((8, 2))
+      } yield Similarity.adcOracleSql("embeddings", "vec_id", "embedding",
+        5, books, cents, nProbes = 2, queryPred = "vec_id < 8"))
   )
 }

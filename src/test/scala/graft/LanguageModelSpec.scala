@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.LanguageModel
+
+class LanguageModelSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "aa bb cc dd", "en", "ref"),
+    (2L, "aa bb cc dd", "en", "web"),
+    (3L, "aa bb xx yy", "en", "web"),
+    (4L, "xx yy zz ww", "en", "web"),
+    (5L, "aa qq", "fr", "web")
+  ).toDF("doc_id", "text", "lang", "src")
+
+  private lazy val rows = LanguageModel
+    .crossEntropyBuckets(docs, "doc_id", "text", "lang", "src = 'ref'")
+    .select($"doc_id", $"h_r", $"bucket")
+    .as[(Long, Double, String)].collect()
+    .map(r => r._1 -> (r._2, r._3)).toMap
+
+  test("add-one smoothed cross-entropy: exact values for in-vocab, " +
+    "mixed, and fully-OOV docs") {
+    // ref slice = doc 1: N = 4 token instances, V = 4 vocab
+    // in-vocab p = (1+1)/8, OOV p = 1/8
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    assert(rows(2L)._1 == r6(math.log(4)))
+    assert(rows(3L)._1 == r6((2 * math.log(4) + 2 * math.log(8)) / 4))
+    assert(rows(4L)._1 == r6(math.log(8)))
+  }
+
+  test("terciles are per-language over (h_r, id): ties keep id order, " +
+    "a single-doc language is its own head") {
+    // en ascending h: 1 (tie with 2, lower id), 2, 3, 4 -> ntile(3)
+    // over 4 rows = sizes 2,1,1
+    assert(rows(1L)._2 == "head" && rows(2L)._2 == "head")
+    assert(rows(3L)._2 == "middle")
+    assert(rows(4L)._2 == "tail")
+    assert(rows(5L)._2 == "head")
+  }
+
+  test("OOV-heavier documents score strictly higher cross-entropy") {
+    assert(rows(2L)._1 < rows(3L)._1 && rows(3L)._1 < rows(4L)._1)
+  }
+}

@@ -202,4 +202,56 @@ class SimilaritySpec extends SparkSpec {
       .select($"max_lower_cos_r", $"kept").as[(Double, Boolean)].head()
     assert(row._1 == 1.0 && !row._2)
   }
+
+  // Two tight clusters on orthogonal axes in dim 4 — PQ with m=2
+  // subspaces of 2 dims each separates them perfectly.
+  private def pqCorpus = Seq(
+    (0L, Seq(1f, 0f, 0f, 0f)),
+    (1L, Seq(0.99f, 0.01f, 0f, 0f)),
+    (2L, Seq(0.98f, 0.02f, 0f, 0f)),
+    (3L, Seq(0f, 0f, 1f, 0f)),
+    (4L, Seq(0f, 0f, 0.99f, 0.01f)),
+    (5L, Seq(0f, 0f, 0.98f, 0.02f))
+  ).toDF("vec_id", "embedding")
+
+  test("pqTrain: m codebooks of ksub codewords, dim/m wide, " +
+      "deterministic across runs") {
+    val b1 = Similarity.pqTrain(pqCorpus, "vec_id", "embedding",
+      m = 2, ksub = 2)
+    val b2 = Similarity.pqTrain(pqCorpus, "vec_id", "embedding",
+      m = 2, ksub = 2)
+    assert(b1.length == 2 && b1.forall(_.length == 2) &&
+      b1.forall(_.forall(_.length == 2)))
+    assert(b1.map(_.map(_.toSeq).toSeq).toSeq ==
+      b2.map(_.map(_.toSeq).toSeq).toSeq, "RNG-free training must be " +
+      "bit-reproducible")
+  }
+
+  test("adcTopK: nearest cluster-mate ranks first, self excluded, " +
+      "k respected") {
+    val top = Similarity.adcTopK(pqCorpus,
+        pqCorpus.filter($"vec_id" === 0), "vec_id", "embedding",
+        k = 2, m = 2, ksub = 2, nCells = 2, nProbes = 2)
+      .select($"qid", $"rn", $"did").as[(Long, Long, Long)]
+      .collect().sortBy(_._2).toSeq
+    assert(top.length == 2)
+    assert(top.forall(_._3 != 0L), "self must be excluded")
+    assert(top.map(_._3).toSet.subsetOf(Set(1L, 2L)),
+      "ADC over PQ codes must keep the query inside its own cluster")
+  }
+
+  test("adcTopK scores are LUT sums over the candidate's codes — " +
+      "identical codes score identically") {
+    // ids 1 and 2 quantize to the same codewords as id 0's cluster;
+    // with ksub=2 both land on the SAME code per subspace, so their
+    // ADC scores against any query tie exactly and rank by did
+    val top = Similarity.adcTopK(pqCorpus,
+        pqCorpus.filter($"vec_id" === 3), "vec_id", "embedding",
+        k = 2, m = 2, ksub = 2, nCells = 2, nProbes = 2)
+      .select($"rn", $"did", $"adc").as[(Long, Long, Double)]
+      .collect().sortBy(_._1).toSeq
+    assert(top.map(_._2) == Seq(4L, 5L),
+      "equal-code candidates tie on adc and order by did")
+    assert(top(0)._3 == top(1)._3)
+  }
 }
