@@ -158,4 +158,63 @@ object TextAnalysis {
           .otherwise(lit(0.0)).as("dup_line_frac"),
         topBigramFrac(col("__tk")).as("top_bigram_frac"))
   }
+
+  /** Top-k most frequent tokens, sample-then-verify two-phase (the
+    * at-scale form of x17's exact frequency table): phase 1 counts
+    * tokens over a deterministic `samplePct`% hash-sample of DOCS
+    * (Sampling.hashSample — reproducible, never rand()) and keeps the
+    * `candPool` most frequent as candidates via a total-order
+    * (count DESC, token) top-N; phase 2 recounts ONLY candidate
+    * tokens over the FULL corpus and emits the exact top `k`.
+    *
+    * Scale shape: the full-corpus wide shuffle carries candidate-token
+    * occurrences only — the candidate list (candPool rows) broadcasts
+    * into the scan-side join, so the non-candidate long tail (the
+    * overwhelming majority of a web corpus's token volume) dies at the
+    * scan. Phase 1's full-volume shuffle touches samplePct% of the
+    * data. Reported counts are EXACT for every returned token; the
+    * approximation risk is only candidate RECALL — a true top-k token
+    * missing from the sample's top candPool — controlled by
+    * candPool/k and samplePct (both engines replicate the same
+    * two-phase decision, so the gate verifies the operator's actual
+    * semantics, not an idealized one). */
+  def heavyHitters(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, candPool: Int, samplePct: Int): DataFrame = {
+    require(candPool >= k, s"candPool=$candPool must be >= k=$k")
+    val sampleTok = Sampling.hashSample(docs, idCol, samplePct)
+      .select(explode(wsTokens(col(textCol))).as("token"))
+    val cands = sampleTok.groupBy(col("token"))
+      .agg(count(lit(1)).as("sample_n"))
+      .orderBy(col("sample_n").desc, col("token"))
+      .limit(candPool)
+    docs.select(explode(wsTokens(col(textCol))).as("token"))
+      .join(broadcast(cands), Seq("token"))
+      .groupBy(col("token"), col("sample_n"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(k)
+      .select(col("token"), col("n"), col("sample_n"))
+  }
+
+  /** DuckDB twin of [[heavyHitters]] — same md5-derived doc sample,
+    * same total-order candidate cut, same exact recount. */
+  def heavyHittersOracleSql(table: String, idCol: String, textCol: String,
+      k: Int, candPool: Int, samplePct: Int): String = {
+    val ws = s"string_split_regex(trim($textCol), '\\s+')"
+    val slice = s"('0x' || substr(md5(CAST($idCol AS VARCHAR)), 1, 15))" +
+      s"::BIGINT % 100 < $samplePct"
+    s"""WITH cands AS (
+       |  SELECT token, CAST(count(*) AS BIGINT) AS sample_n
+       |  FROM (SELECT unnest($ws) AS token FROM $table WHERE $slice)
+       |  GROUP BY token
+       |  ORDER BY sample_n DESC, token LIMIT $candPool),
+       |exact AS (
+       |  SELECT token, CAST(count(*) AS BIGINT) AS n
+       |  FROM (SELECT unnest($ws) AS token FROM $table)
+       |  WHERE token IN (SELECT token FROM cands)
+       |  GROUP BY token)
+       |SELECT token, n, sample_n
+       |FROM exact JOIN cands USING (token)
+       |ORDER BY n DESC, token LIMIT $k""".stripMargin
+  }
 }

@@ -10,7 +10,7 @@ import graft.catalog.Warehouse
 import graft.functions.SketchFunctions
 import graft.functions.TextFunctions._
 import graft.functions.VectorFunctions._
-import graft.operators.{Dedup, LanguageModel, Relational, Retrieval, Similarity, TextAnalysis}
+import graft.operators.{Dedup, LanguageModel, Layout, Relational, Retrieval, Similarity, TextAnalysis}
 import graft.sources.Tables
 
 /** Training-data-pipeline operator catalog (driver-mandated extensions,
@@ -1770,6 +1770,63 @@ object ExtensionQueries {
         books <- Similarity.trainedCodebooks.get((8, 8, 2))
         cents <- Similarity.trainedCentroids.get((8, 2))
       } yield Similarity.adcOracleSql("embeddings", "vec_id", "embedding",
-        5, books, cents, nProbes = 2, queryPred = "vec_id < 8"))
+        5, books, cents, nProbes = 2, queryPred = "vec_id < 8")),
+
+    QuerySpec("s14_zorder_clustered_scan",
+      "Z-order (Morton) clustered layout + two-column box query: " +
+        "lineitem rewritten z-clustered on (l_partkey, l_suppkey) — " +
+        "one range exchange + in-partition sort, same cost as a " +
+        "single-column sort — so every file covers a tight box in " +
+        "BOTH dimensions and min/max stats prune filters on either; " +
+        "the scan is asserted in-query to push both predicates down, " +
+        "and LayoutSpec proves the per-file box tightness against a " +
+        "linear-sort baseline",
+      (s, dir) => {
+        val path = Layout.saveZOrdered(t(s, dir, "lineitem"),
+          "lineitem_zorder", "l_partkey", "l_suppkey", bits = 21,
+          nFiles = 8)
+        val q = s.read.parquet(path)
+          .filter(col("l_partkey").between(100, 300) &&
+            col("l_suppkey").between(10, 40))
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n_items"),
+            sum(dec2(col("l_quantity"))).cast("double").as("sum_qty"),
+            sum(dec2(col("l_extendedprice"))).cast("double").as("sum_price"))
+          .orderBy(col("l_returnflag"))
+        // plan contract: both cluster-column predicates must reach the
+        // parquet scan (PushedFilters) — that is what turns the
+        // z-layout's per-file min/max boxes into skipped IO
+        val scans = q.queryExecution.sparkPlan.collect {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+        }
+        require(scans.nonEmpty, "expected a parquet file scan")
+        val pushed = scans.head.metadata.getOrElse("PushedFilters", "")
+        require(pushed.contains("l_partkey") && pushed.contains("l_suppkey"),
+          s"both box predicates must be pushed to the scan; got: $pushed")
+        q
+      },
+      Some("""SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_items,
+             |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+             |    AS sum_qty,
+             |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             |    AS sum_price
+             |FROM lineitem
+             |WHERE l_partkey BETWEEN 100 AND 300
+             |  AND l_suppkey BETWEEN 10 AND 40
+             |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    QuerySpec("x40_heavy_hitters_two_phase",
+      "scalable heavy-hitter tokens, sample-then-verify: phase 1 " +
+        "counts a deterministic 20% hash-sample of docs and keeps a " +
+        "candidate pool (total-order top-N), phase 2 recounts ONLY " +
+        "candidate tokens over the full corpus — the wide shuffle " +
+        "carries candidate rows instead of every token occurrence, " +
+        "the at-scale shape for vocabulary/stopword mining; exact " +
+        "counts in the output, candidates broadcast",
+      (s, dir) => TextAnalysis.heavyHitters(t(s, dir, "documents"),
+        "doc_id", "text", k = 25, candPool = 100, samplePct = 20),
+      Some(TextAnalysis.heavyHittersOracleSql("documents", "doc_id",
+        "text", k = 25, candPool = 100, samplePct = 20))
+    )
   )
 }

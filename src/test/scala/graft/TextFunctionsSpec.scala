@@ -122,4 +122,34 @@ class TextFunctionsSpec extends SparkSpec {
     assert(got(1L) > 0, s"good text should clear the margin, got ${got(1L)}")
     assert(got(2L) < 0, s"junk should fail the margin, got ${got(2L)}")
   }
+
+  test("heavyHitters: exact counts, total-order ties, candPool cut " +
+      "respected with a full sample") {
+    import graft.operators.TextAnalysis
+    // aa x5, bb x3, cc x3, dd x1 across docs; samplePct=100 makes
+    // phase 1 the exact truth, so the output is the true top-k
+    val docs = Seq(
+      (1L, "aa aa bb cc"),
+      (2L, "aa bb cc dd"),
+      (3L, "aa aa bb cc")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.heavyHitters(docs, "doc_id", "text",
+        k = 3, candPool = 3, samplePct = 100)
+      .as[(String, Long, Long)].collect().toSeq
+    // bb/cc tie at 3 -> token order breaks the tie deterministically
+    assert(got == Seq(("aa", 5L, 5L), ("bb", 3L, 3L), ("cc", 3L, 3L)))
+  }
+
+  test("heavyHitters recounts candidates over the FULL corpus: " +
+      "sampled-out occurrences still reach the exact count") {
+    import graft.operators.TextAnalysis
+    val docs = (0L until 40L).map(i => (i, "aa bb")).toDF("doc_id", "text")
+    val got = TextAnalysis.heavyHitters(docs, "doc_id", "text",
+        k = 2, candPool = 10, samplePct = 20)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got.map(t => (t._1, t._2)) == Seq(("aa", 40L), ("bb", 40L)),
+      s"exact n must count all docs, got $got")
+    assert(got.forall(t => t._3 < 40L),
+      "sample_n must reflect only the sampled slice")
+  }
 }
