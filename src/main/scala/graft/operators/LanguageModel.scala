@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -90,11 +90,46 @@ object LanguageModel {
           lit(0.0), (acc, x) => acc + x) / col("n_tok").cast("double"),
         6).as("h_r"))
 
-    val w = Window.partitionBy(col(langCol)).orderBy(col("h_r"), id)
-    folded
-      .withColumn("__t", ntile(3).over(w))
+    // Tercile assignment, bit-identical to ntile(3) OVER (PARTITION BY
+    // lang ORDER BY h_r, id) but WITHOUT a per-language corpus window:
+    // a naive ntile puts a language's every row in ONE task — at 100 TB
+    // the dominant language is billions of rows in a single sort. Here
+    // the only per-language window runs over the (lang, h_r) HISTOGRAM
+    // (cardinality = distinct rounded scores, corpus-size-independent);
+    // each doc's global rank is its histogram prefix + its row_number
+    // within its own (lang, h_r) group — a window whose partition key
+    // is fine-grained, so it distributes. The oracle keeps the plain
+    // ntile formulation: same result, the SQL-spec arithmetic below is
+    // exactly ntile's bucket-size rule (first n%3 buckets get one
+    // extra row).
+    val hist = folded.groupBy(col(langCol), col("h_r"))
+      .agg(count(lit(1)).as("__hn"))
+    val histW = Window.partitionBy(col(langCol)).orderBy(col("h_r"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = hist.withColumn("__cum",
+      coalesce(sum(col("__hn")).over(histW), lit(0L)))
+    val nLang = folded.groupBy(col(langCol))
+      .agg(count(lit(1)).as("__n"))
+    val rankW = Window.partitionBy(col(langCol), col("h_r")).orderBy(id)
+    val ranked = folded
+      .join(cum.select(col(langCol), col("h_r"), col("__cum")),
+        Seq(langCol, "h_r"))
+      .join(broadcast(nLang), Seq(langCol))
+      .withColumn("__r", col("__cum") + row_number().over(rankW))
+    // exact long floor-division (Column `/` is double division; the
+    // numerator is made divisible first, so the double quotient is an
+    // exact integer for any rank < 2^53)
+    def ldiv(a: Column, b: Column): Column =
+      ((a - pmod(a, b)) / b).cast("long")
+    val base = ldiv(col("__n"), lit(3L))
+    val rem = col("__n") % 3
+    val cut = (base + 1) * rem
+    val tile = when(col("__r") <= cut, ldiv(col("__r") - 1, base + 1) + 1)
+      .otherwise(rem + ldiv(col("__r") - cut - 1, greatest(base, lit(1L))) + 1)
+      .cast("int")
+    ranked
       .select(id, col(langCol), col("n_tok"), col("h_r"),
-        when(col("__t") === 1, "head").when(col("__t") === 2, "middle")
+        when(tile === 1, "head").when(tile === 2, "middle")
           .otherwise("tail").as("bucket"))
       .orderBy(id)
   }
