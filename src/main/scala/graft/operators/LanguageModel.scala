@@ -53,9 +53,19 @@ object LanguageModel {
     * placement differs between Spark and DuckDB default orders).
     *
     * Output: (doc_id, lang, n_tok, h_r, bucket) where bucket is
-    * head / middle / tail by ascending h_r within the language. */
+    * head / middle / tail by ascending h_r within the language.
+    *
+    * The per-doc score frame feeds both the output and the tercile
+    * histogram, and the reference vocab feeds both the token join and
+    * the (N, V) stats — each lineage executes twice; `materialize`
+    * wraps both so the caller can cut that (pass `df =>
+    * df.persist(StorageLevel.DISK_ONLY)` or a checkpoint at cluster
+    * scale — an in-library eager persist would take that choice away
+    * from the caller). The default identity is correct, just 2x the
+    * forked computation. */
   def crossEntropyBuckets(docs: DataFrame, idCol: String, textCol: String,
-      langCol: String, refPredicate: String): DataFrame = {
+      langCol: String, refPredicate: String,
+      materialize: DataFrame => DataFrame = identity): DataFrame = {
     val id = col(idCol)
 
     val tok = docs.select(id, col(langCol),
@@ -66,9 +76,9 @@ object LanguageModel {
     // Reference unigram counts + (N, V); counting from the exploded
     // frame reuses the same tokenization, and the stats aggregate is
     // over the tiny counts frame, not the corpus.
-    val refCounts = docs.filter(expr(refPredicate))
+    val refCounts = materialize(docs.filter(expr(refPredicate))
       .select(explode(wsTokens(col(textCol))).as("token"))
-      .groupBy(col("token")).agg(count(lit(1)).as("c"))
+      .groupBy(col("token")).agg(count(lit(1)).as("c")))
     val stats = refCounts.agg(sum(col("c")).as("n_ref"),
       count(lit(1)).as("v_ref"))
 
@@ -82,20 +92,22 @@ object LanguageModel {
       .select(id, col(langCol), col("n_tok"), col("token"),
         (col("tf").cast("double") * lnp).as("contrib"))
 
-    val folded = terms.groupBy(id, col(langCol), col("n_tok"))
+    val folded = materialize(terms.groupBy(id, col(langCol), col("n_tok"))
       .agg(round(
         -aggregate(
           transform(array_sort(collect_list(struct(col("token"),
             col("contrib")))), x => x.getField("contrib")),
           lit(0.0), (acc, x) => acc + x) / col("n_tok").cast("double"),
-        6).as("h_r"))
+        6).as("h_r")))
 
     // Tercile assignment, bit-identical to ntile(3) OVER (PARTITION BY
     // lang ORDER BY h_r, id) but WITHOUT a per-language corpus window:
     // a naive ntile puts a language's every row in ONE task — at 100 TB
     // the dominant language is billions of rows in a single sort. Here
     // the only per-language window runs over the (lang, h_r) HISTOGRAM
-    // (cardinality = distinct rounded scores, corpus-size-independent);
+    // — bounded by the distinct 6-dp scores in a ~25-nat range, ≤ ~25M
+    // narrow rows per language even degenerately, vs billions of
+    // full-width doc rows;
     // each doc's global rank is its histogram prefix + its row_number
     // within its own (lang, h_r) group — a window whose partition key
     // is fine-grained, so it distributes. The oracle keeps the plain
@@ -106,15 +118,18 @@ object LanguageModel {
       .agg(count(lit(1)).as("__hn"))
     val histW = Window.partitionBy(col(langCol)).orderBy(col("h_r"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val cum = hist.withColumn("__cum",
-      coalesce(sum(col("__hn")).over(histW), lit(0L)))
-    val nLang = folded.groupBy(col(langCol))
-      .agg(count(lit(1)).as("__n"))
+    // prefix counts AND language totals as two windows over the SAME
+    // tiny histogram partitioning — one lineage branch, so the
+    // per-doc score frame is consumed exactly twice (output + hist),
+    // not three+ times
+    val cum = hist
+      .withColumn("__cum", coalesce(sum(col("__hn")).over(histW), lit(0L)))
+      .withColumn("__n",
+        sum(col("__hn")).over(Window.partitionBy(col(langCol))))
     val rankW = Window.partitionBy(col(langCol), col("h_r")).orderBy(id)
     val ranked = folded
-      .join(cum.select(col(langCol), col("h_r"), col("__cum")),
+      .join(cum.select(col(langCol), col("h_r"), col("__cum"), col("__n")),
         Seq(langCol, "h_r"))
-      .join(broadcast(nLang), Seq(langCol))
       .withColumn("__r", col("__cum") + row_number().over(rankW))
     // exact long floor-division (Column `/` is double division; the
     // numerator is made divisible first, so the double quotient is an
