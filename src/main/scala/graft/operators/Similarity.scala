@@ -114,7 +114,7 @@ object Similarity {
     * 100 TB each iteration is exactly one map-side-combined shuffle of
     * K×dim partial sums per task. */
   def ivfTrain(corpus: DataFrame, idCol: String, vecCol: String,
-      nCells: Int, iters: Int = 2): Array[Array[Double]] = {
+      nCells: Int, iters: Int = 2, tag: String = ""): Array[Array[Double]] = {
     var centroids: Array[Array[Double]] = corpus
       .orderBy(col(idCol)).limit(nCells)
       .select(col(vecCol)).collect()
@@ -140,19 +140,23 @@ object Similarity {
             else row.getDouble(d + 1)))
       }
     }
-    trainedCentroids = trainedCentroids + ((nCells, iters) -> centroids)
+    trainedCentroids = trainedCentroids + ((nCells, iters, tag) -> centroids)
     centroids
   }
 
   /** Centroids from [[ivfTrain]] calls this session, keyed by
-    * (nCells, iters) so trainers with different parameters cannot
-    * clobber each other's entry. A late-bound oracle
-    * (QuerySpec.oracleGen, evaluated after the runs) looks up ITS
-    * parameters and embeds the exact trained values as SQL literals.
-    * Training is fully deterministic, so an entry equals what any
-    * re-run over the same data would produce. */
-  @volatile var trainedCentroids: Map[(Int, Int), Array[Array[Double]]] =
-    Map.empty
+    * (nCells, iters, tag) so trainers with different parameters — or
+    * the same parameters over a DIFFERENT corpus slice, distinguished
+    * by `tag` — cannot clobber each other's entry. A late-bound
+    * oracle (QuerySpec.oracleGen, evaluated after the runs) looks up
+    * ITS parameters and embeds the exact trained values as SQL
+    * literals. Training is fully deterministic, so an entry equals
+    * what any re-run over the same data would produce. Same-key
+    * collisions are harmless only because equal (params, tag) implies
+    * the same training input by convention — tag any subset-trained
+    * index. */
+  @volatile var trainedCentroids:
+      Map[(Int, Int, String), Array[Array[Double]]] = Map.empty
 
   /** Nearest-centroid cell id as a pure projection: argmax dot product
     * against literal centroid arrays (greatest over (score, idx)
@@ -632,4 +636,47 @@ object Similarity {
        |SELECT qid, rn, did, round(adc, 6) AS adc_r
        |FROM ranked WHERE rn <= $k ORDER BY qid, rn""".stripMargin
   }
+
+  // ---- Incremental index maintenance -------------------------------
+
+  /** Assign a batch of NEW rows to an EXISTING index's cells — the
+    * append path of a production ANN/SemDeDup index. Retraining a
+    * 100 TB index for every arriving batch is a full-corpus job;
+    * appending is this narrow projection against the frozen centroid
+    * literals (zero shuffles, zero driver state beyond the K
+    * codewords already held). The returned (id, cell, score_r) is
+    * what gets unioned into the inverted file.
+    *
+    * Governance: the rounded best-dot score is returned per row so
+    * the caller can monitor assignment-quality DRIFT — a falling
+    * score distribution on new batches means the frozen centroids no
+    * longer describe the data and a retrain (x6b's trainer) is due;
+    * the same signal drives SemDeDup cell re-sizing. Same argmax and
+    * tie semantics as [[cellExpr]], so the incremental path lands
+    * rows in exactly the cells a fresh assignment would. */
+  def ivfAssign(newRows: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Double]]): DataFrame = {
+    val scored = centroids.zipWithIndex.map { case (c, i) =>
+      struct(dotProduct(col(vecCol), array(c.map(lit): _*)).as("s"),
+        lit(i).as("i"))
+    }
+    val best =
+      if (scored.length == 1) scored.head else greatest(scored.toSeq: _*)
+    newRows.select(col(idCol), best.as("__b"))
+      .select(col(idCol), col("__b.i").as("cell"),
+        round(col("__b.s"), 6).as("score_r"))
+  }
+
+  /** DuckDB oracle mirroring [[ivfAssign]] over rows selected by
+    * `newPred`, given the frozen centroids (late-bound). */
+  def ivfAssignOracleSql(table: String, idCol: String, vecCol: String,
+      centroids: Array[Array[Double]], newPred: String): String =
+    s"""WITH n0 AS (SELECT $idCol AS id, $vecCol::DOUBLE[] AS v
+       |           FROM $table WHERE $newPred),
+       |best AS (SELECT id,
+       |           list_sort(${cellStructsSql("v", centroids)}, 'DESC')[1]
+       |             AS b
+       |         FROM n0)
+       |SELECT id AS $idCol, b.i AS cell, round(b.s, 6) AS score_r
+       |FROM best ORDER BY $idCol""".stripMargin
 }

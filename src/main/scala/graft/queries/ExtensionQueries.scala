@@ -444,7 +444,7 @@ object ExtensionQueries {
           .orderBy(col("qid"), col("rn"))
       },
       None,
-      oracleGen = () => Similarity.trainedCentroids.get((8, 2)).map(cents =>
+      oracleGen = () => Similarity.trainedCentroids.get((8, 2, "")).map(cents =>
         Similarity.ivfOracleSql("embeddings", "vec_id", "embedding", 5,
           cents, nProbes = 2, queryPred = "vec_id < 8"))),
 
@@ -461,7 +461,7 @@ object ExtensionQueries {
         Similarity.recallAtK(approx, exact).orderBy(col("qid"))
       },
       None,
-      oracleGen = () => Similarity.trainedCentroids.get((8, 2)).map { cents =>
+      oracleGen = () => Similarity.trainedCentroids.get((8, 2, "")).map { cents =>
         val exact = annTopkOracle.replace("\n", "\n    ")
         val approx = Similarity.ivfOracleSql("embeddings", "vec_id",
           "embedding", 5, cents, nProbes = 2, queryPred = "vec_id < 8")
@@ -525,7 +525,7 @@ object ExtensionQueries {
           "vec_id", "embedding", nCells = 16, tau = 0.9, maxCell = 1000)
         .orderBy(col("vec_id")),
       None,
-      oracleGen = () => Similarity.trainedCentroids.get((16, 2)).map(cents =>
+      oracleGen = () => Similarity.trainedCentroids.get((16, 2, "")).map(cents =>
         Similarity.semanticDedupOracleSql("embeddings", "vec_id",
           "embedding", cents, 0.9, maxCell = 1000))),
 
@@ -1768,7 +1768,7 @@ object ExtensionQueries {
       None,
       oracleGen = () => for {
         books <- Similarity.trainedCodebooks.get((8, 8, 2))
-        cents <- Similarity.trainedCentroids.get((8, 2))
+        cents <- Similarity.trainedCentroids.get((8, 2, ""))
       } yield Similarity.adcOracleSql("embeddings", "vec_id", "embedding",
         5, books, cents, nProbes = 2, queryPred = "vec_id < 8")),
 
@@ -1827,6 +1827,29 @@ object ExtensionQueries {
         "doc_id", "text", k = 25, candPool = 100, samplePct = 20),
       Some(TextAnalysis.heavyHittersOracleSql("documents", "doc_id",
         "text", k = 25, candPool = 100, samplePct = 20))
-    )
+    ),
+
+    QuerySpec("x41_incremental_ivf_append",
+      "ANN index maintenance, append path: centroids frozen from a " +
+        "Lloyd train over the base slice (vec_id < 400), the arriving " +
+        "batch (vec_id >= 400) assigned by a narrow projection — no " +
+        "retrain, no shuffle, no driver state beyond K codewords; the " +
+        "per-row rounded best-dot score is the drift signal that " +
+        "schedules the next full retrain; subset-trained centroids " +
+        "are stash-tagged so the full-corpus oracles (x6b/x6c/x39) " +
+        "cannot be clobbered",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val centroids = Similarity.ivfTrain(
+          emb.filter(col("vec_id") < 400), "vec_id", "embedding",
+          nCells = 8, iters = 2, tag = "base<400")
+        Similarity.ivfAssign(emb.filter(col("vec_id") >= 400),
+            "vec_id", "embedding", centroids)
+          .orderBy(col("vec_id"))
+      },
+      None,
+      oracleGen = () => Similarity.trainedCentroids.get((8, 2, "base<400"))
+        .map(cents => Similarity.ivfAssignOracleSql("embeddings",
+          "vec_id", "embedding", cents, newPred = "vec_id >= 400")))
   )
 }

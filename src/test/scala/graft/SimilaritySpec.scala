@@ -254,4 +254,22 @@ class SimilaritySpec extends SparkSpec {
       "equal-code candidates tie on adc and order by did")
     assert(top(0)._3 == top(1)._3)
   }
+
+  test("ivfAssign lands new rows in the same cells a fresh " +
+      "assignment would, and returns the drift score") {
+    val base = pqCorpus.filter($"vec_id" < 4)
+    val cents = Similarity.ivfTrain(base, "vec_id", "embedding",
+      nCells = 2, tag = "spec-base")
+    val got = Similarity.ivfAssign(pqCorpus.filter($"vec_id" >= 4),
+        "vec_id", "embedding", cents)
+      .as[(Long, Int, Double)].collect().map(r => r._1 -> r._2).toMap
+    // fresh assignment of the same rows via cellExpr must agree
+    val fresh = pqCorpus.filter($"vec_id" >= 4)
+      .select($"vec_id", Similarity.cellExpr($"embedding", cents).as("c"))
+      .as[(Long, Int)].collect().toMap
+    assert(got == fresh)
+    // vectors 4 and 5 sit on the second cluster's axis: both must
+    // land in the same cell with a near-1 score
+    assert(got(4L) == got(5L))
+  }
 }
