@@ -445,11 +445,13 @@ object Similarity {
 
   // ---- Product quantization (IVFADC) -------------------------------
 
-  /** PQ codebooks trained this session, keyed by (m, ksub, iters) —
-    * same late-bound-oracle contract as [[trainedCentroids]]. Layout:
-    * books(subspace)(codeword) = Array[Double] of length dim/m. */
+  /** PQ codebooks trained this session, keyed by (m, ksub, iters, tag)
+    * — same late-bound-oracle contract (and same tag discipline) as
+    * [[trainedCentroids]]; the residual trainer stores under its own
+    * tag so plain and residual codebooks with equal params coexist.
+    * Layout: books(subspace)(codeword) = Array[Double] of dim/m. */
   @volatile var trainedCodebooks:
-      Map[(Int, Int, Int), Array[Array[Array[Double]]]] = Map.empty
+      Map[(Int, Int, Int, String), Array[Array[Array[Double]]]] = Map.empty
 
   private def halfNormSq(c: Array[Double]): Double =
     0.5 * c.foldLeft(0.0)((a, x) => a + x * x)
@@ -492,7 +494,8 @@ object Similarity {
     * rows per iteration. At 100 TB: iters full scans, each one
     * map-combined shuffle, no per-subspace re-reads. */
   def pqTrain(corpus: DataFrame, idCol: String, vecCol: String,
-      m: Int, ksub: Int, iters: Int = 2): Array[Array[Array[Double]]] = {
+      m: Int, ksub: Int, iters: Int = 2,
+      tag: String = ""): Array[Array[Array[Double]]] = {
     val init: Array[Array[Double]] = corpus
       .orderBy(col(idCol)).limit(ksub)
       .select(col(vecCol)).collect()
@@ -530,7 +533,7 @@ object Similarity {
             else row.getDouble(d + 2))))
       }
     }
-    trainedCodebooks = trainedCodebooks + ((m, ksub, iters) -> books)
+    trainedCodebooks = trainedCodebooks + ((m, ksub, iters, tag) -> books)
     books
   }
 
@@ -679,4 +682,238 @@ object Similarity {
        |         FROM n0)
        |SELECT id AS $idCol, b.i AS cell, round(b.s, 6) AS score_r
        |FROM best ORDER BY $idCol""".stripMargin
+
+  // ---- Residual product quantization (full IVF-PQ) -----------------
+
+  /** Driver-side sequential dot, bit-identical to [[ArrayDotProduct]]
+    * / DuckDB's list_dot_product (left-to-right double accumulation) —
+    * used to fold residual terms into literal biases. */
+  private def dotSeq(a: Array[Double], b: Array[Double]): Double = {
+    var acc = 0.0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { acc += a(i) * b(i); i += 1 }
+    acc
+  }
+
+  /** Encode-side bias literals for residual PQ, bias(s)(cell)(j) =
+    * dot(centroid_cell restricted to subspace s, codeword j) +
+    * ‖codeword j‖²/2. With them, the residual argmin
+    * `argmin_j ‖(v − c)_s − cw_j‖²` becomes
+    * `argmax_j (dot(v_s, cw_j) − bias(s)(cell)(j))` — the residual is
+    * NEVER materialized, the hot loop stays one codegen'd dot against
+    * the original vector, and both engines evaluate the identical
+    * arithmetic (the bias is one driver-computed double). */
+  private def residualEncodeBias(centroids: Array[Array[Double]],
+      books: Array[Array[Array[Double]]]): Array[Array[Array[Double]]] = {
+    val m = books.length
+    val subDim = books(0)(0).length
+    Array.tabulate(m) { s =>
+      centroids.map { c =>
+        val cSub = c.slice(s * subDim, (s + 1) * subDim)
+        books(s).map(cw => dotSeq(cSub, cw) + halfNormSq(cw))
+      }
+    }
+  }
+
+  /** Residual codeword id of subspace `sub` given the row's coarse
+    * cell (a Column): argmax of (dot(v_sub, cw_j) − bias[cell][j]),
+    * ties to the larger j as everywhere else. */
+  private def subCellResidualExpr(vecCol: Column, cellCol: Column,
+      sub: Int, codewords: Array[Array[Double]],
+      biasSub: Array[Array[Double]], subDim: Int): Column = {
+    val sv = slice(vecCol, sub * subDim + 1, subDim)
+    val scored = codewords.zipWithIndex.map { case (cw, j) =>
+      val biasByCell = array(biasSub.map(cellRow => lit(cellRow(j))): _*)
+      struct((dotProduct(sv, array(cw.map(lit): _*)) -
+        element_at(biasByCell, cellCol + 1)).as("s"), lit(j).as("i"))
+    }
+    if (scored.length == 1) lit(0)
+    else greatest(scored.toSeq: _*).getField("i")
+  }
+
+  /** Residual-PQ trainer (full IVF-PQ, Jégou et al. 2011 §III): the
+    * codebooks quantize v − centroid(cell) instead of v, recovering
+    * the reconstruction error a cell-agnostic codebook wastes on
+    * encoding WHICH cell a vector sits in. Same fused
+    * one-shuffle-per-iteration shape as [[pqTrain]]: the coarse cell
+    * is a narrow projection carried through the explode, assignment
+    * uses the bias decomposition (residuals never materialized in the
+    * assignment expression), and the per-dimension residual means
+    * subtract the cell centroid's element inside the aggregate.
+    * Init: residuals of the ksub lowest-id rows (driver-computed with
+    * the same argmax-tie rule the engine uses). */
+  def pqTrainResidual(corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Double]], m: Int, ksub: Int,
+      iters: Int = 2, tag: String = "res"): Array[Array[Array[Double]]] = {
+    val initVecs: Array[Array[Double]] = corpus
+      .orderBy(col(idCol)).limit(ksub)
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    require(initVecs.length == ksub,
+      s"pqTrainResidual needs >= ksub=$ksub rows, got ${initVecs.length}")
+    val dim = initVecs(0).length
+    require(dim > 0 && dim % m == 0,
+      s"embedding dim $dim must be a positive multiple of m=$m")
+    val subDim = dim / m
+    // driver-side cell assignment of the init rows: argmax by (score,
+    // index) tuple — lexicographic tuple order matches greatest's
+    // ties-to-larger-index semantics
+    def cellOf(v: Array[Double]): Int =
+      centroids.zipWithIndex.map { case (c, i) => (dotSeq(v, c), i) }
+        .maxBy(identity)._2
+    var books: Array[Array[Array[Double]]] = Array.tabulate(m) { s =>
+      initVecs.map { v =>
+        val c = centroids(cellOf(v))
+        Array.tabulate(subDim)(d =>
+          v(s * subDim + d) - c(s * subDim + d))
+      }
+    }
+    // full centroid matrix as a 2-D literal, indexed by (cell, dim)
+    // inside the residual-mean aggregate
+    val centsLit = array(centroids.map(c => array(c.map(lit): _*)): _*)
+    (0 until iters).foreach { _ =>
+      val bias = residualEncodeBias(centroids, books)
+      val cellC = cellExpr(col(vecCol), centroids).as("__cell")
+      val assigns = (0 until m).map(s =>
+        struct(lit(s).as("sub"),
+          subCellResidualExpr(col(vecCol), col("__cell"), s, books(s),
+            bias(s), subDim).as("code")))
+      val meanCols = (0 until subDim).map { d =>
+        val idx = (col("sub") * subDim + (d + 1)).cast("int")
+        avg(try_element_at(col(vecCol), idx).cast("double") -
+          try_element_at(element_at(centsLit, col("__cell") + 1), idx))
+          .as(s"m$d")
+      }
+      val means = corpus
+        .select(col(vecCol), cellC)
+        .select(col(vecCol), col("__cell"),
+          explode(array(assigns: _*)).as("sc"))
+        .select(col(vecCol), col("__cell"), col("sc.sub").as("sub"),
+          col("sc.code").as("code"))
+        .groupBy(col("sub"), col("code"))
+        .agg(meanCols.head, meanCols.tail: _*)
+        .collect()
+      means.foreach { row =>
+        val s = row.getInt(0)
+        val j = row.getInt(1)
+        books = books.updated(s, books(s).updated(j,
+          Array.tabulate(subDim)(d =>
+            if (row.isNullAt(d + 2)) books(s)(j)(d)
+            else row.getDouble(d + 2))))
+      }
+    }
+    trainedCodebooks = trainedCodebooks + ((m, ksub, iters, tag) -> books)
+    books
+  }
+
+  /** Full IVF-PQ ANN with residual encoding: corpus rows carry their
+    * coarse cell and m residual codes; a candidate's score is
+    * dot(q, centroid[cell]) + Σ_m LUT_m[code_m] — the first term is
+    * the probe struct's own score (already computed for probe
+    * selection), the LUTs are per-query projections of q against the
+    * RESIDUAL codebooks, so v̂ = centroid + residual-codeword is
+    * scored without ever reconstructing it. Everything else (cell
+    * equi-join pruning, no raw-vector re-reads, explicit sum chain,
+    * bit-exact cross-engine) is as [[adcTopK]]. */
+  def adcResidualTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, m: Int, ksub: Int, nCells: Int,
+      nProbes: Int, iters: Int = 2): DataFrame = {
+    val centroids = ivfTrain(corpus, idCol, vecCol, nCells, iters)
+    val books = pqTrainResidual(corpus, idCol, vecCol, centroids, m, ksub,
+      iters)
+    val bias = residualEncodeBias(centroids, books)
+    val subDim = books(0)(0).length
+    val codeCols = (0 until m).map(s =>
+      subCellResidualExpr(col(vecCol), col("cell"), s, books(s), bias(s),
+        subDim).as(s"code_$s"))
+    val c = corpus
+      .select(col(idCol).as("did"), col(vecCol),
+        cellExpr(col(vecCol), centroids).as("cell"))
+      .select(col("did") +: col("cell") +: codeCols: _*)
+    val probeStructs = centroids.zipWithIndex.map { case (cent, i) =>
+      struct(dotProduct(col(vecCol), array(cent.map(lit): _*)).as("s"),
+        lit(i).as("i"))
+    }
+    val lutCols = (0 until m).map { s =>
+      val sv = slice(col(vecCol), s * subDim + 1, subDim)
+      array(books(s).map(cw =>
+        dotProduct(sv, array(cw.map(lit): _*))).toSeq: _*).as(s"lut_$s")
+    }
+    val q = queries
+      .select(col(idCol).as("qid") +:
+        explode(slice(reverse(array_sort(array(probeStructs.toSeq: _*))),
+          1, nProbes)).as("probe") +: lutCols: _*)
+      .select(col("qid") +: col("probe.i").as("cell") +:
+        col("probe.s").as("qc") +: (0 until m).map(s => col(s"lut_$s")): _*)
+    val score = (0 until m)
+      .map(s => element_at(col(s"lut_$s"), col(s"code_$s") + 1))
+      .foldLeft(col("qc"))(_ + _)
+    val scored = c.join(broadcast(q), Seq("cell"))
+      .filter(col("qid") =!= col("did"))
+      .select(col("qid"), col("did"), score.as("score"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("score").desc, col("did"))
+    scored.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+  }
+
+  /** DuckDB oracle mirroring [[adcResidualTopK]]: same bias
+    * decomposition for the residual encode, same probe-score +
+    * LUT-sum scoring, all trained values embedded as literals. */
+  def adcResidualOracleSql(table: String, idCol: String, vecCol: String,
+      k: Int, books: Array[Array[Array[Double]]],
+      centroids: Array[Array[Double]], nProbes: Int,
+      queryPred: String): String = {
+    val m = books.length
+    val subDim = books(0)(0).length
+    val bias = residualEncodeBias(centroids, books)
+    def sliceSql(v: String, s: Int): String =
+      s"list_slice($v, ${s * subDim + 1}, ${(s + 1) * subDim})"
+    def codeSql(v: String, s: Int): String = {
+      val structs = books(s).zipWithIndex.map { case (cw, j) =>
+        val biasByCell = bias(s).map(row => dlit(row(j)))
+          .mkString("[", ", ", "]")
+        s"{'s': list_dot_product(${sliceSql(v, s)}, ${arrLit(cw)}) - " +
+          s"($biasByCell)[cell + 1], 'i': $j}"
+      }.mkString("[", ", ", "]")
+      s"list_sort($structs, 'DESC')[1].i"
+    }
+    def lutSql(v: String, s: Int): String =
+      books(s).map(cw =>
+        s"list_dot_product(${sliceSql(v, s)}, ${arrLit(cw)})")
+        .mkString("[", ", ", "]")
+    val codeSel = (0 until m)
+      .map(s => s"${codeSql("dvec", s)} AS code_$s").mkString(",\n        ")
+    val lutSel = (0 until m)
+      .map(s => s"${lutSql("qvec", s)} AS lut_$s").mkString(",\n        ")
+    val scoreExpr = "qc + " +
+      (0 until m).map(s => s"lut_$s[code_$s + 1]").mkString(" + ")
+    s"""WITH q0 AS (SELECT $idCol AS qid, $vecCol::DOUBLE[] AS qvec
+       |           FROM $table WHERE $queryPred),
+       |c0 AS (SELECT $idCol AS did, $vecCol::DOUBLE[] AS dvec FROM $table),
+       |c1 AS (SELECT did, dvec,
+       |         list_sort(${cellStructsSql("dvec", centroids)}, 'DESC')[1].i
+       |           AS cell
+       |       FROM c0),
+       |c AS (SELECT did, cell,
+       |        $codeSel
+       |      FROM c1),
+       |q1 AS (SELECT qid, qvec,
+       |         unnest(list_sort(${cellStructsSql("qvec", centroids)},
+       |           'DESC')[1:$nProbes]) AS probe
+       |       FROM q0),
+       |q AS (SELECT qid, probe.i AS cell, probe.s AS qc,
+       |        $lutSel
+       |      FROM q1),
+       |scored AS (
+       |  SELECT qid, did, $scoreExpr AS score
+       |  FROM c JOIN q USING (cell) WHERE qid <> did),
+       |ranked AS (
+       |  SELECT qid, did, score, CAST(row_number() OVER
+       |    (PARTITION BY qid ORDER BY score DESC, did) AS BIGINT) AS rn
+       |  FROM scored)
+       |SELECT qid, rn, did, round(score, 6) AS score_r
+       |FROM ranked WHERE rn <= $k ORDER BY qid, rn""".stripMargin
+  }
 }

@@ -1767,7 +1767,7 @@ object ExtensionQueries {
       },
       None,
       oracleGen = () => for {
-        books <- Similarity.trainedCodebooks.get((8, 8, 2))
+        books <- Similarity.trainedCodebooks.get((8, 8, 2, ""))
         cents <- Similarity.trainedCentroids.get((8, 2, ""))
       } yield Similarity.adcOracleSql("embeddings", "vec_id", "embedding",
         5, books, cents, nProbes = 2, queryPred = "vec_id < 8")),
@@ -1850,6 +1850,33 @@ object ExtensionQueries {
       None,
       oracleGen = () => Similarity.trainedCentroids.get((8, 2, "base<400"))
         .map(cents => Similarity.ivfAssignOracleSql("embeddings",
-          "vec_id", "embedding", cents, newPred = "vec_id >= 400")))
+          "vec_id", "embedding", cents, newPred = "vec_id >= 400"))),
+
+    QuerySpec("x42_pq_residual_topk",
+      "FULL IVF-PQ with residual encoding (Jégou et al. 2011 §III): " +
+        "codebooks quantize v - centroid(cell), recovering the " +
+        "reconstruction error a cell-agnostic codebook wastes; " +
+        "residuals are NEVER materialized — encode is argmax(dot(v, " +
+        "cw) - bias[cell][j]) with driver-computed bias literals, and " +
+        "a candidate's score is its probe's own dot(q, centroid) plus " +
+        "m residual-LUT lookups, so both engines run identical " +
+        "arithmetic; late-bound oracle embeds centroids + residual " +
+        "codebooks + biases",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        Similarity.adcResidualTopK(emb, emb.filter(col("vec_id") < 8),
+            "vec_id", "embedding", 5, m = 8, ksub = 8, nCells = 8,
+            nProbes = 2)
+          .select(col("qid"), col("rn"), col("did"),
+            round(col("score"), 6).as("score_r"))
+          .orderBy(col("qid"), col("rn"))
+      },
+      None,
+      oracleGen = () => for {
+        books <- Similarity.trainedCodebooks.get((8, 8, 2, "res"))
+        cents <- Similarity.trainedCentroids.get((8, 2, ""))
+      } yield Similarity.adcResidualOracleSql("embeddings", "vec_id",
+        "embedding", 5, books, cents, nProbes = 2,
+        queryPred = "vec_id < 8"))
   )
 }

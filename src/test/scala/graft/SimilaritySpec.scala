@@ -272,4 +272,74 @@ class SimilaritySpec extends SparkSpec {
     // land in the same cell with a near-1 score
     assert(got(4L) == got(5L))
   }
+
+  test("adcResidualTopK: residual codes keep the query in its own " +
+      "cluster; training is deterministic") {
+    val top = Similarity.adcResidualTopK(pqCorpus,
+        pqCorpus.filter($"vec_id" === 0), "vec_id", "embedding",
+        k = 2, m = 2, ksub = 2, nCells = 2, nProbes = 2)
+      .select($"qid", $"rn", $"did").as[(Long, Long, Long)]
+      .collect().sortBy(_._2).toSeq
+    assert(top.length == 2)
+    assert(top.forall(_._3 != 0L), "self must be excluded")
+    assert(top.map(_._3).toSet.subsetOf(Set(1L, 2L)),
+      "residual ADC must keep the query inside its own cluster")
+    val cents = Similarity.trainedCentroids((2, 2, ""))
+    val b1 = Similarity.pqTrainResidual(pqCorpus, "vec_id", "embedding",
+      cents, m = 2, ksub = 2)
+    val b2 = Similarity.pqTrainResidual(pqCorpus, "vec_id", "embedding",
+      cents, m = 2, ksub = 2)
+    assert(b1.map(_.map(_.toSeq).toSeq).toSeq ==
+      b2.map(_.map(_.toSeq).toSeq).toSeq)
+  }
+
+  test("residual reconstruction beats cell-agnostic PQ on mean " +
+      "quantization error (the reason residual encoding exists)") {
+    // clusters far from the origin: a cell-agnostic codebook must
+    // spend its codewords spanning both cluster OFFSETS; residual
+    // codebooks only encode within-cluster spread
+    val vecs = Seq(
+      (0L, Seq(10f, 0f, 0f, 0f)), (1L, Seq(10.5f, 0.5f, 0f, 0f)),
+      (2L, Seq(11f, 1f, 0f, 0f)), (3L, Seq(0f, 0f, 10f, 0f)),
+      (4L, Seq(0f, 0f, 10.5f, 0.5f)), (5L, Seq(0f, 0f, 11f, 1f))
+    ).toDF("vec_id", "embedding")
+    // exact self-similarity: query the corpus against itself with
+    // k=1 — the reconstruction that ranks SELF first more often has
+    // the lower quantization error; with identical coarse cells the
+    // comparison isolates the codebooks. Use score of the true self
+    // pair (qid==did allowed via a fresh join) as the proxy instead:
+    // residual score of (v, v) must be closer to ||v||^2 than plain.
+    val centsR = Similarity.ivfTrain(vecs, "vec_id", "embedding",
+      nCells = 2, tag = "resgain")
+    val plainBooks = Similarity.pqTrain(vecs, "vec_id", "embedding",
+      m = 2, ksub = 2, tag = "resgain-plain")
+    val resBooks = Similarity.pqTrainResidual(vecs, "vec_id", "embedding",
+      centsR, m = 2, ksub = 2, tag = "resgain-res")
+    def reconError(v: Array[Double], approx: Array[Double]): Double =
+      v.zip(approx).map { case (a, b) => (a - b) * (a - b) }.sum
+    def encodePlain(v: Array[Double], s: Int): Array[Double] = {
+      val sub = v.slice(s * 2, s * 2 + 2)
+      plainBooks(s).minBy(cw => reconError(sub, cw))
+    }
+    def cellOf(v: Array[Double]): Int =
+      centsR.zipWithIndex.map { case (c, i) =>
+        (c.zip(v).map(p => p._1 * p._2).sum, i) }.maxBy(identity)._2
+    def encodeRes(v: Array[Double], s: Int): Array[Double] = {
+      val c = centsR(cellOf(v))
+      val sub = v.indices.slice(s * 2, s * 2 + 2)
+        .map(d => v(d) - c(d)).toArray
+      val cw = resBooks(s).minBy(w => reconError(sub, w))
+      v.indices.slice(s * 2, s * 2 + 2).zipWithIndex
+        .map { case (d, di) => c(d) + cw(di) }.toArray
+    }
+    val raw = vecs.select($"embedding").as[Seq[Float]].collect()
+      .map(_.map(_.toDouble).toArray)
+    val plainErr = raw.map(v =>
+      reconError(v, encodePlain(v, 0) ++ encodePlain(v, 1))).sum
+    val resErr = raw.map(v =>
+      reconError(v, encodeRes(v, 0) ++ encodeRes(v, 1))).sum
+    assert(resErr < plainErr,
+      s"residual encoding must reduce reconstruction error " +
+        s"(res=$resErr plain=$plainErr)")
+  }
 }
