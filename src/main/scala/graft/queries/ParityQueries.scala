@@ -528,6 +528,20 @@ object ParityQueries {
              |FROM lineitem GROUP BY l_returnflag
              |ORDER BY l_returnflag""".stripMargin)),
 
+    QuerySpec("g9_exact_quantile_histogram",
+      "exact discrete quantiles WITHOUT per-group value buffers: " +
+        "g5's percentile()/quantile_cont holds every group value in " +
+        "memory (OOM at fact-table group sizes); this computes the " +
+        "same-rank type-1 quantiles from the per-group (value, count) " +
+        "histogram — one map-combined shuffle + a window over " +
+        "histogram rows only, integer-exact so no interpolation ULPs; " +
+        "the oracle mirrors the histogram formulation",
+      (s, dir) => graft.operators.Stats.exactQuantiles(
+        t(s, dir, "lineitem"), "l_returnflag", "l_quantity",
+        Seq(25, 50, 75)),
+      Some(graft.operators.Stats.exactQuantilesOracleSql(
+        "lineitem", "l_returnflag", "l_quantity", Seq(25, 50, 75)))),
+
     QuerySpec("w1_window_rank",
       "window ranking: top-3 orders per market segment",
       (s, dir) => {

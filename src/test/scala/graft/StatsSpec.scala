@@ -1,0 +1,36 @@
+package graft
+
+import graft.operators.Stats
+
+class StatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("exactQuantiles: type-1 ranks on a known histogram, " +
+      "duplicates and single-value groups handled") {
+    val df = Seq(
+      ("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0),
+      ("b", 5.0), ("b", 5.0), ("b", 9.0),
+      ("c", 7.0)
+    ).toDF("g", "v")
+    val got = Stats.exactQuantiles(df, "g", "v", Seq(25, 50, 75, 100))
+      .as[(String, Double, Double, Double, Double, Long)]
+      .collect().map(r => r._1 -> r).toMap
+    // group a, n=4: k25=ceil(1)=1 -> 1.0, k50=2 -> 2.0, k75=3 -> 3.0,
+    // k100=4 -> 4.0
+    assert(got("a") == (("a", 1.0, 2.0, 3.0, 4.0, 4L)))
+    // group b, n=3: k25=ceil(.75)=1 -> 5.0, k50=ceil(1.5)=2 -> 5.0
+    // (duplicate mass), k75=ceil(2.25)=3 -> 9.0
+    assert(got("b") == (("b", 5.0, 5.0, 9.0, 9.0, 3L)))
+    // single-value group: every quantile is that value
+    assert(got("c") == (("c", 7.0, 7.0, 7.0, 7.0, 1L)))
+  }
+
+  test("exactQuantiles median agrees with sort-based rank on a " +
+      "larger frame") {
+    val df = (1 to 101).map(i => ("g", i.toDouble)).toDF("g", "v")
+    val got = Stats.exactQuantiles(df, "g", "v", Seq(50))
+      .as[(String, Double, Long)].head()
+    // n=101 -> k = ceil(50.5) = 51 -> the 51st smallest = 51.0
+    assert(got == (("g", 51.0, 101L)))
+  }
+}
