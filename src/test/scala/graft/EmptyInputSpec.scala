@@ -83,4 +83,27 @@ class EmptyInputSpec extends SparkSpec {
       Dedup.MinHashParams())
     assert(sigs.count() == 2) // whole-text fallback shingle
   }
+
+  test("round-7 operators tolerate empty inputs") {
+    import graft.operators.{LanguageModel, Stats, TextAnalysis}
+    val emptyLangDocs = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType),
+        StructField("lang", StringType))))
+    // perplexity bucketing over an empty corpus (and so an empty LM)
+    assert(LanguageModel.crossEntropyBuckets(emptyLangDocs, "doc_id",
+      "text", "lang", "lang = 'en'").count() == 0)
+    // heavy hitters over an empty corpus
+    assert(TextAnalysis.heavyHitters(emptyDocs, "doc_id", "text",
+      k = 5, candPool = 10, samplePct = 50).count() == 0)
+    // exact quantiles over an empty frame: no groups, no rows
+    assert(Stats.exactQuantiles(
+      emptyDocs.withColumnRenamed("text", "g")
+        .withColumn("v", col("doc_id").cast("double")),
+      "g", "v", Seq(50)).count() == 0)
+    // incremental IVF assignment of an empty batch
+    assert(Similarity.ivfAssign(emptyVecs, "vec_id", "embedding",
+      Array(Array(1.0, 0.0))).count() == 0)
+  }
 }
