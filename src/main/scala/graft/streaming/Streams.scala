@@ -66,6 +66,17 @@ object Streams {
       .select(col(keyCol), col("id_a"), col("id_b"))
   }
 
+  /** Stream-static enrichment: join each micro-batch against a
+    * static dimension, broadcast so the stream side never shuffles
+    * (the canonical "decorate events with reference data" pattern —
+    * Spark re-plans the static side per micro-batch, so a re-read
+    * dimension table picks up updates between batches). Left join:
+    * an event must never be DROPPED because its dimension row is
+    * missing — downstream filters decide, not the enrichment. */
+  def enrichWithDim(stream: DataFrame, dim: DataFrame,
+      keyCols: Seq[String]): DataFrame =
+    stream.join(broadcast(dim), keyCols, "left")
+
   /** Run a streaming DataFrame to completion against currently-available
     * files via the in-memory sink; returns the materialized result. */
   def runToMemorySink(spark: SparkSession, streaming: DataFrame,

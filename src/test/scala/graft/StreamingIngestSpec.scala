@@ -45,4 +45,28 @@ class StreamingIngestSpec extends SparkSpec {
       assert(ids == Seq(1L))
     } finally q.stop()
   }
+
+  test("stream-static enrichment: broadcast dim decorates the " +
+      "cleaned stream, missing dim rows survive as nulls") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[IngestDoc]
+    val dim = Seq(("the quick brown fox is in the house again", "en"))
+      .toDF("text", "lang_pred")
+    val enriched = Streams.enrichWithDim(mem.toDS().toDF(), dim,
+      Seq("text"))
+    val q = enriched.writeStream.outputMode("append").format("memory")
+      .queryName("enrich_out").start()
+    try {
+      val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+      mem.addData(
+        IngestDoc(1, t0, "the quick brown fox is in the house again"),
+        IngestDoc(2, t0, "unseen text with no dimension row"))
+      q.processAllAvailable()
+      val got = spark.table("enrich_out")
+        .select($"doc_id", $"lang_pred").as[(Long, Option[String])]
+        .collect().toMap
+      assert(got(1L).contains("en"))
+      assert(got(2L).isEmpty, "missing dim row must yield NULL, not drop")
+    } finally q.stop()
+  }
 }
