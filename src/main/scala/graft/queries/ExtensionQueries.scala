@@ -1877,6 +1877,63 @@ object ExtensionQueries {
         cents <- Similarity.trainedCentroids.get((8, 2, ""))
       } yield Similarity.adcResidualOracleSql("embeddings", "vec_id",
         "embedding", 5, books, cents, nProbes = 2,
-        queryPred = "vec_id < 8"))
+        queryPred = "vec_id < 8")),
+
+    QuerySpec("x42b_pq_recall_eval",
+      "PQ governance: per-query recall@5 of BOTH compressed paths " +
+        "(plain IVFADC and residual IVF-PQ) against the exact " +
+        "brute-force top-k — the gate that picks m/ksub/nProbes and " +
+        "decides whether residual encoding pays for a corpus before " +
+        "scaling out; hash-gated through the same late-bound " +
+        "codebook+centroid oracles (x6c's pattern)",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val q = emb.filter(col("vec_id") < 8)
+        val exact = Similarity.bruteForceTopK(emb, q, "vec_id",
+          "embedding", 5)
+        val plain = Similarity.adcTopK(emb, q, "vec_id", "embedding",
+          5, m = 8, ksub = 8, nCells = 8, nProbes = 2)
+        val res = Similarity.adcResidualTopK(emb, q, "vec_id",
+          "embedding", 5, m = 8, ksub = 8, nCells = 8, nProbes = 2)
+        Similarity.recallAtK(plain, exact)
+          .withColumnRenamed("recall_at_k", "recall_pq")
+          .join(Similarity.recallAtK(res, exact)
+            .withColumnRenamed("recall_at_k", "recall_respq"), Seq("qid"))
+          .orderBy(col("qid"))
+      },
+      None,
+      oracleGen = () => for {
+        plainBooks <- Similarity.trainedCodebooks.get((8, 8, 2, ""))
+        resBooks <- Similarity.trainedCodebooks.get((8, 8, 2, "res"))
+        cents <- Similarity.trainedCentroids.get((8, 2, ""))
+      } yield {
+        val exact = annTopkOracle.replace("\n", "\n    ")
+        val plain = Similarity.adcOracleSql("embeddings", "vec_id",
+          "embedding", 5, plainBooks, cents, nProbes = 2,
+          queryPred = "vec_id < 8").replace("\n", "\n    ")
+        val res = Similarity.adcResidualOracleSql("embeddings", "vec_id",
+          "embedding", 5, resBooks, cents, nProbes = 2,
+          queryPred = "vec_id < 8").replace("\n", "\n    ")
+        s"""WITH exact AS (SELECT qid, did FROM (
+           |    $exact)),
+           |plain AS (SELECT qid, did FROM (
+           |    $plain)),
+           |res AS (SELECT qid, did FROM (
+           |    $res)),
+           |pr AS (
+           |  SELECT e.qid, CAST(count(a.did) AS DOUBLE) / count(*)
+           |    AS recall_pq
+           |  FROM exact e LEFT JOIN plain a
+           |    ON e.qid = a.qid AND e.did = a.did
+           |  GROUP BY e.qid),
+           |rr AS (
+           |  SELECT e.qid, CAST(count(a.did) AS DOUBLE) / count(*)
+           |    AS recall_respq
+           |  FROM exact e LEFT JOIN res a
+           |    ON e.qid = a.qid AND e.did = a.did
+           |  GROUP BY e.qid)
+           |SELECT pr.qid, pr.recall_pq, rr.recall_respq
+           |FROM pr JOIN rr ON pr.qid = rr.qid ORDER BY pr.qid""".stripMargin
+      })
   )
 }
