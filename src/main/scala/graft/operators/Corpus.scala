@@ -124,4 +124,66 @@ object Corpus {
     piiPatterns.foldLeft(e) { case (acc, (pat, tok)) =>
       s"regexp_replace($acc, '$pat', '$tok', 'g')"
     }
+
+  /** Token-budget data selection: keep the highest-quality documents
+    * until the token budget is spent — the greedy fill every "train
+    * on the best N tokens of this corpus" curation step runs (the
+    * quality column is typically x34's classifier margin or x38's
+    * negated cross-entropy). A document is kept iff the cumulative
+    * token count up to and including it — in (quality DESC, id)
+    * order — stays within `budgetTokens`.
+    *
+    * The cumulative sum is NOT a corpus-wide window (single task at
+    * 100 TB): same histogram-rank decomposition as x38's terciles —
+    * per-quality-value token masses are prefix-summed over the tiny
+    * histogram, and each doc adds its within-group running sum
+    * (window keyed by the quality value, which distributes). Output
+    * is bit-identical to the one-line window formulation, which the
+    * oracle keeps.
+    *
+    * Output: (id, quality, n_tok, cum_tok, keep) for every document —
+    * callers filter `keep`; emitting the losers with their cum_tok
+    * makes the budget boundary auditable. */
+  def budgetSelect(docs: DataFrame, idCol: String, qualityCol: String,
+      tokCol: String, budgetTokens: Long): DataFrame = {
+    require(budgetTokens >= 0, s"budget must be >= 0, got $budgetTokens")
+    val id = col(idCol)
+    val q = col(qualityCol)
+    import org.apache.spark.sql.expressions.Window
+    val hist = docs.groupBy(q.as("__q"))
+      .agg(sum(col(tokCol)).cast("long").as("__mass"))
+    val histW = Window.orderBy(col("__q").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = hist.withColumn("__before",
+      coalesce(sum(col("__mass")).over(histW), lit(0L)))
+    val inGroupW = Window.partitionBy(q).orderBy(id)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .join(cum.select(col("__q").as(qualityCol), col("__before")),
+        Seq(qualityCol))
+      .withColumn("cum_tok",
+        col("__before") + sum(col(tokCol)).over(inGroupW).cast("long"))
+      .select(id, q, col(tokCol).cast("long").as("n_tok"),
+        col("cum_tok"), (col("cum_tok") <= budgetTokens).as("keep"))
+      .orderBy(id)
+  }
+
+  /** DuckDB twin of [[budgetSelect]] — the equivalent one-line
+    * running-window formulation (same result as the distributed
+    * histogram decomposition; see [[budgetSelect]]). */
+  def budgetSelectOracleSql(table: String, idCol: String,
+      qualityCol: String, tokSqlExpr: String,
+      budgetTokens: Long): String =
+    s"""WITH t AS (
+       |  SELECT $idCol, $qualityCol,
+       |    CAST($tokSqlExpr AS BIGINT) AS n_tok
+       |  FROM $table),
+       |w AS (
+       |  SELECT $idCol, $qualityCol, n_tok,
+       |    CAST(sum(n_tok) OVER (ORDER BY $qualityCol DESC, $idCol
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tok
+       |  FROM t)
+       |SELECT $idCol, $qualityCol, n_tok, cum_tok,
+       |  (cum_tok <= $budgetTokens) AS keep
+       |FROM w ORDER BY $idCol""".stripMargin
 }

@@ -1934,6 +1934,38 @@ object ExtensionQueries {
            |  GROUP BY e.qid)
            |SELECT pr.qid, pr.recall_pq, rr.recall_respq
            |FROM pr JOIN rr ON pr.qid = rr.qid ORDER BY pr.qid""".stripMargin
+      }),
+
+    QuerySpec("x43_token_budget_selection",
+      "token-budget data selection: keep the highest-margin documents " +
+        "(x34's classifier) until a 10k-token budget is spent — the " +
+        "greedy 'train on the best N tokens' curation fill; the " +
+        "cumulative sum uses x38's histogram-rank decomposition (no " +
+        "corpus-wide window task), bit-identical to the one-line " +
+        "running-window oracle; losers are emitted with their " +
+        "cum_tok so the budget boundary is auditable",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+          .select(col("doc_id"), col("text"),
+            wsTokens(col("text")).as("__tk"))
+          .select(col("doc_id"),
+            round(TextAnalysis.classifierMargin(col("text"), col("__tk")),
+              6).as("margin_r"),
+            size(col("__tk")).cast("long").as("n_tok"))
+        graft.operators.Corpus.budgetSelect(d, "doc_id", "margin_r",
+          "n_tok", budgetTokens = 10000L)
+      },
+      Some {
+        val margin =
+          s"-1.2 + (CAST($duckSwCount AS DOUBLE) / $duckNTok) * 2.0 + " +
+            s"($duckAlpha) * 1.5 + " +
+            s"(CASE WHEN $duckMeanLen >= 3 AND $duckMeanLen <= 10 " +
+            "THEN 0.8 ELSE 0.0 END) + " +
+            s"CAST(least($duckNTok, 400) AS DOUBLE) / 400.0 * 0.5"
+        graft.operators.Corpus.budgetSelectOracleSql(
+          s"(SELECT doc_id, text, round($margin, 6) AS margin_r " +
+            "FROM documents) src",
+          "doc_id", "margin_r", duckNTok, budgetTokens = 10000L)
       })
   )
 }

@@ -101,4 +101,20 @@ class CorpusSpec extends SparkSpec {
     assert(Corpus.cleanKeepBest(dup, "doc_id", "text", 0.0,
       Seq("en", "und")).select("doc_id").as[Long].collect().toSeq == Seq(7L))
   }
+
+  test("budgetSelect: greedy quality-first prefix fill, ties by id, " +
+      "boundary doc and everything after it dropped") {
+    val d = Seq(
+      (1L, 0.9, 40L),  // best: cum 40, keep
+      (2L, 0.5, 30L),  // tie group with 3, lower id first: cum 70, keep
+      (3L, 0.5, 30L),  // cum 100, keep (== budget exactly)
+      (4L, 0.3, 10L),  // cum 110 > 100: drop
+      (5L, 0.1, 1L)    // cum 111: drop (prefix semantics, not knapsack)
+    ).toDF("doc_id", "q", "n_tok")
+    val got = Corpus.budgetSelect(d, "doc_id", "q", "n_tok", 100L)
+      .select($"doc_id", $"cum_tok", $"keep")
+      .as[(Long, Long, Boolean)].collect().toSeq
+    assert(got == Seq((1L, 40L, true), (2L, 70L, true), (3L, 100L, true),
+      (4L, 110L, false), (5L, 111L, false)))
+  }
 }
