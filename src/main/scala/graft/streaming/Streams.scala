@@ -77,6 +77,31 @@ object Streams {
       keyCols: Seq[String]): DataFrame =
     stream.join(broadcast(dim), keyCols, "left")
 
+  /** Exactly-once parquet sink via foreachBatch: each micro-batch
+    * lands in its own `batch_id=<n>` directory with mode overwrite,
+    * so a replayed batch (failure between sink write and checkpoint
+    * commit — the at-least-once window every foreachBatch sink has)
+    * OVERWRITES its own directory instead of duplicating rows.
+    * Deterministic-target + overwrite is the standard idempotence
+    * recipe when the sink is not transactional; the checkpoint dir
+    * carries the stream's progress. Readers see the union via
+    * hive-partition discovery on batch_id. */
+  def idempotentParquetSink(streaming: DataFrame, dir: String,
+      checkpointDir: String): StreamingQuery =
+    streaming.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        writeBatchIdempotent(batch, dir, batchId)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .start()
+
+  /** The sink body of [[idempotentParquetSink]], exposed so replay
+    * idempotence is directly testable: same (batch, id) written twice
+    * must leave exactly one copy. */
+  def writeBatchIdempotent(batch: DataFrame, dir: String,
+      batchId: Long): Unit =
+    batch.write.mode("overwrite").parquet(s"$dir/batch_id=$batchId")
+
   /** Run a streaming DataFrame to completion against currently-available
     * files via the in-memory sink; returns the materialized result. */
   def runToMemorySink(spark: SparkSession, streaming: DataFrame,

@@ -69,4 +69,31 @@ class StreamingIngestSpec extends SparkSpec {
       assert(got(2L).isEmpty, "missing dim row must yield NULL, not drop")
     } finally q.stop()
   }
+
+  test("idempotent foreachBatch sink: replayed batch overwrites its " +
+      "own directory instead of duplicating; batches union via " +
+      "partition discovery") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("sink").toString
+    val chk = java.nio.file.Files.createTempDirectory("chk").toString
+    val mem = MemoryStream[IngestDoc]
+    val q = Streams.idempotentParquetSink(
+      mem.toDS().toDF().select($"doc_id", $"text"), dir, chk)
+    try {
+      val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+      mem.addData(IngestDoc(1, t0, "a"), IngestDoc(2, t0, "b"))
+      q.processAllAvailable()
+      mem.addData(IngestDoc(3, t0, "c"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val once = spark.read.parquet(dir)
+    assert(once.select($"doc_id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 2L, 3L))
+    // simulate the at-least-once replay: re-write batch 0's content
+    // under its deterministic target — row count must NOT change
+    Streams.writeBatchIdempotent(
+      Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text"), dir, 0L)
+    assert(spark.read.parquet(dir).count() == 3,
+      "replay must overwrite, not append")
+  }
 }
