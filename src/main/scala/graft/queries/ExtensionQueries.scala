@@ -1966,6 +1966,34 @@ object ExtensionQueries {
           s"(SELECT doc_id, text, round($margin, 6) AS margin_r " +
             "FROM documents) src",
           "doc_id", "margin_r", duckNTok, budgetTokens = 10000L)
-      })
+      }),
+
+    QuerySpec("s15_compaction",
+      "small-file compaction: documents deliberately fragmented into " +
+        "64 KB-scale files, rewritten into row-sized files clustered " +
+        "on doc_id (one range exchange + in-partition sort — the " +
+        "maintenance job every micro-batch ingest needs); file-count " +
+        "reduction REQUIREd in-query, content identity hash-gated " +
+        "against the original table",
+      (s, dir) => {
+        val frag = Warehouse.saveFormat(
+          t(s, dir, "documents").repartition(64), "docs_frag", "parquet")
+        val before = Layout.parquetFileCount(s, frag)
+        val compacted = Layout.compact(s, frag, "docs_compact",
+          targetRowsPerFile = 200L, sortCol = "doc_id")
+        val after = Layout.parquetFileCount(s, compacted)
+        require(after < before && after <= 5,
+          s"compaction must shrink the file count ($before -> $after)")
+        s.read.parquet(compacted)
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).cast("long").as("sum_chars"),
+            min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+          .orderBy(col("lang"))
+      },
+      Some("""SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             |  min(doc_id) AS min_id, max(doc_id) AS max_id
+             |FROM documents GROUP BY lang ORDER BY lang""".stripMargin))
   )
 }

@@ -45,4 +45,26 @@ class LayoutSpec extends SparkSpec {
     assert(yb.count { case (xs, ys) => xs <= 31 && ys <= 31 } == 0,
       s"a y-sorted layout must span x's full range in every file: $yb")
   }
+
+  test("compact: fragmented files collapse to ceil(n/target), rows " +
+      "preserved, per-file sort-key ranges disjoint") {
+    val src = Files.createTempDirectory("frag").toString
+    (1 to 500).map(i => (i.toLong, s"row$i")).toDF("id", "payload")
+      .repartition(50).write.mode("overwrite").parquet(src)
+    assert(Layout.parquetFileCount(spark, src) == 50)
+    val out = Layout.compact(spark, src, "compact_spec", 200L, "id")
+    assert(Layout.parquetFileCount(spark, out) == 3) // ceil(500/200)
+    val back = spark.read.parquet(out)
+    assert(back.count() == 500)
+    // range-partitioned on the sort key: per-file [min,max] intervals
+    // must not overlap — that is what restores min/max pruning
+    val ranges = back.groupBy(input_file_name())
+      .agg(min($"id").as("lo"), max($"id").as("hi"))
+      .select($"lo", $"hi").as[(Long, Long)].collect().sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) =>
+        assert(hi1 < lo2, s"file ranges overlap: $ranges")
+      case _ =>
+    }
+  }
 }
