@@ -149,6 +149,130 @@ object LanguageModel {
       .orderBy(id)
   }
 
+  /** Per-document BIGRAM cross-entropy with interpolation backoff —
+    * the n-gram step up from [[crossEntropyBuckets]]'s unigram model
+    * (CCNet's KenLM is a 5-gram of the same family; the machinery
+    * here generalizes order by order). Model, trained on the
+    * `refPredicate` slice:
+    *
+    *   p(w2 | w1) = λ · c(w1 w2)/c(w1 ·)   (ML bigram, 0 if unseen ctx)
+    *              + (1−λ) · (c(w2)+1)/(N+V) (add-one unigram backoff)
+    *
+    * The backoff term is strictly positive, so ln is always defined —
+    * including fully-OOV bigrams. Documents need ≥ 2 tokens (excluded
+    * otherwise); score is nats per BIGRAM slot: h2 = −Σ ln p / (n−1),
+    * folded over bigrams sorted by (w1, w2) and rounded to 6 dp, the
+    * usual cross-engine boundary.
+    *
+    * Scale shape: three equi-joins keyed by token(s) against the
+    * model tables (broadcast when the vocab is capped, as CCNet
+    * does); corpus text never shuffles — only (doc, w1, w2, tf)
+    * rows. The reference-bigram frame feeds both the count join and
+    * the context-marginal aggregation, so it takes the same
+    * `materialize` hook. Output: (doc_id, lang, n_bigrams, h2_r). */
+  def bigramCrossEntropy(docs: DataFrame, idCol: String, textCol: String,
+      langCol: String, refPredicate: String, lambda: Double = 0.7,
+      materialize: DataFrame => DataFrame = identity): DataFrame = {
+    require(lambda > 0 && lambda < 1, s"lambda must be in (0,1): $lambda")
+    val id = col(idCol)
+    def withPairs(df: DataFrame): DataFrame = df
+      .withColumn("__tk", wsTokens(col(textCol)))
+      .filter(size(col("__tk")) >= 2)
+      .withColumn("__nbi", (size(col("__tk")) - 1).cast("long"))
+      .withColumn("__z", explode(arrays_zip(
+        expr("slice(__tk, 1, size(__tk) - 1)"),
+        expr("slice(__tk, 2, size(__tk) - 1)"))))
+      .withColumn("w1", col("__z.0")).withColumn("w2", col("__z.1"))
+
+    val refDocs = docs.filter(expr(refPredicate))
+    val refBi = materialize(withPairs(refDocs)
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2")))
+    val refCtx = refBi.groupBy(col("w1"))
+      .agg(sum(col("c2")).as("ctx"))
+    val refUni = materialize(refDocs
+      .select(explode(wsTokens(col(textCol))).as("w2"))
+      .groupBy(col("w2")).agg(count(lit(1)).as("c1")))
+    val stats = refUni.agg(sum(col("c1")).as("n_ref"),
+      count(lit(1)).as("v_ref"))
+
+    val tf = withPairs(docs)
+      .groupBy(id, col(langCol), col("__nbi"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("tf"))
+    val pBi = when(col("ctx") > 0,
+      coalesce(col("c2"), lit(0L)).cast("double") /
+        col("ctx").cast("double")).otherwise(lit(0.0))
+    val pUni = (coalesce(col("c1"), lit(0L)).cast("double") + 1.0) /
+      (col("n_ref") + col("v_ref")).cast("double")
+    val terms = tf
+      .join(refBi, Seq("w1", "w2"), "left")
+      .join(refCtx, Seq("w1"), "left")
+      .join(refUni, Seq("w2"), "left")
+      .crossJoin(broadcast(stats))
+      .select(id, col(langCol), col("__nbi"), col("w1"), col("w2"),
+        (col("tf").cast("double") *
+          log(lit(lambda) * pBi + lit(1.0 - lambda) * pUni)).as("contrib"))
+    terms.groupBy(id, col(langCol), col("__nbi"))
+      .agg(round(
+        -aggregate(
+          transform(array_sort(collect_list(struct(col("w1"), col("w2"),
+            col("contrib")))), x => x.getField("contrib")),
+          lit(0.0), (acc, x) => acc + x) / col("__nbi").cast("double"),
+        6).as("h2_r"))
+      .select(id, col(langCol), col("__nbi").as("n_bigrams"), col("h2_r"))
+      .orderBy(id)
+  }
+
+  /** DuckDB twin of [[bigramCrossEntropy]]. */
+  def bigramCrossEntropyOracleSql(table: String, idCol: String,
+      textCol: String, langCol: String, refPredicate: String,
+      lambda: Double = 0.7): String = {
+    val ws = s"string_split_regex(trim($textCol), '\\s+')"
+    val lam = java.lang.Double.toString(lambda)
+    val bak = java.lang.Double.toString(1.0 - lambda)
+    def pairs(pred: String, cols: String): String =
+      s"""SELECT $cols z[1] AS w1, z[2] AS w2
+         |  FROM (SELECT *, CAST(len($ws) - 1 AS BIGINT) AS nbi,
+         |          unnest(list_zip($ws[1:len($ws)-1], $ws[2:len($ws)])) AS z
+         |        FROM $table WHERE ($pred) AND len($ws) >= 2)""".stripMargin
+    s"""WITH refbi AS (
+       |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2
+       |  FROM (${pairs(refPredicate, "")})
+       |  GROUP BY w1, w2),
+       |refctx AS (
+       |  SELECT w1, CAST(sum(c2) AS BIGINT) AS ctx FROM refbi GROUP BY w1),
+       |refuni AS (
+       |  SELECT w2, CAST(count(*) AS BIGINT) AS c1
+       |  FROM (SELECT unnest($ws) AS w2 FROM $table
+       |        WHERE ($refPredicate))
+       |  GROUP BY w2),
+       |stats AS (
+       |  SELECT CAST(sum(c1) AS BIGINT) AS n_ref,
+       |    CAST(count(*) AS BIGINT) AS v_ref FROM refuni),
+       |tf AS (
+       |  SELECT $idCol, $langCol, nbi, w1, w2,
+       |    CAST(count(*) AS BIGINT) AS tf
+       |  FROM (${pairs("TRUE", s"$idCol, $langCol, nbi,")})
+       |  GROUP BY $idCol, $langCol, nbi, w1, w2),
+       |term AS (
+       |  SELECT $idCol, $langCol, nbi, w1, w2,
+       |    CAST(tf AS DOUBLE) * ln(
+       |      $lam * (CASE WHEN ctx > 0
+       |        THEN CAST(coalesce(c2, 0) AS DOUBLE) / CAST(ctx AS DOUBLE)
+       |        ELSE 0.0 END) +
+       |      $bak * ((CAST(coalesce(c1, 0) AS DOUBLE) + 1.0) /
+       |              CAST(n_ref + v_ref AS DOUBLE))) AS contrib
+       |  FROM tf LEFT JOIN refbi USING (w1, w2)
+       |    LEFT JOIN refctx USING (w1)
+       |    LEFT JOIN refuni USING (w2)
+       |    CROSS JOIN stats)
+       |SELECT $idCol, $langCol, nbi AS n_bigrams,
+       |  round(-list_reduce(
+       |    list_prepend(CAST(0.0 AS DOUBLE), list(contrib ORDER BY w1, w2)),
+       |    (acc, x) -> acc + x) / CAST(nbi AS DOUBLE), 6) AS h2_r
+       |FROM term GROUP BY $idCol, $langCol, nbi
+       |ORDER BY $idCol""".stripMargin
+  }
+
   /** DuckDB twin of [[crossEntropyBuckets]]: same tokenization, same
     * add-one smoothing, same token-sorted left fold, same 6-dp
     * rounding before the per-language ntile. */

@@ -1994,6 +1994,18 @@ object ExtensionQueries {
       Some("""SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
              |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
              |  min(doc_id) AS min_id, max(doc_id) AS max_id
-             |FROM documents GROUP BY lang ORDER BY lang""".stripMargin))
+             |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    QuerySpec("x44_bigram_perplexity",
+      "bigram LM cross-entropy with interpolation backoff (the n-gram " +
+        "step toward CCNet's 5-gram KenLM): p(w2|w1) = 0.7*ML-bigram " +
+        "+ 0.3*add-one unigram, trained on the English slice; backoff " +
+        "keeps ln defined on fully-OOV bigrams, per-doc fold sorted " +
+        "by (w1,w2), 6dp-rounded; three token-keyed model joins, " +
+        "corpus text never shuffled",
+      (s, dir) => LanguageModel.bigramCrossEntropy(
+        t(s, dir, "documents"), "doc_id", "text", "lang", "lang = 'en'"),
+      Some(LanguageModel.bigramCrossEntropyOracleSql(
+        "documents", "doc_id", "text", "lang", "lang = 'en'")))
   )
 }

@@ -44,4 +44,30 @@ class LanguageModelSpec extends SparkSpec {
   test("OOV-heavier documents score strictly higher cross-entropy") {
     assert(rows(2L)._1 < rows(3L)._1 && rows(3L)._1 < rows(4L)._1)
   }
+
+  test("bigram LM: exact interpolated values; seen bigrams beat " +
+      "unseen; single-token docs excluded") {
+    val d = Seq(
+      (1L, "aa bb aa bb", "en", "ref"),
+      (2L, "aa bb", "en", "web"),     // seen bigram
+      (3L, "bb aa", "en", "web"),     // seen bigram (aa bb aa window)
+      (4L, "zz qq", "en", "web"),     // fully OOV bigram: backoff only
+      (5L, "aa", "en", "web")         // single token: excluded
+    ).toDF("doc_id", "text", "lang", "src")
+    val got = LanguageModel.bigramCrossEntropy(d, "doc_id", "text",
+        "lang", "src = 'ref'")
+      .select($"doc_id", $"n_bigrams", $"h2_r")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    // ref "aa bb aa bb": bigrams (aa,bb)x2, (bb,aa)x1; ctx(aa)=2,
+    // ctx(bb)=1; unigrams aa:2 bb:2, N=4, V=2 -> p1 = (c+1)/6
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    val pAaBb = 0.7 * (2.0 / 2.0) + 0.3 * (3.0 / 6.0)
+    val pBbAa = 0.7 * (1.0 / 1.0) + 0.3 * (3.0 / 6.0)
+    val pZzQq = 0.7 * 0.0 + 0.3 * (1.0 / 6.0)
+    assert(got(2L) == ((2L, 1L, r6(-math.log(pAaBb)))))
+    assert(got(3L) == ((3L, 1L, r6(-math.log(pBbAa)))))
+    assert(got(4L) == ((4L, 1L, r6(-math.log(pZzQq)))))
+    assert(!got.contains(5L), "single-token docs have no bigram slots")
+    assert(got(2L)._3 < got(4L)._3, "seen bigrams must score lower")
+  }
 }
