@@ -55,6 +55,53 @@ object Stats {
       .orderBy(col(groupCol))
   }
 
+  /** GLOBAL (ungrouped) exact discrete quantiles — [[exactQuantiles]]
+    * distributes its cumulative window by group key, so the
+    * ungrouped case would degenerate to one task; this form runs the
+    * cumulative count through [[Packing.exclusiveRunningSum]]'s
+    * two-level prefix sum over the VALUE HISTOGRAM instead (in-bucket
+    * windows + one tiny per-bucket-totals window), so no window ever
+    * sees more than a range-partitioned slice of distinct values.
+    * The fork of the cum frame (total + quantile scan) is
+    * histogram-sized, not corpus-sized. Output: one row
+    * (p<pct>..., n_rows). */
+  def globalExactQuantiles(df: DataFrame, valCol: String,
+      pcts: Seq[Int]): DataFrame = {
+    require(pcts.nonEmpty && pcts.forall(p => p >= 1 && p <= 100),
+      s"percentages must be in [1,100], got $pcts")
+    val h = df.groupBy(col(valCol)).agg(count(lit(1)).as("__cnt"))
+    val cum = Packing.exclusiveRunningSum(h, valCol, "__cnt")
+      .withColumn("__cum", (col("__excl") + col("__cnt")).cast("long"))
+    val tot = cum.agg(max(col("__cum")).cast("long").as("__n"))
+    val aggs = pcts.map { p =>
+      val k = ldiv(col("__n") * p + 99, lit(100L))
+      min(when(col("__cum") >= k, col(valCol))).as(s"p$p")
+    } :+ max(col("__n")).cast("long").as("n_rows")
+    cum.crossJoin(broadcast(tot)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** DuckDB twin of [[globalExactQuantiles]] — plain running window
+    * over the histogram (same result as the two-level decomposition,
+    * whose shape is Spark-side scaling, not semantics). */
+  def globalExactQuantilesOracleSql(table: String, valCol: String,
+      pcts: Seq[Int]): String = {
+    val qSel = pcts.map { p =>
+      s"min(CASE WHEN cum >= (n * $p + 99) // 100 THEN $valCol END) AS p$p"
+    }.mkString(",\n  ")
+    s"""WITH h AS (
+       |  SELECT $valCol, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM $table GROUP BY $valCol),
+       |c AS (
+       |  SELECT $valCol, CAST(sum(cnt) OVER (ORDER BY $valCol
+       |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+       |  FROM h),
+       |t AS (SELECT CAST(max(cum) AS BIGINT) AS n FROM c)
+       |SELECT
+       |  $qSel,
+       |  CAST(max(n) AS BIGINT) AS n_rows
+       |FROM c CROSS JOIN t""".stripMargin
+  }
+
   /** DuckDB twin of [[exactQuantiles]] — the identical histogram CTE
     * chain (NOT quantile_disc, whose rank convention need not match;
     * mirroring the formulation keeps the gate meaningful). */

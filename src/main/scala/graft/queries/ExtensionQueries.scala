@@ -2006,6 +2006,19 @@ object ExtensionQueries {
       (s, dir) => LanguageModel.bigramCrossEntropy(
         t(s, dir, "documents"), "doc_id", "text", "lang", "lang = 'en'"),
       Some(LanguageModel.bigramCrossEntropyOracleSql(
-        "documents", "doc_id", "text", "lang", "lang = 'en'")))
+        "documents", "doc_id", "text", "lang", "lang = 'en'"))),
+
+    QuerySpec("g9b_global_exact_quantiles",
+      "GLOBAL exact discrete quantiles over a high-cardinality " +
+        "column: cumulative counts via the two-level distributed " +
+        "prefix sum (Packing.exclusiveRunningSum) over the value " +
+        "histogram — no window ever sees more than a range-partition " +
+        "of distinct values, closing g9's single-task caveat for the " +
+        "ungrouped case; integer-exact ranks, histogram-mirrored " +
+        "oracle",
+      (s, dir) => graft.operators.Stats.globalExactQuantiles(
+        t(s, dir, "lineitem"), "l_extendedprice", Seq(25, 50, 75)),
+      Some(graft.operators.Stats.globalExactQuantilesOracleSql(
+        "lineitem", "l_extendedprice", Seq(25, 50, 75))))
   )
 }

@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions.lit
+
 import graft.operators.Stats
 
 class StatsSpec extends SparkSpec {
@@ -32,5 +34,19 @@ class StatsSpec extends SparkSpec {
       .as[(String, Double, Long)].head()
     // n=101 -> k = ceil(50.5) = 51 -> the 51st smallest = 51.0
     assert(got == (("g", 51.0, 101L)))
+  }
+
+  test("globalExactQuantiles equals the grouped form on a single " +
+      "group, across bucket boundaries") {
+    val df = (1 to 1000).map(i => i.toDouble).toDF("v")
+    val global = Stats.globalExactQuantiles(df, "v", Seq(25, 50, 75))
+      .as[(Double, Double, Double, Long)].head()
+    assert(global == ((250.0, 500.0, 750.0, 1000L)))
+    val grouped = Stats.exactQuantiles(df.withColumn("g", lit("all")),
+        "g", "v", Seq(25, 50, 75))
+      .as[(String, Double, Double, Double, Long)].head()
+    assert((grouped._2, grouped._3, grouped._4, grouped._5) ==
+      ((global._1, global._2, global._3, global._4)),
+      "two-level prefix decomposition must equal the windowed form")
   }
 }
