@@ -1976,14 +1976,19 @@ object ExtensionQueries {
         "reduction REQUIREd in-query, content identity hash-gated " +
         "against the original table",
       (s, dir) => {
+        val docs = t(s, dir, "documents")
+        // fragmentation and the expected compacted count both scale
+        // with the corpus, so the REQUIRE holds at every SF
+        val expected = ((docs.count() + 199) / 200).toInt
         val frag = Warehouse.saveFormat(
-          t(s, dir, "documents").repartition(64), "docs_frag", "parquet")
+          docs.repartition(4 * expected), "docs_frag", "parquet")
         val before = Layout.parquetFileCount(s, frag)
         val compacted = Layout.compact(s, frag, "docs_compact",
           targetRowsPerFile = 200L, sortCol = "doc_id")
         val after = Layout.parquetFileCount(s, compacted)
-        require(after < before && after <= 5,
-          s"compaction must shrink the file count ($before -> $after)")
+        require(after < before && after == expected,
+          s"compaction must hit ceil(n/target) files " +
+            s"($before -> $after, expected $expected)")
         s.read.parquet(compacted)
           .groupBy(col("lang"))
           .agg(count(lit(1)).as("n_docs"),
