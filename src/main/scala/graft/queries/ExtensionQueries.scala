@@ -2024,6 +2024,22 @@ object ExtensionQueries {
       (s, dir) => graft.operators.Stats.globalExactQuantiles(
         t(s, dir, "lineitem"), "l_extendedprice", Seq(25, 50, 75)),
       Some(graft.operators.Stats.globalExactQuantilesOracleSql(
-        "lineitem", "l_extendedprice", Seq(25, 50, 75))))
+        "lineitem", "l_extendedprice", Seq(25, 50, 75)))),
+
+    QuerySpec("s14b_zvalue_parity",
+      "Morton z-value bit parity: the interleave expression computed " +
+        "per row in both engines and hash-compared directly — the " +
+        "arithmetic a z-range predicate pushdown would rely on, " +
+        "verified bit-for-bit rather than assumed",
+      (s, dir) => t(s, dir, "lineitem")
+        .filter(col("l_orderkey") <= 200)
+        .select(col("l_orderkey"), col("l_linenumber").cast("long"),
+          Layout.zValue(col("l_partkey"), col("l_suppkey"), 21).as("zval"))
+        .orderBy(col("l_orderkey"), col("l_linenumber")),
+      Some(s"""SELECT l_orderkey, CAST(l_linenumber AS BIGINT)
+             |    AS l_linenumber,
+             |  ${Layout.zValueSql("l_partkey", "l_suppkey", 21)} AS zval
+             |FROM lineitem WHERE l_orderkey <= 200
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin))
   )
 }
