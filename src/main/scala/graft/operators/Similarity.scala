@@ -278,11 +278,14 @@ object Similarity {
   def cellSqlExpr(v: String, centroids: Array[Array[Double]]): String =
     s"list_sort(${cellStructsSql(v, centroids)}, 'DESC')[1].i"
 
-  def ivfOracleSql(table: String, idCol: String, vecCol: String, k: Int,
+  /** Shared CTE chain ending in `scored(qid, did, cos)` — the IVF
+    * probe-join candidate generator behind [[ivfOracleSql]] and
+    * [[minePairsOracleSql]]. */
+  private def ivfScoredCte(table: String, idCol: String, vecCol: String,
       centroids: Array[Array[Double]], nProbes: Int,
       queryPred: String): String = {
     val structs = (v: String) => cellStructsSql(v, centroids)
-    s"""WITH q0 AS (SELECT $idCol AS qid, $vecCol::DOUBLE[] AS qvec
+    s"""q0 AS (SELECT $idCol AS qid, $vecCol::DOUBLE[] AS qvec
        |           FROM $table WHERE $queryPred),
        |c0 AS (SELECT $idCol AS did, $vecCol::DOUBLE[] AS dvec FROM $table),
        |c AS (SELECT did, dvec, sqrt(list_dot_product(dvec, dvec)) AS dn,
@@ -298,9 +301,15 @@ object Similarity {
        |    CASE WHEN qn * dn > 0
        |      THEN list_dot_product(qvec, dvec) / (qn * dn)
        |      ELSE 0.0 END AS cos
-       |  FROM c JOIN q USING (cell) WHERE qid <> did),
-       |${rankedTailSql(k)}""".stripMargin
+       |  FROM c JOIN q USING (cell) WHERE qid <> did)""".stripMargin
   }
+
+  def ivfOracleSql(table: String, idCol: String, vecCol: String, k: Int,
+      centroids: Array[Array[Double]], nProbes: Int,
+      queryPred: String): String =
+    s"""WITH ${ivfScoredCte(table, idCol, vecCol, centroids, nProbes,
+         queryPred)},
+       |${rankedTailSql(k)}""".stripMargin
 
   /** Recall@k of an approximate ANN result against the exact one:
     * per query, the fraction of true top-k neighbors the approximate
@@ -682,6 +691,122 @@ object Similarity {
        |         FROM n0)
        |SELECT id AS $idCol, b.i AS cell, round(b.s, 6) AS score_r
        |FROM best ORDER BY $idCol""".stripMargin
+
+  /** Cluster-balanced diversity sampling: keep at most `perCell` rows
+    * from each IVF cell, chosen by a deterministic hash order — the
+    * diversity-preserving down-sampler (SemDeDup-adjacent: after
+    * near-dups are gone, corpora are still density-skewed; uniform
+    * sampling keeps the head's redundancy, cell-balanced sampling
+    * keeps the tail's coverage). Hash order, not id order, so the
+    * kept set is unbiased w.r.t. ingestion order yet reproducible
+    * across runs/engines.
+    *
+    * Scale shape: cell assignment is the usual narrow projection; the
+    * only wide op is a window keyed by cell (distributes across
+    * cells). Output: (id, cell, rk) for kept rows. */
+  def cellBalancedSample(corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Double]], perCell: Int): DataFrame = {
+    require(perCell >= 1, s"perCell must be >= 1, got $perCell")
+    val id = col(idCol)
+    val w = Window.partitionBy(col("cell"))
+      .orderBy(graft.functions.HashFunctions.md5Hash60(id.cast("string")),
+        id)
+    corpus
+      .select(id, cellExpr(col(vecCol), centroids).as("cell"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= perCell)
+  }
+
+  /** DuckDB twin of [[cellBalancedSample]] (late-bound centroids). */
+  def cellBalancedSampleOracleSql(table: String, idCol: String,
+      vecCol: String, centroids: Array[Array[Double]],
+      perCell: Int): String =
+    s"""WITH c AS (SELECT $idCol AS id,
+       |             ${cellSqlExpr(s"$vecCol::DOUBLE[]", centroids)} AS cell
+       |           FROM $table),
+       |r AS (SELECT id, cell, CAST(row_number() OVER (
+       |        PARTITION BY cell ORDER BY
+       |          ('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 15))::BIGINT,
+       |          id) AS BIGINT) AS rk
+       |      FROM c)
+       |SELECT id AS $idCol, cell, rk FROM r WHERE rk <= $perCell
+       |ORDER BY $idCol""".stripMargin
+
+  /** Contrastive-pair mining over the IVF candidate structure: for
+    * each anchor, its POSITIVE = the highest-cosine candidate with
+    * rounded cosine ≥ `posBand`, and its HARD NEGATIVE = the
+    * highest-cosine candidate strictly below `negBand` — the
+    * in-between band is excluded on purpose (likely near-dups /
+    * label noise, the standard contrastive-mining hygiene). Hard
+    * negatives — maximally-similar non-matches — are what make
+    * embedding-model training batches informative; random negatives
+    * are trivially separable.
+    *
+    * Anchors missing either side (no candidate in the band within
+    * the probed cells) are dropped — a mined TRAINING PAIR needs
+    * both. Candidates come from the same bounded cell equi-join as
+    * [[ivfTopK]] (never a cartesian); both selections rank on the
+    * ROUNDED cosine with id tie-breaks, so the mined set is
+    * identical across engines. */
+  def minePairs(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, nCells: Int, nProbes: Int, posBand: Double,
+      negBand: Double, iters: Int = 2): DataFrame = {
+    require(posBand >= negBand,
+      s"posBand=$posBand must be >= negBand=$negBand " +
+        "(equal bands = no excluded middle)")
+    val centroids = ivfTrain(corpus, idCol, vecCol, nCells, iters)
+    val c = corpus.select(col(idCol).as("did"), col(vecCol).as("dvec"),
+      l2Norm(col(vecCol)).as("dn"),
+      cellExpr(col(vecCol), centroids).as("cell"))
+    val probeStructs = centroids.zipWithIndex.map { case (cent, i) =>
+      struct(dotProduct(col(vecCol), array(cent.map(lit): _*)).as("s"),
+        lit(i).as("i"))
+    }
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"),
+        l2Norm(col(vecCol)).as("qn"),
+        explode(slice(reverse(array_sort(array(probeStructs.toSeq: _*))),
+          1, nProbes)).as("probe"))
+      .select(col("qid"), col("qvec"), col("qn"), col("probe.i").as("cell"))
+    val scored = c.join(broadcast(q), Seq("cell"))
+      .filter(col("qid") =!= col("did"))
+      .select(col("qid"), col("did"),
+        round(when(col("qn") * col("dn") > 0,
+            dotProduct(col("qvec"), col("dvec")) / (col("qn") * col("dn")))
+          .otherwise(lit(0.0)), 6).as("cos_r"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos_r").desc, col("did"))
+    def top1(df: DataFrame, idName: String, cosName: String): DataFrame =
+      df.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("qid"), col("did").as(idName),
+          col("cos_r").as(cosName))
+    top1(scored.filter(col("cos_r") >= posBand), "pos_id", "pos_cos_r")
+      .join(top1(scored.filter(col("cos_r") < negBand),
+        "hneg_id", "hneg_cos_r"), Seq("qid"))
+      .orderBy(col("qid"))
+  }
+
+  /** DuckDB twin of [[minePairs]] (late-bound centroids). */
+  def minePairsOracleSql(table: String, idCol: String, vecCol: String,
+      centroids: Array[Array[Double]], nProbes: Int, posBand: Double,
+      negBand: Double, queryPred: String): String =
+    s"""WITH ${ivfScoredCte(table, idCol, vecCol, centroids, nProbes,
+         queryPred)},
+       |sr AS (SELECT qid, did, round(cos, 6) AS cos_r FROM scored),
+       |pos AS (
+       |  SELECT qid, did AS pos_id, cos_r AS pos_cos_r,
+       |    row_number() OVER (PARTITION BY qid
+       |      ORDER BY cos_r DESC, did) AS rn
+       |  FROM sr WHERE cos_r >= ${dlit(posBand)}),
+       |neg AS (
+       |  SELECT qid, did AS hneg_id, cos_r AS hneg_cos_r,
+       |    row_number() OVER (PARTITION BY qid
+       |      ORDER BY cos_r DESC, did) AS rn
+       |  FROM sr WHERE cos_r < ${dlit(negBand)})
+       |SELECT p.qid, p.pos_id, p.pos_cos_r, n.hneg_id, n.hneg_cos_r
+       |FROM pos p JOIN neg n ON p.qid = n.qid
+       |WHERE p.rn = 1 AND n.rn = 1
+       |ORDER BY p.qid""".stripMargin
 
   // ---- Residual product quantization (full IVF-PQ) -----------------
 

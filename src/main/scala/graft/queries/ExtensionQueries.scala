@@ -2040,6 +2040,45 @@ object ExtensionQueries {
              |    AS l_linenumber,
              |  ${Layout.zValueSql("l_partkey", "l_suppkey", 21)} AS zval
              |FROM lineitem WHERE l_orderkey <= 200
-             |ORDER BY l_orderkey, l_linenumber""".stripMargin))
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    QuerySpec("x45_hard_negative_mining",
+      "contrastive-pair mining for embedding training: per anchor, " +
+        "the best candidate at/above the positive band and the best " +
+        "strictly below the negative band (the in-between excluded as " +
+        "likely near-dup noise) — hard negatives are what make " +
+        "contrastive batches informative; candidates from the bounded " +
+        "IVF cell join, rankings on the rounded cosine so both " +
+        "engines mine the identical set",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        Similarity.minePairs(emb, emb.filter(col("vec_id") < 8),
+          "vec_id", "embedding", nCells = 8, nProbes = 2,
+          posBand = 0.10, negBand = 0.0)
+      },
+      None,
+      oracleGen = () => Similarity.trainedCentroids.get((8, 2, ""))
+        .map(cents => Similarity.minePairsOracleSql("embeddings",
+          "vec_id", "embedding", cents, nProbes = 2, posBand = 0.10,
+          negBand = 0.0, queryPred = "vec_id < 8"))),
+
+    QuerySpec("x46_cell_balanced_sample",
+      "cluster-balanced diversity sampling: at most 12 rows per IVF " +
+        "cell in deterministic hash order — after near-dups are gone " +
+        "corpora stay density-skewed, and uniform sampling keeps the " +
+        "head's redundancy while cell-balanced keeps the tail's " +
+        "coverage; the only wide op is a cell-keyed window",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val cents = Similarity.ivfTrain(emb, "vec_id", "embedding",
+          nCells = 8, iters = 2)
+        Similarity.cellBalancedSample(emb, "vec_id", "embedding",
+            cents, perCell = 12)
+          .orderBy(col("vec_id"))
+      },
+      None,
+      oracleGen = () => Similarity.trainedCentroids.get((8, 2, ""))
+        .map(cents => Similarity.cellBalancedSampleOracleSql(
+          "embeddings", "vec_id", "embedding", cents, perCell = 12)))
   )
 }

@@ -342,4 +342,42 @@ class SimilaritySpec extends SparkSpec {
       s"residual encoding must reduce reconstruction error " +
         s"(res=$resErr plain=$plainErr)")
   }
+
+  test("minePairs: positive from its own cluster, hard negative " +
+      "below the band, anchors lacking either side dropped") {
+    // anchor cluster on x-axis; a mild cross-cluster candidate gives
+    // the hard negative; probing both cells sees all candidates
+    val got = Similarity.minePairs(pqCorpus,
+        pqCorpus.filter($"vec_id" === 0), "vec_id", "embedding",
+        nCells = 2, nProbes = 2, posBand = 0.5, negBand = 0.5)
+      .select($"qid", $"pos_id", $"hneg_id", $"pos_cos_r", $"hneg_cos_r")
+      .as[(Long, Long, Long, Double, Double)].collect().toSeq
+    assert(got.length == 1)
+    val r = got.head
+    assert(r._2 == 1L, s"positive must be the nearest cluster-mate: $r")
+    assert(Set(3L, 4L, 5L).contains(r._3),
+      s"hard negative must come from the other cluster: $r")
+    assert(r._4 >= 0.5 && r._5 < 0.5)
+    // a band nothing satisfies yields no pair rows, not nulls
+    val none = Similarity.minePairs(pqCorpus,
+      pqCorpus.filter($"vec_id" === 0), "vec_id", "embedding",
+      nCells = 2, nProbes = 2, posBand = 1.1, negBand = 1.0)
+    assert(none.count() == 0)
+  }
+
+  test("cellBalancedSample caps every cell and is deterministic " +
+      "across runs") {
+    val cents = Similarity.ivfTrain(pqCorpus, "vec_id", "embedding",
+      nCells = 2, tag = "cbs")
+    def run() = Similarity.cellBalancedSample(pqCorpus, "vec_id",
+        "embedding", cents, perCell = 2)
+      .select($"vec_id", $"cell").as[(Long, Int)].collect().toSeq
+      .sortBy(_._1)
+    val a = run()
+    assert(a == run(), "hash-ordered sampling must be reproducible")
+    assert(a.groupBy(_._2).values.forall(_.size <= 2),
+      s"no cell may exceed the cap: $a")
+    assert(a.map(_._2).distinct.size == 2,
+      "both clusters must stay represented")
+  }
 }
