@@ -2079,6 +2079,43 @@ object ExtensionQueries {
       None,
       oracleGen = () => Similarity.trainedCentroids.get((8, 2, ""))
         .map(cents => Similarity.cellBalancedSampleOracleSql(
-          "embeddings", "vec_id", "embedding", cents, perCell = 12)))
+          "embeddings", "vec_id", "embedding", cents, perCell = 12))),
+
+    QuerySpec("x42c_pq_recall_sweep",
+      "the recall-vs-compression knob turned: same corpus as x42b " +
+        "but ksub=16 codewords (one more bit per code) and 4 probes " +
+        "(half the cells) — the parameter sweep a deployment runs " +
+        "before freezing an index config; x42b's 8-codeword recall " +
+        "is the baseline this variant must beat",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val q = emb.filter(col("vec_id") < 8)
+        val exact = Similarity.bruteForceTopK(emb, q, "vec_id",
+          "embedding", 5)
+        val wide = Similarity.adcTopK(emb, q, "vec_id", "embedding",
+          5, m = 8, ksub = 16, nCells = 8, nProbes = 4)
+        Similarity.recallAtK(wide, exact)
+          .withColumnRenamed("recall_at_k", "recall_k16p4")
+          .orderBy(col("qid"))
+      },
+      None,
+      oracleGen = () => for {
+        books <- Similarity.trainedCodebooks.get((8, 16, 2, ""))
+        cents <- Similarity.trainedCentroids.get((8, 2, ""))
+      } yield {
+        val exact = annTopkOracle.replace("\n", "\n    ")
+        val wide = Similarity.adcOracleSql("embeddings", "vec_id",
+          "embedding", 5, books, cents, nProbes = 4,
+          queryPred = "vec_id < 8").replace("\n", "\n    ")
+        s"""WITH exact AS (SELECT qid, did FROM (
+           |    $exact)),
+           |wide AS (SELECT qid, did FROM (
+           |    $wide))
+           |SELECT e.qid, CAST(count(a.did) AS DOUBLE) / count(*)
+           |  AS recall_k16p4
+           |FROM exact e LEFT JOIN wide a
+           |  ON e.qid = a.qid AND e.did = a.did
+           |GROUP BY e.qid ORDER BY e.qid""".stripMargin
+      })
   )
 }

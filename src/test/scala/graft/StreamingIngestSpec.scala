@@ -95,5 +95,15 @@ class StreamingIngestSpec extends SparkSpec {
       Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text"), dir, 0L)
     assert(spark.read.parquet(dir).count() == 3,
       "replay must overwrite, not append")
+
+    // maintenance composition: compact the aged batch_id layout with
+    // the same operator the batch side uses — content preserved, the
+    // per-batch small files collapse to one sorted file
+    import graft.operators.Layout
+    val compacted = Layout.compact(spark, dir, "sink_compacted",
+      targetRowsPerFile = 1000L, sortCol = "doc_id")
+    assert(spark.read.parquet(compacted).select($"doc_id")
+      .as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
+    assert(Layout.parquetFileCount(spark, compacted) == 1)
   }
 }
