@@ -137,4 +137,60 @@ class PropertySpec extends SparkSpec {
         assert(got == model(s))
     }
   }
+
+  test("zValue equals the bit-interleave model and is injective on " +
+      "the key domain") {
+    import graft.operators.Layout
+    def model(x: Long, y: Long, bits: Int): Long =
+      (0 until bits).foldLeft(0L)((z, i) =>
+        z | (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1)))
+    val pair = Gen.zip(Gen.choose(0L, 255L), Gen.choose(0L, 255L))
+    forAll(Gen.listOfN(40, pair), minSuccessful(5)) { (ps: List[(Long, Long)]) =>
+      val got = ps.toDF("x", "y")
+        .select(Layout.zValue(col("x"), col("y"), 8).as("z"))
+        .as[Long].collect().toSeq
+      assert(got == ps.map { case (x, y) => model(x, y, 8) })
+      // injectivity: distinct (x, y) pairs never share a z-value
+      assert(ps.distinct.length == got.distinct.length)
+    }
+  }
+
+  test("exactQuantiles matches the sort-based rank model on random " +
+      "multisets") {
+    import graft.operators.Stats
+    val values = Gen.nonEmptyListOf(Gen.choose(0, 20).map(_.toDouble))
+    forAll(values, minSuccessful(8)) { (vs: List[Double]) =>
+      val df = vs.map(("g", _)).toDF("g", "v")
+      val got = Stats.exactQuantiles(df, "g", "v", Seq(25, 50, 75))
+        .as[(String, Double, Double, Double, Long)].head()
+      val sorted = vs.sorted
+      def kth(p: Int): Double =
+        sorted((p * vs.length + 99) / 100 - 1) // type-1: ceil(p*n/100)th
+      assert((got._2, got._3, got._4, got._5) ==
+        ((kth(25), kth(50), kth(75), vs.length.toLong)),
+        s"values=$vs got=$got")
+    }
+  }
+
+  test("budgetSelect keep-set is exactly the maximal prefix of the " +
+      "(quality desc, id) order within budget") {
+    import graft.operators.Corpus
+    val row = Gen.zip(Gen.choose(0.0, 1.0).map(q =>
+      math.rint(q * 10) / 10), Gen.choose(1L, 50L))
+    forAll(Gen.nonEmptyListOf(row), minSuccessful(8)) {
+      (rows: List[(Double, Long)]) =>
+        val withIds = rows.zipWithIndex.map { case ((q, t), i) =>
+          (i.toLong, q, t) }
+        val budget = rows.map(_._2).sum / 2
+        val got = Corpus.budgetSelect(withIds.toDF("id", "q", "n_tok"),
+            "id", "q", "n_tok", budget)
+          .filter(col("keep")).select(col("id")).as[Long]
+          .collect().toSet
+        val model = withIds.sortBy { case (id, q, _) => (-q, id) }
+          .scanLeft(((-1L, 0.0, 0L), 0L)) { case ((_, acc), r) =>
+            (r, acc + r._3) }
+          .drop(1).takeWhile(_._2 <= budget).map(_._1._1).toSet
+        assert(got == model, s"rows=$withIds budget=$budget")
+    }
+  }
 }
