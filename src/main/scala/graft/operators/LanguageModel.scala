@@ -149,6 +149,33 @@ object LanguageModel {
       .orderBy(id)
   }
 
+  /** FROZEN-model cross-entropy as a pure Column expression: the
+    * vocabulary's ln-probabilities ride the plan as a map literal
+    * (vocab must be capped — CCNet caps its LM vocab — a literal map
+    * is broadcast with the task binary), unknown tokens fall back to
+    * `lnPOov`, and the per-doc fold runs over the IN-ROW sorted token
+    * array. No shuffle, no state, no model join — which is exactly
+    * what lets the SAME expression score a batch frame or a
+    * Structured Streaming micro-batch (the ingestion-time quality
+    * gate: filter on the score next to CorpusKeep; see
+    * StreamingIngestSpec). NULL for token-less rows rather than a
+    * divide-by-zero.
+    *
+    * Agreement with [[crossEntropyBuckets]]'s distributed scorer on
+    * the same model is within an ULP-level fold-order difference
+    * (tf·lnp vs repeated addition) — spec-checked at 2e-6. */
+  def frozenVocabCrossEntropy(textCol: Column, lnP: Map[String, Double],
+      lnPOov: Double): Column = {
+    require(lnP.nonEmpty, "frozen vocabulary must be non-empty")
+    val m = map(lnP.toSeq.sortBy(_._1)
+      .flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
+    val toks = array_sort(wsTokens(textCol))
+    when(size(toks) > 0,
+      -aggregate(
+        transform(toks, t => coalesce(element_at(m, t), lit(lnPOov))),
+        lit(0.0), (acc, x) => acc + x) / size(toks).cast("double"))
+  }
+
   /** Per-document BIGRAM cross-entropy with interpolation backoff —
     * the n-gram step up from [[crossEntropyBuckets]]'s unigram model
     * (CCNet's KenLM is a 5-gram of the same family; the machinery

@@ -106,4 +106,48 @@ class StreamingIngestSpec extends SparkSpec {
       .as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
     assert(Layout.parquetFileCount(spark, compacted) == 1)
   }
+
+  test("streaming perplexity gate: frozen-vocab scoring filters " +
+      "micro-batches, and agrees with the distributed batch scorer") {
+    import graft.operators.LanguageModel
+    implicit val sqlCtx = spark.sqlContext
+    // frozen model trained on "aa bb cc dd": add-one, N=4, V=4
+    val lnP = Seq("aa", "bb", "cc", "dd")
+      .map(w => w -> math.log(2.0 / 8.0)).toMap
+    val lnOov = math.log(1.0 / 8.0)
+    val h = LanguageModel.frozenVocabCrossEntropy($"text", lnP, lnOov)
+    val gate = -math.log(2.0 / 8.0) + 1e-9 // pass = fully in-vocab
+
+    val mem = MemoryStream[IngestDoc]
+    val q = mem.toDS().toDF().withColumn("h", h)
+      .filter($"h" <= gate)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("ppl_gate_out").start()
+    try {
+      val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+      mem.addData(IngestDoc(1, t0, "aa bb cc"), IngestDoc(2, t0, "zz qq"))
+      q.processAllAvailable()
+      mem.addData(IngestDoc(3, t0, "dd dd aa"))
+      q.processAllAvailable()
+      val kept = spark.table("ppl_gate_out").select($"doc_id")
+        .as[Long].collect().sorted.toSeq
+      assert(kept == Seq(1L, 3L), "OOV-heavy doc 2 must be gated out")
+    } finally q.stop()
+
+    // batch agreement: the frozen projection matches the distributed
+    // join-based scorer on the same model within fold-order ULPs
+    val docs = Seq(
+      (1L, "aa bb cc dd", "en", "ref"),
+      (2L, "aa zz aa qq", "en", "web")
+    ).toDF("doc_id", "text", "lang", "src")
+    val dist = LanguageModel.crossEntropyBuckets(docs, "doc_id", "text",
+        "lang", "src = 'ref'")
+      .select($"doc_id", $"h_r").as[(Long, Double)].collect().toMap
+    val frozen = docs.select($"doc_id", h.as("h"))
+      .as[(Long, Double)].collect().toMap
+    dist.foreach { case (id, hr) =>
+      assert(math.abs(hr - frozen(id)) < 2e-6,
+        s"doc $id: distributed=$hr frozen=${frozen(id)}")
+    }
+  }
 }
