@@ -50,10 +50,16 @@ object Bench {
     def median(sorted: Seq[Double]): Double =
       if (sorted.length % 2 == 1) sorted(sorted.length / 2)
       else (sorted(sorted.length / 2 - 1) + sorted(sorted.length / 2)) / 2
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Optional comma-separated name-prefix filter for timing a subset
+    // (iteration aid; the driver's full run leaves it unset).
+    val nameFilter = sys.env.get("SPARK_GRAFT_BENCH_FILTER")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+    val selected = SparkEntry.queries.filter { case (name, _) =>
+      nameFilter.forall(_.exists(name.startsWith)) }
+    val results = selected.map { case (name, fn) =>
       val outcomes = (1 to runs).map(_ => timeOnce(fn))
       val times = outcomes.map(_._1).sorted
-      name -> (median(times), times.last - times.head,
+      name -> (median(times), times.head, times.last,
         outcomes.flatMap(_._2).headOption)
     }
     // errored queries emit null (not their near-zero fail-fast times)
@@ -65,17 +71,21 @@ object Bench {
       val s = (math.rint(x * 1000) / 1000).toString
       if (s.endsWith(".0")) s.dropRight(2) else s
     }
-    def jmap(f: ((String, (Double, Double, Option[String]))) => Double): String =
+    def jmap(f: ((String, (Double, Double, Double, Option[String]))) => Double)
+        : String =
       results.map { case (k, v) =>
-        s"\"" + k + "\":" + (if (v._3.isDefined) "null" else r3(f(k -> v)))
+        s"\"" + k + "\":" + (if (v._4.isDefined) "null" else r3(f(k -> v)))
       }.mkString("{", ",", "}")
+    // median + min + max per query (the spread between fresh-JVM runs
+    // is the signal that separates host noise from code regressions)
     val qs = jmap(_._2._1)
-    val spreads = jmap(_._2._2)
-    val errs = results.collect { case (k, (_, _, Some(e))) =>
+    val mins = jmap(_._2._2)
+    val maxs = jmap(_._2._3)
+    val errs = results.collect { case (k, (_, _, _, Some(e))) =>
       s"\"" + k + "\":\"" + e + "\"" }.mkString("{", ",", "}")
-    val total = results.values.collect { case (m, _, None) => m }.sum
-    val nErr = results.values.count(_._3.isDefined)
-    val detail = s"""{"metric":"total","value":${r3(total)},"unit":"sec","runs":$runs,"n_queries":${results.size},"n_errors":$nErr,"errors":$errs,"queries":$qs,"spread":$spreads,"sf":"$sfDir"}"""
+    val total = results.values.collect { case (m, _, _, None) => m }.sum
+    val nErr = results.values.count(_._4.isDefined)
+    val detail = s"""{"metric":"total","value":${r3(total)},"unit":"sec","runs":$runs,"n_queries":${results.size},"n_errors":$nErr,"errors":$errs,"queries":$qs,"min":$mins,"max":$maxs,"sf":"$sfDir"}"""
     // Full per-query detail (all queries + spreads + errors) goes to a
     // file and an early stdout line; the caller only keeps a ~2000-char
     // TAIL of stdout and parses its LAST line, so the final line must
@@ -87,7 +97,7 @@ object Bench {
     println(detail)
     // Compact final line: total + the slowest queries, dropped from the
     // end until the line fits well inside the tail window.
-    val slowest = results.toSeq.collect { case (k, (m, _, None)) => k -> m }
+    val slowest = results.toSeq.collect { case (k, (m, _, _, None)) => k -> m }
       .sortBy(-_._2)
     def compact(n: Int): String = {
       val top = slowest.take(n)

@@ -42,10 +42,25 @@ object SparkEntry {
   /** For each key in queries, equivalent SQL runnable by DuckDB on the
     * same parquet tables. Late-bound oracles (oracleGen) are evaluated
     * here — i.e. after `queries` ran, per Verify's ordering — so SQL
-    * can embed values the run computed (trained IVF centroids). A None
-    * from either source → driver records a rows-only check. */
-  def oracleSql: Map[String, String] =
-    ListMap(Catalog.specs.flatMap { s =>
-      s.oracle.orElse(s.oracleGen()).map(sql => s.name -> sql)
+    * can embed values the run computed (trained IVF centroids). A
+    * spec with NO oracle of either kind → driver records a rows-only
+    * check; but a PROVIDED oracleGen that finds no stash entry throws
+    * — that is a harness bug (training skipped, wrong key/tag), not a
+    * legitimately oracle-less query, and downgrading it silently
+    * would skip its hash gate. */
+  def oracleSql: Map[String, String] = oracleSqlFiltered(_ => true)
+
+  /** [[oracleSql]] restricted to `keep` BEFORE gens are evaluated, so
+    * a filtered Verify dump doesn't evaluate (and throw on) gens of
+    * queries whose training was legitimately filtered out. */
+  def oracleSqlFiltered(keep: String => Boolean): Map[String, String] =
+    ListMap(Catalog.specs.filter(s => keep(s.name)).flatMap { s =>
+      val gen =
+        if (s.oracleGen eq graft.queries.QuerySpec.noGen) None
+        else Some(s.oracleGen().getOrElse(throw new IllegalStateException(
+          s"late-bound oracle for '${s.name}' found no stash entry — " +
+            "training did not run (filtered dump?) or the stash " +
+            "key/tag is wrong")))
+      s.oracle.orElse(gen).map(sql => s.name -> sql)
     }: _*)
 }

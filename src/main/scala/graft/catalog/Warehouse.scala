@@ -2,7 +2,8 @@ package graft.catalog
 
 import java.nio.file.{Files, Paths}
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -294,44 +295,107 @@ object Warehouse {
   /** Numeric quantile profile with an asserted approximation bound:
     * per column, exact min/max plus a boolean per requested quantile
     * stating that `approx_percentile(accuracy)` landed inside the
-    * RANK-tolerance envelope [percentile(p−δ), percentile(p+δ)] — the
+    * RANK-tolerance envelope [exact(p−δ), exact(p+δ)] — the
     * ε-approximate-quantile guarantee the sketch actually makes
     * (rank error ≤ n/accuracy), so the bound is independent of value
     * granularity: a coarse discrete column cannot fail it through the
     * approx-returns-a-value vs exact-interpolates gap (the g4 pattern
     * again — cross-engine sketches can't hash-match, so the oracle
-    * asserts the bound with literal TRUE). The exact percentiles
-    * exist only to power the assertion; the product operator at
-    * 100 TB is the approx one. */
+    * asserts the bound with literal TRUE). The envelope values are
+    * exact type-1 (discrete) quantiles; since the sketch returns an
+    * actual data value whose rank error is ≤ n/accuracy ≪ n·rankTol,
+    * the discrete envelope bounds it whenever the interpolated one
+    * would. The exact quantiles exist only to power the assertion;
+    * the product operator at 100 TB is the approx one. */
   def profileQuantiles(df: DataFrame, cols: Seq[String], ps: Seq[Double],
       accuracy: Int = 10000, rankTol: Double = 0.005): DataFrame = {
-    def pc(p: Double): Double = math.min(1.0, math.max(0.0, p))
-    // ONE array-percentile aggregate per column (each exact percentile
-    // buffers the whole column per agg instance — per-p instances
-    // quadrupled the buffered bytes and ran 10 s vs 2.5 s on sf0.1
-    // lineitem), and one array sketch likewise
-    val envelope = ps.flatMap(p => Seq(pc(p - rankTol), pc(p + rankTol)))
-    val aggs = cols.flatMap { c =>
-      Seq(min(col(c)).cast("double").as(s"__min_$c"),
-        max(col(c)).cast("double").as(s"__max_$c"),
-        expr(s"percentile($c, array(${envelope.mkString(", ")}))")
-          .as(s"__ex_$c"),
-        percentile_approx(col(c), array(ps.map(lit): _*), lit(accuracy))
-          .cast("array<double>").as(s"__ap_$c"))
-    }
-    val row = df.agg(aggs.head, aggs.tail: _*)
-    val entries = cols.map { c =>
-      val fields = Seq(lit(c).as("column_name"),
-        col(s"__min_$c").as("min_val"), col(s"__max_$c").as("max_val")) ++
-        ps.zipWithIndex.map { case (p, i) =>
-          val ap = element_at(col(s"__ap_$c"), i + 1)
-          (ap >= element_at(col(s"__ex_$c"), 2 * i + 1) - lit(1e-9) &&
-            ap <= element_at(col(s"__ex_$c"), 2 * i + 2) + lit(1e-9))
-            .as(s"p${math.round(p * 100)}_within_tol")
+    require(cols.nonEmpty && ps.nonEmpty, "need columns and quantiles")
+    // The exact envelope comes from the histogram-rank decomposition
+    // (the Stats.globalExactQuantiles machinery), NOT from Spark's
+    // exact `percentile` aggregate: that one buffers the ENTIRE column
+    // in a single ungrouped aggregation buffer — one task holding all
+    // values of all columns, an OOM at scale. Here the only per-row
+    // work is one unpivot + one map-side-combined histogram shuffle;
+    // every window runs over a range-partitioned slice of DISTINCT
+    // values, never rows. All-null columns yield no output row (no
+    // histogram mass — the one behavior change vs the buffered form,
+    // which emitted a null-enveloped row).
+    def bp(p: Double): Long =
+      math.max(0L, math.min(10000L, math.round(p * 10000)))
+    def ldiv(a: Column, b: Column): Column =
+      ((a - pmod(a, b)) / b).cast("long")
+    val unpiv = df.select(explode(array(cols.map(c =>
+        struct(lit(c).as("__c"), col(c).cast("double").as("__v"))): _*))
+        .as("e"))
+      .select(col("e.__c").as("__c"), col("e.__v").as("__v"))
+      .filter(col("__v").isNotNull)
+    // the histogram is the fork point (cum pass + totals pass); the
+    // chain recomputes once per branch, which measures ~equal to
+    // persisting it (stage latency dominates at bench SF, and on a
+    // real cluster recompute-from-lineage is the fault-tolerant
+    // default the house pattern prefers)
+    val h = unpiv.groupBy(col("__c"), col("__v"))
+      .agg(count(lit(1)).as("__cnt"))
+    // two-level prefix sum, grouped by column: range buckets on
+    // (__c, __v); a bucket may straddle a column boundary, so the
+    // in-bucket window partitions by (__b, __c) and the tiny offsets
+    // frame has at most 2x buckets rows per column
+    val buckets = math.min(1024, math.max(1,
+      df.sparkSession.sparkContext.defaultParallelism * 4))
+    val bucketed = h.repartitionByRange(buckets, col("__c"), col("__v"))
+      .withColumn("__b", spark_partition_id().cast("long"))
+    val inBucket = Window.partitionBy(col("__b"), col("__c"))
+      .orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withCum = bucketed
+      .withColumn("__cum_in", sum(col("__cnt")).over(inBucket))
+    // per-(column,bucket) totals come straight off the histogram (no
+    // window), and BOTH the bucket offsets and the per-column grand
+    // total n ride the same tiny frame via two windows over it — so
+    // the scan+explode+histogram chain is computed exactly twice
+    // (once under the in-bucket window, once for this totals frame),
+    // not once per fork
+    val overBuckets = Window.partitionBy(col("__c")).orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val colTotal = Window.partitionBy(col("__c"))
+    val offsets = bucketed.groupBy(col("__c"), col("__b"))
+      .agg(sum(col("__cnt")).as("__tot"))
+      .withColumn("__off", sum(col("__tot")).over(overBuckets) - col("__tot"))
+      .withColumn("__n", sum(col("__tot")).over(colTotal).cast("long"))
+      .select(col("__c"), col("__b"), col("__off"), col("__n"))
+    val withN = withCum.join(broadcast(offsets), Seq("__c", "__b"))
+      .withColumn("__cum", (col("__cum_in") + col("__off")).cast("long"))
+    // exact discrete envelope values at ranks ceil(n*(p±rankTol)):
+    // type-1 quantiles, integer-exact basis-point arithmetic
+    val envAggs = ps.indices.flatMap { i =>
+      val p = ps(i)
+      def q(b: Long) = {
+        val k = ldiv(col("__n") * b + 9999L, lit(10000L))
+        min(when(col("__cum") >= k, col("__v")))
+      }
+      Seq(q(bp(p - rankTol)).as(s"__lo_$i"), q(bp(p + rankTol)).as(s"__hi_$i"))
+    } ++ Seq(min(col("__v")).as("__min"), max(col("__v")).as("__max"))
+    val env = withN.groupBy(col("__c")).agg(envAggs.head, envAggs.tail: _*)
+    // the product operator under test: one single-row agg of array
+    // sketches (mergeable, bounded memory), crossed with the
+    // |cols|-row envelope frame
+    val apAggs = cols.map(c =>
+      percentile_approx(col(c), array(ps.map(lit): _*), lit(accuracy))
+        .cast("array<double>").as(s"__ap_$c"))
+    val approxRow = df.agg(apAggs.head, apAggs.tail: _*)
+    val outCols = Seq(col("__c").as("column_name"),
+      col("__min").as("min_val"), col("__max").as("max_val")) ++
+      ps.zipWithIndex.map { case (p, i) =>
+        val ap = cols.tail.foldLeft(
+          when(col("__c") === cols.head,
+            element_at(col(s"__ap_${cols.head}"), i + 1))) { (acc, c) =>
+          acc.when(col("__c") === c, element_at(col(s"__ap_$c"), i + 1))
         }
-      struct(fields: _*)
-    }
-    row.select(explode(array(entries: _*)).as("c")).select("c.*")
+        (ap >= col(s"__lo_$i") - lit(1e-9) &&
+          ap <= col(s"__hi_$i") + lit(1e-9))
+          .as(s"p${math.round(p * 100)}_within_tol")
+      }
+    env.crossJoin(broadcast(approxRow)).select(outCols: _*)
   }
 
   /** Reset registry (test isolation). */

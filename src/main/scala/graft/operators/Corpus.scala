@@ -26,7 +26,8 @@ object Corpus {
     * surviving id to its cluster label (singletons label themselves). */
   private def hygieneClusters(docs: DataFrame, idCol: String,
       textCol: String, minQuality: Double, langs: Seq[String],
-      p: Dedup.MinHashParams, minEst: Double): (DataFrame, DataFrame) = {
+      p: Dedup.MinHashParams, minEst: Double,
+      materialize: DataFrame => DataFrame): (DataFrame, DataFrame) = {
     // ONE native predicate, not a composition: Catalyst pushes a
     // deterministic filter through any token-materializing Project
     // (alias substitution), which would re-tokenize each raw document
@@ -36,11 +37,14 @@ object Corpus {
       .filter(TextAnalysis.corpusKeep(col(textCol), minQuality, langs))
       .select(col(idCol), col(textCol))
     // Three consumers (pair generation, clustering, the final semi
-    // join) read this frame: checkpoint it so the scan+filter+dedup
-    // subtree executes once, not three times over the raw corpus.
-    val exactKept = Dedup.exactKeepFirst(filtered,
-      md5Fingerprint(col(textCol)), col(idCol))
-      .localCheckpoint(true)
+    // join) read this frame: it goes through `materialize` so the
+    // scan+filter+dedup subtree executes once, not three times over
+    // the raw corpus. The default persist keeps lineage — a lost
+    // block recomputes from source — where the eager localCheckpoint
+    // it replaced truncated lineage to executor-local blocks and an
+    // executor loss killed the job.
+    val exactKept = materialize(Dedup.exactKeepFirst(filtered,
+      md5Fingerprint(col(textCol)), col(idCol)))
     // fingerprint dedup already collapsed byte-identical texts, so the
     // LSH stage's own prefilter would be a wasted full-text shuffle
     val pairs = Dedup
@@ -59,9 +63,10 @@ object Corpus {
   def clean(docs: DataFrame, idCol: String, textCol: String,
       minQuality: Double, langs: Seq[String],
       p: Dedup.MinHashParams = Dedup.MinHashParams(),
-      minEst: Double = 0.75): DataFrame = {
-    val (exactKept, clusters) =
-      hygieneClusters(docs, idCol, textCol, minQuality, langs, p, minEst)
+      minEst: Double = 0.75,
+      materialize: DataFrame => DataFrame = Dedup.defaultPersist): DataFrame = {
+    val (exactKept, clusters) = hygieneClusters(
+      docs, idCol, textCol, minQuality, langs, p, minEst, materialize)
     exactKept.join(
       clusters.filter(col(idCol) === col("cluster_id")).select(col(idCol)),
       Seq(idCol), "left_semi")
@@ -76,10 +81,11 @@ object Corpus {
   def cleanKeepBest(docs: DataFrame, idCol: String, textCol: String,
       minQuality: Double, langs: Seq[String],
       p: Dedup.MinHashParams = Dedup.MinHashParams(),
-      minEst: Double = 0.75): DataFrame = {
+      minEst: Double = 0.75,
+      materialize: DataFrame => DataFrame = Dedup.defaultPersist): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val (exactKept, clusters) =
-      hygieneClusters(docs, idCol, textCol, minQuality, langs, p, minEst)
+    val (exactKept, clusters) = hygieneClusters(
+      docs, idCol, textCol, minQuality, langs, p, minEst, materialize)
     // materialize tokens before the ratio lambdas (HOF recompute trap)
     val scored = exactKept
       .select(col(idCol), col(textCol), wsTokens(col(textCol)).as("__tk"))

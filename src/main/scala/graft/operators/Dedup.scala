@@ -492,9 +492,16 @@ object Dedup {
     * minimum of its own label and its neighbors' labels; converges in
     * O(component diameter) rounds (near-dup clusters are
     * short-diameter in practice). Each round is one equi-join + one
-    * groupBy — both shuffle on node id — and labels/edges are
-    * localCheckpoint'ed so lineage stays flat across iterations (the
-    * standard Spark shape for iterative graph passes). Convergence is
+    * groupBy — both shuffle on node id — and each round's frame goes
+    * through `materialize` so successive rounds read the previous
+    * round's result instead of recomputing the whole chain (which
+    * would be quadratic in rounds). The default persists
+    * MEMORY_AND_DISK and eagerly releases the previous round's cache:
+    * unlike an eager localCheckpoint — which TRUNCATES lineage to
+    * executor-local blocks, so one executor loss kills the job
+    * mid-iteration on a real cluster — persist keeps full lineage
+    * and a lost block just recomputes. Callers with a checkpoint dir
+    * can pass a reliable-checkpoint hook instead. Convergence is
     * detected by counting changed labels (zero changes = fixpoint),
     * one tiny existence probe per round that works for ANY id type —
     * numeric, string, or otherwise. The fixpoint (min id per
@@ -508,24 +515,32 @@ object Dedup {
     * pre-bridge long chains) in that case; labels always converge in
     * at most the largest component diameter rounds. */
   def connectedComponents(ids: DataFrame, idCol: String, pairs: DataFrame,
-      maxIters: Int = 50): DataFrame = {
-    val edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
-      .union(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
-      .distinct()
-      .localCheckpoint(true)
-    var labels = ids.select(col(idCol).as("u"), col(idCol).as("label"))
-      .localCheckpoint(true)
+      maxIters: Int = 50,
+      materialize: DataFrame => DataFrame = defaultPersist): DataFrame = {
+    val edges = materialize(
+      pairs.select(col("id_a").as("u"), col("id_b").as("v"))
+        .union(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
+        .distinct())
+    // prevRound tracks the frame the hook actually materialized (a
+    // derived select would make unpersist a silent no-op)
+    var prevRound = materialize(
+      ids.select(col(idCol).as("u"), col(idCol).as("label")))
+    var labels = prevRound
     var i = 0
     var done = edges.isEmpty
     while (!done && i < maxIters) {
       val nbrMin = edges
         .join(labels.select(col("u").as("v"), col("label").as("nl")), "v")
         .groupBy(col("u")).agg(min(col("nl")).as("nbr"))
-      val stepped = labels.join(nbrMin, Seq("u"), "left")
+      val stepped = materialize(labels.join(nbrMin, Seq("u"), "left")
         .select(col("u"), col("label").as("__prev"),
-          least(col("label"), coalesce(col("nbr"), col("label"))).as("label"))
-        .localCheckpoint(true)
+          least(col("label"), coalesce(col("nbr"), col("label"))).as("label")))
+      // the probe materializes `stepped`; the PREVIOUS round's cache
+      // is then dead weight — release it eagerly (unpersist is a
+      // no-op for non-persisting materialize hooks)
       done = stepped.filter(col("label") =!= col("__prev")).isEmpty
+      prevRound.unpersist()
+      prevRound = stepped
       labels = stepped.select(col("u"), col("label"))
       i += 1
     }
@@ -533,8 +548,17 @@ object Dedup {
       throw new IllegalStateException(
         s"connectedComponents did not converge within $maxIters rounds; " +
           "raise maxIters (labels converge in <= component diameter rounds)")
+    edges.unpersist()
     labels.select(col("u").as(idCol), col("label").as("cluster_id"))
   }
+
+  /** Default `materialize` hook for iterative/forked lineages:
+    * persist MEMORY_AND_DISK — computed once, spills instead of
+    * OOMing, and (unlike eager localCheckpoint) keeps full lineage so
+    * a lost executor's blocks recompute from source instead of
+    * killing the job. */
+  val defaultPersist: DataFrame => DataFrame =
+    df => df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
   // ---- SimHash ------------------------------------------------------
 
@@ -740,14 +764,20 @@ object Dedup {
 
   /** Rebuild each document keeping only its non-boilerplate lines (in
     * original order; documents reduced to nothing keep an empty
-    * text). The exploded lines frame is checkpointed once and feeds
-    * BOTH the boilerplate aggregate and the removal anti-join; the
-    * join is broadcast-friendly on the line text, and reassembly
-    * sorts each doc's surviving (pos, line) pairs locally — state per
-    * group is one document's lines. */
+    * text). The exploded lines frame feeds BOTH the boilerplate
+    * aggregate and the removal anti-join — two consumers, so by
+    * default the scan + explode runs twice; recomputation keeps full
+    * lineage (the [[exactSubstringDedup]] policy — an eager
+    * localCheckpoint would pin blocks to executor-local storage and
+    * die with the executor). Callers for whom the double scan
+    * dominates pass `materialize = _.persist(...)` or a checkpoint
+    * hook. The anti-join is broadcast-friendly on the line text, and
+    * reassembly sorts each doc's surviving (pos, line) pairs locally
+    * — state per group is one document's lines. */
   def stripBoilerplate(docs: DataFrame, idCol: String, textCol: String,
-      minDocs: Long = 2L): DataFrame = {
-    val lines = docLines(docs, idCol, textCol).localCheckpoint(true)
+      minDocs: Long = 2L,
+      materialize: DataFrame => DataFrame = identity): DataFrame = {
+    val lines = materialize(docLines(docs, idCol, textCol))
     val bp = boilerplateFromLines(lines, idCol, minDocs).select(col("line"))
     val rebuilt = lines.join(bp, Seq("line"), "left_anti")
       .groupBy(col(idCol))

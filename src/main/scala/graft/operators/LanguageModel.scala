@@ -68,15 +68,20 @@ object LanguageModel {
       materialize: DataFrame => DataFrame = identity): DataFrame = {
     val id = col(idCol)
 
-    val tok = docs.select(id, col(langCol),
+    // blank/whitespace-only text must be excluded EXPLICITLY:
+    // split(trim(''), '\s+') yields [''] (one empty token) in both
+    // engines, so a token-count guard alone would score empty docs as
+    // one-OOV-token documents instead of excluding them
+    val nonBlank = docs.filter(length(trim(col(textCol))) > 0)
+
+    val tok = nonBlank.select(id, col(langCol),
         wsTokenCount(col(textCol)).as("n_tok"),
         explode(wsTokens(col(textCol))).as("token"))
-      .filter(col("n_tok") > 0)
 
     // Reference unigram counts + (N, V); counting from the exploded
     // frame reuses the same tokenization, and the stats aggregate is
     // over the tiny counts frame, not the corpus.
-    val refCounts = materialize(docs.filter(expr(refPredicate))
+    val refCounts = materialize(nonBlank.filter(expr(refPredicate))
       .select(explode(wsTokens(col(textCol))).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("c")))
     val stats = refCounts.agg(sum(col("c")).as("n_ref"),
@@ -158,8 +163,12 @@ object LanguageModel {
     * what lets the SAME expression score a batch frame or a
     * Structured Streaming micro-batch (the ingestion-time quality
     * gate: filter on the score next to CorpusKeep; see
-    * StreamingIngestSpec). NULL for token-less rows rather than a
-    * divide-by-zero.
+    * StreamingIngestSpec). NULL for NULL text rather than a
+    * divide-by-zero; note that blank/whitespace-only text tokenizes
+    * to one empty token (split-of-trimmed semantics) and scores as a
+    * one-OOV-token document — callers gating a stream should filter
+    * blank rows upstream if they want them excluded rather than
+    * scored-as-junk (either way they fall in the reject tail).
     *
     * Agreement with [[crossEntropyBuckets]]'s distributed scorer on
     * the same model is within an ULP-level fold-order difference
@@ -306,14 +315,17 @@ object LanguageModel {
   def crossEntropyOracleSql(table: String, idCol: String, textCol: String,
       langCol: String, refPredicate: String): String = {
     val ws = s"string_split_regex(trim($textCol), '\\s+')"
+    // length(trim(..)) > 0, not len(tokens) > 0: string_split_regex('')
+    // gives [''] so a token-count guard never fires on blank text —
+    // mirror of the Spark-side nonBlank filter
     s"""WITH tok AS (
        |  SELECT $idCol, $langCol,
        |    CAST(len($ws) AS BIGINT) AS n_tok, unnest($ws) AS token
-       |  FROM $table WHERE len($ws) > 0),
+       |  FROM $table WHERE length(trim($textCol)) > 0),
        |refc AS (
        |  SELECT token, CAST(count(*) AS BIGINT) AS c
        |  FROM (SELECT unnest($ws) AS token FROM $table
-       |        WHERE $refPredicate)
+       |        WHERE ($refPredicate) AND length(trim($textCol)) > 0)
        |  GROUP BY token),
        |stats AS (
        |  SELECT CAST(sum(c) AS BIGINT) AS n_ref,

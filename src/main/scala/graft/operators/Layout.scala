@@ -54,15 +54,37 @@ object Layout {
     * that prune on either column. The z column is dropped before the
     * write (it is a layout device, not data — and dropping after the
     * sort is a narrow projection that keeps the order). Returns the
-    * written location. */
+    * written location.
+    *
+    * `bits = 0` (the default) derives the interleave width from the
+    * actual key domain with one metadata-cheap two-column max pass —
+    * results stay CORRECT with any width (the z column is dropped),
+    * but keys wider than `bits` silently collide cells and degrade
+    * clustering, the failure mode a hardcoded width hits the first
+    * time a larger SF runs. An explicit too-narrow `bits` fails
+    * loudly here instead of silently losing pruning. */
   def saveZOrdered(df: DataFrame, dirName: String, colX: String,
-      colY: String, bits: Int, nFiles: Int): String = {
+      colY: String, bits: Int = 0, nFiles: Int): String = {
+    require(bits >= 0 && bits <= 31, s"bits must be in [0,31], got $bits")
     val spark = df.sparkSession
+    def bitsFor(m: Long): Int =
+      math.max(1, 64 - java.lang.Long.numberOfLeadingZeros(math.max(0L, m)))
+    val maxes = df.agg(max(col(colX).cast("long")),
+      max(col(colY).cast("long"))).head()
+    val needed =
+      if (maxes.isNullAt(0) || maxes.isNullAt(1)) 1
+      else math.min(31,
+        math.max(bitsFor(maxes.getLong(0)), bitsFor(maxes.getLong(1))))
+    val useBits = if (bits == 0) needed else bits
+    require(bits == 0 || bits >= needed,
+      s"bits=$bits truncates keys needing $needed bits " +
+        s"(max($colX), max($colY)) = $maxes — z-cells would collide " +
+        "and clustering silently degrade; pass bits=0 to auto-derive")
     val loc = new org.apache.hadoop.fs.Path(
       spark.conf.get("spark.sql.warehouse.dir"), dirName)
     loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
       .delete(loc, true)
-    df.withColumn("__z", zValue(col(colX), col(colY), bits))
+    df.withColumn("__z", zValue(col(colX), col(colY), useBits))
       .repartitionByRange(nFiles, col("__z"))
       .sortWithinPartitions(col("__z"))
       .drop("__z")

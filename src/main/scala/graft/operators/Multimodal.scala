@@ -12,12 +12,15 @@ import org.apache.spark.sql.functions._
   * The decode stage is the Scala analog of a PySpark `mapInPandas`
   * pipeline: a `mapPartitions` over a typed Dataset, so decoding
   * amortizes per-partition setup (codec init, model load) exactly the
-  * way a pandas-batch UDF would. The actual pixel/sample decoding is a
-  * STUB (no image/audio codecs in this environment): `stubDecode`
-  * derives deterministic pseudo-features from the payload's md5, so the
-  * Spark-side plumbing — schema, encoders, partitioning, batch shape —
-  * is real and testable end-to-end, and swapping in a real codec later
-  * only touches `stubDecode`.
+  * way a pandas-batch UDF would. IMAGE decoding (PNG/JPEG) is REAL —
+  * `javax.imageio` ships with the JDK, so image payloads yield actual
+  * pixel dimensions and a validity bit from an actual decode. Audio/
+  * video decoding remains a STUB (no sound/video codecs in this
+  * environment): `stubDecode` derives deterministic pseudo-features
+  * from the payload's md5, so the plumbing — schema, encoders,
+  * partitioning, batch shape — is identical for all modalities and
+  * swapping in a real audio/video codec later only touches
+  * `stubDecode`'s dispatch arm.
   */
 object Multimodal {
 
@@ -51,17 +54,42 @@ object Multimodal {
     else "application/octet-stream"
   }
 
-  /** STUB decode: deterministic pseudo-features from the payload md5 —
-    * replace with a real codec call when one is available. Matches the
-    * DuckDB-expressible arithmetic documented in the multimodal query
-    * oracle: width = h % 640 + 16, height = (h / 640) % 480 + 16 where
-    * h is the first-15-hex-chars md5 value. */
+  /** REAL image decode via the JDK's javax.imageio: (width, height)
+    * from an actual pixel decode of a PNG/JPEG payload, or None when
+    * the bytes don't decode (truncated/corrupt image). */
+  def decodeImage(bytes: Array[Byte]): Option[(Long, Long)] =
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      if (img == null) None
+      else Some((img.getWidth.toLong, img.getHeight.toLong))
+    } catch { case _: java.io.IOException => None }
+
+  /** Decode one record. Image MIME types ([[sniffMime]]) go through
+    * the REAL `javax.imageio` decode — actual dimensions, `is_valid` =
+    * the decode succeeded (sniffed-as-image bytes that fail to decode
+    * come back is_valid = false with the md5 pseudo-dims, so corrupt
+    * payloads are flaggable without a row error). Audio/video/unknown
+    * payloads take the md5 STUB arm: width = h % 640 + 16, height =
+    * (h / 640) % 480 + 16 with h the first-15-hex-chars md5 value —
+    * the DuckDB-expressible arithmetic the m2 oracle mirrors. */
   def stubDecode(r: MediaRecord): MediaFeatures = {
     val md = MessageDigest.getInstance("MD5").digest(r.bytes)
     val hex = hexLower(md)
     val h = java.lang.Long.parseLong(hex.substring(0, 15), 16)
-    MediaFeatures(r.id, r.bytes.length.toLong, hexLower(r.bytes.take(4)),
-      hex, h % 640 + 16, (h / 640) % 480 + 16, r.bytes.nonEmpty)
+    val stubW = h % 640 + 16
+    val stubH = (h / 640) % 480 + 16
+    val meta = (r.bytes.length.toLong, hexLower(r.bytes.take(4)), hex)
+    if (r.mime.startsWith("image/"))
+      decodeImage(r.bytes) match {
+        case Some((w, ht)) =>
+          MediaFeatures(r.id, meta._1, meta._2, meta._3, w, ht, true)
+        case None =>
+          MediaFeatures(r.id, meta._1, meta._2, meta._3, stubW, stubH, false)
+      }
+    else
+      MediaFeatures(r.id, meta._1, meta._2, meta._3, stubW, stubH,
+        r.bytes.nonEmpty)
   }
 
   /** Batched decode stage — one `stubDecode` per record, amortized per
@@ -70,9 +98,32 @@ object Multimodal {
   def decodeFeatures(ds: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
     import ds.sparkSession.implicits._
     ds.mapPartitions { it =>
-      // per-partition setup would go here (codec/model init)
+      // per-partition setup would go here (audio/video codec init;
+      // ImageIO is stateless)
       it.map(stubDecode)
     }
+  }
+
+  /** Deterministic PNG payload: a w×h RGB image whose pixel (x, y) is
+    * the 24-bit value (x·31 + y·17) — encoded with the same JDK
+    * ImageIO the decode path reads back. Test/fixture generator for
+    * the real-decode round trip (catalog m2b, MultimodalSpec). */
+  def synthPng(w: Int, h: Int): Array[Byte] = {
+    require(w > 0 && h > 0, s"bad dims ${w}x$h")
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.setRGB(x, y, (x * 31 + y * 17) & 0xffffff)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
   }
 
   /** One sampled frame of a resized media item. */

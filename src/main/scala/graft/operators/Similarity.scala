@@ -140,7 +140,7 @@ object Similarity {
             else row.getDouble(d + 1)))
       }
     }
-    trainedCentroids = trainedCentroids + ((nCells, iters, tag) -> centroids)
+    centroidStash.updateAndGet(_ + ((nCells, iters, tag) -> centroids))
     centroids
   }
 
@@ -154,9 +154,17 @@ object Similarity {
     * what any re-run over the same data would produce. Same-key
     * collisions are harmless only because equal (params, tag) implies
     * the same training input by convention — tag any subset-trained
-    * index. */
-  @volatile var trainedCentroids:
-      Map[(Int, Int, String), Array[Array[Double]]] = Map.empty
+    * index.
+    *
+    * Stored behind an [[java.util.concurrent.atomic.AtomicReference]]
+    * with updateAndGet: a plain volatile read-modify-write could lose
+    * a concurrent trainer's entry (parallel specs, future parallel
+    * query execution), silently skipping that query's hash gate. */
+  private val centroidStash = new java.util.concurrent.atomic.AtomicReference(
+    Map.empty[(Int, Int, String), Array[Array[Double]]])
+
+  def trainedCentroids: Map[(Int, Int, String), Array[Array[Double]]] =
+    centroidStash.get()
 
   /** Nearest-centroid cell id as a pure projection: argmax dot product
     * against literal centroid arrays (greatest over (score, idx)
@@ -455,12 +463,15 @@ object Similarity {
   // ---- Product quantization (IVFADC) -------------------------------
 
   /** PQ codebooks trained this session, keyed by (m, ksub, iters, tag)
-    * — same late-bound-oracle contract (and same tag discipline) as
-    * [[trainedCentroids]]; the residual trainer stores under its own
-    * tag so plain and residual codebooks with equal params coexist.
+    * — same late-bound-oracle contract (atomic stash, tag discipline)
+    * as [[trainedCentroids]]; the residual trainer stores under its
+    * own tag so plain and residual codebooks with equal params coexist.
     * Layout: books(subspace)(codeword) = Array[Double] of dim/m. */
-  @volatile var trainedCodebooks:
-      Map[(Int, Int, Int, String), Array[Array[Array[Double]]]] = Map.empty
+  private val codebookStash = new java.util.concurrent.atomic.AtomicReference(
+    Map.empty[(Int, Int, Int, String), Array[Array[Array[Double]]]])
+
+  def trainedCodebooks: Map[(Int, Int, Int, String), Array[Array[Array[Double]]]] =
+    codebookStash.get()
 
   private def halfNormSq(c: Array[Double]): Double =
     0.5 * c.foldLeft(0.0)((a, x) => a + x * x)
@@ -542,7 +553,7 @@ object Similarity {
             else row.getDouble(d + 2))))
       }
     }
-    trainedCodebooks = trainedCodebooks + ((m, ksub, iters, tag) -> books)
+    codebookStash.updateAndGet(_ + ((m, ksub, iters, tag) -> books))
     books
   }
 
@@ -928,7 +939,7 @@ object Similarity {
             else row.getDouble(d + 2))))
       }
     }
-    trainedCodebooks = trainedCodebooks + ((m, ksub, iters, tag) -> books)
+    codebookStash.updateAndGet(_ + ((m, ksub, iters, tag) -> books))
     books
   }
 

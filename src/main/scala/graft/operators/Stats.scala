@@ -77,7 +77,12 @@ object Stats {
       val k = ldiv(col("__n") * p + 99, lit(100L))
       min(when(col("__cum") >= k, col(valCol))).as(s"p$p")
     } :+ max(col("__n")).cast("long").as("n_rows")
+    // empty input: a global aggregate still emits one all-null row —
+    // drop it so the global form agrees with the grouped form's
+    // zero-rows-on-empty behavior (the oracle twin mirrors this with
+    // a HAVING clause)
     cum.crossJoin(broadcast(tot)).agg(aggs.head, aggs.tail: _*)
+      .where(col("n_rows").isNotNull)
   }
 
   /** DuckDB twin of [[globalExactQuantiles]] — plain running window
@@ -99,7 +104,8 @@ object Stats {
        |SELECT
        |  $qSel,
        |  CAST(max(n) AS BIGINT) AS n_rows
-       |FROM c CROSS JOIN t""".stripMargin
+       |FROM c CROSS JOIN t
+       |HAVING CAST(max(n) AS BIGINT) IS NOT NULL""".stripMargin
   }
 
   /** DuckDB twin of [[exactQuantiles]] — the identical histogram CTE

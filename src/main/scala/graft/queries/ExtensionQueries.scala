@@ -1619,8 +1619,10 @@ object ExtensionQueries {
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
     QuerySpec("m2_multimodal_decode",
-      "typed mapPartitions decode pipeline (stub codec; md5-deterministic " +
-        "pseudo-features, so even the JVM path is oracle-verified)",
+      "typed mapPartitions decode pipeline over NON-image payloads " +
+        "(text bytes sniff as octet-stream and take the md5 stub arm; " +
+        "md5-deterministic pseudo-features keep the JVM path " +
+        "oracle-verified; real image decoding is m2b)",
       (s, dir) => {
         val docs = t(s, dir, "documents")
         val media = graft.operators.Multimodal.fromBinaryColumn(
@@ -1641,6 +1643,32 @@ object ExtensionQueries {
              |  CAST(hv % 640 + 16 AS BIGINT) AS width,
              |  CAST((hv // 640) % 480 + 16 AS BIGINT) AS height
              |FROM h ORDER BY id""".stripMargin)),
+
+    QuerySpec("m2b_multimodal_decode_real",
+      "REAL image decode (javax.imageio, JDK-native): per doc a " +
+        "deterministic (doc_id % 64 + 16) x (doc_id % 48 + 16) PNG is " +
+        "encoded in-partition, sniffed, and pixel-decoded back — the " +
+        "oracle states the dimensions as arithmetic, so a decode that " +
+        "lied about width/height or validity hash-fails; encode and " +
+        "decode both run in the narrow mapPartitions stage, no shuffle",
+      (s, dir) => {
+        import s.implicits._
+        val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
+          .mapPartitions(_.map { id =>
+            val bytes = graft.operators.Multimodal.synthPng(
+              (id % 64 + 16).toInt, (id % 48 + 16).toInt)
+            graft.operators.Multimodal.MediaRecord(id, bytes,
+              graft.operators.Multimodal.sniffMime(bytes))
+          })
+        graft.operators.Multimodal.decodeFeatures(media).toDF()
+          .select(col("id"), col("width"), col("height"), col("is_valid"))
+          .orderBy(col("id"))
+      },
+      Some("""SELECT doc_id AS id,
+             |  CAST(doc_id % 64 + 16 AS BIGINT) AS width,
+             |  CAST(doc_id % 48 + 16 AS BIGINT) AS height,
+             |  TRUE AS is_valid
+             |FROM documents ORDER BY id""".stripMargin)),
 
     QuerySpec("m3_multimodal_transform",
       "resize + frame-sample plumbing: aspect-fit dims and evenly " +
@@ -1782,8 +1810,11 @@ object ExtensionQueries {
         "and LayoutSpec proves the per-file box tightness against a " +
         "linear-sort baseline",
       (s, dir) => {
+        // bits auto-derived from the key domain: a hardcoded width
+        // (21 formerly) silently collides z-cells once partkey grows
+        // past 2^21 at SF >= ~10
         val path = Layout.saveZOrdered(t(s, dir, "lineitem"),
-          "lineitem_zorder", "l_partkey", "l_suppkey", bits = 21,
+          "lineitem_zorder", "l_partkey", "l_suppkey", bits = 0,
           nFiles = 8)
         val q = s.read.parquet(path)
           .filter(col("l_partkey").between(100, 300) &&

@@ -19,9 +19,18 @@ final case class QuerySpec(
     /** Late-bound oracle for queries whose SQL embeds values computed
       * DURING the run (e.g. trained IVF centroids): evaluated at dump
       * time, AFTER every `run` has executed (Verify's ordering), so it
-      * can read state the run deterministically stashed. Returning
-      * None falls back to a rows-only check. */
-    oracleGen: () => Option[String] = () => None)
+      * can read state the run deterministically stashed. A gen that
+      * returns None FAILS the dump loudly (SparkEntry.oracleSql
+      * throws): a missing stash entry means training didn't run or
+      * the key/tag is wrong, and silently downgrading to a rows-only
+      * check would skip the query's hash gate. */
+    oracleGen: () => Option[String] = QuerySpec.noGen)
+
+object QuerySpec {
+  /** Sentinel default distinguishing "no late-bound oracle" from a
+    * provided gen that failed to find its stash entry. */
+  val noGen: () => Option[String] = () => None
+}
 
 object Catalog {
   lazy val specs: Seq[QuerySpec] =

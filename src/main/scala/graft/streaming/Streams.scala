@@ -97,7 +97,17 @@ object Streams {
 
   /** The sink body of [[idempotentParquetSink]], exposed so replay
     * idempotence is directly testable: same (batch, id) written twice
-    * must leave exactly one copy. */
+    * must leave exactly one copy.
+    *
+    * Reader-isolation caveat: mode-overwrite of `batch_id=<n>` is not
+    * atomic — a concurrent reader doing partition discovery DURING a
+    * replay can observe a partially-deleted/partially-committed batch
+    * directory. The exactly-once claim is about the sink's EVENTUAL
+    * state (no duplicates once the rewrite completes), not snapshot
+    * isolation for concurrent readers; a deployment needing reader
+    * isolation should layer a table format with atomic commit
+    * (staging-dir + rename, or a transactional table format) over
+    * this directory contract. */
   def writeBatchIdempotent(batch: DataFrame, dir: String,
       batchId: Long): Unit =
     batch.write.mode("overwrite").parquet(s"$dir/batch_id=$batchId")

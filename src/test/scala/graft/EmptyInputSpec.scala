@@ -102,6 +102,10 @@ class EmptyInputSpec extends SparkSpec {
       emptyDocs.withColumnRenamed("text", "g")
         .withColumn("v", col("doc_id").cast("double")),
       "g", "v", Seq(50)).count() == 0)
+    // the GLOBAL form must agree (not emit one all-null aggregate row)
+    assert(Stats.globalExactQuantiles(
+      emptyDocs.withColumn("v", col("doc_id").cast("double")),
+      "v", Seq(50)).count() == 0)
     // incremental IVF assignment of an empty batch
     assert(Similarity.ivfAssign(emptyVecs, "vec_id", "embedding",
       Array(Array(1.0, 0.0))).count() == 0)

@@ -15,6 +15,8 @@ class MultimodalSpec extends SparkSpec {
 
   test("decodeFeatures runs the typed mapPartitions pipeline end to end") {
     val ds = Seq(
+      // PNG magic followed by garbage: sniffed as an image, REAL
+      // decode fails -> flagged invalid (not a row error)
       MediaRecord(1L, Array(0x89.toByte, 'P', 'N', 'G', 1, 2, 3), "image/png"),
       MediaRecord(2L, "RIFF1234".getBytes, "audio/wav")).toDS()
     val feats = Multimodal.decodeFeatures(ds).collect().sortBy(_.id)
@@ -22,7 +24,28 @@ class MultimodalSpec extends SparkSpec {
     assert(feats(0).n_bytes == 7L && feats(0).magic_hex == "89504e47")
     assert(feats.forall(f => f.width >= 16 && f.width < 656))
     assert(feats.forall(f => f.height >= 16 && f.height < 496))
-    assert(feats.forall(_.is_valid))
+    assert(!feats(0).is_valid, "corrupt image payload must flag invalid")
+    assert(feats(1).is_valid)
+  }
+
+  test("real image decode: PNG and JPEG round-trip actual dimensions " +
+      "through javax.imageio") {
+    val png = Multimodal.synthPng(33, 21)
+    assert(Multimodal.sniffMime(png) == "image/png")
+    // JPEG via the same JDK encoder the decode path reads back
+    val img = new java.awt.image.BufferedImage(
+      17, 9, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val jout = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", jout)
+    val jpg = jout.toByteArray
+    assert(Multimodal.sniffMime(jpg) == "image/jpeg")
+    val ds = Seq(MediaRecord(1L, png, "image/png"),
+      MediaRecord(2L, jpg, "image/jpeg")).toDS()
+    val feats = Multimodal.decodeFeatures(ds).collect().sortBy(_.id)
+    assert(feats(0).width == 33L && feats(0).height == 21L)
+    assert(feats(0).is_valid)
+    assert(feats(1).width == 17L && feats(1).height == 9L)
+    assert(feats(1).is_valid)
   }
 
   test("decode is deterministic (stable pseudo-features from content)") {

@@ -123,6 +123,29 @@ class WarehouseSpec extends SparkSpec {
     assert(scan.partitionFilters.nonEmpty)
   }
 
+  test("profileQuantiles: histogram-rank envelope brackets the sketch, " +
+      "exact min/max per column") {
+    // 1..1000 in col a; constant 5.0 in col b (degenerate histogram)
+    val df = (1 to 1000).map(i => (i.toDouble, 5.0)).toDF("a", "b")
+    val got = Warehouse.profileQuantiles(df, Seq("a", "b"), Seq(0.5, 0.95))
+      .orderBy("column_name")
+      .as[(String, Double, Double, Boolean, Boolean)].collect().toSeq
+    assert(got == Seq(
+      ("a", 1.0, 1000.0, true, true),
+      ("b", 5.0, 5.0, true, true)))
+  }
+
+  test("profileQuantiles: all-null and empty inputs yield no rows") {
+    val df = Seq((Option.empty[Double], 1.0), (None, 2.0)).toDF("a", "b")
+    val got = Warehouse.profileQuantiles(df, Seq("a", "b"), Seq(0.5))
+      .orderBy("column_name")
+      .as[(String, Double, Double, Boolean)].collect().toSeq
+    // the all-null column has no histogram mass -> omitted
+    assert(got == Seq(("b", 1.0, 2.0, true)))
+    assert(Warehouse.profileQuantiles(df.limit(0), Seq("a", "b"), Seq(0.5))
+      .count() == 0)
+  }
+
   test("profile: per-column rows/nulls/exact-distinct in one pass") {
     val df = Seq(
       (1L, Some("a"), Some(1.5)),
