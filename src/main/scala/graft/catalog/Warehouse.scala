@@ -128,10 +128,17 @@ object Warehouse {
   def refreshInformationSchema(spark: SparkSession): Unit =
     schemaDoc(spark).createOrReplaceTempView("information_schema_columns")
 
+  /** Absolute dir of the most recent [[exportDatabase]] call — the
+    * late-bound-oracle stash for s16, whose DuckDB oracle reads the
+    * exported parquet files themselves (path known only at run time). */
+  val lastExportDir =
+    new java.util.concurrent.atomic.AtomicReference[Option[String]](None)
+
   /** S8: whole-database export — every registered table to
     * `outDir/<name>.parquet` plus `outDir/schema.sql`. */
   def exportDatabase(spark: SparkSession, outDir: String): Unit = {
     Files.createDirectories(Paths.get(outDir))
+    lastExportDir.set(Some(Paths.get(outDir).toAbsolutePath.toString))
     val tables = registry.keys.toSeq.sorted
     tables.foreach { t =>
       spark.table(t).write.mode("overwrite").parquet(s"$outDir/$t.parquet")

@@ -114,8 +114,15 @@ object Similarity {
     * 100 TB each iteration is exactly one map-side-combined shuffle of
     * K×dim partial sums per task. */
   def ivfTrain(corpus: DataFrame, idCol: String, vecCol: String,
-      nCells: Int, iters: Int = 2, tag: String = ""): Array[Array[Double]] = {
-    var centroids: Array[Array[Double]] = corpus
+      nCells: Int, iters: Int = 2, tag: String = "",
+      materialize: DataFrame => DataFrame = identity): Array[Array[Double]] = {
+    // the (id, vec) projection every pass re-reads (1 init scan +
+    // `iters` iteration scans): identity default recomputes from
+    // source (full lineage — an executor loss rebuilds); a caller for
+    // whom the repeated scan dominates passes `_.persist(...)` and
+    // owns the unpersist (same policy as exactSubstringDedup)
+    val base = materialize(corpus.select(col(idCol), col(vecCol)))
+    var centroids: Array[Array[Double]] = base
       .orderBy(col(idCol)).limit(nCells)
       .select(col(vecCol)).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
@@ -125,7 +132,7 @@ object Similarity {
       // end, so short vectors simply don't contribute to that dimension
       val meanCols = (0 until dim).map(d =>
         avg(try_element_at(col(vecCol), lit(d + 1)).cast("double")).as(s"m$d"))
-      val means = corpus
+      val means = base
         .select(cellExpr(col(vecCol), centroids).as("__cell"), col(vecCol))
         .groupBy(col("__cell"))
         .agg(meanCols.head, meanCols.tail: _*)
@@ -515,8 +522,11 @@ object Similarity {
     * map-combined shuffle, no per-subspace re-reads. */
   def pqTrain(corpus: DataFrame, idCol: String, vecCol: String,
       m: Int, ksub: Int, iters: Int = 2,
-      tag: String = ""): Array[Array[Array[Double]]] = {
-    val init: Array[Array[Double]] = corpus
+      tag: String = "",
+      materialize: DataFrame => DataFrame = identity): Array[Array[Array[Double]]] = {
+    // see ivfTrain: caller-owned persistence of the per-iteration scan
+    val base = materialize(corpus.select(col(idCol), col(vecCol)))
+    val init: Array[Array[Double]] = base
       .orderBy(col(idCol)).limit(ksub)
       .select(col(vecCol)).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
@@ -536,7 +546,7 @@ object Similarity {
         avg(try_element_at(col(vecCol),
           (col("sub") * subDim + (d + 1)).cast("int")).cast("double"))
           .as(s"m$d"))
-      val means = corpus
+      val means = base
         .select(col(vecCol), explode(array(assigns: _*)).as("sc"))
         .select(col(vecCol), col("sc.sub").as("sub"), col("sc.cell").as("cell"))
         .groupBy(col("sub"), col("cell"))
@@ -573,13 +583,19 @@ object Similarity {
     * explicit sum chain), so ranking needs no rounding guard. */
   def adcTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, m: Int, ksub: Int, nCells: Int,
-      nProbes: Int, iters: Int = 2): DataFrame = {
-    val books = pqTrain(corpus, idCol, vecCol, m, ksub, iters)
-    val centroids = ivfTrain(corpus, idCol, vecCol, nCells, iters)
+      nProbes: Int, iters: Int = 2,
+      materialize: DataFrame => DataFrame = identity): DataFrame = {
+    // one shared (id, vec) projection feeds both trainers (2×(1+iters)
+    // scans) and the encode pass; the hook lets a caller persist it
+    // across all of them (inner trainer hooks stay identity — a
+    // persisted `base` is already cache-matched by their projections)
+    val base = materialize(corpus.select(col(idCol), col(vecCol)))
+    val books = pqTrain(base, idCol, vecCol, m, ksub, iters)
+    val centroids = ivfTrain(base, idCol, vecCol, nCells, iters)
     val subDim = books(0)(0).length
     val codeCols = (0 until m).map(s =>
       subCellExpr(col(vecCol), s, books(s), subDim).as(s"code_$s"))
-    val c = corpus.select(col(idCol).as("did") +:
+    val c = base.select(col(idCol).as("did") +:
       cellExpr(col(vecCol), centroids).as("cell") +: codeCols: _*)
     val probeStructs = centroids.zipWithIndex.map { case (cent, i) =>
       struct(dotProduct(col(vecCol), array(cent.map(lit): _*)).as("s"),
@@ -881,8 +897,11 @@ object Similarity {
     * the same argmax-tie rule the engine uses). */
   def pqTrainResidual(corpus: DataFrame, idCol: String, vecCol: String,
       centroids: Array[Array[Double]], m: Int, ksub: Int,
-      iters: Int = 2, tag: String = "res"): Array[Array[Array[Double]]] = {
-    val initVecs: Array[Array[Double]] = corpus
+      iters: Int = 2, tag: String = "res",
+      materialize: DataFrame => DataFrame = identity): Array[Array[Array[Double]]] = {
+    // see ivfTrain: caller-owned persistence of the per-iteration scan
+    val base = materialize(corpus.select(col(idCol), col(vecCol)))
+    val initVecs: Array[Array[Double]] = base
       .orderBy(col(idCol)).limit(ksub)
       .select(col(vecCol)).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
@@ -921,7 +940,7 @@ object Similarity {
           try_element_at(element_at(centsLit, col("__cell") + 1), idx))
           .as(s"m$d")
       }
-      val means = corpus
+      val means = base
         .select(col(vecCol), cellC)
         .select(col(vecCol), col("__cell"),
           explode(array(assigns: _*)).as("sc"))
@@ -954,16 +973,20 @@ object Similarity {
     * bit-exact cross-engine) is as [[adcTopK]]. */
   def adcResidualTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, m: Int, ksub: Int, nCells: Int,
-      nProbes: Int, iters: Int = 2): DataFrame = {
-    val centroids = ivfTrain(corpus, idCol, vecCol, nCells, iters)
-    val books = pqTrainResidual(corpus, idCol, vecCol, centroids, m, ksub,
+      nProbes: Int, iters: Int = 2,
+      materialize: DataFrame => DataFrame = identity): DataFrame = {
+    // shared projection across coarse trainer, residual trainer, and
+    // encode — see adcTopK
+    val base = materialize(corpus.select(col(idCol), col(vecCol)))
+    val centroids = ivfTrain(base, idCol, vecCol, nCells, iters)
+    val books = pqTrainResidual(base, idCol, vecCol, centroids, m, ksub,
       iters)
     val bias = residualEncodeBias(centroids, books)
     val subDim = books(0)(0).length
     val codeCols = (0 until m).map(s =>
       subCellResidualExpr(col(vecCol), col("cell"), s, books(s), bias(s),
         subDim).as(s"code_$s"))
-    val c = corpus
+    val c = base
       .select(col(idCol).as("did"), col(vecCol),
         cellExpr(col(vecCol), centroids).as("cell"))
       .select(col("did") +: col("cell") +: codeCols: _*)

@@ -37,6 +37,29 @@ object Tables {
           org.apache.spark.sql.functions.expr("ts div 1000")))
   }
 
+  /** Streaming twin of [[load]]: the same table as a file-source
+    * stream (schema inferred from a batch footer read — the file
+    * stream source requires an explicit schema). Mirrors the events
+    * nanos→micros truncation so a streaming plan over the fixture is
+    * value-identical to the batch frame the DuckDB oracle checks. At
+    * scale the path is a directory micro-batched by arrival. */
+  def loadStream(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // The file stream source requires a DIRECTORY base path; locally a
+    // table is one file inside the shared sf dir, so scope the listing
+    // with pathGlobFilter. At scale a table is its own directory and
+    // the filter is unnecessary (but harmless).
+    def stream(schema: org.apache.spark.sql.types.StructType) =
+      spark.readStream.schema(schema)
+        .option("pathGlobFilter", s"$name.parquet").parquet(dir)
+    if (name == "events") {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      stream(spark.read.parquet(path(dir, "events")).schema)
+        .withColumn("ts",
+          org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.expr("ts div 1000")))
+    } else stream(spark.read.parquet(path(dir, name)).schema)
+  }
+
   /** Register every test table as a temp view — the analog of DuckDB's
     * replacement scan resolving Python-local frames inside SQL
     * (`scripts/build_db.py:72-84`): a name in SQL text resolves to a

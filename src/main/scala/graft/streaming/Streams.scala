@@ -112,6 +112,30 @@ object Streams {
       batchId: Long): Unit =
     batch.write.mode("overwrite").parquet(s"$dir/batch_id=$batchId")
 
+  /** Run a streaming DataFrame over currently-available input with
+    * `Trigger.AvailableNow` and an APPEND-mode memory sink; returns the
+    * materialized result as a batch DataFrame once the query
+    * self-terminates. This is the transitive-oracle harness: a
+    * streaming plan run this way over a static fixture must equal its
+    * batch twin, and the batch twin has a DuckDB oracle — so the
+    * streaming operators get hash-gated without DuckDB ever needing to
+    * understand a stream. Append mode is what the stateful operators
+    * (dedup, stream-stream join) require; a fresh implicit temp
+    * checkpoint per call means every invocation reprocesses the full
+    * fixture (deterministic, re-runnable under the bench). */
+  def runAvailableNow(spark: SparkSession, streaming: DataFrame,
+      queryName: String): DataFrame = {
+    spark.catalog.dropTempView(queryName)
+    val q: StreamingQuery = streaming.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+
   /** Run a streaming DataFrame to completion against currently-available
     * files via the in-memory sink; returns the materialized result. */
   def runToMemorySink(spark: SparkSession, streaming: DataFrame,

@@ -49,4 +49,27 @@ class StreamsSpec extends SparkSpec {
     assert(got == expected)
     assert(got.nonEmpty)
   }
+
+  test("transitive-oracle catalog entries: AvailableNow streaming run " +
+      "equals the batch twin (x47 dedup, x49 enrichment)") {
+    import graft.queries.Catalog
+    // x47: streaming watermarked dedup projected to keys == batch DISTINCT
+    val dedupGot = Catalog.byName("x47_streaming_dedup")
+      .run(spark, sf()).collect().toSeq
+    val dedupExp = Tables.load(spark, sf(), "events")
+      .select("user_id", "event_type").distinct()
+      .orderBy("user_id", "event_type").collect().toSeq
+    assert(dedupGot.nonEmpty && dedupGot == dedupExp)
+
+    // x49: stream-static broadcast enrichment == batch left join
+    val enrichGot = Catalog.byName("x49_streaming_enrich")
+      .run(spark, sf()).collect().toSeq
+    val cust = Tables.load(spark, sf(), "customer")
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+    val enrichExp = Tables.load(spark, sf(), "events")
+      .select("event_id", "user_id")
+      .join(broadcast(cust), Seq("user_id"), "left")
+      .orderBy("event_id").collect().toSeq
+    assert(enrichGot.nonEmpty && enrichGot == enrichExp)
+  }
 }
