@@ -64,7 +64,7 @@ object Corpus {
       minQuality: Double, langs: Seq[String],
       p: Dedup.MinHashParams = Dedup.MinHashParams(),
       minEst: Double = 0.75,
-      materialize: DataFrame => DataFrame = Dedup.defaultPersist): DataFrame = {
+      materialize: DataFrame => DataFrame = Dedup.defaultMaterialize): DataFrame = {
     val (exactKept, clusters) = hygieneClusters(
       docs, idCol, textCol, minQuality, langs, p, minEst, materialize)
     exactKept.join(
@@ -82,7 +82,7 @@ object Corpus {
       minQuality: Double, langs: Seq[String],
       p: Dedup.MinHashParams = Dedup.MinHashParams(),
       minEst: Double = 0.75,
-      materialize: DataFrame => DataFrame = Dedup.defaultPersist): DataFrame = {
+      materialize: DataFrame => DataFrame = Dedup.defaultMaterialize): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val (exactKept, clusters) = hygieneClusters(
       docs, idCol, textCol, minQuality, langs, p, minEst, materialize)

@@ -495,13 +495,13 @@ object Dedup {
     * groupBy — both shuffle on node id — and each round's frame goes
     * through `materialize` so successive rounds read the previous
     * round's result instead of recomputing the whole chain (which
-    * would be quadratic in rounds). The default persists
-    * MEMORY_AND_DISK and eagerly releases the previous round's cache:
-    * unlike an eager localCheckpoint — which TRUNCATES lineage to
-    * executor-local blocks, so one executor loss kills the job
-    * mid-iteration on a real cluster — persist keeps full lineage
-    * and a lost block just recomputes. Callers with a checkpoint dir
-    * can pass a reliable-checkpoint hook instead. Convergence is
+    * would be quadratic in rounds). The default hook
+    * ([[defaultMaterialize]]) truncates the plan per round in whatever
+    * way is safe for the environment — localCheckpoint on a local
+    * master, reliable checkpoint when a checkpoint dir is set,
+    * lineage-keeping persist otherwise — because under plain persist
+    * round k's logical plan still nests all k-1 predecessors and
+    * analysis cost grows every round. Convergence is
     * detected by counting changed labels (zero changes = fixpoint),
     * one tiny existence probe per round that works for ANY id type —
     * numeric, string, or otherwise. The fixpoint (min id per
@@ -516,11 +516,18 @@ object Dedup {
     * at most the largest component diameter rounds. */
   def connectedComponents(ids: DataFrame, idCol: String, pairs: DataFrame,
       maxIters: Int = 50,
-      materialize: DataFrame => DataFrame = defaultPersist): DataFrame = {
+      materialize: DataFrame => DataFrame = defaultMaterialize): DataFrame = {
+    // The edge list is re-joined every round, always on v: one explicit
+    // repartition here means every round's edge side reuses this single
+    // exchange (checkpoint/localCheckpoint materialization preserves
+    // outputPartitioning, and so does persist's InMemoryRelation)
+    // instead of re-shuffling the — at corpus scale, huge — edge list
+    // per round.
     val edges = materialize(
       pairs.select(col("id_a").as("u"), col("id_b").as("v"))
         .union(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
-        .distinct())
+        .distinct()
+        .repartition(col("v")))
     // prevRound tracks the frame the hook actually materialized (a
     // derived select would make unpersist a silent no-op)
     var prevRound = materialize(
@@ -535,12 +542,29 @@ object Dedup {
       val stepped = materialize(labels.join(nbrMin, Seq("u"), "left")
         .select(col("u"), col("label").as("__prev"),
           least(col("label"), coalesce(col("nbr"), col("label"))).as("label")))
-      // the probe materializes `stepped`; the PREVIOUS round's cache
-      // is then dead weight — release it eagerly (unpersist is a
-      // no-op for non-persisting materialize hooks)
-      done = stepped.filter(col("label") =!= col("__prev")).isEmpty
+      // The materializing action must touch EVERY partition: a take(1)
+      // probe (isEmpty) stops at the first changed label, caching only
+      // the partitions it read — every later round then recomputes the
+      // uncached rest from full lineage (quadratic; measured 2x on x19
+      // at sf0.1 when persist replaced the old eager localCheckpoint).
+      // One noop-sink write populates the whole cache, and an observe()
+      // metric rides that same job to decide convergence — no second
+      // pass, no extra count Exchange.
+      val obs = new org.apache.spark.sql.Observation()
+      stepped.observe(obs, sum(when(col("label") =!= col("__prev"), 1L)
+          .otherwise(0L)).as("changed"))
+        .write.format("noop").mode("overwrite").save()
+      // null metric = zero rows observed = nothing left to change
+      done = obs.get.get("changed")
+        .forall(v => v == null || v.asInstanceOf[Long] == 0L)
       prevRound.unpersist()
       prevRound = stepped
+      // Build the next round directly on the persisted frame: the
+      // InMemoryRelation substituted for it PRESERVES the join's hash
+      // partitioning on u, so later rounds reuse it instead of
+      // re-exchanging. (A createDataFrame(df.rdd, schema) plan
+      // truncation was tried here and rejected: it discards
+      // outputPartitioning, adding an Exchange per round.)
       labels = stepped.select(col("u"), col("label"))
       i += 1
     }
@@ -552,13 +576,40 @@ object Dedup {
     labels.select(col("u").as(idCol), col("label").as("cluster_id"))
   }
 
-  /** Default `materialize` hook for iterative/forked lineages:
+  /** Default `materialize` hook for FORKED (multi-consumer) lineages:
     * persist MEMORY_AND_DISK — computed once, spills instead of
     * OOMing, and (unlike eager localCheckpoint) keeps full lineage so
     * a lost executor's blocks recompute from source instead of
-    * killing the job. */
+    * killing the job. The InMemoryRelation also keeps column pruning,
+    * which iterative truncation would lose. */
   val defaultPersist: DataFrame => DataFrame =
     df => df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  /** Default `materialize` hook for ITERATIVE lineages (each round
+    * builds on the last): the loop needs PLAN TRUNCATION, not just
+    * caching — under plain persist, round k's logical plan still nests
+    * all k-1 predecessors (cache substitution is physical), so
+    * analysis/optimizer cost grows every round: measured 2x on x19 at
+    * sf0.1. The safe way to truncate depends on where we run, so this
+    * hook picks per environment:
+    *
+    *  - local master: eager `localCheckpoint` — flat lineage per
+    *    round, and its one weakness (blocks pinned to executors, an
+    *    executor loss kills the job) cannot occur in a single-JVM
+    *    master, where any "executor" loss is already job loss;
+    *  - cluster WITH a checkpoint dir: eager reliable `checkpoint` —
+    *    same flat lineage, blocks in fault-tolerant storage (the
+    *    GraphX/graphframes recipe for iterative passes);
+    *  - cluster WITHOUT a checkpoint dir: persist MEMORY_AND_DISK —
+    *    keeps full lineage (safe), accepts the growing-plan analysis
+    *    cost. Set a checkpoint dir for long iterative runs.
+    */
+  val defaultMaterialize: DataFrame => DataFrame = df => {
+    val sc = df.sparkSession.sparkContext
+    if (sc.isLocal) df.localCheckpoint(true)
+    else if (sc.getCheckpointDir.isDefined) df.checkpoint(true)
+    else defaultPersist(df)
+  }
 
   // ---- SimHash ------------------------------------------------------
 
