@@ -14,13 +14,16 @@ import org.apache.spark.sql.functions._
   * amortizes per-partition setup (codec init, model load) exactly the
   * way a pandas-batch UDF would. IMAGE decoding (PNG/JPEG) is REAL —
   * `javax.imageio` ships with the JDK, so image payloads yield actual
-  * pixel dimensions and a validity bit from an actual decode. Audio/
-  * video decoding remains a STUB (no sound/video codecs in this
-  * environment): `stubDecode` derives deterministic pseudo-features
+  * pixel dimensions and a validity bit from an actual decode. AUDIO
+  * decoding is REAL for WAV — `javax.sound.sampled` also ships with
+  * the JDK, so WAV payloads yield the actual sample rate / channel
+  * count / frame length from a parsed container ([[decodeAudio]] /
+  * [[decodeAudioFeatures]]). Video decoding remains a STUB (no video codecs
+  * in this environment): `stubDecode` derives deterministic pseudo-features
   * from the payload's md5, so the plumbing — schema, encoders,
   * partitioning, batch shape — is identical for all modalities and
-  * swapping in a real audio/video codec later only touches
-  * `stubDecode`'s dispatch arm.
+  * swapping in a real video codec later only touches `stubDecode`'s
+  * dispatch arm.
   */
 object Multimodal {
 
@@ -123,6 +126,86 @@ object Multimodal {
     }
     val out = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** Extracted audio features: real container metadata for WAV
+    * payloads, zeros + is_valid=false otherwise. */
+  final case class AudioFeatures(id: Long, n_bytes: Long,
+      sample_rate: Long, channels: Long, n_frames: Long,
+      duration_ms: Long, is_valid: Boolean)
+
+  /** REAL audio parse via the JDK's javax.sound.sampled: (sample rate
+    * Hz, channel count, frame length) from an actual parse of the WAV
+    * container — the frame length requires walking to the data chunk,
+    * so a payload with a forged header fails here, not downstream.
+    * None when the bytes aren't a parseable audio container. */
+  def decodeAudio(bytes: Array[Byte]): Option[(Long, Long, Long)] =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val fmt = in.getFormat
+      val frames = in.getFrameLength
+      in.close()
+      if (frames < 0) None
+      else Some((fmt.getSampleRate.toLong, fmt.getChannels.toLong, frames))
+    } catch {
+      case _: javax.sound.sampled.UnsupportedAudioFileException => None
+      case _: java.io.IOException => None
+    }
+
+  /** Batched REAL audio decode stage (the WAV analog of
+    * [[decodeFeatures]]'s image arm): WAV-sniffed payloads parse via
+    * [[decodeAudio]] — actual sample rate / channels / frame count,
+    * duration_ms = frames * 1000 / rate in integer (floor) arithmetic
+    * so the oracle can state it exactly; anything else (non-audio
+    * MIME, corrupt RIFF bytes) comes back zeroed with is_valid =
+    * false instead of erroring the row. Narrow stage: no shuffle,
+    * input partitioning preserved. */
+  def decodeAudioFeatures(ds: Dataset[MediaRecord]): Dataset[AudioFeatures] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.map { r =>
+      val parsed =
+        if (r.mime == "audio/wav") decodeAudio(r.bytes) else None
+      parsed match {
+        case Some((rate, ch, frames)) =>
+          AudioFeatures(r.id, r.bytes.length.toLong, rate, ch, frames,
+            frames * 1000L / rate, true)
+        case None =>
+          AudioFeatures(r.id, r.bytes.length.toLong, 0L, 0L, 0L, 0L, false)
+      }
+    })
+  }
+
+  /** Deterministic PCM-16 WAV payload: `nFrames` frames at
+    * `sampleRate` Hz × `channels`, sample (frame f, channel c) =
+    * ((f*31 + c*7) % 8192 - 4096) — encoded with the same JDK
+    * javax.sound.sampled the decode path parses back. Test/fixture
+    * generator for the real-decode round trip (catalog m2c,
+    * MultimodalSpec). */
+  def synthWav(sampleRate: Int, channels: Int, nFrames: Int): Array[Byte] = {
+    require(sampleRate > 0 && channels > 0 && nFrames > 0,
+      s"bad wav params $sampleRate/$channels/$nFrames")
+    val pcm = new Array[Byte](nFrames * channels * 2)
+    var f = 0
+    while (f < nFrames) {
+      var c = 0
+      while (c < channels) {
+        val v = ((f * 31 + c * 7) % 8192 - 4096).toShort
+        val off = (f * channels + c) * 2
+        pcm(off) = (v & 0xff).toByte          // little-endian PCM
+        pcm(off + 1) = ((v >> 8) & 0xff).toByte
+        c += 1
+      }
+      f += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(
+      sampleRate.toFloat, 16, channels, true, false)
+    val stream = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(stream,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
     out.toByteArray
   }
 

@@ -1688,6 +1688,39 @@ object ExtensionQueries {
              |  TRUE AS is_valid
              |FROM documents ORDER BY id""".stripMargin)),
 
+    QuerySpec("m2c_multimodal_audio_real",
+      "REAL audio decode (javax.sound.sampled, JDK-native): per doc a " +
+        "deterministic PCM-16 WAV — rate 8000 + (doc_id % 5) * 2000, " +
+        "channels 1 + doc_id % 2, frames 1000 + (doc_id % 7) * 500 — " +
+        "is encoded in-partition, sniffed, and container-parsed back; " +
+        "the oracle states rate/channels/frames/duration as " +
+        "arithmetic, so a parse that misread the fmt or data chunk " +
+        "hash-fails; encode and decode both run in the narrow " +
+        "mapPartitions stage, no shuffle",
+      (s, dir) => {
+        import s.implicits._
+        val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
+          .mapPartitions(_.map { id =>
+            val bytes = graft.operators.Multimodal.synthWav(
+              (8000 + (id % 5) * 2000).toInt, (1 + id % 2).toInt,
+              (1000 + (id % 7) * 500).toInt)
+            graft.operators.Multimodal.MediaRecord(id, bytes,
+              graft.operators.Multimodal.sniffMime(bytes))
+          })
+        graft.operators.Multimodal.decodeAudioFeatures(media).toDF()
+          .select(col("id"), col("sample_rate"), col("channels"),
+            col("n_frames"), col("duration_ms"), col("is_valid"))
+          .orderBy(col("id"))
+      },
+      Some("""SELECT doc_id AS id,
+             |  CAST(8000 + (doc_id % 5) * 2000 AS BIGINT) AS sample_rate,
+             |  CAST(1 + doc_id % 2 AS BIGINT) AS channels,
+             |  CAST(1000 + (doc_id % 7) * 500 AS BIGINT) AS n_frames,
+             |  CAST((1000 + (doc_id % 7) * 500) * 1000
+             |    // (8000 + (doc_id % 5) * 2000) AS BIGINT) AS duration_ms,
+             |  TRUE AS is_valid
+             |FROM documents ORDER BY id""".stripMargin)),
+
     QuerySpec("m3_multimodal_transform",
       "resize + frame-sample plumbing: aspect-fit dims and evenly " +
         "spaced frame offsets over the stub duration (arithmetic " +

@@ -48,6 +48,25 @@ class MultimodalSpec extends SparkSpec {
     assert(feats(1).is_valid)
   }
 
+  test("real audio decode: WAV round-trips rate/channels/frames " +
+      "through javax.sound.sampled") {
+    val wav = Multimodal.synthWav(11025, 2, 777)
+    assert(Multimodal.sniffMime(wav) == "audio/wav")
+    assert(Multimodal.decodeAudio(wav).contains((11025L, 2L, 777L)))
+    // RIFF magic followed by garbage: sniffed as wav, real parse
+    // fails -> flagged invalid (not a row error)
+    val corrupt = MediaRecord(2L, "RIFF1234junk".getBytes, "audio/wav")
+    val ds = Seq(MediaRecord(1L, wav, "audio/wav"), corrupt,
+      MediaRecord(3L, "text".getBytes, "application/octet-stream")).toDS()
+    val feats = Multimodal.decodeAudioFeatures(ds).collect().sortBy(_.id)
+    assert(feats(0).sample_rate == 11025L && feats(0).channels == 2L)
+    assert(feats(0).n_frames == 777L)
+    assert(feats(0).duration_ms == 777L * 1000 / 11025)
+    assert(feats(0).is_valid)
+    assert(!feats(1).is_valid && feats(1).sample_rate == 0L)
+    assert(!feats(2).is_valid, "non-audio mime must not claim validity")
+  }
+
   test("decode is deterministic (stable pseudo-features from content)") {
     val r = MediaRecord(7L, "same bytes".getBytes, "application/octet-stream")
     assert(Multimodal.stubDecode(r) == Multimodal.stubDecode(r.copy()))
