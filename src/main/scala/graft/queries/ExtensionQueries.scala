@@ -2309,6 +2309,49 @@ object ExtensionQueries {
       Some("""SELECT e.event_id, e.user_id, c.c_mktsegment
              |FROM events e LEFT JOIN customer c
              |  ON e.user_id = c.c_custkey
-             |ORDER BY e.event_id""".stripMargin))
+             |ORDER BY e.event_id""".stripMargin)),
+
+    QuerySpec("x50_streaming_quality_gate",
+      "transitive oracle for the streaming perplexity gate: the " +
+        "frozen-vocab cross-entropy projection (stateless, no model " +
+        "join — the same Column scores batch or stream) gates the " +
+        "documents file stream under Trigger.AvailableNow; kept " +
+        "(doc_id, h_r) must equal DuckDB computing the identical " +
+        "sorted left fold. All model ln-probs are quarter-step " +
+        "literals, so every partial sum is IEEE-exact and the fold " +
+        "is bit-identical across engines",
+      (s, dir) => {
+        val lnP = Map("hash" -> -2.0, "order" -> -2.25, "table" -> -2.5,
+          "window" -> -2.75, "row" -> -3.0, "batch" -> -3.25,
+          "spark" -> -3.5, "join" -> -3.75)
+        val stream = Tables.loadStream(s, dir, "documents")
+          .select(col("doc_id"), col("text"))
+          .filter(length(trim(col("text"))) > 0)
+        val gated = stream.withColumn("h_r",
+            round(graft.operators.LanguageModel.frozenVocabCrossEntropy(
+              col("text"), lnP, -4.5), 6))
+          .filter(col("h_r") <= lit(4.05))
+          .select(col("doc_id"), col("h_r"))
+        graft.streaming.Streams.runAvailableNow(s, gated, "x50_out")
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+             |  FROM documents WHERE length(trim(text)) > 0),
+             |scored AS (
+             |  SELECT doc_id,
+             |    round(-list_reduce(
+             |      list_prepend(CAST(0.0 AS DOUBLE),
+             |        list_transform(list_sort(toks), t -> CASE t
+             |          WHEN 'hash' THEN -2.0 WHEN 'order' THEN -2.25
+             |          WHEN 'table' THEN -2.5 WHEN 'window' THEN -2.75
+             |          WHEN 'row' THEN -3.0 WHEN 'batch' THEN -3.25
+             |          WHEN 'spark' THEN -3.5 WHEN 'join' THEN -3.75
+             |          ELSE -4.5 END)),
+             |      (acc, x) -> acc + x) / CAST(len(toks) AS DOUBLE), 6)
+             |      AS h_r
+             |  FROM d)
+             |SELECT doc_id, h_r FROM scored WHERE h_r <= 4.05
+             |ORDER BY doc_id""".stripMargin))
   )
 }
