@@ -258,6 +258,175 @@ object LanguageModel {
       .orderBy(id)
   }
 
+  /** Per-document TRIGRAM cross-entropy with recursive interpolation
+    * backoff — one more order up the [[bigramCrossEntropy]] ladder
+    * (CCNet's KenLM is order 5; each order adds one count table and
+    * one context-marginal table to the same join shape). Model,
+    * trained on the `refPredicate` slice:
+    *
+    *   p(w3 | w1 w2) = λ3 · c(w1 w2 w3)/c(w1 w2 ·)  (ML trigram)
+    *                 + (1−λ3) · p2(w3 | w2)
+    *   p2(w3 | w2)   = λ2 · c(w2 w3)/c(w2 ·)        (ML bigram)
+    *                 + (1−λ2) · (c(w3)+1)/(N+V)     (add-one unigram)
+    *
+    * Unseen contexts contribute 0 to their ML term; the add-one floor
+    * keeps ln defined everywhere. Documents need ≥ 3 tokens; score is
+    * nats per trigram slot: h3 = −Σ ln p / (n−2), folded over
+    * trigrams sorted by (w1, w2, w3) and rounded to 6 dp.
+    *
+    * Scale shape: five equi-joins keyed by token tuples against the
+    * model tables — each is broadcastable when the vocab is capped
+    * (CCNet prunes its LM); corpus text never shuffles, only
+    * (doc, w1, w2, w3, tf) rows do. The reference trigram frame
+    * feeds both the count join and the context marginal, so it takes
+    * the `materialize` hook; the bigram/unigram model tables are
+    * derived from their own single-pass scans.
+    * Output: (doc_id, lang, n_trigrams, h3_r). */
+  def trigramCrossEntropy(docs: DataFrame, idCol: String, textCol: String,
+      langCol: String, refPredicate: String, lambda3: Double = 0.6,
+      lambda2: Double = 0.7,
+      materialize: DataFrame => DataFrame = identity): DataFrame = {
+    require(lambda3 > 0 && lambda3 < 1, s"lambda3 must be in (0,1): $lambda3")
+    require(lambda2 > 0 && lambda2 < 1, s"lambda2 must be in (0,1): $lambda2")
+    val id = col(idCol)
+    def withTriples(df: DataFrame): DataFrame = df
+      .withColumn("__tk", wsTokens(col(textCol)))
+      .filter(size(col("__tk")) >= 3)
+      .withColumn("__ntr", (size(col("__tk")) - 2).cast("long"))
+      .withColumn("__z", explode(arrays_zip(
+        expr("slice(__tk, 1, size(__tk) - 2)"),
+        expr("slice(__tk, 2, size(__tk) - 2)"),
+        expr("slice(__tk, 3, size(__tk) - 2)"))))
+      .withColumn("w1", col("__z.0")).withColumn("w2", col("__z.1"))
+      .withColumn("w3", col("__z.2"))
+    def withPairs(df: DataFrame): DataFrame = df
+      .withColumn("__tk", wsTokens(col(textCol)))
+      .filter(size(col("__tk")) >= 2)
+      .withColumn("__z", explode(arrays_zip(
+        expr("slice(__tk, 1, size(__tk) - 1)"),
+        expr("slice(__tk, 2, size(__tk) - 1)"))))
+      .withColumn("w2", col("__z.0")).withColumn("w3", col("__z.1"))
+
+    val refDocs = docs.filter(expr(refPredicate))
+    val refTri = materialize(withTriples(refDocs)
+      .groupBy(col("w1"), col("w2"), col("w3"))
+      .agg(count(lit(1)).as("c3")))
+    val refTriCtx = refTri.groupBy(col("w1"), col("w2"))
+      .agg(sum(col("c3")).as("ctx3"))
+    val refBi = materialize(withPairs(refDocs)
+      .groupBy(col("w2"), col("w3")).agg(count(lit(1)).as("c2")))
+    val refBiCtx = refBi.groupBy(col("w2"))
+      .agg(sum(col("c2")).as("ctx2"))
+    val refUni = refDocs
+      .select(explode(wsTokens(col(textCol))).as("w3"))
+      .groupBy(col("w3")).agg(count(lit(1)).as("c1"))
+    val stats = refUni.agg(sum(col("c1")).as("n_ref"),
+      count(lit(1)).as("v_ref"))
+
+    val tf = withTriples(docs)
+      .groupBy(id, col(langCol), col("__ntr"),
+        col("w1"), col("w2"), col("w3"))
+      .agg(count(lit(1)).as("tf"))
+    val pTri = when(col("ctx3") > 0,
+      coalesce(col("c3"), lit(0L)).cast("double") /
+        col("ctx3").cast("double")).otherwise(lit(0.0))
+    val pBi = when(col("ctx2") > 0,
+      coalesce(col("c2"), lit(0L)).cast("double") /
+        col("ctx2").cast("double")).otherwise(lit(0.0))
+    val pUni = (coalesce(col("c1"), lit(0L)).cast("double") + 1.0) /
+      (col("n_ref") + col("v_ref")).cast("double")
+    val p = lit(lambda3) * pTri +
+      lit(1.0 - lambda3) * (lit(lambda2) * pBi + lit(1.0 - lambda2) * pUni)
+    val terms = tf
+      .join(refTri, Seq("w1", "w2", "w3"), "left")
+      .join(refTriCtx, Seq("w1", "w2"), "left")
+      .join(refBi, Seq("w2", "w3"), "left")
+      .join(refBiCtx, Seq("w2"), "left")
+      .join(refUni, Seq("w3"), "left")
+      .crossJoin(broadcast(stats))
+      .select(id, col(langCol), col("__ntr"),
+        col("w1"), col("w2"), col("w3"),
+        (col("tf").cast("double") * log(p)).as("contrib"))
+    terms.groupBy(id, col(langCol), col("__ntr"))
+      .agg(round(
+        -aggregate(
+          transform(array_sort(collect_list(struct(col("w1"), col("w2"),
+            col("w3"), col("contrib")))), x => x.getField("contrib")),
+          lit(0.0), (acc, x) => acc + x) / col("__ntr").cast("double"),
+        6).as("h3_r"))
+      .select(id, col(langCol), col("__ntr").as("n_trigrams"), col("h3_r"))
+      .orderBy(id)
+  }
+
+  /** DuckDB twin of [[trigramCrossEntropy]]. */
+  def trigramCrossEntropyOracleSql(table: String, idCol: String,
+      textCol: String, langCol: String, refPredicate: String,
+      lambda3: Double = 0.6, lambda2: Double = 0.7): String = {
+    val ws = s"string_split_regex(trim($textCol), '\\s+')"
+    val l3 = java.lang.Double.toString(lambda3)
+    val b3 = java.lang.Double.toString(1.0 - lambda3)
+    val l2 = java.lang.Double.toString(lambda2)
+    val b2 = java.lang.Double.toString(1.0 - lambda2)
+    def triples(pred: String, cols: String): String =
+      s"""SELECT $cols z[1] AS w1, z[2] AS w2, z[3] AS w3
+         |  FROM (SELECT *, CAST(len($ws) - 2 AS BIGINT) AS ntr,
+         |          unnest(list_zip($ws[1:len($ws)-2], $ws[2:len($ws)-1],
+         |                          $ws[3:len($ws)])) AS z
+         |        FROM $table WHERE ($pred) AND len($ws) >= 3)""".stripMargin
+    s"""WITH reftri AS (
+       |  SELECT w1, w2, w3, CAST(count(*) AS BIGINT) AS c3
+       |  FROM (${triples(refPredicate, "")})
+       |  GROUP BY w1, w2, w3),
+       |reftrictx AS (
+       |  SELECT w1, w2, CAST(sum(c3) AS BIGINT) AS ctx3
+       |  FROM reftri GROUP BY w1, w2),
+       |refbi AS (
+       |  SELECT z[1] AS w2, z[2] AS w3, CAST(count(*) AS BIGINT) AS c2
+       |  FROM (SELECT unnest(list_zip($ws[1:len($ws)-1], $ws[2:len($ws)]))
+       |          AS z
+       |        FROM $table WHERE ($refPredicate) AND len($ws) >= 2)
+       |  GROUP BY w2, w3),
+       |refbictx AS (
+       |  SELECT w2, CAST(sum(c2) AS BIGINT) AS ctx2 FROM refbi GROUP BY w2),
+       |refuni AS (
+       |  SELECT w3, CAST(count(*) AS BIGINT) AS c1
+       |  FROM (SELECT unnest($ws) AS w3 FROM $table
+       |        WHERE ($refPredicate))
+       |  GROUP BY w3),
+       |stats AS (
+       |  SELECT CAST(sum(c1) AS BIGINT) AS n_ref,
+       |    CAST(count(*) AS BIGINT) AS v_ref FROM refuni),
+       |tf AS (
+       |  SELECT $idCol, $langCol, ntr, w1, w2, w3,
+       |    CAST(count(*) AS BIGINT) AS tf
+       |  FROM (${triples("TRUE", s"$idCol, $langCol, ntr,")})
+       |  GROUP BY $idCol, $langCol, ntr, w1, w2, w3),
+       |term AS (
+       |  SELECT $idCol, $langCol, ntr, w1, w2, w3,
+       |    CAST(tf AS DOUBLE) * ln(
+       |      $l3 * (CASE WHEN ctx3 > 0
+       |        THEN CAST(coalesce(c3, 0) AS DOUBLE) / CAST(ctx3 AS DOUBLE)
+       |        ELSE 0.0 END) +
+       |      $b3 * ($l2 * (CASE WHEN ctx2 > 0
+       |        THEN CAST(coalesce(c2, 0) AS DOUBLE) / CAST(ctx2 AS DOUBLE)
+       |        ELSE 0.0 END) +
+       |      $b2 * ((CAST(coalesce(c1, 0) AS DOUBLE) + 1.0) /
+       |             CAST(n_ref + v_ref AS DOUBLE)))) AS contrib
+       |  FROM tf LEFT JOIN reftri USING (w1, w2, w3)
+       |    LEFT JOIN reftrictx USING (w1, w2)
+       |    LEFT JOIN refbi USING (w2, w3)
+       |    LEFT JOIN refbictx USING (w2)
+       |    LEFT JOIN refuni USING (w3)
+       |    CROSS JOIN stats)
+       |SELECT $idCol, $langCol, ntr AS n_trigrams,
+       |  round(-list_reduce(
+       |    list_prepend(CAST(0.0 AS DOUBLE),
+       |      list(contrib ORDER BY w1, w2, w3)),
+       |    (acc, x) -> acc + x) / CAST(ntr AS DOUBLE), 6) AS h3_r
+       |FROM term GROUP BY $idCol, $langCol, ntr
+       |ORDER BY $idCol""".stripMargin
+  }
+
   /** DuckDB twin of [[bigramCrossEntropy]]. */
   def bigramCrossEntropyOracleSql(table: String, idCol: String,
       textCol: String, langCol: String, refPredicate: String,
