@@ -277,10 +277,11 @@ object LanguageModel {
     * Scale shape: five equi-joins keyed by token tuples against the
     * model tables — each is broadcastable when the vocab is capped
     * (CCNet prunes its LM); corpus text never shuffles, only
-    * (doc, w1, w2, w3, tf) rows do. The reference trigram frame
-    * feeds both the count join and the context marginal, so it takes
-    * the `materialize` hook; the bigram/unigram model tables are
-    * derived from their own single-pass scans.
+    * (doc, w1, w2, w3, tf) rows do. The trigram, bigram, and unigram
+    * reference frames each feed two consumers (count join + context
+    * marginal, or stats aggregate + per-trigram join), so all three
+    * take the `materialize` hook — without it each fork re-scans the
+    * reference corpus.
     * Output: (doc_id, lang, n_trigrams, h3_r). */
   def trigramCrossEntropy(docs: DataFrame, idCol: String, textCol: String,
       langCol: String, refPredicate: String, lambda3: Double = 0.6,
@@ -317,9 +318,9 @@ object LanguageModel {
       .groupBy(col("w2"), col("w3")).agg(count(lit(1)).as("c2")))
     val refBiCtx = refBi.groupBy(col("w2"))
       .agg(sum(col("c2")).as("ctx2"))
-    val refUni = refDocs
+    val refUni = materialize(refDocs
       .select(explode(wsTokens(col(textCol))).as("w3"))
-      .groupBy(col("w3")).agg(count(lit(1)).as("c1"))
+      .groupBy(col("w3")).agg(count(lit(1)).as("c1")))
     val stats = refUni.agg(sum(col("c1")).as("n_ref"),
       count(lit(1)).as("v_ref"))
 

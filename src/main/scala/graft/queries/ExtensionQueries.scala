@@ -2097,6 +2097,18 @@ object ExtensionQueries {
       Some(LanguageModel.bigramCrossEntropyOracleSql(
         "documents", "doc_id", "text", "lang", "lang = 'en'"))),
 
+    QuerySpec("x51_trigram_perplexity",
+      "trigram LM cross-entropy with recursive interpolation backoff " +
+        "(one order up the x44 ladder, CCNet's KenLM is order 5): " +
+        "p(w3|w1 w2) = 0.6*ML-trigram + 0.4*(0.7*ML-bigram + " +
+        "0.3*add-one unigram), trained on the English slice; five " +
+        "token-keyed model joins, corpus text never shuffled, " +
+        "per-doc fold sorted by (w1,w2,w3), 6dp-rounded",
+      (s, dir) => LanguageModel.trigramCrossEntropy(
+        t(s, dir, "documents"), "doc_id", "text", "lang", "lang = 'en'"),
+      Some(LanguageModel.trigramCrossEntropyOracleSql(
+        "documents", "doc_id", "text", "lang", "lang = 'en'"))),
+
     QuerySpec("g9b_global_exact_quantiles",
       "GLOBAL exact discrete quantiles over a high-cardinality " +
         "column: cumulative counts via the two-level distributed " +

@@ -26,23 +26,49 @@ object Tables {
     if (name == "events") loadEvents(spark, dir) else
       spark.read.parquet(path(dir, name))
 
-  /** events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized
-    * reader rejects; read nanos as long and truncate to microseconds —
-    * exactly what DuckDB does internally, so oracle values agree. */
+  /** Schema-adaptive events read. The fixture's `ts` physical type has
+    * drifted across testdata generations — TIMESTAMP(NANOS) (which
+    * Spark's vectorized reader rejects, so it must be read as a nanos
+    * BIGINT and truncated) vs plain `timestamp[us]` (which reads
+    * directly). Rather than hardcode either era, branch on the parquet
+    * footer the read already resolves: LongType ⇒ nanos→micros
+    * truncation (what DuckDB does internally, so oracle values agree);
+    * any timestamp type ⇒ normalize to session-TZ TimestampType (the
+    * session TZ is UTC everywhere in this repo, so an NTZ cast is
+    * value-identical micros). Every other shape fails loudly. */
   private def loadEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(path(dir, "events"))
-      .withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
+    normalizeEventsTs(spark.read.parquet(path(dir, "events")))
+  }
+
+  /** Normalize whatever physical shape `events.ts` arrived in to
+    * session-TZ TimestampType with microsecond values identical to
+    * DuckDB's read of the same file (DuckDB's TIMESTAMP is naive
+    * microseconds, so with the session TZ pinned to UTC all three
+    * arms agree bit-for-bit). Any other shape fails loudly rather
+    * than silently mis-typing 15 downstream queries. */
+  private[sources] def normalizeEventsTs(raw: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType => raw
+      case other => throw new IllegalStateException(
+        s"events.ts has unsupported type $other; expected nanos BIGINT " +
+          "(legacy fixture) or a timestamp type — check the testdata generation")
+    }
   }
 
   /** Streaming twin of [[load]]: the same table as a file-source
     * stream (schema inferred from a batch footer read — the file
-    * stream source requires an explicit schema). Mirrors the events
-    * nanos→micros truncation so a streaming plan over the fixture is
-    * value-identical to the batch frame the DuckDB oracle checks. At
-    * scale the path is a directory micro-batched by arrival. */
+    * stream source requires an explicit schema). Shares the events
+    * `ts` normalization with [[load]] so a streaming plan over the
+    * fixture is value-identical to the batch frame the DuckDB oracle
+    * checks. At scale the path is a directory micro-batched by
+    * arrival. */
   def loadStream(spark: SparkSession, dir: String, name: String): DataFrame = {
     // The file stream source requires a DIRECTORY base path; locally a
     // table is one file inside the shared sf dir, so scope the listing
@@ -53,10 +79,8 @@ object Tables {
         .option("pathGlobFilter", s"$name.parquet").parquet(dir)
     if (name == "events") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      stream(spark.read.parquet(path(dir, "events")).schema)
-        .withColumn("ts",
-          org.apache.spark.sql.functions.timestamp_micros(
-            org.apache.spark.sql.functions.expr("ts div 1000")))
+      normalizeEventsTs(
+        stream(spark.read.parquet(path(dir, "events")).schema))
     } else stream(spark.read.parquet(path(dir, name)).schema)
   }
 

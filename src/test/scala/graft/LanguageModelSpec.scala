@@ -70,4 +70,33 @@ class LanguageModelSpec extends SparkSpec {
     assert(!got.contains(5L), "single-token docs have no bigram slots")
     assert(got(2L)._3 < got(4L)._3, "seen bigrams must score lower")
   }
+
+  test("trigram LM: exact recursive-backoff values for seen, " +
+      "backoff-only, and fully-OOV trigrams; <3-token docs excluded") {
+    val d = Seq(
+      (1L, "aa bb cc aa bb cc", "en", "ref"),
+      (2L, "aa bb cc", "en", "web"), // seen trigram
+      (3L, "cc bb cc", "en", "web"), // trigram unseen, bigram (bb,cc) seen
+      (4L, "zz qq rr", "en", "web"), // fully OOV: unigram floor only
+      (5L, "aa bb", "en", "web")     // two tokens: no trigram slot
+    ).toDF("doc_id", "text", "lang", "src")
+    val got = LanguageModel.trigramCrossEntropy(d, "doc_id", "text",
+        "lang", "src = 'ref'")
+      .select($"doc_id", $"n_trigrams", $"h3_r")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    // ref "aa bb cc aa bb cc": trigrams (aa,bb,cc)x2 (bb,cc,aa)x1
+    // (cc,aa,bb)x1; ctx3(aa,bb)=2 (bb,cc)=1 (cc,aa)=1; bigrams
+    // (aa,bb)x2 (bb,cc)x2 (cc,aa)x1; ctx2(aa)=2 (bb)=2 (cc)=1;
+    // unigrams aa:2 bb:2 cc:2, N=6, V=3 -> p1 = (c+1)/9
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    val pSeen = 0.6 * (2.0 / 2.0) + 0.4 * (0.7 * (2.0 / 2.0) + 0.3 * (3.0 / 9.0))
+    val pBack = 0.6 * 0.0 + 0.4 * (0.7 * (2.0 / 2.0) + 0.3 * (3.0 / 9.0))
+    val pOov = 0.6 * 0.0 + 0.4 * (0.7 * 0.0 + 0.3 * (1.0 / 9.0))
+    assert(got(2L) == ((2L, 1L, r6(-math.log(pSeen)))))
+    assert(got(3L) == ((3L, 1L, r6(-math.log(pBack)))))
+    assert(got(4L) == ((4L, 1L, r6(-math.log(pOov)))))
+    assert(!got.contains(5L), "two-token docs have no trigram slots")
+    assert(got(2L)._3 < got(3L)._3 && got(3L)._3 < got(4L)._3,
+      "each backoff level must score strictly higher")
+  }
 }
