@@ -1665,19 +1665,26 @@ object ExtensionQueries {
     QuerySpec("m2b_multimodal_decode_real",
       "REAL image decode (javax.imageio, JDK-native): per doc a " +
         "deterministic (doc_id % 64 + 16) x (doc_id % 48 + 16) PNG is " +
-        "encoded in-partition, sniffed, and pixel-decoded back — the " +
-        "oracle states the dimensions as arithmetic, so a decode that " +
-        "lied about width/height or validity hash-fails; encode and " +
-        "decode both run in the narrow mapPartitions stage, no shuffle",
+        "sniffed and pixel-decoded back — the oracle states the " +
+        "dimensions as arithmetic, so a decode that lied about " +
+        "width/height or validity hash-fails; the per-row DECODE is " +
+        "the operator under test, so the fixture ENCODE is memoized " +
+        "per partition over the lcm(64,48)=192 distinct dimension " +
+        "pairs; both run in the narrow mapPartitions stage, no shuffle",
       (s, dir) => {
         import s.implicits._
         val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
-          .mapPartitions(_.map { id =>
-            val bytes = graft.operators.Multimodal.synthPng(
-              (id % 64 + 16).toInt, (id % 48 + 16).toInt)
-            graft.operators.Multimodal.MediaRecord(id, bytes,
-              graft.operators.Multimodal.sniffMime(bytes))
-          })
+          .mapPartitions { it =>
+            val memo = scala.collection.mutable.HashMap
+              .empty[(Int, Int), Array[Byte]]
+            it.map { id =>
+              val dims = ((id % 64 + 16).toInt, (id % 48 + 16).toInt)
+              val bytes = memo.getOrElseUpdate(dims,
+                graft.operators.Multimodal.synthPng(dims._1, dims._2))
+              graft.operators.Multimodal.MediaRecord(id, bytes,
+                graft.operators.Multimodal.sniffMime(bytes))
+            }
+          }
         graft.operators.Multimodal.decodeFeatures(media).toDF()
           .select(col("id"), col("width"), col("height"), col("is_valid"))
           .orderBy(col("id"))
@@ -1692,21 +1699,28 @@ object ExtensionQueries {
       "REAL audio decode (javax.sound.sampled, JDK-native): per doc a " +
         "deterministic PCM-16 WAV — rate 8000 + (doc_id % 5) * 2000, " +
         "channels 1 + doc_id % 2, frames 1000 + (doc_id % 7) * 500 — " +
-        "is encoded in-partition, sniffed, and container-parsed back; " +
-        "the oracle states rate/channels/frames/duration as " +
-        "arithmetic, so a parse that misread the fmt or data chunk " +
-        "hash-fails; encode and decode both run in the narrow " +
-        "mapPartitions stage, no shuffle",
+        "is sniffed and container-parsed back; the oracle states " +
+        "rate/channels/frames/duration as arithmetic, so a parse " +
+        "that misread the fmt or data chunk hash-fails; the per-row " +
+        "PARSE is the operator under test, so the fixture encode is " +
+        "memoized per partition over the 5*2*7=70 distinct container " +
+        "shapes; both run in the narrow mapPartitions stage, no shuffle",
       (s, dir) => {
         import s.implicits._
         val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
-          .mapPartitions(_.map { id =>
-            val bytes = graft.operators.Multimodal.synthWav(
-              (8000 + (id % 5) * 2000).toInt, (1 + id % 2).toInt,
-              (1000 + (id % 7) * 500).toInt)
-            graft.operators.Multimodal.MediaRecord(id, bytes,
-              graft.operators.Multimodal.sniffMime(bytes))
-          })
+          .mapPartitions { it =>
+            val memo = scala.collection.mutable.HashMap
+              .empty[(Int, Int, Int), Array[Byte]]
+            it.map { id =>
+              val shape = ((8000 + (id % 5) * 2000).toInt,
+                (1 + id % 2).toInt, (1000 + (id % 7) * 500).toInt)
+              val bytes = memo.getOrElseUpdate(shape,
+                graft.operators.Multimodal.synthWav(
+                  shape._1, shape._2, shape._3))
+              graft.operators.Multimodal.MediaRecord(id, bytes,
+                graft.operators.Multimodal.sniffMime(bytes))
+            }
+          }
         graft.operators.Multimodal.decodeAudioFeatures(media).toDF()
           .select(col("id"), col("sample_rate"), col("channels"),
             col("n_frames"), col("duration_ms"), col("is_valid"))
