@@ -193,4 +193,42 @@ class PropertySpec extends SparkSpec {
         assert(got == model, s"rows=$withIds budget=$budget")
     }
   }
+
+  test("asOfJoinLeft matches the naive per-left-row model: latest " +
+      "right at-or-before, ties toward largest order, NULL payload " +
+      "fields survive verbatim") {
+    import graft.operators.Temporal
+    // small domains force key collisions, ts ties (left==right and
+    // right==right), and no-match lefts; (k, t, ord) deduped so the
+    // tie-break order is total
+    val rightRow = Gen.zip(Gen.choose(1L, 3L), Gen.choose(0L, 10L),
+      Gen.choose(0L, 3L), Gen.option(Gen.choose(0, 9)),
+      Gen.option(Gen.oneOf("p", "q")))
+    val leftRow = Gen.zip(Gen.choose(1L, 3L), Gen.choose(0L, 10L))
+    val frames = Gen.zip(
+      Gen.listOfN(8, rightRow).map(
+        _.distinctBy { case (k, t, o, _, _) => (k, t, o) }),
+      Gen.nonEmptyListOf(leftRow).map(_.take(8)))
+    forAll(frames, minSuccessful(10)) {
+      case (rs: List[(Long, Long, Long, Option[Int], Option[String])],
+            ls: List[(Long, Long)]) =>
+        val lsTagged = ls.zipWithIndex.map { case ((k, t), i) =>
+          (k, t, s"L$i") }
+        val right = rs.toDF("k", "ts", "ord", "v", "w")
+        val left = lsTagged.toDF("k", "ts", "tag")
+        val got = Temporal
+          .asOfJoinLeft(left, right, "k", "ts", "ord", Seq("v", "w"))
+          .as[(Long, Long, String, Option[Int], Option[String])]
+          .collect().toSeq.sortBy(_._3)
+        val model = lsTagged.map { case (k, t, tag) =>
+          val cand = rs.filter(r => r._1 == k && r._2 <= t)
+          if (cand.isEmpty) (k, t, tag, None, None)
+          else {
+            val best = cand.maxBy(r => (r._2, r._3))
+            (k, t, tag, best._4, best._5)
+          }
+        }.sortBy(_._3)
+        assert(got == model, s"right=$rs left=$lsTagged")
+    }
+  }
 }

@@ -31,6 +31,48 @@ class StreamsSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("stream-stream interval self-join on hand-built fixtures: " +
+      "boundary, same-instant, and cross-user pairs (no testdata)") {
+    import spark.implicits._
+    // seconds offsets from a fixed epoch; pairs designed to probe the
+    // within=600s band edges: (1,2) exactly 600 apart (inclusive),
+    // (2,3) 601 apart via 1201-600 (excluded from (1,3)? 1201-0 no),
+    // (4,5) same instant, user 9 isolated
+    val base = 1700000000L
+    val rows = Seq(
+      (1L, 101L, 0L), (1L, 102L, 600L), (1L, 103L, 1201L),
+      (2L, 201L, 50L), (2L, 202L, 50L),
+      (9L, 901L, 0L)
+    ).map { case (u, id, off) =>
+      (u, id, new java.sql.Timestamp((base + off) * 1000L))
+    }.toDF("user_id", "event_id", "ts")
+
+    val expected = graft.operators.Temporal
+      .rangeJoinWithin(rows, "user_id", "event_id", "ts", 600)
+      .orderBy("id_a", "id_b").collect().toSeq
+    // the fixture must actually exercise each edge
+    // rangeJoinWithin output is (user_id, id_a, id_b)
+    val pairs = expected.map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(pairs.contains((101L, 102L)), "inclusive 600s boundary pair")
+    assert(!pairs.contains((102L, 103L)), "601s gap must be excluded")
+    assert(pairs.contains((201L, 202L)), "same-instant pair")
+    assert(!pairs.exists { case (a, b) => a / 100 != b / 100 },
+      "no cross-user pairs")
+
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ssj-fx").toString
+    rows.write.mode("overwrite").parquet(tmp)
+    val stream = spark.readStream.schema(rows.schema).parquet(tmp)
+    val joined = Streams.streamingIntervalSelfJoin(stream, "user_id",
+      "event_id", "ts", delay = "1 hour", withinSec = 600)
+    val q = joined.writeStream.outputMode("append").format("memory")
+      .queryName("ssj_fx_test").start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("ssj_fx_test")
+      .orderBy("id_a", "id_b").collect().toSeq
+    assert(got == expected)
+  }
+
   test("streaming tumbling window equals batch result (memory sink)") {
     // batch oracle over the same events table
     val batchEvents = Tables.load(spark, sf(), "events")
