@@ -56,8 +56,23 @@ object Bench {
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
     val selected = SparkEntry.queries.filter { case (name, _) =>
       nameFilter.forall(_.exists(name.startsWith)) }
-    val results = selected.map { case (name, fn) =>
-      val outcomes = (1 to runs).map(_ => timeOnce(fn))
+    // INTERLEAVED passes (suite-pass A, then B, then C) rather than
+    // back-to-back repeats of each query: this host's noise arrives as
+    // sustained multi-second stall WINDOWS (r9 evidence: 1 of 21
+    // identical g1 runs took 35.0 s with max GC pause 39 ms; in r8's
+    // driver snapshot one window swallowed all 3 consecutive g1 runs,
+    // min 21.5 s, and the median learned nothing). With passes minutes
+    // apart, a stall window inflates at most one of a query's samples
+    // and the cross-pass median stays clean.
+    val outcomesByName =
+      scala.collection.mutable.LinkedHashMap[String, Vector[(Double, Option[String])]]()
+    (1 to runs).foreach { _ =>
+      selected.foreach { case (name, fn) =>
+        outcomesByName(name) =
+          outcomesByName.getOrElse(name, Vector.empty) :+ timeOnce(fn)
+      }
+    }
+    val results = outcomesByName.map { case (name, outcomes) =>
       val times = outcomes.map(_._1).sorted
       name -> (median(times), times.head, times.last,
         outcomes.flatMap(_._2).headOption)

@@ -23,8 +23,72 @@ object Tables {
   def path(dir: String, name: String): String = s"$dir/$name.parquet"
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    if (name == "events") loadEvents(spark, dir) else
-      spark.read.parquet(path(dir, name))
+    if (name == "events") loadEvents(spark, dir) else {
+      // nanosAsLong turns a TIMESTAMP(NANOS) regeneration of ANY
+      // column into a readable BIGINT instead of a vectorized-reader
+      // error; truncateNanosCols then repairs exactly the columns the
+      // footer annotates as nanos. A no-op on every era seen so far
+      // for the non-events tables.
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      truncateNanosCols(spark, dir, name,
+        spark.read.parquet(path(dir, name)))
+    }
+
+  /** Columns whose PARQUET logical type is TIMESTAMP(NANOS), from the
+    * file footer (memoized per table path — a metadata-only read).
+    * Under `nanosAsLong` Spark surfaces these as BIGINT, which is
+    * indistinguishable from a legitimate BIGINT in the Spark schema
+    * alone — only the footer can tell them apart. */
+  private val nanosColsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Set[String]]()
+  private def nanosTimestampCols(
+      spark: SparkSession, tablePath: String): Set[String] =
+    nanosColsCache.computeIfAbsent(tablePath, { _ =>
+      import org.apache.parquet.schema.LogicalTypeAnnotation
+      val conf = spark.sessionState.newHadoopConf()
+      val p = new org.apache.hadoop.fs.Path(tablePath)
+      val fs = p.getFileSystem(conf)
+      val file = // a table may be one file locally or a directory at scale
+        if (fs.getFileStatus(p).isDirectory)
+          fs.listStatus(p).map(_.getPath)
+            .find(_.getName.endsWith(".parquet"))
+            .getOrElse(throw new IllegalStateException(
+              s"no parquet file under $tablePath"))
+        else p
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(file, conf))
+      try {
+        import scala.jdk.CollectionConverters._
+        reader.getFileMetaData.getSchema.getFields.asScala.collect {
+          case f if f.isPrimitive &&
+            (f.getLogicalTypeAnnotation match {
+              case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+                t.getUnit == LogicalTypeAnnotation.TimeUnit.NANOS
+              case _ => false
+            }) => f.getName
+        }.toSet
+      } finally reader.close()
+    })
+
+  /** Repair any column a testdata regeneration shipped as
+    * TIMESTAMP(NANOS): truncate the nanos BIGINT to micros (DuckDB's
+    * own behavior, so oracle values agree) and retype as TimestampType.
+    * The footer is only consulted when the Spark schema has a BIGINT
+    * column at all — the common all-good path does no metadata read. */
+  private def truncateNanosCols(spark: SparkSession, dir: String,
+      name: String, raw: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{expr, timestamp_micros}
+    import org.apache.spark.sql.types.LongType
+    val longCols = raw.schema.fields
+      .filter(_.dataType == LongType).map(_.name)
+    if (longCols.isEmpty) raw
+    else {
+      val nanos = nanosTimestampCols(spark, path(dir, name))
+      longCols.filter(nanos).foldLeft(raw) { (df, c) =>
+        df.withColumn(c, timestamp_micros(expr(s"`$c` div 1000")))
+      }
+    }
+  }
 
   /** Schema-adaptive events read. The fixture's `ts` physical type has
     * drifted across testdata generations — TIMESTAMP(NANOS) (which
@@ -77,11 +141,12 @@ object Tables {
     def stream(schema: org.apache.spark.sql.types.StructType) =
       spark.readStream.schema(schema)
         .option("pathGlobFilter", s"$name.parquet").parquet(dir)
-    if (name == "events") {
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if (name == "events")
       normalizeEventsTs(
         stream(spark.read.parquet(path(dir, "events")).schema))
-    } else stream(spark.read.parquet(path(dir, name)).schema)
+    else truncateNanosCols(spark, dir, name,
+      stream(spark.read.parquet(path(dir, name)).schema))
   }
 
   /** Register every test table as a temp view — the analog of DuckDB's

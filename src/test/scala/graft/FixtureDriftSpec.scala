@@ -108,4 +108,35 @@ class FixtureDriftSpec extends SparkSpec {
     assert(streamMicros(nanosFixtureDir(), "fx_nanos") == expected.sorted)
     assert(streamMicros(microsFixtureDir(), "fx_micros") == expected.sorted)
   }
+
+  test("non-events table with a TIMESTAMP(NANOS) regeneration: the " +
+      "footer-flagged column truncates to micros, plain BIGINTs stay") {
+    val dir = Files.createTempDirectory("orders_nanos_era").toString
+    val schema = Types.buildMessage()
+      .addField(Types.required(PrimitiveTypeName.INT64).named("o_orderkey"))
+      .addField(Types.required(PrimitiveTypeName.INT64)
+        .as(LogicalTypeAnnotation.timestampType(false, TimeUnit.NANOS))
+        .named("o_orderdate"))
+      .named("orders")
+    val writer = ExampleParquetWriter
+      .builder(new Path(s"$dir/orders.parquet"))
+      .withConf(new Configuration()).withType(schema).build()
+    val gf = new SimpleGroupFactory(schema)
+    expected.zip(Seq(999L, 0L, 1L)).foreach { case ((id, us), rem) =>
+      val g = gf.newGroup()
+      g.add("o_orderkey", id)
+      g.add("o_orderdate", us * 1000L + rem)
+      writer.write(g)
+    }
+    writer.close()
+    val got = Tables.load(spark, dir, "orders")
+    assert(got.schema("o_orderkey").dataType ==
+      org.apache.spark.sql.types.LongType,
+      "a legitimate BIGINT must not be retyped")
+    assert(got.schema("o_orderdate").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+    val vals = got.select($"o_orderkey", unix_micros($"o_orderdate"))
+      .as[(Long, Long)].collect().toSeq.sorted
+    assert(vals == expected.sorted)
+  }
 }
