@@ -2290,7 +2290,7 @@ object ExtensionQueries {
             Seq("user_id", "event_type"), watermarkCol = "ts",
             delay = "365 days")
           .select(col("user_id"), col("event_type"))
-        graft.streaming.Streams.runAvailableNow(s, deduped, "x47_out")
+        graft.streaming.Streams.runAvailableNow(s, deduped, "x47_out", statePartitions = Some(8))
           .orderBy(col("user_id"), col("event_type"))
       },
       Some("""SELECT DISTINCT user_id, event_type FROM events
@@ -2307,7 +2307,7 @@ object ExtensionQueries {
         val joined = graft.streaming.Streams.streamingIntervalSelfJoin(
           stream, keyCol = "user_id", idCol = "event_id", tsCol = "ts",
           delay = "1 hour", withinSec = 600L)
-        graft.streaming.Streams.runAvailableNow(s, joined, "x48_out")
+        graft.streaming.Streams.runAvailableNow(s, joined, "x48_out", statePartitions = Some(8))
           .orderBy(col("id_a"), col("id_b"))
       },
       Some("""SELECT a.user_id, a.event_id AS id_a, b.event_id AS id_b
@@ -2329,7 +2329,7 @@ object ExtensionQueries {
           .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
         val enriched = graft.streaming.Streams.enrichWithDim(
           stream, dim, Seq("user_id"))
-        graft.streaming.Streams.runAvailableNow(s, enriched, "x49_out")
+        graft.streaming.Streams.runAvailableNow(s, enriched, "x49_out", statePartitions = Some(8))
           .orderBy(col("event_id"))
       },
       Some("""SELECT e.event_id, e.user_id, c.c_mktsegment
@@ -2358,7 +2358,7 @@ object ExtensionQueries {
               col("text"), lnP, -4.5), 6))
           .filter(col("h_r") <= lit(4.05))
           .select(col("doc_id"), col("h_r"))
-        graft.streaming.Streams.runAvailableNow(s, gated, "x50_out")
+        graft.streaming.Streams.runAvailableNow(s, gated, "x50_out", statePartitions = Some(8))
           .orderBy(col("doc_id"))
       },
       Some("""WITH d AS (

@@ -134,12 +134,22 @@ object Tables {
     * checks. At scale the path is a directory micro-batched by
     * arrival. */
   def loadStream(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // The file stream source requires a DIRECTORY base path; locally a
-    // table is one file inside the shared sf dir, so scope the listing
-    // with pathGlobFilter. At scale a table is its own directory and
-    // the filter is unnecessary (but harmless).
+    // The file stream source requires a DIRECTORY base path. Two
+    // fixture layouts exist: locally a table is one FILE inside the
+    // shared sf dir (base = the sf dir, scoped by pathGlobFilter on
+    // the leaf name), while at scale — and in ScaleGen rehearsal
+    // dirs — a table is its own DIRECTORY of part files (base = that
+    // directory, NO filter: pathGlobFilter matches leaf file names,
+    // so `events.parquet` would exclude every `part-*.parquet` inside
+    // the directory and the stream would silently read zero rows —
+    // caught by the r9 sf1 rehearsal).
+    val p = path(dir, name)
+    val hp = new org.apache.hadoop.fs.Path(p)
+    val isDir = hp.getFileSystem(spark.sessionState.newHadoopConf())
+      .getFileStatus(hp).isDirectory
     def stream(schema: org.apache.spark.sql.types.StructType) =
-      spark.readStream.schema(schema)
+      if (isDir) spark.readStream.schema(schema).parquet(p)
+      else spark.readStream.schema(schema)
         .option("pathGlobFilter", s"$name.parquet").parquet(dir)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     if (name == "events")

@@ -123,17 +123,33 @@ object Streams {
     * (dedup, stream-stream join) require; a fresh implicit temp
     * checkpoint per call means every invocation reprocesses the full
     * fixture (deterministic, re-runnable under the bench). */
+  /** `statePartitions` sizes the stateful operators' shuffle — and
+    * therefore the number of state store instances, which is STICKY
+    * for the checkpoint's lifetime and is pure fixed overhead when
+    * oversized: at the fixture scale, 32 stores made the
+    * stream-stream join ~2.5× slower than 8 (r9 measurement, ~9 s vs
+    * ~4 s) with identical output. Size it to stream volume on a real
+    * deployment; None inherits the session setting. The conf is set
+    * only for the `start()` window and restored after — batch plans
+    * in flight are unaffected because the setting is read at stream
+    * query planning. */
   def runAvailableNow(spark: SparkSession, streaming: DataFrame,
-      queryName: String): DataFrame = {
+      queryName: String, statePartitions: Option[Int] = None): DataFrame = {
     spark.catalog.dropTempView(queryName)
-    val q: StreamingQuery = streaming.writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(queryName)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(queryName)
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    statePartitions.foreach(p =>
+      spark.conf.set("spark.sql.shuffle.partitions", p.toString))
+    try {
+      val q: StreamingQuery = streaming.writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(queryName)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.table(queryName)
+    } finally statePartitions.foreach(_ =>
+      spark.conf.set("spark.sql.shuffle.partitions", prev))
   }
 
   /** Run a streaming DataFrame to completion against currently-available
