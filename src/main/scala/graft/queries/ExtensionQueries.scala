@@ -2378,6 +2378,47 @@ object ExtensionQueries {
              |      AS h_r
              |  FROM d)
              |SELECT doc_id, h_r FROM scored WHERE h_r <= 4.05
-             |ORDER BY doc_id""".stripMargin))
+             |ORDER BY doc_id""".stripMargin)),
+
+    QuerySpec("x52_streaming_sessionize",
+      "transitive oracle for STREAMING sessionization: the native " +
+        "session_window aggregate over the fixture events stream " +
+        "(Trigger.AvailableNow, complete-mode memory sink — every " +
+        "session is final once the bounded fixture drains; unbounded " +
+        "deployments pass a watermark and run append, where state " +
+        "evicts per finalized session) — output must equal batch " +
+        "x14b, whose boundary derivation DuckDB verifies directly",
+      (s, dir) => {
+        val stream = Tables.loadStream(s, dir, "events")
+          .select(col("user_id"), col("ts"),
+            dec2(col("value")).as("value2"))
+        val sessions = graft.streaming.Streams.streamingSessionize(
+          stream, keyCol = "user_id", tsCol = "ts", valueCol = "value2",
+          gap = "1800 seconds")
+        graft.streaming.Streams.runAvailableNow(s,
+            sessions, "x52_out", statePartitions = Some(8),
+            outputMode = "complete")
+          .withColumn("sum_value", col("sum_value").cast("double"))
+          .orderBy(col("user_id"), col("session_start"))
+      },
+      Some("""WITH flagged AS (
+             |  SELECT user_id, event_id, ts, value,
+             |    CASE WHEN lag(ts) OVER w IS NULL
+             |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+             |         THEN 1 ELSE 0 END AS is_new
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |sess AS (
+             |  SELECT *, sum(is_new) OVER (PARTITION BY user_id
+             |    ORDER BY ts, event_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |    AS sess_id
+             |  FROM flagged)
+             |SELECT user_id, min(ts) AS session_start,
+             |       max(ts) + INTERVAL 1800 SECONDS AS session_end,
+             |       count(*) AS n_events,
+             |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+             |FROM sess GROUP BY user_id, sess_id
+             |ORDER BY user_id, session_start""".stripMargin))
   )
 }

@@ -44,6 +44,28 @@ object Streams {
     events.withWatermark(watermarkCol, delay)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Streaming sessionization via the NATIVE session_window aggregate
+    * — the ingestion-time twin of the batch x14b form (merge-on-
+    * overlap; session end = last event + gap). With `watermark`
+    * (append mode) a session finalizes — and its state evicts — once
+    * the watermark passes session end + gap, so state tracks OPEN
+    * sessions only, not stream history: the unbounded-stream shape.
+    * With `watermark = None` the aggregation runs un-watermarked for
+    * complete-mode runs over a BOUNDED fixture (the transitive-oracle
+    * gate), where every session is final by construction once the
+    * files are drained. Same schema as the batch twin either way. */
+  def streamingSessionize(events: DataFrame, keyCol: String,
+      tsCol: String, valueCol: String, gap: String,
+      watermark: Option[String] = None): DataFrame = {
+    val in = watermark.fold(events)(events.withWatermark(tsCol, _))
+    in.groupBy(session_window(col(tsCol), gap).as("sw"), col(keyCol))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col(valueCol)).as("sum_value"))
+      .select(col(keyCol), col("sw.start").as("session_start"),
+        col("sw.end").as("session_end"), col("n_events"),
+        col("sum_value"))
+  }
+
   /** Stream-stream interval self-join: pairs of same-key events whose
     * timestamps lie within `withinSec` of each other (id_a < id_b) —
     * the streaming twin of Temporal.rangeJoinWithin (hash-verified as
@@ -134,14 +156,15 @@ object Streams {
     * in flight are unaffected because the setting is read at stream
     * query planning. */
   def runAvailableNow(spark: SparkSession, streaming: DataFrame,
-      queryName: String, statePartitions: Option[Int] = None): DataFrame = {
+      queryName: String, statePartitions: Option[Int] = None,
+      outputMode: String = "append"): DataFrame = {
     spark.catalog.dropTempView(queryName)
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     statePartitions.foreach(p =>
       spark.conf.set("spark.sql.shuffle.partitions", p.toString))
     try {
       val q: StreamingQuery = streaming.writeStream
-        .outputMode("append")
+        .outputMode(outputMode)
         .format("memory")
         .queryName(queryName)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())

@@ -92,6 +92,39 @@ class StreamsSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("streaming sessionization on hand-built fixtures: gap-boundary " +
+      "merge semantics equal the batch session_window (no testdata)") {
+    import spark.implicits._
+    val base = 1700000000L
+    // user 1: events at 0, 1800 (exactly gap -> same session? Spark's
+    // session merges when next event < end = prev + gap; equality is
+    // OUTSIDE), then 1799 chains; user 2: single event
+    val rows = Seq(
+      (1L, 0L, 1.0), (1L, 1799L, 2.0), (1L, 4000L, 3.0),
+      (2L, 100L, 5.0)
+    ).map { case (u, off, v) =>
+      (u, new java.sql.Timestamp((base + off) * 1000L), v)
+    }.toDF("user_id", "ts", "value")
+
+    val batch = Streams.streamingSessionize(rows, "user_id", "ts",
+        "value", "1800 seconds")
+      .orderBy("user_id", "session_start").collect().toSeq
+    // expected: user 1 has [0,1799] merged (1799 < 0+1800) and a
+    // separate [4000]; user 2 one singleton
+    assert(batch.map(r => (r.getLong(0), r.getLong(3))) ==
+      Seq((1L, 2L), (1L, 1L), (2L, 1L)))
+
+    val tmp = java.nio.file.Files.createTempDirectory("graft-sess").toString
+    rows.write.mode("overwrite").parquet(tmp)
+    val stream = spark.readStream.schema(rows.schema).parquet(tmp)
+    val got = Streams.runAvailableNow(spark,
+        Streams.streamingSessionize(stream, "user_id", "ts", "value",
+          "1800 seconds"),
+        "sess_fx_test", outputMode = "complete")
+      .orderBy("user_id", "session_start").collect().toSeq
+    assert(got == batch)
+  }
+
   test("transitive-oracle catalog entries: AvailableNow streaming run " +
       "equals the batch twin (x47 dedup, x49 enrichment)") {
     import graft.queries.Catalog
