@@ -194,6 +194,68 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("rangeJoinWithin matches the naive all-pairs model: bucket " +
+      "replication loses no pair, tolerance boundary is inclusive") {
+    import graft.operators.Temporal
+    // ts offsets cluster near multiples of the tolerance so pairs
+    // straddle bucket boundaries; ids unique per row
+    val row = Gen.zip(Gen.choose(1L, 3L), Gen.choose(0L, 3600L))
+    forAll(Gen.listOfN(12, row), minSuccessful(10)) {
+      (rs: List[(Long, Long)]) =>
+        val rows = rs.zipWithIndex.map { case ((k, off), i) =>
+          (k, i.toLong + 100L,
+            new java.sql.Timestamp((1700000000L + off) * 1000L), off)
+        }
+        val df = rows.map { case (k, id, ts, _) => (k, id, ts) }
+          .toDF("user_id", "event_id", "ts")
+        val got = Temporal
+          .rangeJoinWithin(df, "user_id", "event_id", "ts", 600)
+          .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+        val model = (for {
+          a <- rows; b <- rows
+          if a._1 == b._1 && a._2 < b._2 &&
+            math.abs(a._4 - b._4) <= 600
+        } yield (a._2, b._2)).toSet
+        assert(got == model, s"rows=$rows")
+    }
+  }
+
+  test("streamingSessionize (batch form) matches the naive gap-merge " +
+      "model: counts, sums, and session boundaries") {
+    import graft.streaming.Streams
+    val row = Gen.zip(Gen.choose(1L, 2L), Gen.choose(0L, 7200L))
+    forAll(Gen.nonEmptyListOf(row).map(_.take(10)), minSuccessful(10)) {
+      (rs: List[(Long, Long)]) =>
+        val rows = rs.map { case (k, off) =>
+          (k, new java.sql.Timestamp((1700000000L + off) * 1000L), 1.0)
+        }
+        val got = Streams.streamingSessionize(
+            rows.toDF("user_id", "ts", "value"),
+            "user_id", "ts", "value", "1800 seconds")
+          .select($"user_id", $"session_start", $"session_end",
+            $"n_events")
+          .as[(Long, java.sql.Timestamp, java.sql.Timestamp, Long)]
+          .collect().toSeq.sortBy(r => (r._1, r._2.getTime))
+        // naive model: sort per key, split where gap >= 1800s
+        // (an event at exactly start+gap opens a NEW session),
+        // end = last event + gap
+        val model = rows.groupBy(_._1).toSeq.flatMap { case (k, es) =>
+          val ts = es.map(_._2.getTime).sorted
+          val sessions = ts.foldLeft(List.empty[List[Long]]) {
+            case (acc, t) => acc match {
+              case cur :: rest if t - cur.head < 1800000L =>
+                (t :: cur) :: rest
+              case _ => List(t) :: acc
+            }
+          }.map(_.reverse).reverse
+          sessions.map(sess => (k, new java.sql.Timestamp(sess.head),
+            new java.sql.Timestamp(sess.last + 1800000L),
+            sess.length.toLong))
+        }.sortBy(r => (r._1, r._2.getTime))
+        assert(got == model, s"rows=$rows")
+    }
+  }
+
   test("asOfJoinLeft matches the naive per-left-row model: latest " +
       "right at-or-before, ties toward largest order, NULL payload " +
       "fields survive verbatim") {
