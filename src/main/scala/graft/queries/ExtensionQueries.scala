@@ -2419,6 +2419,35 @@ object ExtensionQueries {
              |       count(*) AS n_events,
              |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
              |FROM sess GROUP BY user_id, sess_id
-             |ORDER BY user_id, session_start""".stripMargin))
+             |ORDER BY user_id, session_start""".stripMargin)),
+
+    QuerySpec("x53_streaming_ingest_screen",
+      "transitive oracle for INGESTION-TIME dedup against history: " +
+        "the documents stream anti-joins the historical fingerprint " +
+        "inventory (stream-static left_anti on 32-char digests, " +
+        "re-broadcast per micro-batch; history text is never read — " +
+        "only its persisted fingerprint column, the shape that " +
+        "screens a daily delta against a 100 TB corpus) — stateless, " +
+        "shuffle-free on the stream side; output must equal batch " +
+        "x1b, which DuckDB verifies directly",
+      (s, dir) => {
+        val hist = t(s, dir, "documents").filter(col("doc_id") < 250)
+          .select(md5Fingerprint(col("text")).as("md5_fp"))
+        val stream = Tables.loadStream(s, dir, "documents")
+          .filter(col("doc_id") >= 250)
+        val screened = Dedup.incrementalExactNew(stream, "text", hist)
+          .select(col("doc_id"))
+        graft.streaming.Streams.runAvailableNow(s, screened, "x53_out",
+            statePartitions = Some(8))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH fp AS (
+             |  SELECT doc_id,
+             |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS f
+             |  FROM documents)
+             |SELECT b.doc_id FROM fp b
+             |WHERE b.doc_id >= 250 AND NOT EXISTS (
+             |  SELECT 1 FROM fp h WHERE h.doc_id < 250 AND h.f = b.f)
+             |ORDER BY doc_id""".stripMargin))
   )
 }

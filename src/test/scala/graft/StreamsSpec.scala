@@ -146,5 +146,17 @@ class StreamsSpec extends SparkSpec {
       .join(broadcast(cust), Seq("user_id"), "left")
       .orderBy("event_id").collect().toSeq
     assert(enrichGot.nonEmpty && enrichGot == enrichExp)
+
+    // x53: streaming ingest screen == batch incremental exact dedup
+    import graft.functions.TextFunctions.md5Fingerprint
+    val docs = Tables.load(spark, sf(), "documents")
+    val screenGot = Catalog.byName("x53_streaming_ingest_screen")
+      .run(spark, sf()).collect().toSeq
+    val screenExp = graft.operators.Dedup.incrementalExactNew(
+        docs.filter(col("doc_id") >= 250), "text",
+        docs.filter(col("doc_id") < 250)
+          .select(md5Fingerprint(col("text")).as("md5_fp")))
+      .select(col("doc_id")).orderBy("doc_id").collect().toSeq
+    assert(screenGot.nonEmpty && screenGot == screenExp)
   }
 }
