@@ -125,6 +125,55 @@ class StreamsSpec extends SparkSpec {
     assert(got == batch)
   }
 
+  test("streaming sessionization append mode: a session finalizes " +
+      "(emits) only once the watermark passes its end + gap") {
+    import spark.implicits._
+    val base = 1700000000L
+    def write(dir: String, name: String, offs: Seq[Long]): Unit = {
+      val stage = s"$dir/_stage_$name"
+      offs.map(off => (1L,
+          new java.sql.Timestamp((base + off) * 1000L), 1.0))
+        .toDF("user_id", "ts", "value")
+        .coalesce(1).write.parquet(stage)
+      val it = java.nio.file.Files.list(
+        java.nio.file.Paths.get(stage)).iterator()
+      while (it.hasNext) {
+        val p = it.next()
+        if (p.toString.endsWith(".parquet"))
+          java.nio.file.Files.move(p,
+            java.nio.file.Paths.get(s"$dir/$name.parquet"))
+      }
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-sess-wm")
+      .toString
+    // batch 1: session A (events at 0 and 100, ends 100+1800=1900);
+    // batch 2: a lone event far in the future advances the watermark
+    // past session A's end + gap, forcing A to finalize and its state
+    // to evict; the future session itself never finalizes (no later
+    // data) and must NOT emit
+    write(dir, "b1", Seq(0L, 100L))
+    write(dir, "b2", Seq(10000L))
+    java.nio.file.Files.setLastModifiedTime(
+      java.nio.file.Paths.get(s"$dir/b2.parquet"),
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() + 60000L))
+
+    val schema = spark.read.parquet(s"$dir/b1.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val sessions = Streams.streamingSessionize(stream, "user_id", "ts",
+      "value", "1800 seconds", watermark = Some("1 second"))
+    val q = sessions.writeStream.outputMode("append").format("memory")
+      .queryName("sess_wm_test").start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sess_wm_test")
+      .select($"user_id", $"session_start", $"n_events")
+      .as[(Long, java.sql.Timestamp, Long)].collect().toSeq
+    assert(got == Seq((1L, new java.sql.Timestamp(base * 1000L), 2L)),
+      s"only the watermark-passed session may emit, got $got")
+  }
+
   test("transitive-oracle catalog entries: AvailableNow streaming run " +
       "equals the batch twin (x47 dedup, x49 enrichment)") {
     import graft.queries.Catalog
