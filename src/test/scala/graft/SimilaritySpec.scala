@@ -19,6 +19,23 @@ class SimilaritySpec extends SparkSpec {
     assert(got == Seq(1.0, 0.0, -1.0, 0.0))
   }
 
+  test("ArrayDotProduct is element-type adaptive: double, long, int, " +
+      "and mixed-type arrays give identical doubles (fixture-drift arm)") {
+    // FIXTURES.md claims a list<double> regeneration of the embeddings
+    // table would change no hashes — pin the expression-level half of
+    // that claim across the element types the codegen dispatches on
+    import graft.functions.VectorFunctions.dotProduct
+    val f = Seq((Seq(1f, 2f, 3f), Seq(4f, 5f, 6f))).toDF("a", "b")
+      .select(dotProduct(col("a"), col("b"))).as[Double].head()
+    val d = Seq((Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0))).toDF("a", "b")
+      .select(dotProduct(col("a"), col("b"))).as[Double].head()
+    val l = Seq((Seq(1L, 2L, 3L), Seq(4L, 5L, 6L))).toDF("a", "b")
+      .select(dotProduct(col("a"), col("b"))).as[Double].head()
+    val m = Seq((Seq(1, 2, 3), Seq(4.0, 5.0, 6.0))).toDF("a", "b")
+      .select(dotProduct(col("a"), col("b"))).as[Double].head()
+    assert(Seq(f, d, l, m).forall(_ == 32.0))
+  }
+
   test("int8 quantization: exact scale, rounding, clamp, zero-vector") {
     val df = Seq(
       (1L, Seq(0f, 1f, -2f, 4f)),
