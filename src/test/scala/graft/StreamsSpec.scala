@@ -201,11 +201,18 @@ class StreamsSpec extends SparkSpec {
     val docs = Tables.load(spark, sf(), "documents")
     val screenGot = Catalog.byName("x53_streaming_ingest_screen")
       .run(spark, sf()).collect().toSeq
-    val screenExp = graft.operators.Dedup.incrementalExactNew(
+    val screenTwin = graft.operators.Dedup.incrementalExactNew(
         docs.filter(col("doc_id") >= 250), "text",
         docs.filter(col("doc_id") < 250)
           .select(md5Fingerprint(col("text")).as("md5_fp")))
-      .select(col("doc_id")).orderBy("doc_id").collect().toSeq
+      .select(col("doc_id")).orderBy("doc_id")
+    val screenExp = screenTwin.collect().toSeq
     assert(screenGot.nonEmpty && screenGot == screenExp)
+    // the zero-shuffle claim, hard-gated: the history side must
+    // broadcast; the probe side must reach the anti-join without an
+    // Exchange (only the final orderBy may shuffle)
+    val plan = screenTwin.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") &&
+      plan.contains("LeftAnti"), s"expected broadcast anti-join:\n$plan")
   }
 }
