@@ -10,10 +10,17 @@ object Bench {
     // per query so a noisy run is visible instead of alarming.
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     require(runs >= 1, s"SPARK_GRAFT_BENCH_RUNS must be >= 1, got $runs")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
+    // UTC must be pinned here like every other entry point: the
+    // events ts normalization casts TIMESTAMP_NTZ via the session TZ,
+    // so an unpinned bench on a non-UTC host would time queries over
+    // shifted ts values (different predicate selectivity than the
+    // runs the oracle verified).
+    val spark = graft.sources.Tables.withSessionConfs(
+        SparkSession.builder()
+          .master(s"local[$cpus]")
+          .config("spark.sql.shuffle.partitions", cpus)
+          .config("spark.sql.session.timeZone", "UTC")
+          .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm the JVM/codegen/parquet-reader infrastructure once so the

@@ -9,7 +9,7 @@ object Explain {
   def main(args: Array[String]): Unit = {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     val names = if (args.nonEmpty) args.toSeq else graft.queries.Catalog.specs.map(_.name)
-    val spark = SparkSession.builder().master("local[8]")
+    val spark = graft.sources.Tables.withSessionConfs(SparkSession.builder()).master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

@@ -22,39 +22,72 @@ object Tables {
 
   def path(dir: String, name: String): String = s"$dir/$name.parquet"
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    if (name == "events") loadEvents(spark, dir) else {
-      // nanosAsLong turns a TIMESTAMP(NANOS) regeneration of ANY
-      // column into a readable BIGINT instead of a vectorized-reader
-      // error; truncateNanosCols then repairs exactly the columns the
-      // footer annotates as nanos. A no-op on every era seen so far
-      // for the non-events tables.
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      truncateNanosCols(spark, dir, name,
-        spark.read.parquet(path(dir, name)))
+  /** Session confs the fixture read layer REQUIRES. Apply at session
+    * BUILD time (every entry point in this repo does — Verify, Bench,
+    * Smoke, BenchOne, Profile, Explain, ScaleGen, and the test base
+    * spec): `nanosAsLong` makes a TIMESTAMP(NANOS) fixture
+    * regeneration readable as a BIGINT instead of a reader error, and
+    * [[truncateNanosCols]] then repairs exactly the footer-annotated
+    * columns. A library must not mutate its host session's global
+    * conf from inside a read path (r9 verdict item 5), so `Tables`
+    * never calls `spark.conf.set` — a session missing this conf fails
+    * loudly with a pointer here if (and only if) it meets a nanos-era
+    * fixture. */
+  val sessionConfs: Map[String, String] =
+    Map("spark.sql.legacy.parquet.nanosAsLong" -> "true")
+
+  /** Apply [[sessionConfs]] to a session builder — the one-liner every
+    * entry point (and an embedder) uses at session build time. */
+  def withSessionConfs(b: SparkSession.Builder): SparkSession.Builder =
+    sessionConfs.foldLeft(b) { case (bb, (k, v)) => bb.config(k, v) }
+
+  /** Parquet read that upgrades Spark's opaque TIMESTAMP(NANOS)
+    * schema error into an actionable one naming [[sessionConfs]]. */
+  private def readParquet(spark: SparkSession, p: String): DataFrame =
+    try spark.read.parquet(p)
+    catch {
+      case e: Throwable
+          if String.valueOf(e.getMessage).contains("NANOS") &&
+            spark.conf.get(
+              "spark.sql.legacy.parquet.nanosAsLong", "false") != "true" =>
+        throw new IllegalStateException(
+          s"$p uses TIMESTAMP(NANOS); build the SparkSession with " +
+            "graft.sources.Tables.sessionConfs applied " +
+            "(spark.sql.legacy.parquet.nanosAsLong=true)", e)
     }
 
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events") loadEvents(spark, dir)
+    else truncateNanosCols(spark, dir, name,
+      readParquet(spark, path(dir, name)))
+
   /** Columns whose PARQUET logical type is TIMESTAMP(NANOS), from the
-    * file footer (memoized per table path — a metadata-only read).
-    * Under `nanosAsLong` Spark surfaces these as BIGINT, which is
-    * indistinguishable from a legitimate BIGINT in the Spark schema
-    * alone — only the footer can tell them apart. */
+    * file footer (memoized per (path, footer-file identity) — a
+    * metadata-only read). Under `nanosAsLong` Spark surfaces these as
+    * BIGINT, which is indistinguishable from a legitimate BIGINT in
+    * the Spark schema alone — only the footer can tell them apart.
+    * The cache key includes the footer file's length + mtime so an
+    * in-place fixture regeneration (the documented drift scenario)
+    * invalidates the entry instead of mis-truncating under a stale
+    * column set. */
   private val nanosColsCache =
     new java.util.concurrent.ConcurrentHashMap[String, Set[String]]()
   private def nanosTimestampCols(
-      spark: SparkSession, tablePath: String): Set[String] =
-    nanosColsCache.computeIfAbsent(tablePath, { _ =>
+      spark: SparkSession, tablePath: String): Set[String] = {
+    val conf = spark.sessionState.newHadoopConf()
+    val p = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = p.getFileSystem(conf)
+    val file = // a table may be one file locally or a directory at scale
+      if (fs.getFileStatus(p).isDirectory)
+        fs.listStatus(p).map(_.getPath)
+          .find(_.getName.endsWith(".parquet"))
+          .getOrElse(throw new IllegalStateException(
+            s"no parquet file under $tablePath"))
+      else p
+    val st = fs.getFileStatus(file)
+    val key = s"$tablePath@${st.getLen}:${st.getModificationTime}"
+    nanosColsCache.computeIfAbsent(key, { _ =>
       import org.apache.parquet.schema.LogicalTypeAnnotation
-      val conf = spark.sessionState.newHadoopConf()
-      val p = new org.apache.hadoop.fs.Path(tablePath)
-      val fs = p.getFileSystem(conf)
-      val file = // a table may be one file locally or a directory at scale
-        if (fs.getFileStatus(p).isDirectory)
-          fs.listStatus(p).map(_.getPath)
-            .find(_.getName.endsWith(".parquet"))
-            .getOrElse(throw new IllegalStateException(
-              s"no parquet file under $tablePath"))
-        else p
       val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
         org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(file, conf))
       try {
@@ -69,6 +102,7 @@ object Tables {
         }.toSet
       } finally reader.close()
     })
+  }
 
   /** Repair any column a testdata regeneration shipped as
     * TIMESTAMP(NANOS): truncate the nanos BIGINT to micros (DuckDB's
@@ -100,10 +134,8 @@ object Tables {
     * any timestamp type ⇒ normalize to session-TZ TimestampType (the
     * session TZ is UTC everywhere in this repo, so an NTZ cast is
     * value-identical micros). Every other shape fails loudly. */
-  private def loadEvents(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    normalizeEventsTs(spark.read.parquet(path(dir, "events")))
-  }
+  private def loadEvents(spark: SparkSession, dir: String): DataFrame =
+    normalizeEventsTs(readParquet(spark, path(dir, "events")))
 
   /** Normalize whatever physical shape `events.ts` arrived in to
     * session-TZ TimestampType with microsecond values identical to
@@ -151,12 +183,11 @@ object Tables {
       if (isDir) spark.readStream.schema(schema).parquet(p)
       else spark.readStream.schema(schema)
         .option("pathGlobFilter", s"$name.parquet").parquet(dir)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     if (name == "events")
       normalizeEventsTs(
-        stream(spark.read.parquet(path(dir, "events")).schema))
+        stream(readParquet(spark, path(dir, "events")).schema))
     else truncateNanosCols(spark, dir, name,
-      stream(spark.read.parquet(path(dir, name)).schema))
+      stream(readParquet(spark, path(dir, name)).schema))
   }
 
   /** Register every test table as a temp view — the analog of DuckDB's

@@ -47,7 +47,16 @@ object Sessionize {
     * inside each user. `gapSeconds` of inactivity closes a session.
     * Gaps compare at microsecond precision (the storage precision of
     * the event data) — NOT via second-truncating unix_timestamp — so
-    * batch and streaming split sub-second data identically. */
+    * batch and streaming split sub-second data identically.
+    *
+    * Boundary semantics match Spark's native `session_window`: an
+    * event EXACTLY `gap` after the previous one MERGES into the same
+    * session (Spark merges a window whose start equals the current
+    * session's end — equality is INSIDE; verified empirically against
+    * both the batch and streaming session_window paths by
+    * `SessionizeSpec`'s exact-gap test, since the two forms must
+    * stay interchangeable). A new session requires a gap STRICTLY
+    * longer than `gapSeconds`. */
   def batchSessions(events: DataFrame, gapSeconds: Long): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     val prev = lag(col("ts"), 1).over(w)

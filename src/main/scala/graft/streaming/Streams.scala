@@ -1,6 +1,8 @@
 package graft.streaming
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 import org.apache.spark.sql.types.StructType
@@ -155,6 +157,18 @@ object Streams {
     * only for the `start()` window and restored after — batch plans
     * in flight are unaffected because the setting is read at stream
     * query planning. */
+  /** Executed physical plan of the LAST micro-batch each
+    * [[runAvailableNow]] query ran, keyed by query name. Lets tests
+    * hard-gate the STREAMING plan shape directly (e.g. "no shuffle
+    * below the stream-side anti-join") instead of inferring it from a
+    * batch twin whose planner path can differ. Holds only the most
+    * recent plan per name; test/diagnostic surface, not a public API. */
+  private val lastPlans =
+    new java.util.concurrent.ConcurrentHashMap[String, SparkPlan]()
+
+  def lastExecutedPlan(queryName: String): Option[SparkPlan] =
+    Option(lastPlans.get(queryName))
+
   def runAvailableNow(spark: SparkSession, streaming: DataFrame,
       queryName: String, statePartitions: Option[Int] = None,
       outputMode: String = "append"): DataFrame = {
@@ -170,6 +184,12 @@ object Streams {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      q match {
+        case w: StreamingQueryWrapper =>
+          Option(w.streamingQuery.lastExecution)
+            .foreach(e => lastPlans.put(queryName, e.executedPlan))
+        case _ => ()
+      }
       spark.table(queryName)
     } finally statePartitions.foreach(_ =>
       spark.conf.set("spark.sql.shuffle.partitions", prev))

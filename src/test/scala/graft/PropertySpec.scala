@@ -236,14 +236,17 @@ class PropertySpec extends SparkSpec {
             $"n_events")
           .as[(Long, java.sql.Timestamp, java.sql.Timestamp, Long)]
           .collect().toSeq.sortBy(r => (r._1, r._2.getTime))
-        // naive model: sort per key, split where gap >= 1800s
-        // (an event at exactly start+gap opens a NEW session),
-        // end = last event + gap
+        // naive model: sort per key, split where gap > 1800s — an
+        // event at EXACTLY prev + gap MERGES (Spark merges a window
+        // whose start equals the session end; SessionizeSpec pins
+        // this empirically); end = last event + gap. The generator's
+        // integer-second offsets hit exact-gap spacings, so the
+        // boundary here is load-bearing, not theoretical.
         val model = rows.groupBy(_._1).toSeq.flatMap { case (k, es) =>
           val ts = es.map(_._2.getTime).sorted
           val sessions = ts.foldLeft(List.empty[List[Long]]) {
             case (acc, t) => acc match {
-              case cur :: rest if t - cur.head < 1800000L =>
+              case cur :: rest if t - cur.head <= 1800000L =>
                 (t :: cur) :: rest
               case _ => List(t) :: acc
             }

@@ -41,6 +41,65 @@ class SessionizeSpec extends SparkSpec {
     assert(n == Set(1L, 2L)) // tExact merged, tOver split by 1 microsecond
   }
 
+  test("exact-gap boundary agrees across batchSessions, the native " +
+    "session_window aggregate (batch AND streaming), and " +
+    "streamingSessions: equality is INSIDE — the pair merges") {
+    // ADVICE r9 flagged the x52/x14b oracles' `> gap` as disagreeing
+    // with a presumed half-open session_window. Empirically Spark
+    // MERGES a window whose start equals the current session's end
+    // (this test is the evidence), so `> gap` is the correct oracle
+    // boundary and every form here must agree: (t0, t0 + exactly
+    // 1800s) is ONE session of two events.
+    val t0 = Timestamp.valueOf("2024-01-01 10:00:00")
+    val tGap = Timestamp.valueOf("2024-01-01 10:30:00")
+    val events = Seq(Event(1, t0, 7, 1.0), Event(2, tGap, 7, 2.0)).toDF()
+
+    val batchSess = Sessionize.batchSessions(events, gapSeconds = 1800)
+      .select("n_events").as[Long].collect().toSeq
+    assert(batchSess == Seq(2L),
+      s"batchSessions: expected one merged session, got $batchSess")
+
+    val nativeSess = events
+      .groupBy(session_window(col("ts"), "1800 seconds"), col("user_id"))
+      .count().select("count").as[Long].collect().toSeq
+    assert(nativeSess == Seq(2L),
+      s"batch session_window: expected one merged session, got $nativeSess")
+
+    // streaming NATIVE session_window (the x52 shape) must agree with
+    // its batch twin at the boundary — state-store merge path
+    val tmp = java.nio.file.Files.createTempDirectory("graft-gap").toString
+    val plain = events.select($"user_id", $"ts", $"value")
+    plain.write.mode("overwrite").parquet(tmp)
+    val stream = spark.readStream.schema(plain.schema).parquet(tmp)
+    val streamSess = graft.streaming.Streams.runAvailableNow(spark,
+        graft.streaming.Streams.streamingSessionize(
+          stream, "user_id", "ts", "value", "1800 seconds"),
+        "sess_gap_native", outputMode = "complete")
+      .select("n_events").as[Long].collect().toSeq
+    assert(streamSess == Seq(2L),
+      s"streaming session_window: expected one merged session, got $streamSess")
+
+    // custom flatMapGroupsWithState form
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = Sessionize.streamingSessions(mem.toDS(), gapSeconds = 1800)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sess_gap").start()
+    try {
+      mem.addData(Event(1, t0, 7, 1.0), Event(2, tGap, 7, 2.0))
+      q.processAllAvailable()
+      // push the watermark far past the session so it emits
+      mem.addData(Event(99, Timestamp.valueOf("2024-01-01 15:00:00"), 8, 0.0))
+      q.processAllAvailable()
+      mem.addData(Event(100, Timestamp.valueOf("2024-01-01 17:00:00"), 8, 0.0))
+      q.processAllAvailable()
+      val got = spark.table("sess_gap").filter(col("user_id") === 7)
+        .select("n_events").as[Long].collect().toSeq
+      assert(got == Seq(2L),
+        s"streamingSessions must merge the exact-gap pair; got $got")
+    } finally q.stop()
+  }
+
   test("streamingSessions lowers session start for late in-window events") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]

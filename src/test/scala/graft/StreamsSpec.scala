@@ -96,9 +96,11 @@ class StreamsSpec extends SparkSpec {
       "merge semantics equal the batch session_window (no testdata)") {
     import spark.implicits._
     val base = 1700000000L
-    // user 1: events at 0, 1800 (exactly gap -> same session? Spark's
-    // session merges when next event < end = prev + gap; equality is
-    // OUTSIDE), then 1799 chains; user 2: single event
+    // user 1: events at 0, 1799 (inside the gap -> chains), then 4000
+    // (past the gap -> new session); user 2: single event. The exact-
+    // gap boundary itself (equality MERGES — Spark joins a window
+    // whose start equals the session end) is pinned by
+    // SessionizeSpec's cross-form exact-gap test.
     val rows = Seq(
       (1L, 0L, 1.0), (1L, 1799L, 2.0), (1L, 4000L, 3.0),
       (2L, 100L, 5.0)
@@ -208,9 +210,24 @@ class StreamsSpec extends SparkSpec {
       .select(col("doc_id")).orderBy("doc_id")
     val screenExp = screenTwin.collect().toSeq
     assert(screenGot.nonEmpty && screenGot == screenExp)
-    // the zero-shuffle claim, hard-gated: the history side must
-    // broadcast; the probe side must reach the anti-join without an
-    // Exchange (only the final orderBy may shuffle)
+    // the zero-shuffle claim, hard-gated on the STREAMING micro-batch
+    // plan itself (not the batch twin, whose planner path can differ):
+    // the history side must broadcast, and NO shuffle exchange may
+    // appear anywhere in the micro-batch — the screen is stateless and
+    // projection-only, so any Exchange means a fallback to a shuffled
+    // join shape
+    val sPlan = Streams.lastExecutedPlan("x53_out").getOrElse(
+      fail("x53 run recorded no micro-batch execution plan"))
+    val sStr = sPlan.toString
+    assert(sStr.contains("BroadcastHashJoin") && sStr.contains("LeftAnti"),
+      s"expected broadcast anti-join in the micro-batch plan:\n$sStr")
+    val shuffles = sPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+    }
+    assert(shuffles.isEmpty,
+      s"streaming ingest screen must be shuffle-free; found:\n" +
+        shuffles.mkString("\n") + s"\nfull plan:\n$sStr")
+    // and the batch twin keeps the same shape
     val plan = screenTwin.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin") &&
       plan.contains("LeftAnti"), s"expected broadcast anti-join:\n$plan")
