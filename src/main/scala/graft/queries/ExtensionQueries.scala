@@ -2448,6 +2448,54 @@ object ExtensionQueries {
              |SELECT b.doc_id FROM fp b
              |WHERE b.doc_id >= 250 AND NOT EXISTS (
              |  SELECT 1 FROM fp h WHERE h.doc_id < 250 AND h.f = b.f)
-             |ORDER BY doc_id""".stripMargin))
+             |ORDER BY doc_id""".stripMargin)),
+
+    QuerySpec("x54_streaming_exactly_once_sink",
+      "data oracle for the EXACTLY-ONCE foreachBatch parquet sink: " +
+        "stream the events fixture through idempotentParquetSink " +
+        "(per-batch-id overwrite directories), then FORCE the " +
+        "at-least-once replay window — delete the newest checkpoint " +
+        "commit and restart, so the last batch genuinely re-executes " +
+        "through foreachBatch — and return the sink's contents. The " +
+        "DuckDB oracle is the ORIGINAL events table: hash equality " +
+        "proves the post-replay sink holds every input row exactly " +
+        "once (no duplicates from the replay, no loss from the " +
+        "overwrite)",
+      (s, dir) => {
+        import org.apache.spark.sql.streaming.Trigger
+        val sink = java.nio.file.Paths.get("target/x54_sink")
+          .toAbsolutePath.toString
+        val ckpt = java.nio.file.Paths.get("target/x54_ckpt")
+          .toAbsolutePath.toString
+        def rmTree(root: String): Unit = {
+          val p = java.nio.file.Paths.get(root)
+          if (java.nio.file.Files.exists(p)) {
+            import scala.jdk.CollectionConverters._
+            java.nio.file.Files.walk(p).iterator().asScala.toSeq
+              .reverse.foreach(java.nio.file.Files.delete)
+          }
+        }
+        rmTree(sink); rmTree(ckpt)
+        def pipeline() = graft.streaming.Streams.idempotentParquetSink(
+          Tables.loadStream(s, dir, "events")
+            .select(col("event_id"), col("ts"), col("user_id"),
+              col("event_type"), col("value")),
+          sink, ckpt, trigger = Some(Trigger.AvailableNow()))
+        val q1 = pipeline()
+        graft.streaming.Streams.awaitTerminationAndUnregister(s, q1)
+        val replayed = graft.streaming.Streams.forceLastBatchReplay(ckpt)
+        val before = s.read.parquet(s"$sink/batch_id=$replayed").count()
+        val q2 = pipeline()
+        graft.streaming.Streams.awaitTerminationAndUnregister(s, q2)
+        require(s.read.parquet(s"$sink/batch_id=$replayed").count()
+            == before,
+          s"replayed batch $replayed must overwrite to the same rows")
+        s.read.parquet(sink)
+          .select(col("event_id"), col("ts"), col("user_id"),
+            col("event_type"), col("value"))
+          .orderBy(col("event_id"))
+      },
+      Some("""SELECT event_id, ts, user_id, event_type, value
+             |FROM events ORDER BY event_id""".stripMargin))
   )
 }

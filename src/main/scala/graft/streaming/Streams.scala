@@ -111,13 +111,56 @@ object Streams {
     * carries the stream's progress. Readers see the union via
     * hive-partition discovery on batch_id. */
   def idempotentParquetSink(streaming: DataFrame, dir: String,
-      checkpointDir: String): StreamingQuery =
-    streaming.writeStream
+      checkpointDir: String,
+      trigger: Option[org.apache.spark.sql.streaming.Trigger] = None)
+      : StreamingQuery = {
+    val w = streaming.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         writeBatchIdempotent(batch, dir, batchId)
       }
       .option("checkpointLocation", checkpointDir)
-      .start()
+    trigger.fold(w)(w.trigger).start()
+  }
+
+  /** Await a query's termination AND its deregistration from the
+    * session's StreamingQueryManager. `awaitTermination` alone returns
+    * when the stream's state flips to TERMINATED, but the manager
+    * unregisters the run asynchronously — a restart on the SAME
+    * checkpoint racing that window fails with "multiple streaming
+    * queries are concurrently using <checkpoint>". Restart-based
+    * flows (the forced-replay verification) must use this. */
+  def awaitTerminationAndUnregister(spark: SparkSession,
+      q: StreamingQuery): Unit = {
+    q.awaitTermination()
+    val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+    while (spark.streams.active.exists(_.runId == q.runId) &&
+        System.nanoTime() < deadline)
+      Thread.sleep(20)
+    require(!spark.streams.active.exists(_.runId == q.runId),
+      s"query ${q.runId} still registered 30s after termination")
+  }
+
+  /** Force the at-least-once replay window on a FINISHED
+    * [[idempotentParquetSink]] run: delete the newest entry in the
+    * checkpoint's commits/ log, so the next restart finds its offsets
+    * log one batch ahead of its commits log and RE-EXECUTES that
+    * batch through foreachBatch — exactly the crash-between-sink-
+    * write-and-checkpoint-commit window the idempotent sink exists
+    * for. Returns the replayed batch id. Test/verification surface:
+    * production failures produce this state on their own. */
+  def forceLastBatchReplay(checkpointDir: String): Long = {
+    val commits = new java.io.File(s"$checkpointDir/commits")
+    val entries = Option(commits.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.forall(_.isDigit))
+    require(entries.nonEmpty, s"no commits under $checkpointDir to replay")
+    val last = entries.maxBy(_.getName.toLong)
+    require(last.delete(), s"could not delete commit ${last.getName}")
+    // the local checkpoint FS is checksummed: a stale .N.crc sibling
+    // would fail the re-commit's rename with FileAlreadyExists —
+    // remove it with the data file, like FileSystem.delete would
+    new java.io.File(commits, s".${last.getName}.crc").delete()
+    last.getName.toLong
+  }
 
   /** The sink body of [[idempotentParquetSink]], exposed so replay
     * idempotence is directly testable: same (batch, id) written twice

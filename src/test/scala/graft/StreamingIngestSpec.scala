@@ -107,6 +107,46 @@ class StreamingIngestSpec extends SparkSpec {
     assert(Layout.parquetFileCount(spark, compacted) == 1)
   }
 
+  test("forced checkpoint replay: deleting the newest commit makes a " +
+      "restart re-execute that batch through foreachBatch, and the " +
+      "idempotent sink converges to the same content (x54 shape)") {
+    import org.apache.spark.sql.streaming.Trigger
+    val src = java.nio.file.Files.createTempDirectory("replay-src").toString
+    val dir = java.nio.file.Files.createTempDirectory("replay-sink").toString
+    val chk = java.nio.file.Files.createTempDirectory("replay-chk").toString
+    // two source files + maxFilesPerTrigger=1 -> two micro-batches
+    Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text")
+      .coalesce(1).write.parquet(s"$src/f1")
+    Seq((3L, "c")).toDF("doc_id", "text")
+      .coalesce(1).write.parquet(s"$src/f2")
+    val schema = spark.read.parquet(s"$src/f1").schema
+    def pipeline() = Streams.idempotentParquetSink(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        .parquet(s"$src/f*"),
+      dir, chk, trigger = Some(Trigger.AvailableNow()))
+    val q1 = pipeline()
+    Streams.awaitTerminationAndUnregister(spark, q1)
+    val ids1 = spark.read.parquet(dir).select($"doc_id")
+      .as[Long].collect().sorted.toSeq
+    assert(ids1 == Seq(1L, 2L, 3L))
+    assert(new java.io.File(s"$chk/commits").listFiles()
+      .count(_.getName.forall(_.isDigit)) == 2, "expected two batches")
+
+    val replayed = Streams.forceLastBatchReplay(chk)
+    assert(replayed == 1L)
+    // fingerprint the replayed batch directory's parquet part files;
+    // the restart must REWRITE them (new file names), not append
+    def parts() = new java.io.File(s"$dir/batch_id=$replayed")
+      .listFiles().map(_.getName).filter(_.endsWith(".parquet")).toSet
+    val before = parts()
+    val q2 = pipeline()
+    Streams.awaitTerminationAndUnregister(spark, q2)
+    assert(parts() != before, "replay must rewrite the batch directory")
+    assert(spark.read.parquet(dir).select($"doc_id")
+      .as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L),
+      "post-replay sink must hold every row exactly once")
+  }
+
   test("streaming perplexity gate: frozen-vocab scoring filters " +
       "micro-batches, and agrees with the distributed batch scorer") {
     import graft.operators.LanguageModel
