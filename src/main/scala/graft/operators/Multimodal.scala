@@ -18,12 +18,15 @@ import org.apache.spark.sql.functions._
   * decoding is REAL for WAV — `javax.sound.sampled` also ships with
   * the JDK, so WAV payloads yield the actual sample rate / channel
   * count / frame length from a parsed container ([[decodeAudio]] /
-  * [[decodeAudioFeatures]]). Video decoding remains a STUB (no video codecs
-  * in this environment): `stubDecode` derives deterministic pseudo-features
-  * from the payload's md5, so the plumbing — schema, encoders,
-  * partitioning, batch shape — is identical for all modalities and
-  * swapping in a real video codec later only touches `stubDecode`'s
-  * dispatch arm.
+  * [[decodeAudioFeatures]]). VIDEO metadata is REAL at the CONTAINER
+  * level — [[parseMp4Meta]] walks ISO BMFF boxes (moov/mvhd/tkhd) and
+  * [[parseWebmMeta]] walks EBML/Matroska elements for width, height,
+  * and duration with no codec involved ([[decodeVideoFeatures]]).
+  * Only FRAME decode (pixels) remains out of scope in this
+  * environment: `stubDecode`'s generic arm still derives
+  * deterministic pseudo-features from the payload's md5 for payloads
+  * with no real parser, so the plumbing — schema, encoders,
+  * partitioning, batch shape — is identical for all modalities.
   */
 object Multimodal {
 
@@ -50,10 +53,14 @@ object Multimodal {
     def startsWith(sig: Int*): Boolean =
       bytes.length >= sig.length &&
         sig.zipWithIndex.forall { case (b, i) => (bytes(i) & 0xff) == b }
+    def isFtyp: Boolean = bytes.length >= 8 &&
+      bytes(4) == 'f' && bytes(5) == 't' && bytes(6) == 'y' &&
+      bytes(7) == 'p'
     if (startsWith(0x89, 0x50, 0x4e, 0x47)) "image/png"
     else if (startsWith(0xff, 0xd8, 0xff)) "image/jpeg"
     else if (startsWith(0x52, 0x49, 0x46, 0x46)) "audio/wav"
     else if (startsWith(0x1a, 0x45, 0xdf, 0xa3)) "video/webm"
+    else if (isFtyp) "video/mp4" // ISO BMFF: size(4) then 'ftyp'
     else "application/octet-stream"
   }
 
@@ -207,6 +214,280 @@ object Multimodal {
     javax.sound.sampled.AudioSystem.write(stream,
       javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
     out.toByteArray
+  }
+
+  // -------------------------------------------------------------------
+  // REAL video container metadata — header walks, no codec.
+  // -------------------------------------------------------------------
+
+  /** Extracted video container metadata: REAL for MP4 (ISO BMFF box
+    * walk: moov → mvhd for the timescale'd duration, moov → trak →
+    * tkhd for the 16.16-fixed dimensions) and WebM (EBML/Matroska
+    * element walk: Segment → Info for TimestampScale+Duration,
+    * Segment → Tracks → TrackEntry → Video for PixelWidth/Height).
+    * Frame/pixel decode is deliberately out of scope — container
+    * metadata is what a 100 TB ingest screens on (dimensions,
+    * duration, validity) before any expensive codec work. */
+  final case class VideoMeta(id: Long, n_bytes: Long, container: String,
+      width: Long, height: Long, duration_ms: Long, is_valid: Boolean)
+
+  /** MP4/ISO-BMFF metadata: (width, height, duration_ms) from the
+    * moov box, or None when the container doesn't parse. Box grammar
+    * (ISO/IEC 14496-12): [size:4][type:4][payload], size==1 → 64-bit
+    * largesize follows, size==0 → box extends to end. mvhd v0/v1
+    * carry (timescale, duration); tkhd v0/v1 end in width/height as
+    * 16.16 fixed point — the first trak with non-zero dimensions is
+    * the video track (audio tkhd dimensions are zero). */
+  def parseMp4Meta(bytes: Array[Byte]): Option[(Long, Long, Long)] = {
+    val n = bytes.length
+    def be32(o: Int): Long =
+      ((bytes(o) & 0xffL) << 24) | ((bytes(o + 1) & 0xffL) << 16) |
+        ((bytes(o + 2) & 0xffL) << 8) | (bytes(o + 3) & 0xffL)
+    def be64(o: Int): Long = (be32(o) << 32) | be32(o + 4)
+    /** (type, payloadStart, payloadEnd) for each box in [start, end). */
+    def walk(start: Int, end: Int): List[(String, Int, Int)] = {
+      val out = List.newBuilder[(String, Int, Int)]
+      var o = start
+      var ok = true
+      while (ok && o + 8 <= end) {
+        var size = be32(o)
+        var hdr = 8
+        val typ = new String(bytes, o + 4, 4, "ISO-8859-1")
+        if (size == 1 && o + 16 <= end) { size = be64(o + 8); hdr = 16 }
+        else if (size == 0) size = (end - o).toLong
+        if (size < hdr || o + size > end) ok = false // corrupt: stop
+        else { out += ((typ, o + hdr, (o + size).toInt)); o = (o + size).toInt }
+      }
+      out.result()
+    }
+    try {
+      walk(0, n).find(_._1 == "moov").flatMap { case (_, ms, me) =>
+        val kids = walk(ms, me)
+        val durMs = kids.find(_._1 == "mvhd").flatMap { case (_, s, _) =>
+          (bytes(s) & 0xff) match {
+            case 1 =>
+              val ts = be32(s + 20)
+              if (ts > 0) Some(be64(s + 24) * 1000L / ts) else None
+            case _ =>
+              val ts = be32(s + 12)
+              if (ts > 0) Some(be32(s + 16) * 1000L / ts) else None
+          }
+        }
+        kids.collectFirst(Function.unlift {
+          case ("trak", ts, te) =>
+            walk(ts, te).find(_._1 == "tkhd").flatMap { case (_, s, e) =>
+              val base = if ((bytes(s) & 0xff) == 1) s + 36 else s + 24
+              val wOff = base + 52 // reserved(8)+layer/alt/vol/resv(8)+matrix(36)
+              if (wOff + 8 > e) None
+              else {
+                val w = be32(wOff) >> 16
+                val h = be32(wOff + 4) >> 16
+                if (w > 0 && h > 0) Some((w, h, durMs.getOrElse(0L)))
+                else None
+              }
+            }
+          case _ => None
+        })
+      }
+    } catch { case _: IndexOutOfBoundsException => None }
+  }
+
+  // EBML element ids AS READ off the wire (marker bits included)
+  private val EbmlSegment = 0x18538067L
+  private val EbmlInfo = 0x1549a966L
+  private val EbmlTimestampScale = 0x2ad7b1L
+  private val EbmlDuration = 0x4489L
+  private val EbmlTracks = 0x1654ae6bL
+  private val EbmlTrackEntry = 0xaeL
+  private val EbmlVideo = 0xe0L
+  private val EbmlPixelWidth = 0xb0L
+  private val EbmlPixelHeight = 0xbaL
+
+  /** WebM/Matroska metadata: (width, height, duration_ms) from the
+    * EBML tree, or None when the container doesn't parse. Element
+    * grammar (RFC 8794): [id:vint keeping marker][size:vint stripping
+    * marker][payload]. duration_ms = Duration (float, timestamp
+    * units) × TimestampScale (ns/unit, default 1e6) / 1e6. */
+  def parseWebmMeta(bytes: Array[Byte]): Option[(Long, Long, Long)] = {
+    val n = bytes.length
+    /** (value, encodedLength) of the vint at `o`. */
+    def vint(o: Int, keepMarker: Boolean): Option[(Long, Int)] = {
+      if (o >= n) return None
+      val first = bytes(o) & 0xff
+      if (first == 0) return None
+      val len = Integer.numberOfLeadingZeros(first) - 23 // 1..8
+      if (o + len > n) return None
+      var v =
+        if (keepMarker) first.toLong
+        else (first & ((1 << (8 - len)) - 1)).toLong
+      var i = 1
+      while (i < len) { v = (v << 8) | (bytes(o + i) & 0xff); i += 1 }
+      Some((v, len))
+    }
+    /** (id, payloadStart, payloadEnd) for each element in [start, end). */
+    def elems(start: Int, end: Int): List[(Long, Int, Int)] = {
+      val out = List.newBuilder[(Long, Int, Int)]
+      var o = start
+      var ok = true
+      while (ok && o < end) {
+        (for {
+          (id, idLen) <- vint(o, keepMarker = true)
+          (sz, szLen) <- vint(o + idLen, keepMarker = false)
+          ps = o + idLen + szLen
+          pe = ps + sz.toInt if pe <= end && sz >= 0
+        } yield (id, ps, pe)) match {
+          case Some(e) => out += e; o = e._3
+          case None => ok = false // corrupt: stop
+        }
+      }
+      out.result()
+    }
+    def uintAt(s: Int, e: Int): Long =
+      (s until e).foldLeft(0L)((acc, i) => (acc << 8) | (bytes(i) & 0xffL))
+    def floatAt(s: Int, e: Int): Option[Double] = (e - s) match {
+      case 4 => Some(java.lang.Float.intBitsToFloat(uintAt(s, e).toInt)
+        .toDouble)
+      case 8 => Some(java.lang.Double.longBitsToDouble(uintAt(s, e)))
+      case _ => None
+    }
+    try {
+      elems(0, n).find(_._1 == EbmlSegment).flatMap { case (_, ss, se) =>
+        val seg = elems(ss, se)
+        val info = seg.find(_._1 == EbmlInfo).map(i => elems(i._2, i._3))
+          .getOrElse(Nil)
+        val scaleNs = info.find(_._1 == EbmlTimestampScale)
+          .map(e => uintAt(e._2, e._3)).getOrElse(1000000L)
+        val durMs = info.find(_._1 == EbmlDuration)
+          .flatMap(e => floatAt(e._2, e._3))
+          .map(d => (d * scaleNs / 1e6).toLong)
+        for {
+          tracks <- seg.find(_._1 == EbmlTracks)
+          video <- elems(tracks._2, tracks._3)
+            .filter(_._1 == EbmlTrackEntry)
+            .flatMap(t => elems(t._2, t._3).filter(_._1 == EbmlVideo))
+            .headOption
+          vk = elems(video._2, video._3)
+          w <- vk.find(_._1 == EbmlPixelWidth).map(e => uintAt(e._2, e._3))
+          h <- vk.find(_._1 == EbmlPixelHeight).map(e => uintAt(e._2, e._3))
+          if w > 0 && h > 0
+        } yield (w, h, durMs.getOrElse(0L))
+      }
+    } catch { case _: IndexOutOfBoundsException => None }
+  }
+
+  /** Dispatch on the container signature: MP4 or WebM metadata, None
+    * for anything else (including corrupt containers of either). */
+  def decodeVideoMeta(bytes: Array[Byte]): Option[(String, Long, Long, Long)] =
+    sniffMime(bytes) match {
+      case "video/mp4" =>
+        parseMp4Meta(bytes).map { case (w, h, d) => ("mp4", w, h, d) }
+      case "video/webm" =>
+        parseWebmMeta(bytes).map { case (w, h, d) => ("webm", w, h, d) }
+      case _ => None
+    }
+
+  /** Batched REAL video metadata stage (the container analog of
+    * [[decodeAudioFeatures]]): MP4/WebM-sniffed payloads parse via
+    * [[decodeVideoMeta]] — actual pixel dimensions and container
+    * duration; anything else comes back zeroed with is_valid = false
+    * instead of erroring the row. Narrow stage: no shuffle, input
+    * partitioning preserved. */
+  def decodeVideoFeatures(ds: Dataset[MediaRecord]): Dataset[VideoMeta] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.map { r =>
+      decodeVideoMeta(r.bytes) match {
+        case Some((c, w, h, d)) =>
+          VideoMeta(r.id, r.bytes.length.toLong, c, w, h, d, true)
+        case None =>
+          VideoMeta(r.id, r.bytes.length.toLong, "", 0L, 0L, 0L, false)
+      }
+    })
+  }
+
+  /** Minimal valid ISO BMFF (MP4) metadata container: ftyp + moov
+    * (mvhd with timescale 1000 so duration units ARE milliseconds;
+    * one trak/tkhd with 16.16-fixed dimensions). No mdat — this is a
+    * metadata fixture, and [[parseMp4Meta]] never needs samples.
+    * Test/fixture generator for the real-parse round trip (catalog
+    * m2d, MultimodalSpec). */
+  def synthMp4(w: Int, h: Int, durationMs: Long): Array[Byte] = {
+    require(w > 0 && h > 0 && durationMs >= 0,
+      s"bad mp4 params ${w}x$h/$durationMs")
+    val out = new java.io.ByteArrayOutputStream()
+    def be32(v: Long): Array[Byte] = Array(
+      ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def box(typ: String, payload: Array[Byte]): Array[Byte] =
+      be32(payload.length + 8L) ++ typ.getBytes("ISO-8859-1") ++ payload
+    val ftyp = box("ftyp",
+      "isom".getBytes("ISO-8859-1") ++ be32(0L) ++
+        "isom".getBytes("ISO-8859-1"))
+    val identityMatrix = // 3x3 16.16/2.30 fixed: [0x10000,0,0, 0,0x10000,0, 0,0,0x40000000]
+      be32(0x10000L) ++ be32(0L) ++ be32(0L) ++
+        be32(0L) ++ be32(0x10000L) ++ be32(0L) ++
+        be32(0L) ++ be32(0L) ++ be32(0x40000000L)
+    val mvhd = box("mvhd",
+      be32(0L) ++ // version 0 + flags
+        be32(0L) ++ be32(0L) ++ // creation, modification
+        be32(1000L) ++ // timescale: 1000 units/s → duration in ms
+        be32(durationMs) ++
+        be32(0x10000L) ++ // rate 1.0
+        Array[Byte](0x01, 0x00, 0, 0) ++ // volume 1.0 + reserved(2)
+        be32(0L) ++ be32(0L) ++ // reserved(8)
+        identityMatrix ++
+        Array.fill[Byte](24)(0) ++ // pre_defined
+        be32(2L)) // next_track_ID
+    val tkhd = box("tkhd",
+      be32(7L) ++ // version 0 + flags (enabled|in_movie|in_preview)
+        be32(0L) ++ be32(0L) ++ // creation, modification
+        be32(1L) ++ // track_ID
+        be32(0L) ++ // reserved
+        be32(durationMs) ++
+        be32(0L) ++ be32(0L) ++ // reserved(8)
+        Array[Byte](0, 0, 0, 0, 0, 0, 0, 0) ++ // layer, alt_group, volume, reserved
+        identityMatrix ++
+        be32(w.toLong << 16) ++ be32(h.toLong << 16)) // 16.16 fixed
+    val moov = box("moov", mvhd ++ box("trak", tkhd))
+    out.write(ftyp); out.write(moov)
+    out.toByteArray
+  }
+
+  /** Minimal valid WebM (EBML/Matroska) metadata container: EBML
+    * header (DocType webm) + Segment(Info(TimestampScale 1e6 ns,
+    * Duration as float64 ms), Tracks(TrackEntry(Video(PixelWidth,
+    * PixelHeight)))). No clusters — metadata fixture only.
+    * Test/fixture generator for the real-parse round trip (catalog
+    * m2d, MultimodalSpec). */
+  def synthWebm(w: Int, h: Int, durationMs: Long): Array[Byte] = {
+    require(w > 0 && h > 0 && durationMs >= 0,
+      s"bad webm params ${w}x$h/$durationMs")
+    def idBytes(id: Long): Array[Byte] = { // ids are written as read
+      val nb = (64 - java.lang.Long.numberOfLeadingZeros(id) + 7) / 8
+      (nb - 1 to 0 by -1).map(i => ((id >> (8 * i)) & 0xff).toByte).toArray
+    }
+    def sizeVint(sz: Int): Array[Byte] = // always 8-byte form: 0x01 + 7 bytes
+      Array(0x01.toByte) ++
+        (6 to 0 by -1).map(i => ((sz.toLong >> (8 * i)) & 0xff).toByte)
+    def el(id: Long, payload: Array[Byte]): Array[Byte] =
+      idBytes(id) ++ sizeVint(payload.length) ++ payload
+    def uintBytes(v: Long): Array[Byte] = {
+      val nb = math.max(1, (64 - java.lang.Long.numberOfLeadingZeros(v) + 7) / 8)
+      (nb - 1 to 0 by -1).map(i => ((v >> (8 * i)) & 0xff).toByte).toArray
+    }
+    val header = el(0x1a45dfa3L, // EBML header
+      el(0x4282L, "webm".getBytes("ISO-8859-1"))) // DocType
+    val durBits = java.lang.Double.doubleToLongBits(durationMs.toDouble)
+    val info = el(EbmlInfo,
+      el(EbmlTimestampScale, uintBytes(1000000L)) ++ // 1 ms units
+        el(EbmlDuration,
+          (7 to 0 by -1).map(i => ((durBits >> (8 * i)) & 0xff).toByte)
+            .toArray))
+    val tracks = el(EbmlTracks,
+      el(EbmlTrackEntry,
+        el(EbmlVideo,
+          el(EbmlPixelWidth, uintBytes(w.toLong)) ++
+            el(EbmlPixelHeight, uintBytes(h.toLong)))))
+    header ++ el(EbmlSegment, info ++ tracks)
   }
 
   /** One sampled frame of a resized media item. */

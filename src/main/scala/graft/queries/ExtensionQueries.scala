@@ -1735,6 +1735,51 @@ object ExtensionQueries {
              |  TRUE AS is_valid
              |FROM documents ORDER BY id""".stripMargin)),
 
+    QuerySpec("m2d_multimodal_video_real",
+      "REAL video container metadata (no codec): per doc a " +
+        "deterministic MP4 (even doc_id: ISO BMFF ftyp+moov/mvhd/" +
+        "tkhd) or WebM (odd doc_id: EBML Segment/Info/Tracks) " +
+        "container — dims (320 + id%8*16) x (180 + id%6*30), " +
+        "duration 1000 + id%10*500 ms — is sniffed and header-walked " +
+        "back; the oracle states container/dims/duration as " +
+        "arithmetic, so a walk that misread a box size, a 16.16 " +
+        "fixed-point dimension, or an EBML vint hash-fails; encode " +
+        "memoized per partition over the bounded shape set; narrow " +
+        "mapPartitions stage, no shuffle",
+      (s, dir) => {
+        import s.implicits._
+        val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
+          .mapPartitions { it =>
+            val memo = scala.collection.mutable.HashMap
+              .empty[(Boolean, Int, Int, Long), Array[Byte]]
+            it.map { id =>
+              val shape = (id % 2 == 0, (320 + (id % 8) * 16).toInt,
+                (180 + (id % 6) * 30).toInt, 1000L + (id % 10) * 500L)
+              val bytes = memo.getOrElseUpdate(shape,
+                if (shape._1)
+                  graft.operators.Multimodal.synthMp4(
+                    shape._2, shape._3, shape._4)
+                else
+                  graft.operators.Multimodal.synthWebm(
+                    shape._2, shape._3, shape._4))
+              graft.operators.Multimodal.MediaRecord(id, bytes,
+                graft.operators.Multimodal.sniffMime(bytes))
+            }
+          }
+        graft.operators.Multimodal.decodeVideoFeatures(media).toDF()
+          .select(col("id"), col("container"), col("width"),
+            col("height"), col("duration_ms"), col("is_valid"))
+          .orderBy(col("id"))
+      },
+      Some("""SELECT doc_id AS id,
+             |  CASE WHEN doc_id % 2 = 0 THEN 'mp4' ELSE 'webm' END
+             |    AS container,
+             |  CAST(320 + (doc_id % 8) * 16 AS BIGINT) AS width,
+             |  CAST(180 + (doc_id % 6) * 30 AS BIGINT) AS height,
+             |  CAST(1000 + (doc_id % 10) * 500 AS BIGINT) AS duration_ms,
+             |  TRUE AS is_valid
+             |FROM documents ORDER BY id""".stripMargin)),
+
     QuerySpec("m3_multimodal_transform",
       "resize + frame-sample plumbing: aspect-fit dims and evenly " +
         "spaced frame offsets over the stub duration (arithmetic " +

