@@ -18,11 +18,21 @@ import graft.sources.Tables
   * Timing rehearsal only — the DuckDB oracle gate stays on the
   * driver's read-only sf dirs.
   *
-  * Usage: runMain graft.ScaleGen <srcDir> <outDir> <copies>
+  * Usage: runMain graft.ScaleGen <srcDir> <outDir> <copies> [tables]
+  * `tables` is an optional comma-separated subset (default: all) so a
+  * deep-scale rehearsal (e.g. sf10 events for the streaming family)
+  * need not pay for a 60M-row lineitem it never reads.
   */
 object ScaleGen {
   def main(args: Array[String]): Unit = {
     val (src, out, copies) = (args(0), args(1), args(2).toInt)
+    val only: Option[Set[String]] =
+      if (args.length > 3) Some(args(3).split(",").map(_.trim).toSet)
+      else None
+    only.foreach { ts =>
+      val unknown = ts -- Tables.all.toSet
+      require(unknown.isEmpty, s"unknown tables: ${unknown.mkString(",")}")
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = graft.sources.Tables.withSessionConfs(SparkSession.builder())
       .master(s"local[$cpus]")
@@ -44,7 +54,7 @@ object ScaleGen {
       "documents" -> Seq("doc_id"),
       "embeddings" -> Seq("vec_id"))
 
-    Tables.all.foreach { name =>
+    Tables.all.filter(n => only.forall(_.contains(n))).foreach { name =>
       val df = Tables.load(spark, src, name)
       val keys = shiftCols(name)
       val scaled =

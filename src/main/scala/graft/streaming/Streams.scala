@@ -217,7 +217,13 @@ object Streams {
       outputMode: String = "append"): DataFrame = {
     spark.catalog.dropTempView(queryName)
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    statePartitions.foreach(p =>
+    // GRAFT_STATE_PARTITIONS overrides the caller's sizing — the
+    // scale-rehearsal knob: catalog entries pin the fixture-scale value
+    // (8), and a deep-scale run (SCALE.md) resizes state without
+    // editing every entry. Unset in normal operation.
+    val effective = sys.env.get("GRAFT_STATE_PARTITIONS")
+      .map(_.trim.toInt).orElse(statePartitions)
+    effective.foreach(p =>
       spark.conf.set("spark.sql.shuffle.partitions", p.toString))
     try {
       val q: StreamingQuery = streaming.writeStream
@@ -234,7 +240,7 @@ object Streams {
         case _ => ()
       }
       spark.table(queryName)
-    } finally statePartitions.foreach(_ =>
+    } finally effective.foreach(_ =>
       spark.conf.set("spark.sql.shuffle.partitions", prev))
   }
 
