@@ -232,4 +232,68 @@ class StreamsSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin") &&
       plan.contains("LeftAnti"), s"expected broadcast anti-join:\n$plan")
   }
+
+  test("stream-stream interval join EVICTS buffered state once the " +
+      "watermark passes (the unbounded-stream survival property)") {
+    // The micro-batch logs show StreamingJoinHelper warning it cannot
+    // extract a state constraint from the non-time conjunct
+    // (id_a < id_b); this pins that the TIME conjuncts still yield
+    // eviction predicates — without them, join state grows with the
+    // stream's full history and no 100 TB deployment survives.
+    import spark.implicits._
+    val base = 1700000000L
+    def write(dir: String, name: String, rows: Seq[(Long, Long)]): Unit = {
+      val stage = s"$dir/_stage_$name"
+      rows.map { case (id, off) =>
+          (1L, id, new java.sql.Timestamp((base + off) * 1000L)) }
+        .toDF("user_id", "event_id", "ts")
+        .coalesce(1).write.parquet(stage)
+      val it = java.nio.file.Files.list(
+        java.nio.file.Paths.get(stage)).iterator()
+      while (it.hasNext) {
+        val p = it.next()
+        if (p.toString.endsWith(".parquet"))
+          java.nio.file.Files.move(p,
+            java.nio.file.Paths.get(s"$dir/$name.parquet"))
+      }
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-ssj-wm")
+      .toString
+    // batch 1: ids 1,2 100s apart -> the one in-band pair; batch 2: a
+    // far-future id 3 advances the watermark miles past batch 1's
+    // rows + the 600s tolerance, so both sides' buffered batch-1 rows
+    // MUST be removed from the state store
+    write(dir, "b1", Seq((1L, 0L), (2L, 100L)))
+    write(dir, "b2", Seq((3L, 100000L)))
+    java.nio.file.Files.setLastModifiedTime(
+      java.nio.file.Paths.get(s"$dir/b2.parquet"),
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() + 60000L))
+
+    val schema = spark.read.parquet(s"$dir/b1.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val joined = Streams.streamingIntervalSelfJoin(stream, "user_id",
+      "event_id", "ts", delay = "1 second", withinSec = 600)
+    val q = joined.writeStream.outputMode("append").format("memory")
+      .queryName("ssj_wm_test").start()
+    q.processAllAvailable()
+    val progress = q.recentProgress.toSeq
+    q.stop()
+
+    val got = spark.table("ssj_wm_test")
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L)), s"expected the one in-band pair, got $got")
+
+    val removed = progress.flatMap(_.stateOperators.toSeq)
+      .map(_.numRowsRemoved).sum
+    assert(removed >= 2L,
+      s"batch-1 rows (both join sides) must evict once the watermark " +
+        s"passes; state rows removed = $removed")
+    val finalRows = progress.flatMap(_.stateOperators.toSeq)
+      .lastOption.map(_.numRowsTotal).getOrElse(-1L)
+    assert(finalRows >= 0L && finalRows <= 2L,
+      s"terminal state must hold at most batch-2's lone row per side, " +
+        s"got $finalRows")
+  }
 }
