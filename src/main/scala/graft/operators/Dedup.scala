@@ -94,7 +94,17 @@ object Dedup {
     * already hold both sides' signatures and the estimate is a pure
     * projection — the signature subplan exists only as the two sides
     * of one self-join instead of three computations plus two joins,
-    * and no full-corpus signature table is pinned in memory. */
+    * and no full-corpus signature table is pinned in memory.
+    *
+    * PRECONDITION: `idCol` uniquely identifies a document (one text per
+    * id). The pair-dedup aggregation groups on the two ids alone and
+    * takes min(est) — exact because a pair's estimate is a pure
+    * function of its two signatures, which the unique-id contract
+    * makes a pure function of the id pair. Duplicate ids with
+    * DIFFERING texts would make min(est) adjudicate the pair by its
+    * weakest text combination (the DuckDB oracle assumes the same
+    * contract); run [[exactKeepFirst]]-style id assignment upstream if
+    * a corpus cannot guarantee it. */
   def minHashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
       p: MinHashParams = MinHashParams(), minEst: Double = 0.75,
       maxBucket: Int = 1000, preDeduped: Boolean = false): DataFrame = {
@@ -143,7 +153,11 @@ object Dedup {
     * ride the join so no re-join against raw texts is needed. At
     * 100 TB each side shuffles once on band keys; candidate volume is
     * bounded by the bucket cap with the overflow reporter naming any
-    * truncation. */
+    * truncation.
+    *
+    * PRECONDITION: `idCol` is unique within EACH side (one text per id
+    * per corpus) — same min(est) groupBy contract as
+    * [[minHashNearDupPairs]]. */
   def crossCorpusNearDupPairs(a: DataFrame, b: DataFrame, idCol: String,
       textCol: String, p: MinHashParams = MinHashParams(),
       minEst: Double = 0.75, maxBucket: Int = 1000): DataFrame = {
@@ -623,7 +637,16 @@ object Dedup {
     */
   val defaultMaterialize: DataFrame => DataFrame = df => {
     val sc = df.sparkSession.sparkContext
-    if (sc.isLocal) df.localCheckpoint(true)
+    // MEMORY_AND_DISK_SER, not the default deserialized level: the
+    // local checkpoint's unroll buffer is then serialized bytes (the
+    // ~5x smaller Tungsten row form) and evicts to disk under
+    // pressure, so label propagation DEGRADES TO SPILL instead of
+    // dying — at sf10 the deserialized form OOMed a 32 GiB single JVM
+    // (32 concurrent tasks unrolling ~550 MiB blocks, SCALE.md); the
+    // serialized form completes there with headroom. The extra
+    // deser cost per round is noise next to the round's join+agg.
+    if (sc.isLocal) df.localCheckpoint(true,
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     else if (sc.getCheckpointDir.isDefined) df.checkpoint(true)
     else defaultPersist(df)
   }
@@ -1047,6 +1070,130 @@ object Dedup {
               i => !array_contains(cov, i)),
             i => element_at(col("__tk"), i)),
           " ").as(textCol))
+  }
+
+  /** MAXIMAL duplicated spans — the multi-length form of the
+    * ExactSubstr machinery (Lee et al. 2022 §4.1): where
+    * [[exactSubstringDedup]] reports fixed-`l` window coverage, this
+    * returns, per document, each maximal run of tokens every position
+    * of which lies inside SOME duplicated `l`-window occurrence — i.e.
+    * the duplicated substrings of length ≥ l themselves, at their full
+    * length (a 100-token copied paragraph is ONE span row of
+    * span_tokens=100, not 93 window hits). This is the audit/report
+    * companion: removal policy stays [[exactSubstringDedup]]'s.
+    *
+    * Two-pass, same shuffle budget as the fixed form: pass 1 finds
+    * seed windows (one exchange keyed on the 60-bit window hash —
+    * `firstOnly` controls whether the globally-first occurrence
+    * counts as duplicated); pass 2 EXTENDS-AND-MERGES seeds into
+    * maximal spans with the gaps-and-islands pattern over one
+    * per-document window (one exchange keyed on id; island state is a
+    * single document's seed starts). Overlapping and back-to-back
+    * windows merge because consecutive seed starts p, p' with
+    * p' ≤ p + l cover a contiguous token range.
+    *
+    * Output: (id, span_start, span_end, span_tokens, n_windows) —
+    * positions 1-based inclusive, n_windows = seed windows merged
+    * into the span. */
+  def duplicateSpans(docs: DataFrame, idCol: String, textCol: String,
+      l: Int = 8, firstOnly: Boolean = false): DataFrame = {
+    require(l >= 2, s"window length must be >= 2, got $l")
+    import org.apache.spark.sql.expressions.Window
+
+    val base = docs
+      .select(col(idCol), wsTokens(col(textCol)).as("__tk"))
+      .withColumn("__n", size(col("__tk")).cast("int"))
+    val winArr = when(col("__n") >= l,
+        transform(sequence(lit(1), col("__n") - (l - 1)),
+          i => md5Hash60(array_join(slice(col("__tk"), i, lit(l)), " "))))
+      .otherwise(array().cast("array<bigint>"))
+    val wins = base
+      .select(col(idCol), posexplode(winArr).as(Seq("__p0", "win_h")))
+      .select(col(idCol), (col("__p0") + 1).cast("int").as("pos"),
+        col("win_h"))
+
+    // pass 1: duplicated seed windows. firstOnly=true reproduces the
+    // removal policy's view (globally-first occurrence not a dup);
+    // false is the audit view (EVERY occurrence of a duplicated
+    // window is part of a duplicated span, including the original).
+    val byHash = Window.partitionBy(col("win_h"))
+    val ordered = byHash.orderBy(col(idCol), col("pos"))
+    val seeds0 = wins.withColumn("__cnt", count(lit(1)).over(byHash))
+    val seeds = (if (firstOnly)
+        seeds0.withColumn("__rn", row_number().over(ordered))
+          .filter(col("__cnt") > 1 && col("__rn") > 1)
+      else seeds0.filter(col("__cnt") > 1))
+      .select(col(idCol), col("pos"))
+
+    // pass 2: gaps-and-islands per document. A seed at p covers
+    // [p, p+l-1]; the running max of PRIOR covered ends decides
+    // whether this seed extends the current span or opens a new one.
+    val byDoc = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val prevEnd = max(col("pos") + (l - 1))
+      .over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
+    val flagged = seeds
+      .withColumn("__new",
+        when(prevEnd.isNull || col("pos") > prevEnd + 1, 1L)
+          .otherwise(0L))
+      .withColumn("__island", sum(col("__new")).over(byDoc))
+    flagged.groupBy(col(idCol), col("__island"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + (l - 1)).as("span_end"),
+        count(lit(1)).as("n_windows"))
+      .select(col(idCol),
+        col("span_start").cast("long").as("span_start"),
+        col("span_end").cast("long").as("span_end"),
+        (col("span_end") - col("span_start") + 1).cast("long")
+          .as("span_tokens"),
+        col("n_windows"))
+  }
+
+  /** DuckDB twin of [[duplicateSpans]] over `table` — the same
+    * seed-then-islands derivation in windowed SQL. */
+  def duplicateSpansOracleSql(table: String, idCol: String,
+      textCol: String, l: Int = 8, firstOnly: Boolean = false): String = {
+    val seedPred = if (firstOnly) "cnt > 1 AND rn > 1" else "cnt > 1"
+    s"""WITH base AS (
+       |  SELECT $idCol, string_split_regex(trim($textCol), '\\s+') AS tk,
+       |    len(string_split_regex(trim($textCol), '\\s+')) AS n
+       |  FROM $table),
+       |wins AS (
+       |  SELECT $idCol, s AS pos,
+       |    ('0x' || substr(md5(array_to_string(
+       |       list_slice(tk, s, s + ${l - 1}), ' ')), 1, 15))::BIGINT AS win_h
+       |  FROM (SELECT $idCol, tk, unnest(range(1, n - ${l - 1} + 1)) AS s
+       |        FROM base WHERE n >= $l)),
+       |marked AS (
+       |  SELECT $idCol, pos,
+       |    count(*) OVER (PARTITION BY win_h) AS cnt,
+       |    row_number() OVER (PARTITION BY win_h
+       |                       ORDER BY $idCol, pos) AS rn
+       |  FROM wins),
+       |seeds AS (SELECT $idCol, pos FROM marked WHERE $seedPred),
+       |flagged AS (
+       |  SELECT $idCol, pos,
+       |    CASE WHEN max(pos + ${l - 1}) OVER (PARTITION BY $idCol
+       |        ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND
+       |        1 PRECEDING) IS NULL
+       |      OR pos > max(pos + ${l - 1}) OVER (PARTITION BY $idCol
+       |        ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND
+       |        1 PRECEDING) + 1
+       |      THEN 1 ELSE 0 END AS is_new
+       |  FROM seeds),
+       |islands AS (
+       |  SELECT $idCol, pos,
+       |    sum(is_new) OVER (PARTITION BY $idCol ORDER BY pos
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |      AS island
+       |  FROM flagged)
+       |SELECT $idCol,
+       |  CAST(min(pos) AS BIGINT) AS span_start,
+       |  CAST(max(pos) + ${l - 1} AS BIGINT) AS span_end,
+       |  CAST(max(pos) + ${l - 1} - min(pos) + 1 AS BIGINT)
+       |    AS span_tokens,
+       |  count(*) AS n_windows
+       |FROM islands GROUP BY $idCol, island
+       |ORDER BY $idCol, span_start""".stripMargin
   }
 
   /** DuckDB twin of [[exactSubstringDedup]] over `table`. */

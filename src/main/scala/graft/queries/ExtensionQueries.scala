@@ -1829,6 +1829,21 @@ object ExtensionQueries {
         .orderBy(col("doc_id")),
       Some(Dedup.exactSubstringOracleSql("documents", "doc_id", "text", 8))),
 
+    QuerySpec("x35b_duplicate_spans",
+      "MAXIMAL duplicated spans — the multi-length span report behind " +
+        "x35's removal (Lee et al. 2022 suffix-array semantics as " +
+        "dataflow): duplicated 8-token seed windows are extended and " +
+        "merged gaps-and-islands style into maximal spans, so a " +
+        "100-token copied paragraph is ONE span row at full length, " +
+        "not 93 window hits; same shuffle budget as x35 (one window-" +
+        "hash exchange + one per-doc exchange whose state is a single " +
+        "document's seed starts)",
+      (s, dir) => Dedup.duplicateSpans(t(s, dir, "documents"),
+          "doc_id", "text", l = 8)
+        .orderBy(col("doc_id"), col("span_start")),
+      Some(Dedup.duplicateSpansOracleSql("documents", "doc_id",
+        "text", 8))),
+
     QuerySpec("x36_bm25_retrieval",
       "BM25 top-20 lexical retrieval (Robertson & Zaragoza 2009) for " +
         "a 3-term query: ln-idf BM25, per-doc term scores folded in " +
@@ -2274,6 +2289,81 @@ object ExtensionQueries {
            |GROUP BY e.qid ORDER BY e.qid""".stripMargin
       }),
 
+    QuerySpec("x42d_pq_rerank_recall",
+      "the RE-RANK refinement that makes compressed ANN deployable " +
+        "(Jégou et al. 2011 §V): raw ADC recall@5 is ~0.30 (x42b) — " +
+        "unusable alone; here the ADC top-C shortlist is re-scored " +
+        "with EXACT cosine (only C×queries vector fetches, never a " +
+        "corpus scan) and recall@5 is measured per query at C=10 and " +
+        "C=50 against the brute-force truth — the curve that picks " +
+        "the shortlist size before freezing an index config; at C=50 " +
+        "re-ranking recovers the IVF probe ceiling (~0.9, x6c's " +
+        "uncompressed recall)",
+      (s, dir) => withTrainerCache { hook =>
+        val emb = t(s, dir, "embeddings")
+        val q = emb.filter(col("vec_id") < 8)
+        val exact = Similarity.bruteForceTopK(emb, q, "vec_id",
+          "embedding", 5)
+        // ONE shortlist at the widest C; narrower C is a filter on its
+        // rank — one training pass, one candidate join for all points
+        val short100 = Similarity.adcTopK(emb, q, "vec_id", "embedding",
+          100, m = 8, ksub = 8, nCells = 8, nProbes = 2,
+          materialize = hook)
+        def reAt(c: Int) = Similarity.exactRerank(emb, q, "vec_id",
+          "embedding",
+          short100.filter(col("rn") <= c)
+            .select(col("qid"), col("did")), 5)
+        Similarity.recallAtK(reAt(10), exact)
+          .withColumnRenamed("recall_at_k", "recall_c10")
+          .join(Similarity.recallAtK(reAt(50), exact)
+            .withColumnRenamed("recall_at_k", "recall_c50"), Seq("qid"))
+          .join(Similarity.recallAtK(reAt(100), exact)
+            .withColumnRenamed("recall_at_k", "recall_c100"), Seq("qid"))
+          .orderBy(col("qid"))
+      },
+      None,
+      oracleGen = () => for {
+        books <- Similarity.trainedCodebooks.get((8, 8, 2, ""))
+        cents <- Similarity.trainedCentroids.get((8, 2, ""))
+      } yield {
+        val exact = annTopkOracle.replace("\n", "\n    ")
+        def re(c: Int): String = Similarity.adcRerankOracleSql(
+          "embeddings", "vec_id", "embedding", 5, c, books, cents,
+          nProbes = 2, queryPred = "vec_id < 8")
+          .replace("\n", "\n    ")
+        s"""WITH exact AS (SELECT qid, did FROM (
+           |    ${exact})),
+           |re10 AS (SELECT qid, did FROM (
+           |    ${re(10)})),
+           |re50 AS (SELECT qid, did FROM (
+           |    ${re(50)})),
+           |re100 AS (SELECT qid, did FROM (
+           |    ${re(100)})),
+           |r10 AS (
+           |  SELECT e.qid, CAST(count(a.did) AS DOUBLE) / count(*)
+           |    AS recall_c10
+           |  FROM exact e LEFT JOIN re10 a
+           |    ON e.qid = a.qid AND e.did = a.did
+           |  GROUP BY e.qid),
+           |r50 AS (
+           |  SELECT e.qid, CAST(count(a.did) AS DOUBLE) / count(*)
+           |    AS recall_c50
+           |  FROM exact e LEFT JOIN re50 a
+           |    ON e.qid = a.qid AND e.did = a.did
+           |  GROUP BY e.qid),
+           |r100 AS (
+           |  SELECT e.qid, CAST(count(a.did) AS DOUBLE) / count(*)
+           |    AS recall_c100
+           |  FROM exact e LEFT JOIN re100 a
+           |    ON e.qid = a.qid AND e.did = a.did
+           |  GROUP BY e.qid)
+           |SELECT r10.qid, r10.recall_c10, r50.recall_c50,
+           |  r100.recall_c100
+           |FROM r10 JOIN r50 ON r10.qid = r50.qid
+           |JOIN r100 ON r10.qid = r100.qid
+           |ORDER BY r10.qid""".stripMargin
+      }),
+
     QuerySpec("s16_export_import_roundtrip",
       "S8 as a data-gated catalog entry: register nation+region with " +
         "PK/FK metadata, export the whole database (parquet per table " +
@@ -2324,8 +2414,10 @@ object ExtensionQueries {
     QuerySpec("x47_streaming_dedup",
       "transitive oracle for the streaming watermarked dedup: " +
         "dropDuplicatesWithinWatermark over the fixture events read " +
-        "as a file stream (Trigger.AvailableNow, append-mode memory " +
-        "sink), projected to the dedup key so the output is the " +
+        "as a file stream (Trigger.AvailableNow, append-mode PARQUET " +
+        "sink + read-back — no emitted row crosses the driver, the " +
+        "shape that survives sf10's maxResultSize ceiling), " +
+        "projected to the dedup key so the output is the " +
         "deterministic kept-key set — which must equal batch " +
         "DISTINCT, the form DuckDB verifies directly",
       (s, dir) => {
@@ -2335,7 +2427,7 @@ object ExtensionQueries {
             Seq("user_id", "event_type"), watermarkCol = "ts",
             delay = "365 days")
           .select(col("user_id"), col("event_type"))
-        graft.streaming.Streams.runAvailableNow(s, deduped, "x47_out", statePartitions = Some(8))
+        graft.streaming.Streams.runAvailableNowToDir(s, deduped, "x47_out", statePartitions = Some(8))
           .orderBy(col("user_id"), col("event_type"))
       },
       Some("""SELECT DISTINCT user_id, event_type FROM events
@@ -2352,7 +2444,7 @@ object ExtensionQueries {
         val joined = graft.streaming.Streams.streamingIntervalSelfJoin(
           stream, keyCol = "user_id", idCol = "event_id", tsCol = "ts",
           delay = "1 hour", withinSec = 600L)
-        graft.streaming.Streams.runAvailableNow(s, joined, "x48_out", statePartitions = Some(8))
+        graft.streaming.Streams.runAvailableNowToDir(s, joined, "x48_out", statePartitions = Some(8))
           .orderBy(col("id_a"), col("id_b"))
       },
       Some("""SELECT a.user_id, a.event_id AS id_a, b.event_id AS id_b
@@ -2374,7 +2466,7 @@ object ExtensionQueries {
           .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
         val enriched = graft.streaming.Streams.enrichWithDim(
           stream, dim, Seq("user_id"))
-        graft.streaming.Streams.runAvailableNow(s, enriched, "x49_out", statePartitions = Some(8))
+        graft.streaming.Streams.runAvailableNowToDir(s, enriched, "x49_out", statePartitions = Some(8))
           .orderBy(col("event_id"))
       },
       Some("""SELECT e.event_id, e.user_id, c.c_mktsegment
@@ -2403,7 +2495,7 @@ object ExtensionQueries {
               col("text"), lnP, -4.5), 6))
           .filter(col("h_r") <= lit(4.05))
           .select(col("doc_id"), col("h_r"))
-        graft.streaming.Streams.runAvailableNow(s, gated, "x50_out", statePartitions = Some(8))
+        graft.streaming.Streams.runAvailableNowToDir(s, gated, "x50_out", statePartitions = Some(8))
           .orderBy(col("doc_id"))
       },
       Some("""WITH d AS (
@@ -2482,7 +2574,7 @@ object ExtensionQueries {
           .filter(col("doc_id") >= 250)
         val screened = Dedup.incrementalExactNew(stream, "text", hist)
           .select(col("doc_id"))
-        graft.streaming.Streams.runAvailableNow(s, screened, "x53_out",
+        graft.streaming.Streams.runAvailableNowToDir(s, screened, "x53_out",
             statePartitions = Some(8))
           .orderBy(col("doc_id"))
       },

@@ -190,6 +190,33 @@ object Tables {
       stream(readParquet(spark, path(dir, name)).schema))
   }
 
+  /** [[loadStream]] with a bounded ingest rate: at most
+    * `maxFilesPerTrigger` source files per micro-batch — the
+    * backpressure knob a continuous deployment runs with (an
+    * AvailableNow gulp of the whole backlog is the REPROCESSING shape,
+    * not the steady state). Shares every layout/normalization rule
+    * with [[loadStream]]. */
+  def loadStreamRated(spark: SparkSession, dir: String, name: String,
+      maxFilesPerTrigger: Int): DataFrame = {
+    require(maxFilesPerTrigger > 0,
+      s"maxFilesPerTrigger must be positive, got $maxFilesPerTrigger")
+    val p = path(dir, name)
+    val hp = new org.apache.hadoop.fs.Path(p)
+    val isDir = hp.getFileSystem(spark.sessionState.newHadoopConf())
+      .getFileStatus(hp).isDirectory
+    def stream(schema: org.apache.spark.sql.types.StructType) = {
+      val r = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+      if (isDir) r.parquet(p)
+      else r.option("pathGlobFilter", s"$name.parquet").parquet(dir)
+    }
+    if (name == "events")
+      normalizeEventsTs(
+        stream(readParquet(spark, path(dir, "events")).schema))
+    else truncateNanosCols(spark, dir, name,
+      stream(readParquet(spark, path(dir, name)).schema))
+  }
+
   /** Register every test table as a temp view — the analog of DuckDB's
     * replacement scan resolving Python-local frames inside SQL
     * (`scripts/build_db.py:72-84`): a name in SQL text resolves to a

@@ -212,20 +212,94 @@ object Streams {
   def lastExecutedPlan(queryName: String): Option[SparkPlan] =
     Option(lastPlans.get(queryName))
 
+  /** State-partition override from the environment — the
+    * scale-rehearsal knob: catalog entries pin the fixture-scale value
+    * (8), and a deep-scale run (SCALE.md) resizes state without
+    * editing every entry. Unset in normal operation. The value is
+    * VALIDATED (a malformed export fails with an actionable message,
+    * not a NumberFormatException mid-harness) and its activation is
+    * LOGGED, because it silently changes every gate run's state sizing
+    * otherwise. `SPARK_GRAFT_STATE_PARTITIONS` is canonical (the
+    * SPARK_GRAFT_ prefix every other rehearsal knob uses);
+    * `GRAFT_STATE_PARTITIONS` stays accepted for the r9/r10 rehearsal
+    * scripts that exported it. */
+  private[graft] def statePartitionsOverride(): Option[Int] = {
+    val raw = sys.env.get("SPARK_GRAFT_STATE_PARTITIONS")
+      .map(("SPARK_GRAFT_STATE_PARTITIONS", _))
+      .orElse(sys.env.get("GRAFT_STATE_PARTITIONS")
+        .map(("GRAFT_STATE_PARTITIONS", _)))
+    raw.map { case (name, v) =>
+      val parsed = v.trim.toIntOption.filter(_ > 0).getOrElse(
+        throw new IllegalArgumentException(
+          s"$name must be a positive integer, got '$v'"))
+      Console.err.println(
+        s"[graft] $name=$parsed overrides statePartitions for this run")
+      parsed
+    }
+  }
+
+  /** Spark's bundled RocksDB state store provider — the scale-safe
+    * alternative to the default heap-backed provider: state lives in
+    * native memory + local disk instead of competing with task memory
+    * in executor heap, which is what a 100 TB/day in-band key set
+    * (dedup digests, join buffers, open sessions) needs. One conf,
+    * same checkpoints-per-partition layout, same results (rehearsed:
+    * SCALE.md "RocksDB state store rehearsal"). */
+  val RocksDbProvider: String =
+    "org.apache.spark.sql.execution.streaming.state." +
+      "RocksDBStateStoreProvider"
+
+  /** State-store provider override from the environment:
+    * SPARK_GRAFT_STATE_STORE=rocksdb routes every [[runAvailableNow]] /
+    * [[runAvailableNowToDir]] gate run through [[RocksDbProvider]];
+    * =hdfs pins the default heap-backed provider; unset inherits the
+    * session. Validated + logged like [[statePartitionsOverride]]. */
+  private[graft] def stateStoreProviderOverride(): Option[String] =
+    sys.env.get("SPARK_GRAFT_STATE_STORE").map { v =>
+      val cls = v.trim.toLowerCase match {
+        case "rocksdb" => RocksDbProvider
+        case "hdfs" | "heap" | "default" =>
+          "org.apache.spark.sql.execution.streaming.state." +
+            "HDFSBackedStateStoreProvider"
+        case other => throw new IllegalArgumentException(
+          "SPARK_GRAFT_STATE_STORE must be rocksdb|hdfs, got " +
+            s"'$other'")
+      }
+      Console.err.println(
+        s"[graft] SPARK_GRAFT_STATE_STORE=$v selects $cls")
+      cls
+    }
+
+  /** Set the streaming-scoped confs (shuffle partitions = state store
+    * count; state store provider) for the duration of `body`, restoring
+    * the previous values after. Both are read at STREAM QUERY PLANNING,
+    * so the temporary setting cannot affect batch plans in flight. */
+  private def withStreamConfs[A](spark: SparkSession,
+      statePartitions: Option[Int])(body: => A): A = {
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val prevProv = spark.conf.getOption(provKey)
+    val parts = statePartitionsOverride().orElse(statePartitions)
+    val prov = stateStoreProviderOverride()
+    parts.foreach(p =>
+      spark.conf.set("spark.sql.shuffle.partitions", p.toString))
+    prov.foreach(spark.conf.set(provKey, _))
+    try body
+    finally {
+      parts.foreach(_ =>
+        spark.conf.set("spark.sql.shuffle.partitions", prevParts))
+      prov.foreach { _ =>
+        prevProv.fold(spark.conf.unset(provKey))(
+          spark.conf.set(provKey, _))
+      }
+    }
+  }
+
   def runAvailableNow(spark: SparkSession, streaming: DataFrame,
       queryName: String, statePartitions: Option[Int] = None,
       outputMode: String = "append"): DataFrame = {
     spark.catalog.dropTempView(queryName)
-    val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    // GRAFT_STATE_PARTITIONS overrides the caller's sizing — the
-    // scale-rehearsal knob: catalog entries pin the fixture-scale value
-    // (8), and a deep-scale run (SCALE.md) resizes state without
-    // editing every entry. Unset in normal operation.
-    val effective = sys.env.get("GRAFT_STATE_PARTITIONS")
-      .map(_.trim.toInt).orElse(statePartitions)
-    effective.foreach(p =>
-      spark.conf.set("spark.sql.shuffle.partitions", p.toString))
-    try {
+    withStreamConfs(spark, statePartitions) {
       val q: StreamingQuery = streaming.writeStream
         .outputMode(outputMode)
         .format("memory")
@@ -233,16 +307,60 @@ object Streams {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-      q match {
-        case w: StreamingQueryWrapper =>
-          Option(w.streamingQuery.lastExecution)
-            .foreach(e => lastPlans.put(queryName, e.executedPlan))
-        case _ => ()
-      }
+      stashLastPlan(queryName, q)
       spark.table(queryName)
-    } finally effective.foreach(_ =>
-      spark.conf.set("spark.sql.shuffle.partitions", prev))
+    }
   }
+
+  /** Append-mode gate run with a PARQUET sink + read-back instead of
+    * the memory sink: the emitted rows land in
+    * `target/stream_gate/<queryName>` (wiped per call so every
+    * invocation reprocesses the full fixture, like the memory-sink
+    * form) and the returned frame READS that directory — so no emitted
+    * row ever crosses the driver, retiring the
+    * spark.driver.maxResultSize ceiling the memory sink hits at sf10
+    * (SCALE.md, ~9.5M rows ≈ >1 GiB serialized). Use this for every
+    * append-mode gate; the memory sink remains only where COMPLETE
+    * mode is semantically required (the file sink is append-only by
+    * contract — complete-mode re-emission would duplicate rows in the
+    * directory). */
+  def runAvailableNowToDir(spark: SparkSession, streaming: DataFrame,
+      queryName: String, statePartitions: Option[Int] = None)
+      : DataFrame = {
+    val root = java.nio.file.Paths.get("target", "stream_gate", queryName)
+      .toAbsolutePath
+    def rmTree(p: java.nio.file.Path): Unit =
+      if (java.nio.file.Files.exists(p)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq
+          .reverse.foreach(java.nio.file.Files.delete)
+      }
+    rmTree(root)
+    val out = root.resolve("out").toString
+    val ckpt = root.resolve("ckpt").toString
+    withStreamConfs(spark, statePartitions) {
+      val q: StreamingQuery = streaming.writeStream
+        .outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      stashLastPlan(queryName, q)
+      // the streamed schema, not inference: an all-rows-filtered run
+      // must still return an EMPTY frame with the right columns
+      spark.read.schema(streaming.schema).parquet(out)
+    }
+  }
+
+  private def stashLastPlan(queryName: String, q: StreamingQuery): Unit =
+    q match {
+      case w: StreamingQueryWrapper =>
+        Option(w.streamingQuery.lastExecution)
+          .foreach(e => lastPlans.put(queryName, e.executedPlan))
+      case _ => ()
+    }
 
   /** Run a streaming DataFrame to completion against currently-available
     * files via the in-memory sink; returns the materialized result. */

@@ -329,4 +329,60 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Long, Long, String)].head()
     assert(got == ((1L, 17L, 8L, "p q r s t u v w end")))
   }
+
+  // ---- duplicateSpans (maximal multi-length spans) -------------------
+
+  test("duplicateSpans merges OVERLAPPING seed windows into one " +
+      "maximal span at full length") {
+    // a 12-token span shared verbatim: 5 overlapping 8-token seed
+    // windows per occurrence must merge to ONE span of 12 tokens
+    val shared = "a b c d e f g h i j k l"
+    val docs = Seq(
+      (1L, s"$shared tail1 tail2"),
+      (2L, s"pre1 pre2 pre3 $shared")
+    ).toDF("doc_id", "text")
+    val got = Dedup.duplicateSpans(docs, "doc_id", "text", l = 8)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 1L, 12L, 12L, 5L),
+      (2L, 4L, 15L, 12L, 5L)))
+  }
+
+  test("duplicateSpans keeps DISJOINT duplicated spans as separate " +
+      "rows and merges back-to-back ones") {
+    val s1 = "a b c d e f g h" // 8 tokens
+    val s2 = "q r s t u v w x" // 8 tokens
+    val docs = Seq(
+      (1L, s"$s1 GAP1 GAP2 $s2"),      // spans at 1-8 and 11-18
+      (2L, s"$s1 $s2"),                 // back-to-back: merges to 1-16
+      (3L, s"$s1 other tokens here"),
+      (4L, s"$s2 more filler words")
+    ).toDF("doc_id", "text")
+    val got = Dedup.duplicateSpans(docs, "doc_id", "text", l = 8)
+      .orderBy("doc_id", "span_start")
+      .select("doc_id", "span_start", "span_end", "span_tokens")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got.filter(_._1 == 1L) ==
+      Seq((1L, 1L, 8L, 8L), (1L, 11L, 18L, 8L)),
+      s"doc 1 must report two disjoint spans: $got")
+    assert(got.filter(_._1 == 2L) == Seq((2L, 1L, 16L, 16L)),
+      s"doc 2's adjacent spans must merge: $got")
+  }
+
+  test("duplicateSpans firstOnly=true reproduces the removal view: " +
+      "the globally-first occurrence is not a span") {
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "x y a b c d e f g h")
+    ).toDF("doc_id", "text")
+    val audit = Dedup.duplicateSpans(docs, "doc_id", "text", l = 8)
+      .select("doc_id").as[Long].collect().toSeq.sorted
+    assert(audit == Seq(1L, 2L), "audit view reports BOTH occurrences")
+    val removal = Dedup.duplicateSpans(docs, "doc_id", "text", l = 8,
+        firstOnly = true)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(removal == Seq((2L, 3L, 10L, 8L, 1L)),
+      s"removal view reports only the non-first occurrence: $removal")
+  }
 }

@@ -382,6 +382,39 @@ class SimilaritySpec extends SparkSpec {
     assert(none.count() == 0)
   }
 
+  test("exactRerank scores ONLY the candidate pairs, with exact " +
+      "cosine order") {
+    // candidates deliberately exclude the true nearest (1) — the
+    // re-rank must respect the shortlist, not sneak in corpus rows
+    val cands = Seq((0L, 2L), (0L, 3L)).toDF("qid", "did")
+    val got = Similarity.exactRerank(pqCorpus,
+        pqCorpus.filter($"vec_id" === 0), "vec_id", "embedding",
+        cands, k = 2)
+      .select($"rn", $"did", $"cos").as[(Long, Long, Double)]
+      .collect().sortBy(_._1).toSeq
+    assert(got.map(_._2) == Seq(2L, 3L),
+      s"cluster-mate 2 must out-rank cross-cluster 3: $got")
+    assert(got(0)._3 > 0.9 && got(1)._3 < 0.1)
+  }
+
+  test("adcRerankTopK recovers the exact neighbor order PQ codes " +
+      "lose, and caps at k") {
+    val got = Similarity.adcRerankTopK(pqCorpus,
+        pqCorpus.filter($"vec_id" === 0), "vec_id", "embedding",
+        k = 2, shortlistC = 4, m = 2, ksub = 2, nCells = 2,
+        nProbes = 2)
+      .select($"rn", $"did").as[(Long, Long)]
+      .collect().sortBy(_._1).toSeq
+    assert(got.length == 2)
+    assert(got.map(_._2) == Seq(1L, 2L),
+      s"exact re-rank must order cluster-mates by true cosine: $got")
+    intercept[IllegalArgumentException] {
+      Similarity.adcRerankTopK(pqCorpus, pqCorpus, "vec_id",
+        "embedding", k = 5, shortlistC = 2, m = 2, ksub = 2,
+        nCells = 2, nProbes = 2)
+    }
+  }
+
   test("cellBalancedSample caps every cell and is deterministic " +
       "across runs") {
     val cents = Similarity.ivfTrain(pqCorpus, "vec_id", "embedding",
