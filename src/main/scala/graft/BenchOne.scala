@@ -15,9 +15,15 @@ object BenchOne {
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000000L).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$dir/region.parquet").count()
+    // deep-scale rehearsals (sf10, minutes per run) dial this down
+    val runs = sys.env.get("GRAFT_BENCH_RUNS")
+      .map(v => v.trim.toIntOption.filter(_ > 0).getOrElse(
+        throw new IllegalArgumentException(
+          s"GRAFT_BENCH_RUNS must be a positive int, got '$v'")))
+      .getOrElse(3)
     args.foreach { n =>
       val run = graft.queries.Catalog.byName(n).run
-      val times = (1 to 3).map { _ =>
+      val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
         run(spark, dir).write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9

@@ -315,7 +315,11 @@ object ParityQueries {
 
     QuerySpec("j7_salted_join",
       "skew-salted equi-join (deterministic shard + replicated small " +
-        "side) — oracle is the PLAIN join, proving result equivalence",
+        "side) — oracle is the PLAIN join, proving result equivalence; " +
+        "adjudicated vs AQE skew-join splitting in TUNING.md: reach " +
+        "for the salt only where AQE cannot act (stateful streaming " +
+        "joins, AQE off, distribution-pinned plans) — at the sf10 " +
+        "hot-key rehearsal AQE's runtime split beats it 1.6x",
       (s, dir) => {
         val li = t(s, dir, "lineitem")
         val supp = t(s, dir, "supplier")
