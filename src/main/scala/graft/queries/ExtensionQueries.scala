@@ -2520,11 +2520,13 @@ object ExtensionQueries {
     QuerySpec("x52_streaming_sessionize",
       "transitive oracle for STREAMING sessionization: the native " +
         "session_window aggregate over the fixture events stream " +
-        "(Trigger.AvailableNow, complete-mode memory sink — every " +
-        "session is final once the bounded fixture drains; unbounded " +
-        "deployments pass a watermark and run append, where state " +
-        "evicts per finalized session) — output must equal batch " +
-        "x14b, whose boundary derivation DuckDB verifies directly",
+        "(Trigger.AvailableNow, complete mode through a per-batch " +
+        "OVERWRITE parquet sink + read-back — every session is final " +
+        "once the bounded fixture drains, and no emitted row crosses " +
+        "the driver; unbounded deployments pass a watermark and run " +
+        "append, where state evicts per finalized session) — output " +
+        "must equal batch x14b, whose boundary derivation DuckDB " +
+        "verifies directly",
       (s, dir) => {
         val stream = Tables.loadStream(s, dir, "events")
           .select(col("user_id"), col("ts"),
@@ -2532,9 +2534,8 @@ object ExtensionQueries {
         val sessions = graft.streaming.Streams.streamingSessionize(
           stream, keyCol = "user_id", tsCol = "ts", valueCol = "value2",
           gap = "1800 seconds")
-        graft.streaming.Streams.runAvailableNow(s,
-            sessions, "x52_out", statePartitions = Some(8),
-            outputMode = "complete")
+        graft.streaming.Streams.runAvailableNowToDirComplete(s,
+            sessions, "x52_out", statePartitions = Some(8))
           .withColumn("sum_value", col("sum_value").cast("double"))
           .orderBy(col("user_id"), col("session_start"))
       },

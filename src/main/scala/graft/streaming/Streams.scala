@@ -354,6 +354,47 @@ object Streams {
     }
   }
 
+  /** COMPLETE-mode gate run with a foreachBatch parquet sink instead
+    * of the memory sink: complete mode re-emits the FULL result every
+    * micro-batch, which an append-only file sink cannot express — but
+    * a whole-directory OVERWRITE per batch can, and under
+    * Trigger.AvailableNow the final directory state is exactly the
+    * final batch's full result. No emitted row crosses the driver, so
+    * the complete-mode gates survive result sets past
+    * spark.driver.maxResultSize (the sf10 sessionize ceiling,
+    * SCALE.md). Deployment note: this sink shape is for BOUNDED gate
+    * runs; an unbounded complete-mode stream rewrites its whole result
+    * every batch by definition — that cost is the mode's, not the
+    * sink's. */
+  def runAvailableNowToDirComplete(spark: SparkSession,
+      streaming: DataFrame, queryName: String,
+      statePartitions: Option[Int] = None): DataFrame = {
+    val root = java.nio.file.Paths.get("target", "stream_gate", queryName)
+      .toAbsolutePath
+    def rmTree(p: java.nio.file.Path): Unit =
+      if (java.nio.file.Files.exists(p)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq
+          .reverse.foreach(java.nio.file.Files.delete)
+      }
+    rmTree(root)
+    val out = root.resolve("out").toString
+    val ckpt = root.resolve("ckpt").toString
+    withStreamConfs(spark, statePartitions) {
+      val q: StreamingQuery = streaming.writeStream
+        .outputMode("complete")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode("overwrite").parquet(out)
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      stashLastPlan(queryName, q)
+      spark.read.schema(streaming.schema).parquet(out)
+    }
+  }
+
   private def stashLastPlan(queryName: String, q: StreamingQuery): Unit =
     q match {
       case w: StreamingQueryWrapper =>
