@@ -50,6 +50,8 @@ object StreamRehearse {
     val batches =
       new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
     @volatile var lastBatchRows: Long = 0
+    @volatile var maxStateBytes: Long = 0
+    @volatile var maxStateRows: Long = 0
     override def onQueryStarted(
         e: StreamingQueryListener.QueryStartedEvent): Unit = ()
     override def onQueryProgress(
@@ -57,6 +59,14 @@ object StreamRehearse {
       val p = e.progress
       rows.addAndGet(p.sink.numOutputRows)
       lastBatchRows = p.sink.numOutputRows
+      // peak state footprint across the run — memoryUsedBytes is the
+      // provider's own accounting (heap estimate vs RocksDB
+      // native+disk), the number the provider choice is about
+      val st = p.stateOperators
+      if (st != null && st.nonEmpty) {
+        maxStateBytes = math.max(maxStateBytes, st.map(_.memoryUsedBytes).sum)
+        maxStateRows = math.max(maxStateRows, st.map(_.numRowsTotal).sum)
+      }
       val dur = Option(p.durationMs.get("triggerExecution"))
         .map(_.longValue).getOrElse(0L)
       batches.add((p.batchId, dur))
@@ -114,6 +124,8 @@ object StreamRehearse {
             f"rowsEmitted=${tally.rows.get}%d " +
             f"rowsLastBatch=${tally.lastBatchRows}%d " +
             f"nBatches=${durs.length}%d steadyBatchMs=$steady%d " +
+            f"stateRowsPeak=${tally.maxStateRows}%d " +
+            f"stateMBPeak=${tally.maxStateBytes / (1024 * 1024)}%d " +
             f"secs=$secs%.2f")
         } finally {
           spark.streams.removeListener(tally)
