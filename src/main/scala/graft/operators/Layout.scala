@@ -122,6 +122,53 @@ object Layout {
     loc.toString
   }
 
+  /** Deterministic GLOBAL SHUFFLE + sharded write — the layout step
+    * that turns a curated corpus into servable pretraining data. A
+    * training run needs the corpus in pseudo-random order (no
+    * source/time locality inside a batch) split into N shards that
+    * loaders consume independently; `ORDER BY rand()` is neither
+    * reproducible nor incremental. Here every row gets a 60-bit
+    * md5-derived `shuffle_key` from (`idCol`, `salt`) — a different
+    * permutation per salt, reproducible across runs, engines and
+    * cluster layouts, and STABLE UNDER GROWTH (a row's shard and
+    * relative position never change as the corpus grows, so an
+    * incremental re-run only appends) — then `shard = shuffle_key %
+    * nShards` and rows land in their shard's directory sorted by
+    * `shuffle_key`: reading any shard start-to-finish IS the shuffled
+    * order. One range exchange on (shard, key), one in-partition sort;
+    * at 100 TB that is the cost floor for any global permutation.
+    *
+    * Writer parallelism is decoupled from shard count: `nFiles`
+    * (default `nShards`) sizes the range exchange, so one shard can
+    * span MANY parallel writers — a hash exchange on the shard id
+    * would funnel each shard through a single task, a non-starter
+    * when a shard is corpus/nShards of 100 TB. Because the exchange
+    * ranges over (shard, key), a multi-file shard's files hold
+    * DISJOINT key ranges: a loader restores the shard's total order
+    * by sorting files on their parquet footer min(shuffle_key) —
+    * no overlap, no merge.
+    *
+    * Returns the written location (`shard=K/` hive layout; the key is
+    * kept in the data so the order is externally auditable). */
+  def saveShuffledShards(df: DataFrame, dirName: String, idCol: String,
+      nShards: Int, nFiles: Int = 0, salt: String = ""): String = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    require(nFiles >= 0, s"nFiles must be >= 0, got $nFiles")
+    val files = if (nFiles == 0) nShards else nFiles
+    val spark = df.sparkSession
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), dirName)
+    loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(loc, true)
+    df.withColumn("shuffle_key", graft.functions.HashFunctions.md5Hash60(
+        concat(col(idCol).cast("string"), lit("|"), lit(salt))))
+      .withColumn("shard", (col("shuffle_key") % nShards).cast("int"))
+      .repartitionByRange(files, col("shard"), col("shuffle_key"))
+      .sortWithinPartitions(col("shard"), col("shuffle_key"))
+      .write.mode("overwrite").partitionBy("shard").parquet(loc.toString)
+    loc.toString
+  }
+
   /** Data-file count of a parquet directory (part-files only). */
   def parquetFileCount(spark: org.apache.spark.sql.SparkSession,
       dir: String): Int = {

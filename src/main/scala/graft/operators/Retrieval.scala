@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions._
@@ -134,5 +135,48 @@ object Retrieval {
        |  FROM ts GROUP BY $idCol)
        |SELECT $idCol, score_r, n_terms_hit FROM folded
        |ORDER BY score_r DESC, $idCol LIMIT $k""".stripMargin
+  }
+
+  /** Reciprocal Rank Fusion (Cormack, Clarke & Büttcher, "Reciprocal
+    * Rank Fusion outperforms Condorcet and individual Rank Learning
+    * Methods", SIGIR 2009): combine several ranked lists for the SAME
+    * query into one by `score(d) = Σ_lists 1/(k0 + rank_list(d))` —
+    * the standard way a hybrid retrieval stack merges its lexical
+    * (BM25) and dense (ANN) legs without score calibration, since RRF
+    * consumes only RANK POSITIONS, never the incomparable raw scores.
+    *
+    * `lists` maps a tag to that retriever's ranked output, which must
+    * carry columns `id` (document key) and `rank` (1-based). Output:
+    * one row per document seen by ANY list — `id`, per-list ranks as
+    * `<tag>_rn` (NULL where the list missed it), `rrf_r` (6-dp-rounded
+    * fused score), `rn` (fused 1-based rank) — top `k` by
+    * (rrf_r DESC, id).
+    *
+    * Determinism: the per-list terms are summed left-to-right in
+    * `lists` order (a fixed expression tree, not a commutative SUM),
+    * and the fused score is rounded before ranking, so both engines
+    * rank the identical list. Scale shape: each input is a retriever's
+    * top-k — k rows per list, NOT a corpus — so the full-outer fusion
+    * joins touch ≤ Σk rows per query and the single-partition
+    * row_number is over that same handful; at 100 TB the cost lives in
+    * the retrievers, never here. */
+  def rrfFuse(lists: Seq[(String, DataFrame)], k0: Int, k: Int): DataFrame = {
+    require(lists.nonEmpty, "need at least one ranked list")
+    require(lists.map(_._1).distinct.length == lists.length,
+      "list tags must be unique")
+    require(k0 > 0 && k > 0, "k0 and k must be positive")
+    val renamed = lists.map { case (tag, df) =>
+      df.select(col("id"), col("rank").cast("long").as(s"${tag}_rn"))
+    }
+    val joined = renamed.reduceLeft(_.join(_, Seq("id"), "full_outer"))
+    val score = lists.map { case (tag, _) =>
+      coalesce(lit(1.0) / (lit(k0.toDouble) + col(s"${tag}_rn")), lit(0.0))
+    }.reduceLeft(_ + _)
+    // global row_number over ≤ Σ|lists|·k fused rows — intentionally
+    // single-partition, same class as TakeOrderedAndProject's driver-k
+    val w = Window.orderBy(col("rrf_r").desc, col("id"))
+    joined.withColumn("rrf_r", round(score, 6))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
   }
 }

@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
 import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, LongType, StringType, StructType}
 
@@ -10,7 +11,7 @@ import graft.catalog.Warehouse
 import graft.functions.SketchFunctions
 import graft.functions.TextFunctions._
 import graft.functions.VectorFunctions._
-import graft.operators.{Dedup, LanguageModel, Layout, Relational, Retrieval, Similarity, TextAnalysis}
+import graft.operators.{Dedup, LanguageModel, Layout, Relational, Retrieval, Sampling, Similarity, TextAnalysis}
 import graft.sources.Tables
 
 /** Training-data-pipeline operator catalog (driver-mandated extensions,
@@ -164,6 +165,53 @@ object ExtensionQueries {
        |  SELECT doc_id, ('0x' || substr(md5(g), 1, 15))::BIGINT AS gram_h
        |  FROM ${a}_grams)""".stripMargin
   }
+
+  /** Near-dup cluster labels (exact-dup + MinHash-LSH pair edges ->
+    * connected components, min-id canonical label per doc) — shared by
+    * x19 (the labels are the product) and x18b (the labels gate the
+    * split) so the clustering semantics cannot drift between them. */
+  private def nearDupClusterLabels(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val keep = docs.groupBy(col("text")).agg(min(col("doc_id")).as("id_a"))
+    val exactEdges = docs.join(keep, "text")
+      .filter(col("doc_id") =!= col("id_a"))
+      .select(col("id_a"), col("doc_id").as("id_b"))
+    val nearEdges = Dedup.minHashNearDupPairs(docs, "doc_id", "text")
+      .select(col("id_a"), col("id_b"))
+    Dedup.connectedComponents(docs.select(col("doc_id")), "doc_id",
+      exactEdges.union(nearEdges))
+  }
+
+  /** DuckDB twin of [[nearDupClusterLabels]], split as (CTE list,
+    * final select) so callers can extend the WITH RECURSIVE chain. */
+  private def clusterCtes: String =
+    s"""mh AS (
+       |  SELECT id_a, id_b FROM (
+       |    ${Dedup.minHashOracleSql("documents", "doc_id", "text")
+              .replace("\n", "\n    ")})),
+       |keep AS (
+       |  SELECT text, min(doc_id) AS ka FROM documents GROUP BY text),
+       |exact_e AS (
+       |  SELECT k.ka AS id_a, d.doc_id AS id_b
+       |  FROM documents d JOIN keep k USING (text)
+       |  WHERE d.doc_id <> k.ka),
+       |alledges AS (
+       |  SELECT id_a, id_b FROM exact_e
+       |  UNION ALL SELECT id_a, id_b FROM mh),
+       |edges AS (
+       |  SELECT id_a AS u, id_b AS v FROM alledges
+       |  UNION SELECT id_b, id_a FROM alledges),
+       |reach(u, v) AS (
+       |  SELECT u, v FROM edges
+       |  UNION
+       |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+       |labels AS (SELECT u, min(v) AS mv FROM reach GROUP BY u)""".stripMargin
+
+  private val clusterSelect: String =
+    """SELECT d.doc_id,
+      |  CAST(least(d.doc_id, coalesce(l.mv, d.doc_id)) AS BIGINT)
+      |    AS cluster_id
+      |FROM documents d LEFT JOIN labels l ON l.u = d.doc_id""".stripMargin
 
   /** Shared by x5 (window form) and x5b (heap-aggregate form): both
     * must match this oracle bit-for-bit. */
@@ -786,44 +834,35 @@ object ExtensionQueries {
       "near-dup clustering: exact-dup + MinHash-LSH pair edges -> " +
         "connected components (min-id canonical label per doc) vs a " +
         "DuckDB recursive-CTE closure",
-      (s, dir) => {
-        val docs = t(s, dir, "documents")
-        val keep = docs.groupBy(col("text")).agg(min(col("doc_id")).as("id_a"))
-        val exactEdges = docs.join(keep, "text")
-          .filter(col("doc_id") =!= col("id_a"))
-          .select(col("id_a"), col("doc_id").as("id_b"))
-        val nearEdges = Dedup.minHashNearDupPairs(docs, "doc_id", "text")
-          .select(col("id_a"), col("id_b"))
-        Dedup.connectedComponents(docs.select(col("doc_id")), "doc_id",
-            exactEdges.union(nearEdges))
-          .orderBy(col("doc_id"))
-      },
-      Some(s"""WITH RECURSIVE mh AS (
-              |  SELECT id_a, id_b FROM (
-              |    ${Dedup.minHashOracleSql("documents", "doc_id", "text")
-                     .replace("\n", "\n    ")})),
-              |keep AS (
-              |  SELECT text, min(doc_id) AS ka FROM documents GROUP BY text),
-              |exact_e AS (
-              |  SELECT k.ka AS id_a, d.doc_id AS id_b
-              |  FROM documents d JOIN keep k USING (text)
-              |  WHERE d.doc_id <> k.ka),
-              |alledges AS (
-              |  SELECT id_a, id_b FROM exact_e
-              |  UNION ALL SELECT id_a, id_b FROM mh),
-              |edges AS (
-              |  SELECT id_a AS u, id_b AS v FROM alledges
-              |  UNION SELECT id_b, id_a FROM alledges),
-              |reach(u, v) AS (
-              |  SELECT u, v FROM edges
-              |  UNION
-              |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
-              |labels AS (SELECT u, min(v) AS mv FROM reach GROUP BY u)
-              |SELECT d.doc_id,
-              |  CAST(least(d.doc_id, coalesce(l.mv, d.doc_id)) AS BIGINT)
-              |    AS cluster_id
-              |FROM documents d LEFT JOIN labels l ON l.u = d.doc_id
+      (s, dir) => nearDupClusterLabels(s, dir).orderBy(col("doc_id")),
+      Some(s"""WITH RECURSIVE $clusterCtes
+              |$clusterSelect
               |ORDER BY doc_id""".stripMargin)),
+
+    QuerySpec("x18b_leakage_safe_split",
+      "cluster-aware train/val/test split: the md5 split bucket is " +
+        "drawn on the near-dup CLUSTER label (x19's exact+MinHash " +
+        "connected components), not the doc id, so a test document " +
+        "can never have a near-duplicate sitting in train — the " +
+        "eval-leakage guard a pretraining pipeline runs after dedup " +
+        "clustering; past the labels the split itself stays a narrow " +
+        "md5 projection, zero extra shuffles",
+      (s, dir) => Sampling.assignSplit(nearDupClusterLabels(s, dir),
+          "cluster_id", trainPct = 80, valPct = 10)
+        .orderBy(col("doc_id")),
+      Some(s"""WITH RECURSIVE $clusterCtes,
+              |cl AS (
+              |  ${clusterSelect.replace("\n", "\n  ")}),
+              |h AS (
+              |  SELECT doc_id, cluster_id,
+              |    ('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 15))::BIGINT
+              |      % 100 AS bucket
+              |  FROM cl)
+              |SELECT doc_id, cluster_id, bucket,
+              |  CASE WHEN bucket < 80 THEN 'train'
+              |       WHEN bucket < 90 THEN 'val'
+              |       ELSE 'test' END AS split
+              |FROM h ORDER BY doc_id""".stripMargin)),
 
     QuerySpec("x20_keywords_tfidf",
       "per-document keyword extraction: top-3 tokens by tf x (N/df) " +
@@ -1856,6 +1895,66 @@ object ExtensionQueries {
       Some(Retrieval.bm25OracleSql("documents", "doc_id", "text",
         Seq("spark", "window", "merge"), k = 20))),
 
+    QuerySpec("x36b_hybrid_rrf",
+      "hybrid retrieval via Reciprocal Rank Fusion (Cormack et al. " +
+        "2009): x36's BM25 lexical top-20 and the exact-cosine dense " +
+        "top-20 (query vector 0) fused by sum(1/(60+rank)) — rank " +
+        "positions only, never the incomparable raw scores, so no " +
+        "calibration step; fusion touches 40 rows total, the cost " +
+        "stays in the two retriever legs",
+      (s, dir) => {
+        val lex = Retrieval.bm25TopK(t(s, dir, "documents"), "doc_id",
+            "text", Seq("spark", "window", "merge"), k = 20)
+          .select(col("doc_id").as("id"), col("score_r"))
+          .withColumn("rank", row_number().over(
+            Window.orderBy(col("score_r").desc, col("id"))))
+          .select(col("id"), col("rank"))
+        val emb = t(s, dir, "embeddings")
+        val vec = Similarity.bruteForceTopK(emb,
+            emb.filter(col("vec_id") === 0), "vec_id", "embedding", 20)
+          .select(col("did").as("id"), col("rn").as("rank"))
+        Retrieval.rrfFuse(Seq("lex" -> lex, "vec" -> vec), k0 = 60, k = 10)
+          .select(col("id").as("doc_id"), col("rn"), col("rrf_r"),
+            col("lex_rn"), col("vec_rn"))
+          .orderBy(col("rn"))
+      },
+      Some(s"""WITH lexraw AS (
+              |  ${Retrieval.bm25OracleSql("documents", "doc_id", "text",
+                   Seq("spark", "window", "merge"), k = 20)
+                   .replace("\n", "\n  ")}),
+              |lex AS (
+              |  SELECT doc_id AS id, CAST(row_number() OVER
+              |    (ORDER BY score_r DESC, doc_id) AS BIGINT) AS lex_rn
+              |  FROM lexraw),
+              |q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qvec
+              |      FROM embeddings WHERE vec_id = 0),
+              |c AS (SELECT vec_id AS did, embedding::DOUBLE[] AS dvec
+              |      FROM embeddings),
+              |scored AS (
+              |  SELECT did,
+              |    CASE WHEN sqrt(list_dot_product(qvec, qvec)) *
+              |              sqrt(list_dot_product(dvec, dvec)) > 0
+              |      THEN list_dot_product(qvec, dvec) /
+              |           (sqrt(list_dot_product(qvec, qvec)) *
+              |            sqrt(list_dot_product(dvec, dvec)))
+              |      ELSE 0.0 END AS cos
+              |  FROM c JOIN q ON qid <> did),
+              |vec AS (
+              |  SELECT did AS id, CAST(row_number() OVER
+              |    (ORDER BY cos DESC, did) AS BIGINT) AS vec_rn
+              |  FROM scored QUALIFY vec_rn <= 20),
+              |fused AS (
+              |  SELECT coalesce(l.id, v.id) AS doc_id, l.lex_rn, v.vec_rn,
+              |    round(coalesce(1.0/(60 + l.lex_rn), 0.0) +
+              |          coalesce(1.0/(60 + v.vec_rn), 0.0), 6) AS rrf_r
+              |  FROM lex l FULL OUTER JOIN vec v ON l.id = v.id)
+              |SELECT doc_id, CAST(row_number() OVER
+              |    (ORDER BY rrf_r DESC, doc_id) AS BIGINT) AS rn,
+              |  rrf_r, lex_rn, vec_rn
+              |FROM fused
+              |QUALIFY rn <= 10
+              |ORDER BY rn""".stripMargin)),
+
     QuerySpec("x37_bloom_join_prefilter",
       "bloom-sketch join prefilter: Spark's native bloom aggregate " +
         "over high-value order keys (driver-collected KB-scale binary " +
@@ -2410,6 +2509,39 @@ object ExtensionQueries {
            |  ON n.n_regionkey = r.r_regionkey
            |GROUP BY r.r_name ORDER BY r.r_name""".stripMargin
       }),
+
+    QuerySpec("s17_shuffled_shards",
+      "deterministic GLOBAL SHUFFLE + sharded write — curated corpus " +
+        "to servable pretraining data: a 60-bit md5 shuffle key per " +
+        "doc (reproducible, growth-stable: a row's shard and relative " +
+        "position never change as the corpus grows; the salt picks " +
+        "the permutation), shard = key % 8 written hive-partitioned " +
+        "with rows in key order so reading a shard start-to-finish IS " +
+        "the shuffled order; one hash exchange + in-partition sort — " +
+        "the cost floor of any global permutation; the manifest is " +
+        "read back from the WRITTEN files, gating the layout, not " +
+        "the plan",
+      (s, dir) => {
+        val path = Layout.saveShuffledShards(t(s, dir, "documents"),
+          "documents_shuffled", "doc_id", nShards = 8)
+        s.read.parquet(path)
+          .groupBy(col("shard").cast("int").as("shard"))
+          .agg(count(lit(1)).as("n_docs"),
+            min(col("shuffle_key")).as("min_key"),
+            max(col("shuffle_key")).as("max_key"),
+            sum(col("n_chars")).as("sum_chars"))
+          .orderBy(col("shard"))
+      },
+      Some("""WITH h AS (
+             |  SELECT doc_id, n_chars,
+             |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|'), 1, 15))::BIGINT
+             |      AS k
+             |  FROM documents)
+             |SELECT CAST(k % 8 AS INTEGER) AS shard,
+             |  CAST(count(*) AS BIGINT) AS n_docs,
+             |  min(k) AS min_key, max(k) AS max_key,
+             |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+             |FROM h GROUP BY shard ORDER BY shard""".stripMargin)),
 
     QuerySpec("x47_streaming_dedup",
       "transitive oracle for the streaming watermarked dedup: " +

@@ -67,4 +67,69 @@ class LayoutSpec extends SparkSpec {
       case _ =>
     }
   }
+
+  private def shardOf(dir: String): Map[Long, Int] =
+    spark.read.parquet(dir)
+      .select($"id", $"shard".cast("int"))
+      .as[(Long, Int)].collect().toMap
+
+  test("saveShuffledShards: deterministic across writes, rows in " +
+      "shuffle-key order within every file, all rows kept") {
+    val docs = (0L until 200L).map(i => (i, s"d$i")).toDF("id", "text")
+    val a = Layout.saveShuffledShards(docs, "shuf_a", "id", nShards = 4)
+    val b = Layout.saveShuffledShards(docs, "shuf_b", "id", nShards = 4)
+    assert(shardOf(a) == shardOf(b), "same data+salt => same shards")
+    val back = spark.read.parquet(a)
+    assert(back.count() == 200)
+    // within every physical file, rows are sorted by shuffle_key —
+    // reading a shard start-to-finish IS the shuffled order
+    val perFile = back
+      .groupBy(input_file_name().as("f"))
+      .agg(collect_list($"shuffle_key").as("ks"))
+      .select($"ks").as[Seq[Long]].collect()
+    perFile.foreach(ks => assert(ks == ks.sorted,
+      "rows within a file must be in shuffle_key order"))
+    // and the permutation is not the identity: ids in key order are
+    // scattered, not ascending
+    val order = back.orderBy($"shuffle_key").select($"id")
+      .as[Long].collect().toSeq
+    assert(order != order.sorted, "shuffle must not preserve id order")
+  }
+
+  test("saveShuffledShards: growth-stable (a row's shard never " +
+      "changes as the corpus grows) and salt picks the permutation") {
+    val small = (0L until 100L).map(i => (i, s"d$i")).toDF("id", "text")
+    val grown = (0L until 200L).map(i => (i, s"d$i")).toDF("id", "text")
+    val s1 = shardOf(Layout.saveShuffledShards(small, "shuf_s", "id", 4))
+    val s2 = shardOf(Layout.saveShuffledShards(grown, "shuf_g", "id", 4))
+    s1.foreach { case (id, sh) => assert(s2(id) == sh,
+      s"doc $id moved shard when the corpus grew") }
+    val salted = shardOf(Layout.saveShuffledShards(small, "shuf_salt",
+      "id", 4, salt = "epoch2"))
+    assert(s1 != salted, "a different salt must pick a different permutation")
+  }
+
+  test("saveShuffledShards: writer parallelism beyond shard count — " +
+      "a shard spans several files whose key ranges are DISJOINT, so " +
+      "footer-stat file ordering restores the shard's total order") {
+    val docs = (0L until 2000L).map(i => (i, s"d$i")).toDF("id", "text")
+    val out = Layout.saveShuffledShards(docs, "shuf_wide", "id",
+      nShards = 2, nFiles = 8)
+    val ranges = spark.read.parquet(out)
+      .groupBy($"shard".cast("int").as("sh"), input_file_name().as("f"))
+      .agg(min($"shuffle_key").as("lo"), max($"shuffle_key").as("hi"),
+        count(lit(1)).as("n"))
+      .select($"sh", $"lo", $"hi", $"n")
+      .as[(Int, Long, Long, Long)].collect().toSeq
+    assert(ranges.map(_._4).sum == 2000)
+    val multiFile = ranges.groupBy(_._1).filter(_._2.length > 1)
+    assert(multiFile.nonEmpty, "expected at least one multi-file shard")
+    multiFile.foreach { case (sh, fs) =>
+      fs.sortBy(_._2).sliding(2).foreach {
+        case Seq((_, _, hi1, _), (_, lo2, _, _)) =>
+          assert(hi1 < lo2, s"shard $sh file key ranges overlap: $fs")
+        case _ =>
+      }
+    }
+  }
 }

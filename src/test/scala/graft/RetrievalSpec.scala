@@ -61,4 +61,52 @@ class RetrievalSpec extends SparkSpec {
       Seq("o'brien", "plain"), 5)
     assert(sql.contains("'o''brien'") && sql.contains("'plain'"))
   }
+
+  private def r6d(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("rrfFuse computes sum(1/(k0+rank)) with absent-list terms as " +
+      "0, ranks by the rounded score, ties broken by id") {
+    val lex = Seq((10L, 1L), (20L, 2L), (30L, 3L)).toDF("id", "rank")
+    val vec = Seq((20L, 1L), (40L, 2L), (10L, 3L)).toDF("id", "rank")
+    val got = Retrieval.rrfFuse(Seq("lex" -> lex, "vec" -> vec),
+        k0 = 60, k = 10)
+      .select($"id", $"rrf_r", $"rn", $"lex_rn", $"vec_rn")
+      .as[(Long, Double, Long, Option[Long], Option[Long])]
+      .collect().toSeq.sortBy(_._3)
+    val exp = Seq(
+      (20L, r6d(1.0 / 62 + 1.0 / 61)), // both lists, near top of each
+      (10L, r6d(1.0 / 61 + 1.0 / 63)),
+      (40L, r6d(1.0 / 62)),            // vec-only
+      (30L, r6d(1.0 / 63))             // lex-only
+    ).sortBy { case (id, sc) => (-sc, id) }
+    assert(got.map(r => (r._1, r._2)) == exp)
+    assert(got.map(_._3) == (1L to 4L))
+    // per-list ranks survive as nullable columns
+    val byId = got.map(r => r._1 -> ((r._4, r._5))).toMap
+    assert(byId(20L) == ((Some(2L), Some(1L))))
+    assert(byId(40L) == ((None, Some(2L))))
+    assert(byId(30L) == ((Some(3L), None)))
+  }
+
+  test("rrfFuse: a doc present in BOTH lists outranks docs a single " +
+      "list ranked higher — the consensus property RRF exists for") {
+    val lex = Seq((1L, 1L), (9L, 2L)).toDF("id", "rank")
+    val vec = Seq((2L, 1L), (9L, 2L)).toDF("id", "rank")
+    val got = Retrieval.rrfFuse(Seq("lex" -> lex, "vec" -> vec),
+        k0 = 60, k = 10)
+      .select($"id", $"rn").as[(Long, Long)].collect().toMap
+    assert(got(9L) == 1L, "rank-2 in both lists beats rank-1 in one")
+  }
+
+  test("rrfFuse respects k and validates inputs") {
+    val l = Seq((1L, 1L), (2L, 2L), (3L, 3L)).toDF("id", "rank")
+    assert(Retrieval.rrfFuse(Seq("a" -> l), 60, 2).count() == 2)
+    intercept[IllegalArgumentException] {
+      Retrieval.rrfFuse(Seq.empty, 60, 5) }
+    intercept[IllegalArgumentException] {
+      Retrieval.rrfFuse(Seq("a" -> l, "a" -> l), 60, 5) }
+    intercept[IllegalArgumentException] {
+      Retrieval.rrfFuse(Seq("a" -> l), 0, 5) }
+  }
 }

@@ -52,4 +52,31 @@ class SamplingSpec extends SparkSpec {
     assert(Sampling.domainQuota(rows, "domain", "id", 1000).count()
       == rows.count())
   }
+
+  test("cluster-keyed assignSplit is leakage-safe: every near-dup " +
+      "cluster lands whole in ONE split, where the per-doc split " +
+      "tears clusters across train/test") {
+    // 40 clusters of 5 near-dups each (ids 5c..5c+4 share cluster 5c)
+    val docs = (0L until 200L).toDF("doc_id")
+    val edges = (0L until 200L).filter(_ % 5 != 0)
+      .map(i => (i - i % 5, i)).toDF("id_a", "id_b")
+    val labels = graft.operators.Dedup.connectedComponents(
+      docs, "doc_id", edges)
+    val safe = Sampling.assignSplit(labels, "cluster_id", 80, 10)
+      .select("doc_id", "cluster_id", "split")
+      .as[(Long, Long, String)].collect().toSeq
+    assert(safe.length == 200)
+    // the leakage-safety invariant: one split per cluster
+    safe.groupBy(_._2).foreach { case (c, rows) =>
+      assert(rows.map(_._3).distinct.length == 1,
+        s"cluster $c torn across splits: $rows") }
+    // the per-doc split does tear clusters (this is WHY x18b exists) —
+    // with 40 5-doc clusters and an 80/10/10 doc-level draw, the odds
+    // every cluster stays whole are astronomically small
+    val naive = Sampling.assignSplit(labels, "doc_id", 80, 10)
+      .select("cluster_id", "split")
+      .as[(Long, String)].collect().toSeq
+    val torn = naive.groupBy(_._1).count(_._2.map(_._2).distinct.length > 1)
+    assert(torn > 0, "doc-keyed split should tear at least one cluster")
+  }
 }
