@@ -58,6 +58,40 @@ object Sampling {
     df.filter(hashBucket(col(idCol), 100) < pct)
   }
 
+  /** Temperature-based class rebalancing (the multilingual sampling
+    * knob of XLM / mC4 — Conneau & Lample 2019 §3.1, Raffel et al.
+    * 2020 §2.3): resample so class shares follow `p_c ∝ n_c^alpha`
+    * instead of the natural distribution — `alpha < 1` lifts
+    * low-resource classes, `alpha = 1` is a no-op. Realized here as
+    * pure DOWNSAMPLING at maximum utilization, which has a closed
+    * form: the smallest class keeps 100% and class c keeps
+    * `(n_min / n_c)^(1-alpha)` (derivation: keep_c = T·share_c with
+    * T = min_c n_c/share_c; the share normalizer cancels).
+    *
+    * Scale shape: one map-side-combined count per class (the only
+    * shuffle, cardinality = #classes), a broadcast join of the tiny
+    * per-class keep-rate frame, and the same deterministic md5 keep
+    * filter as [[stratifiedSample]] — no rand(), reproducible across
+    * engines/runs, and a kept row stays kept under re-runs with the
+    * same class counts. Keep rates are rounded to 6 dp before the
+    * bucket cut so both engines drop the identical rows (pow differs
+    * across libms by ~1 ulp). `buckets` sets rate granularity
+    * (default 1e-4). */
+  def temperatureSample(df: DataFrame, classCol: String, idCol: String,
+      alpha: Double, buckets: Int = 10000): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0,1], got $alpha")
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val counts = df.groupBy(col(classCol)).agg(count(lit(1)).as("__n"))
+    val minN = counts.agg(min(col("__n")).as("__nmin"))
+    val rates = counts.crossJoin(minN)
+      .select(col(classCol),
+        round(pow(col("__nmin").cast("double") / col("__n"),
+          lit(1.0 - alpha)), 6).as("keep_rate_r"))
+    df.join(broadcast(rates), Seq(classCol))
+      .filter(md5Hash60(col(idCol).cast("string")) % buckets <
+        floor(col("keep_rate_r") * buckets))
+  }
+
   /** Per-domain quota: keep each domain's `quota` lowest-`idCol` rows
     * — the web-pipeline per-site cap that stops one crawl-heavy
     * domain from dominating the mix.

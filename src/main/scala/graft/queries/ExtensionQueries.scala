@@ -1061,6 +1061,34 @@ object ExtensionQueries {
              |SELECT source, doc_id, mix_key FROM u
              |ORDER BY mix_key, source, doc_id""".stripMargin)),
 
+    QuerySpec("x24b_temperature_mixing",
+      "temperature-based language rebalancing (XLM / mC4, alpha=0.7): " +
+        "shares follow n^alpha instead of the natural skew — closed-" +
+        "form max-utilization downsampling keeps (n_min/n_lang)^(1-" +
+        "alpha) of each language (the smallest keeps 100%) via the " +
+        "deterministic md5 keep filter; one #langs-cardinality count " +
+        "shuffle + a broadcast of the keep-rate frame, nothing else " +
+        "is wide",
+      (s, dir) => Sampling.temperatureSample(
+          t(s, dir, "documents").select(col("doc_id"), col("lang")),
+          "lang", "doc_id", alpha = 0.7)
+        .select(col("doc_id"), col("lang"), col("keep_rate_r"))
+        .orderBy(col("doc_id")),
+      Some("""WITH counts AS (
+             |  SELECT lang, CAST(count(*) AS BIGINT) AS n
+             |  FROM documents GROUP BY lang),
+             |mn AS (SELECT min(n) AS nmin FROM counts),
+             |rates AS (
+             |  SELECT lang,
+             |    round(pow(CAST(nmin AS DOUBLE) / n, 1.0 - 0.7), 6)
+             |      AS keep_rate_r
+             |  FROM counts, mn)
+             |SELECT d.doc_id, d.lang, r.keep_rate_r
+             |FROM documents d JOIN rates r USING (lang)
+             |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+             |    % 10000 < floor(keep_rate_r * 10000)
+             |ORDER BY doc_id""".stripMargin)),
+
     QuerySpec("x25_boilerplate_removal",
       "C4-style boilerplate stripping: lines repeated across >= 2 " +
         "distinct docs are removed, documents rebuilt in original " +

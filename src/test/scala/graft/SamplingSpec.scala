@@ -53,6 +53,38 @@ class SamplingSpec extends SparkSpec {
       == rows.count())
   }
 
+  test("temperatureSample keeps (n_min/n_c)^(1-alpha) of each class: " +
+      "smallest class whole, realized rates near the closed form, " +
+      "alpha=1 a no-op, deterministic") {
+    // classes: a=100 rows, b=400, c=1600 (16:4:1 natural skew)
+    val rows = (Seq.fill(1)(("a", 100L)) ++ Seq.fill(4)(("b", 400L)) ++
+      Seq.fill(16)(("c", 1600L))).zipWithIndex
+      .flatMap { case ((cls, n), i) =>
+        (0L until n / (if (cls == "a") 1 else if (cls == "b") 4 else 16))
+          .map(j => (cls, i * 10000L + j)) }
+      .toDF("cls", "id")
+    assert(rows.groupBy($"cls").count().as[(String, Long)].collect()
+      .toMap == Map("a" -> 100L, "b" -> 400L, "c" -> 1600L))
+    val kept = Sampling.temperatureSample(rows, "cls", "id", alpha = 0.5)
+      .groupBy($"cls").count().as[(String, Long)].collect().toMap
+    // closed form at alpha=0.5: a keeps 1.0, b keeps (100/400)^0.5 =
+    // 0.5, c keeps (100/1600)^0.5 = 0.25 — md5 buckets are uniform
+    // but not exact, so assert within a tolerant band
+    assert(kept("a") == 100L, "smallest class must be kept whole")
+    assert(kept("b") > 150 && kept("b") < 250, s"b ~ 200, got ${kept("b")}")
+    assert(kept("c") > 320 && kept("c") < 480, s"c ~ 400, got ${kept("c")}")
+    // alpha=1: natural distribution, keep everything
+    assert(Sampling.temperatureSample(rows, "cls", "id", 1.0).count() == 2100)
+    // deterministic: same kept set on re-run
+    val k1 = Sampling.temperatureSample(rows, "cls", "id", 0.5)
+      .select($"id").as[Long].collect().toSet
+    val k2 = Sampling.temperatureSample(rows, "cls", "id", 0.5)
+      .select($"id").as[Long].collect().toSet
+    assert(k1 == k2)
+    intercept[IllegalArgumentException] {
+      Sampling.temperatureSample(rows, "cls", "id", 0.0) }
+  }
+
   test("cluster-keyed assignSplit is leakage-safe: every near-dup " +
       "cluster lands whole in ONE split, where the per-doc split " +
       "tears clusters across train/test") {
