@@ -165,4 +165,35 @@ object Relational {
 
     unionDiagonal(Seq(hist, untouched, closed, opened))
   }
+
+  /** Snapshot diff — the audit step of an incremental corpus update:
+    * classify every key across two versions of a table as `added`
+    * (new only), `removed` (old only), or `changed` (present in both
+    * with any `tracked` column differing, null-safely). Unchanged
+    * keys are dropped: at 100 TB the diff of consecutive snapshots
+    * is tiny relative to the table, and the unchanged bulk must not
+    * ride the result. One key-partitioned join is the whole cost —
+    * both sides shuffle on `keyCol` (or neither, if persisted
+    * bucketed on it); the classification is a narrow projection.
+    *
+    * `keyCol` must be unique per side (snapshots, not logs) —
+    * duplicate keys would fan the full-outer join out into one row
+    * per pair. */
+  def snapshotDiff(old: DataFrame, cur: DataFrame, keyCol: String,
+      tracked: Seq[String]): DataFrame = {
+    require(tracked.nonEmpty, "snapshotDiff needs at least one tracked column")
+    val o = old.select(col(keyCol).as("__ok") +:
+      tracked.map(c => col(c).as(s"__o_$c")): _*)
+    val n = cur.select(col(keyCol).as("__nk") +:
+      tracked.map(c => col(c).as(s"__n_$c")): _*)
+    val changed = tracked
+      .map(c => !(col(s"__o_$c") <=> col(s"__n_$c"))).reduce(_ || _)
+    o.join(n, col("__ok") === col("__nk"), "full_outer")
+      .withColumn("change",
+        when(col("__ok").isNull, "added")
+          .when(col("__nk").isNull, "removed")
+          .when(changed, "changed"))
+      .filter(col("change").isNotNull)
+      .select(coalesce(col("__ok"), col("__nk")).as(keyCol), col("change"))
+  }
 }

@@ -2571,6 +2571,47 @@ object ExtensionQueries {
              |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
              |FROM h GROUP BY shard ORDER BY shard""".stripMargin)),
 
+    QuerySpec("s18_snapshot_diff",
+      "corpus snapshot diff — the audit step of an incremental " +
+        "update: added/removed/changed per key between two versions " +
+        "(here: v2 derived in-query — every 7th doc dropped, every " +
+        "5th text revised, 20 new ids), null-safe change detection " +
+        "on (text, lang), unchanged bulk NEVER rides the result; one " +
+        "key-partitioned full-outer join is the whole cost",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+          .select(col("doc_id"), col("text"), col("lang"))
+        val next = docs.filter(col("doc_id") % 7 =!= 0)
+          .withColumn("text",
+            when(col("doc_id") % 5 === 0, concat(col("text"), lit(" v2")))
+              .otherwise(col("text")))
+          .unionByName(docs.filter(col("doc_id") < 20)
+            .select((col("doc_id") + 10000).as("doc_id"),
+              col("text"), col("lang")))
+        Relational.snapshotDiff(docs, next, "doc_id", Seq("text", "lang"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH old AS (SELECT doc_id, text, lang FROM documents),
+             |nw AS (
+             |  SELECT doc_id,
+             |    CASE WHEN doc_id % 5 = 0 THEN text || ' v2'
+             |         ELSE text END AS text,
+             |    lang
+             |  FROM documents WHERE doc_id % 7 <> 0
+             |  UNION ALL
+             |  SELECT doc_id + 10000, text, lang
+             |  FROM documents WHERE doc_id < 20),
+             |j AS (
+             |  SELECT o.doc_id AS ok, n.doc_id AS nk,
+             |    CASE WHEN o.doc_id IS NULL THEN 'added'
+             |         WHEN n.doc_id IS NULL THEN 'removed'
+             |         WHEN o.text IS DISTINCT FROM n.text
+             |           OR o.lang IS DISTINCT FROM n.lang THEN 'changed'
+             |         END AS change
+             |  FROM old o FULL OUTER JOIN nw n ON o.doc_id = n.doc_id)
+             |SELECT coalesce(ok, nk) AS doc_id, change FROM j
+             |WHERE change IS NOT NULL ORDER BY doc_id""".stripMargin)),
+
     QuerySpec("x47_streaming_dedup",
       "transitive oracle for the streaming watermarked dedup: " +
         "dropDuplicatesWithinWatermark over the fixture events read " +

@@ -117,6 +117,26 @@ class RelationalSpec extends SparkSpec {
       (9L, "fresh", d("2000-06-01"), None, true)))
   }
 
+  test("snapshotDiff classifies added/removed/changed, null-safely, " +
+      "and drops the unchanged bulk") {
+    val old = Seq((1L, Some("a")), (2L, Some("b")), (3L, Some("c")),
+      (5L, Option.empty[String])).toDF("k", "v")
+    val cur = Seq((2L, Some("b")), (3L, Some("x")), (4L, Some("d")),
+      (5L, Option.empty[String])).toDF("k", "v")
+    val got = Relational.snapshotDiff(old, cur, "k", Seq("v"))
+      .orderBy($"k").as[(Long, String)].collect().toSeq
+    // 2 unchanged and 5 (null == null, null-safe) do NOT appear
+    assert(got == Seq((1L, "removed"), (3L, "changed"), (4L, "added")))
+    // null -> value IS a change
+    val g2 = Relational.snapshotDiff(
+      Seq((7L, Option.empty[String])).toDF("k", "v"),
+      Seq((7L, Some("now"))).toDF("k", "v"), "k", Seq("v"))
+      .as[(Long, String)].collect().toSeq
+    assert(g2 == Seq((7L, "changed")))
+    intercept[IllegalArgumentException] {
+      Relational.snapshotDiff(old, cur, "k", Seq.empty) }
+  }
+
   test("scd2Merge rejects an empty tracked-column list") {
     val dim = Seq((1L, "a", java.sql.Date.valueOf("1995-01-01"),
       Option.empty[java.sql.Date], true))
