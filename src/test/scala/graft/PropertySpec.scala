@@ -296,4 +296,68 @@ class PropertySpec extends SparkSpec {
         assert(got == model, s"right=$rs left=$lsTagged")
     }
   }
+
+  test("temperature samples are NESTED in alpha: a lower temperature " +
+      "exponent keeps a subset of a higher one, for any class skew") {
+    import graft.operators.Sampling
+    val classSizes: Gen[List[Int]] = Gen.choose(2, 4)
+      .flatMap(k => Gen.listOfN(k, Gen.choose(5, 120)))
+    forAll(classSizes, minSuccessful(6)) { (sizes: List[Int]) =>
+      val rows = sizes.zipWithIndex.flatMap { case (n, c) =>
+        (0 until n).map(j => (s"c$c", c * 100000L + j)) }.toDF("cls", "id")
+      def kept(alpha: Double): Set[Long] =
+        Sampling.temperatureSample(rows, "cls", "id", alpha)
+          .select($"id").as[Long].collect().toSet
+      val (lo, mid, hi) = (kept(0.3), kept(0.7), kept(1.0))
+      assert(lo.subsetOf(mid), s"alpha=0.3 not nested in 0.7 for $sizes")
+      assert(mid.subsetOf(hi), s"alpha=0.7 not nested in 1.0 for $sizes")
+      assert(hi.size == sizes.sum, "alpha=1 must keep everything")
+    }
+  }
+
+  test("rrfFuse is invariant to list ORDER (scores modulo 6-dp " +
+      "rounding, membership exactly)") {
+    import graft.operators.Retrieval
+    val ranked: Gen[List[(Long, Long)]] = Gen.choose(1, 8).flatMap(n =>
+      Gen.pick(n, 1L to 20L).map(_.toList.zipWithIndex
+        .map { case (id, i) => (id, i + 1L) }))
+    forAll(Gen.zip(ranked, ranked, ranked), minSuccessful(6)) {
+      case (l1, l2, l3) =>
+        def fuse(ls: Seq[(String, List[(Long, Long)])]): Map[Long, Double] =
+          Retrieval.rrfFuse(
+              ls.map { case (t, l) => t -> l.toDF("id", "rank") }, 60, 50)
+            .select($"id", $"rrf_r").as[(Long, Double)].collect().toMap
+        val a = fuse(Seq("x" -> l1, "y" -> l2, "z" -> l3))
+        val b = fuse(Seq("z" -> l3, "x" -> l1, "y" -> l2))
+        assert(a.keySet == b.keySet)
+        a.foreach { case (id, s) =>
+          assert(math.abs(s - b(id)) < 2e-6,
+            s"doc $id fused to $s vs ${b(id)} under reordered lists") }
+    }
+  }
+
+  test("snapshotDiff of a table against itself is empty; against an " +
+      "arbitrary other snapshot, classes partition the key union") {
+    import graft.operators.Relational
+    val snap: Gen[List[(Long, String)]] = Gen.choose(1, 15).flatMap(n =>
+      Gen.pick(n, 1L to 25L).flatMap(ids =>
+        Gen.listOfN(n, Gen.oneOf("a", "b", "c")).map(vs =>
+          ids.toList.zip(vs))))
+    forAll(Gen.zip(snap, snap), minSuccessful(6)) { case (o, n) =>
+      val od = o.toDF("k", "v")
+      val nd = n.toDF("k", "v")
+      assert(Relational.snapshotDiff(od, od, "k", Seq("v")).count() == 0)
+      val diff = Relational.snapshotDiff(od, nd, "k", Seq("v"))
+        .as[(Long, String)].collect().toMap
+      val om = o.toMap; val nm = n.toMap
+      (om.keySet ++ nm.keySet).foreach { k =>
+        val expect =
+          if (!om.contains(k)) Some("added")
+          else if (!nm.contains(k)) Some("removed")
+          else if (om(k) != nm(k)) Some("changed")
+          else None
+        assert(diff.get(k) == expect, s"key $k: got ${diff.get(k)}")
+      }
+    }
+  }
 }
