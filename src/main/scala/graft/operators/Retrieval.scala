@@ -179,4 +179,33 @@ object Retrieval {
       .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= k)
   }
+
+  /** [[rrfFuse]] for a BATCH of queries — the deployment shape, where
+    * a retrieval service fuses thousands of query results in one job.
+    * Each list carries (`qid`, `id`, `rank`); lists join on (qid, id)
+    * and the fused rank windows PARTITIONED BY qid, so per-query
+    * state is ≤ Σ|lists|·k rows and queries spread across the
+    * cluster — no global window, no single-partition funnel. Same
+    * determinism contract as [[rrfFuse]] (fixed-order fold, 6-dp
+    * rounding before the rank). */
+  def rrfFusePerQuery(lists: Seq[(String, DataFrame)], k0: Int,
+      k: Int): DataFrame = {
+    require(lists.nonEmpty, "need at least one ranked list")
+    require(lists.map(_._1).distinct.length == lists.length,
+      "list tags must be unique")
+    require(k0 > 0 && k > 0, "k0 and k must be positive")
+    val renamed = lists.map { case (tag, df) =>
+      df.select(col("qid"), col("id"),
+        col("rank").cast("long").as(s"${tag}_rn"))
+    }
+    val joined = renamed.reduceLeft(_.join(_, Seq("qid", "id"), "full_outer"))
+    val score = lists.map { case (tag, _) =>
+      coalesce(lit(1.0) / (lit(k0.toDouble) + col(s"${tag}_rn")), lit(0.0))
+    }.reduceLeft(_ + _)
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("rrf_r").desc, col("id"))
+    joined.withColumn("rrf_r", round(score, 6))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+  }
 }

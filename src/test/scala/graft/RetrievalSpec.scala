@@ -99,6 +99,28 @@ class RetrievalSpec extends SparkSpec {
     assert(got(9L) == 1L, "rank-2 in both lists beats rank-1 in one")
   }
 
+  test("rrfFusePerQuery equals per-query rrfFuse for every query in " +
+      "the batch — the partitioned deployment shape changes nothing " +
+      "but the window key") {
+    val lex = Seq((1L, 10L, 1L), (1L, 20L, 2L), (2L, 30L, 1L),
+      (2L, 10L, 2L)).toDF("qid", "id", "rank")
+    val vec = Seq((1L, 20L, 1L), (1L, 40L, 2L), (2L, 10L, 1L))
+      .toDF("qid", "id", "rank")
+    val batch = Retrieval.rrfFusePerQuery(
+        Seq("lex" -> lex, "vec" -> vec), k0 = 60, k = 10)
+      .select($"qid", $"id", $"rrf_r", $"rn")
+      .as[(Long, Long, Double, Long)].collect().toSet
+    val single = Seq(1L, 2L).flatMap { q =>
+      Retrieval.rrfFuse(Seq(
+          "lex" -> lex.filter($"qid" === q).select($"id", $"rank"),
+          "vec" -> vec.filter($"qid" === q).select($"id", $"rank")),
+          k0 = 60, k = 10)
+        .select(lit(q).as("qid"), $"id", $"rrf_r", $"rn")
+        .as[(Long, Long, Double, Long)].collect()
+    }.toSet
+    assert(batch == single)
+  }
+
   test("rrfFuse respects k and validates inputs") {
     val l = Seq((1L, 1L), (2L, 2L), (3L, 3L)).toDF("id", "rank")
     assert(Retrieval.rrfFuse(Seq("a" -> l), 60, 2).count() == 2)
