@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev tool: PageRank decade rehearsal over the UNCUT symmetrized
+  * supplier-part graph (x55's catalog fixture caps the graph with a
+  * partkey cut to keep its bench line join-sized; scaling evidence
+  * needs the full graph, which grows with SF).
+  *
+  * Usage: SPARK_GRAFT_SF_DIR=<dir> runMain graft.GraphRehearse [iters]
+  */
+object GraphRehearse {
+  def main(args: Array[String]): Unit = {
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val iters = args.headOption.map(_.toInt).getOrElse(3)
+    val runs = sys.env.get("GRAFT_BENCH_RUNS")
+      .flatMap(_.trim.toIntOption).getOrElse(3)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = graft.sources.Tables.withSessionConfs(SparkSession.builder())
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val sp = graft.sources.Tables.load(spark, dir, "lineitem")
+      .select(col("l_suppkey").cast("long").as("s"),
+        (col("l_partkey").cast("long") + 10000000L).as("p"))
+      .distinct()
+    val edges = sp.select(col("s").as("src"), col("p").as("dst"))
+      .unionByName(sp.select(col("p").as("src"), col("s").as("dst")))
+    val nEdges = edges.count()
+    // SPARK_GRAFT_GRAPH_MAT=checkpoint switches the per-round
+    // materialization hook on (the deep-volume adjudication knob)
+    val mat: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+      sys.env.get("SPARK_GRAFT_GRAPH_MAT") match {
+        case Some("checkpoint") => graft.operators.Dedup.defaultMaterialize
+        case _ => identity
+      }
+    val tag = if (sys.env.contains("SPARK_GRAFT_GRAPH_MAT")) "ckpt" else "lazy"
+    (1 to runs).foreach { i =>
+      val t0 = System.nanoTime()
+      graft.operators.Graph.pageRank(edges, iters, materialize = mat)
+        .write.format("noop").mode("overwrite").save()
+      println(f"[graphrank] mode=$tag iters=$iters edges=$nEdges run=$i " +
+        f"secs=${(System.nanoTime() - t0) / 1e9}%.2f")
+    }
+    spark.stop()
+  }
+}

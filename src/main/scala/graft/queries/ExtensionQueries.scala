@@ -2612,6 +2612,39 @@ object ExtensionQueries {
              |SELECT coalesce(ok, nk) AS doc_id, change FROM j
              |WHERE change IS NOT NULL ORDER BY doc_id""".stripMargin)),
 
+    QuerySpec("x55_pagerank_centrality",
+      "link-graph centrality for crawl/corpus curation (Page et al. " +
+        "1999; Common Crawl ranks hosts by centrality to prioritize " +
+        "its frontier, and domain rank is a standard pretraining " +
+        "quality prior): 3 power iterations over the symmetrized " +
+        "supplier-part graph, every FP reduction a two-phase " +
+        "src-then-shard SORTED fold (order-pinned against the oracle " +
+        "AND bounded under in-degree skew — a hot node folds as 64 " +
+        "bounded lists, never one giant one); per iteration one " +
+        "src-keyed join + two keyed aggregations, nothing all-pairs",
+      (s, dir) => {
+        // fixture graph sized by a partkey cut (a scan-pushed
+        // predicate): centrality semantics are fully exercised while
+        // the entry's bench line stays join-sized, not suite-dominating
+        val sp = t(s, dir, "lineitem")
+          .filter(col("l_partkey") <= 2000)
+          .select(col("l_suppkey").cast("long").as("s"),
+            (col("l_partkey").cast("long") + 1000000L).as("p"))
+          .distinct()
+        val edges = sp.select(col("s").as("src"), col("p").as("dst"))
+          .unionByName(sp.select(col("p").as("src"), col("s").as("dst")))
+        graft.operators.Graph.pageRank(edges, iters = 3)
+          .orderBy(col("id"))
+      },
+      Some(graft.operators.Graph.pageRankOracleSql(
+        """WITH sp AS (
+          |  SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS s,
+          |    CAST(l_partkey AS BIGINT) + 1000000 AS p
+          |  FROM lineitem WHERE l_partkey <= 2000)
+          |SELECT s AS src, p AS dst FROM sp
+          |UNION ALL SELECT p AS src, s AS dst FROM sp""".stripMargin,
+        iters = 3) + "\nORDER BY id")),
+
     QuerySpec("x47_streaming_dedup",
       "transitive oracle for the streaming watermarked dedup: " +
         "dropDuplicatesWithinWatermark over the fixture events read " +

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Graph
+
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Plain-double reference model of the same fixed-iteration
+    * PageRank (unordered sums — the operator's ordered folds must
+    * agree to well under the 6-dp publish rounding). */
+  private def model(edges: Seq[(Long, Long)], iters: Int,
+      damping: Double = 0.85): Map[Long, Double] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    val n = nodes.length.toDouble
+    val deg = edges.groupBy(_._1).view.mapValues(_.size).toMap
+    var r = nodes.map(_ -> 1.0 / n).toMap
+    (0 until iters).foreach { _ =>
+      val in = edges.groupBy(_._2)
+      r = nodes.map { v =>
+        val s = in.getOrElse(v, Seq.empty)
+          .map { case (u, _) => r(u) / deg(u) }.sum
+        v -> ((1.0 - damping) / n + damping * s)
+      }.toMap
+    }
+    r
+  }
+
+  test("two-node cycle holds rank 0.5/0.5 at any iteration count") {
+    val e = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    for (iters <- Seq(1, 3, 5)) {
+      val got = Graph.pageRank(e, iters).as[(Long, Double)].collect().toMap
+      assert(got == Map(1L -> 0.5, 2L -> 0.5), s"iters=$iters")
+    }
+  }
+
+  test("ranks agree with a plain-double reference model and are " +
+      "invariant to the shard count of the two-phase fold") {
+    // small web: a hub (1) pointed at by everyone, a cycle, a chain
+    val edges = Seq((2L, 1L), (3L, 1L), (4L, 1L), (5L, 1L), (1L, 2L),
+      (2L, 3L), (3L, 4L), (4L, 5L), (5L, 2L), (6L, 1L), (1L, 6L))
+    val e = edges.toDF("src", "dst")
+    // the operator publishes 6-dp-rounded ranks — round the model the
+    // same way before comparing
+    val want = model(edges, 3).view.mapValues(v =>
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble).toMap
+    for (shards <- Seq(1, 4, 64)) {
+      val got = Graph.pageRank(e, 3, shards = shards)
+        .as[(Long, Double)].collect().toMap
+      assert(got.keySet == want.keySet)
+      got.foreach { case (id, r) =>
+        assert(math.abs(r - want(id)) < 1e-9,
+          s"shards=$shards node $id: $r vs model ${want(id)}") }
+      // the hub must outrank every spoke
+      assert(got(1L) == got.values.max)
+    }
+  }
+
+  test("ranks sum to ~1 on a graph with no dangling nodes, and " +
+      "parameters are validated") {
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L), (3L, 2L))
+      .toDF("src", "dst")
+    val total = Graph.pageRank(e, 3).as[(Long, Double)]
+      .collect().map(_._2).sum
+    assert(math.abs(total - 1.0) < 1e-5, s"mass leaked: $total")
+    intercept[IllegalArgumentException] { Graph.pageRank(e, 0) }
+    intercept[IllegalArgumentException] { Graph.pageRank(e, 1, damping = 1.0) }
+    intercept[IllegalArgumentException] { Graph.pageRank(e, 1, shards = 0) }
+  }
+}
