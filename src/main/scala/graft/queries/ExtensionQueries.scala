@@ -2645,6 +2645,75 @@ object ExtensionQueries {
           |UNION ALL SELECT p AS src, s AS dst FROM sp""".stripMargin,
         iters = 3) + "\nORDER BY id")),
 
+    QuerySpec("x56_url_canonicalize",
+      "crawl-curation URL keying: RFC 3986 §6 canonicalization " +
+        "(scheme/host case, default-port elision) plus the de-facto " +
+        "crawl extensions — fragment/userinfo drop, tracking-param " +
+        "removal, query-param sort, slash normalization — and " +
+        "suffix-list registered-domain extraction; the fixture " +
+        "derives six messy URL shapes per document deterministically. " +
+        "A pure chain of codegen'd regexp/array projections, zero " +
+        "shuffle before the gate's ORDER BY: at 100 TB the ~40-byte " +
+        "canonical key is what shuffles for URL-level dedup and " +
+        "per-domain quotas (x30), never the page bytes",
+      (s, dir) => {
+        import graft.operators.Web
+        val id = col("doc_id").cast("string")
+        val m = col("doc_id") % 6
+        val url = when(m === 0, concat(lit("HTTP://WWW."),
+            upper(col("source")), lit(".Example.TEST:80/Docs/"), id,
+            lit("//a/?utm_source=x&b=2&a=1#frag")))
+          .when(m === 1, concat(lit("https://"), col("source"),
+            lit(".example.test:443/docs/"), id))
+          .when(m === 2, concat(lit("https://u:p@"), col("source"),
+            lit(".example.test/a//b/"), id, lit("/?gclid=zz&z=1&a=2")))
+          .when(m === 3, concat(lit("http://"), col("source"),
+            lit(".example.test:8080/p/"), id, lit("?z=9&a=1&fbclid=t&")))
+          .when(m === 4, concat(lit("https://www."), col("source"),
+            lit(".example.test/docs/"), id, lit("/#sec")))
+          .otherwise(concat(lit("doc "), id))
+        t(s, dir, "documents")
+          .select(col("doc_id"), url.as("url"))
+          .select(col("doc_id"), col("url"),
+            Web.canonicalUrl(col("url")).as("canonical"),
+            Web.canonicalHost(col("url")).as("host"),
+            Web.registeredDomain(Web.canonicalHost(col("url")),
+              Seq("example.test")).as("reg_domain"))
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        import graft.operators.Web
+        s"""WITH u AS (
+           |  SELECT doc_id,
+           |    CASE doc_id % 6
+           |      WHEN 0 THEN 'HTTP://WWW.' || upper(source) ||
+           |        '.Example.TEST:80/Docs/' || CAST(doc_id AS VARCHAR) ||
+           |        '//a/?utm_source=x&b=2&a=1#frag'
+           |      WHEN 1 THEN 'https://' || source ||
+           |        '.example.test:443/docs/' || CAST(doc_id AS VARCHAR)
+           |      WHEN 2 THEN 'https://u:p@' || source ||
+           |        '.example.test/a//b/' || CAST(doc_id AS VARCHAR) ||
+           |        '/?gclid=zz&z=1&a=2'
+           |      WHEN 3 THEN 'http://' || source ||
+           |        '.example.test:8080/p/' || CAST(doc_id AS VARCHAR) ||
+           |        '?z=9&a=1&fbclid=t&'
+           |      WHEN 4 THEN 'https://www.' || source ||
+           |        '.example.test/docs/' || CAST(doc_id AS VARCHAR) ||
+           |        '/#sec'
+           |      ELSE 'doc ' || CAST(doc_id AS VARCHAR)
+           |    END AS url
+           |  FROM documents),
+           |c AS (
+           |  SELECT doc_id, url,
+           |    ${Web.canonicalUrlSql("url")} AS canonical,
+           |    ${Web.canonicalHostSql("url")} AS host
+           |  FROM u)
+           |SELECT doc_id, url, canonical, host,
+           |  ${Web.registeredDomainSql("host", Seq("example.test"))}
+           |    AS reg_domain
+           |FROM c ORDER BY doc_id""".stripMargin
+      }),
+
     QuerySpec("x47_streaming_dedup",
       "transitive oracle for the streaming watermarked dedup: " +
         "dropDuplicatesWithinWatermark over the fixture events read " +
