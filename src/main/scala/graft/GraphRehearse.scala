@@ -34,12 +34,16 @@ object GraphRehearse {
     val nEdges = edges.count()
     // SPARK_GRAFT_GRAPH_MAT=checkpoint switches the per-round
     // materialization hook on (the deep-volume adjudication knob)
-    val mat: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+    // tag derives from the MATCHED case so the log can never claim a
+    // mode the hook didn't actually run; unknown values are rejected
+    // like the other validated knobs.
+    val (mat, tag): (org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame, String) =
       sys.env.get("SPARK_GRAFT_GRAPH_MAT") match {
-        case Some("checkpoint") => graft.operators.Dedup.defaultMaterialize
-        case _ => identity
+        case Some("checkpoint") => (graft.operators.Dedup.defaultMaterialize, "ckpt")
+        case None               => (identity[org.apache.spark.sql.DataFrame] _, "lazy")
+        case Some(other) => sys.error(
+          s"SPARK_GRAFT_GRAPH_MAT=$other is not valid (expected 'checkpoint' or unset)")
       }
-    val tag = if (sys.env.contains("SPARK_GRAFT_GRAPH_MAT")) "ckpt" else "lazy"
     (1 to runs).foreach { i =>
       val t0 = System.nanoTime()
       graft.operators.Graph.pageRank(edges, iters, materialize = mat)

@@ -118,8 +118,10 @@ object StreamRehearse {
             tally.batches.asScala.toSeq.sortBy(_._1).map(_._2)
           }
           // steady state = drop the first (cold) batch; median of rest
-          val steady = durs.drop(1).sorted.lift(math.max(0,
-            (durs.length - 1) / 2 - 1)).getOrElse(0L)
+          val steady = {
+            val post = durs.drop(1).sorted
+            post.lift((post.length - 1) / 2).getOrElse(0L)
+          }
           println(f"[rehearse] $tag sp=$stateParts run=$i " +
             f"rowsEmitted=${tally.rows.get}%d " +
             f"rowsLastBatch=${tally.lastBatchRows}%d " +

@@ -76,7 +76,10 @@ object Sampling {
     * same class counts. Keep rates are rounded to 6 dp before the
     * bucket cut so both engines drop the identical rows (pow differs
     * across libms by ~1 ulp). `buckets` sets rate granularity
-    * (default 1e-4). */
+    * (default 1e-4). A NULL class is a class like any other: the
+    * rates join is null-safe (`<=>`), so null-class rows get the
+    * keep rate their group's count implies — alpha=1 keeps every
+    * row, null class included. */
   def temperatureSample(df: DataFrame, classCol: String, idCol: String,
       alpha: Double, buckets: Int = 10000): DataFrame = {
     require(alpha > 0 && alpha <= 1, s"alpha must be in (0,1], got $alpha")
@@ -84,12 +87,13 @@ object Sampling {
     val counts = df.groupBy(col(classCol)).agg(count(lit(1)).as("__n"))
     val minN = counts.agg(min(col("__n")).as("__nmin"))
     val rates = counts.crossJoin(minN)
-      .select(col(classCol),
+      .select(col(classCol).as("__cls"),
         round(pow(col("__nmin").cast("double") / col("__n"),
           lit(1.0 - alpha)), 6).as("keep_rate_r"))
-    df.join(broadcast(rates), Seq(classCol))
+    df.join(broadcast(rates), df(classCol) <=> rates("__cls"))
       .filter(md5Hash60(col(idCol).cast("string")) % buckets <
         floor(col("keep_rate_r") * buckets))
+      .drop("__cls")
   }
 
   /** Per-domain quota: keep each domain's `quota` lowest-`idCol` rows

@@ -1,16 +1,19 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, GraftBridge}
 import org.apache.spark.sql.functions._
 
 /** Crawl-curation URL handling: canonicalization and registered-domain
   * extraction — the keying step every web-scale corpus pipeline runs
   * before URL-level dedup, per-domain quotas (x30) and link-graph
   * construction (x55). Canonicalization follows RFC 3986 §6
-  * (case normalization of scheme/host, default-port elision) plus the
-  * de-facto crawl extensions: fragment drop, userinfo strip,
+  * (case normalization of scheme/host, default-port elision,
+  * §6.2.2.2 percent-encoding normalization: uppercase hex, decode
+  * unreserved octets) plus IDNA host normalization (RFC 3490:
+  * Unicode hosts to their punycode ACE form, `xn--` labels stable)
+  * and the de-facto crawl extensions: fragment drop, userinfo strip,
   * tracking-parameter removal, query-parameter sort, duplicate-slash
-  * collapse and trailing-slash normalization.
+  * collapse, trailing-slash and trailing-host-dot normalization.
   *
   * Scale shape: every function here is a chain of codegen'd
   * regexp/array projections — narrow, zero shuffle, runs where the
@@ -24,7 +27,12 @@ import org.apache.spark.sql.functions._
   * [[Corpus.piiPatterns]]). The DuckDB twins are generated from the
   * SAME constants so the two engines cannot drift; DuckDB
   * regexp_replace needs the explicit 'g' flag wherever Spark's
-  * replace-all semantics matter.
+  * replace-all semantics matter. The one step with no SQL twin is
+  * IDNA conversion of NON-ASCII hosts ([[graft.plans.IdnToAscii]] is
+  * a JDK punycode call; DuckDB 1.0 has no equivalent) — on all-ASCII
+  * hosts the expression is the identity by its fast-path contract,
+  * so ASCII oracle fixtures stay bit-exact and the Unicode path is
+  * pinned by WebSpec against RFC 3492 vectors instead.
   */
 object Web {
 
@@ -43,26 +51,88 @@ object Web {
     * canonicalizes (scheme followed by `://`). */
   def isAbsoluteUrl(c: Column): Column = c.rlike(schemeRe)
 
+  // ---- percent-encoding normalization (RFC 3986 §6.2.2.2) ----------
+
+  /** RFC 3986 §6.2.2.2 percent-encoding normalization: every valid
+    * `%XY` escape gets UPPERCASE hex, and escapes of UNRESERVED
+    * characters (ALPHA / DIGIT / `-` / `.` / `_` / `~`, §2.3) are
+    * decoded — `%7Euser`, `%7euser` and `~user` become one key.
+    * Escapes of reserved characters stay encoded (decoding `%2F`
+    * would change which `/` are path delimiters); a `%` not followed
+    * by two hex digits is passed through untouched (crawl reality:
+    * unencoded percent signs exist, and normalization must not
+    * corrupt them).
+    *
+    * Shape: split on `%`, rewrite each escape head, re-join — array
+    * functions over short strings, still a narrow projection. Safe to
+    * apply to the whole after-scheme string BEFORE structural
+    * parsing: unreserved characters are never URL delimiters, so
+    * decoding cannot create a new `/`, `?`, `#`, `@`, `&` or `=`. */
+  def percentNormalize(c: Column): Column = {
+    val parts = split(c, "%", -1)
+    val tail = slice(parts, lit(2), greatest(size(parts) - 1, lit(0)))
+    concat(element_at(parts, 1),
+      array_join(transform(tail, x => pctToken(x)), ""))
+  }
+
+  /** One post-`%` token: rewrite the leading 2-hex escape. */
+  private def pctToken(x: Column): Column = {
+    val hex2 = upper(substring(x, 1, 2))
+    val v = conv(hex2, 16, 10).cast("int")
+    val rest = call_function("substr", x, lit(3))
+    val unreserved =
+      (v >= 65 && v <= 90) || (v >= 97 && v <= 122) ||
+        (v >= 48 && v <= 57) || v === 45 || v === 46 || v === 95 ||
+        v === 126
+    when(!x.rlike("^[0-9A-Fa-f]{2}"), concat(lit("%"), x))
+      .when(unreserved, concat(call_function("char", v), rest))
+      .otherwise(concat(lit("%"), hex2, rest))
+  }
+
+  /** IDNA ACE form of a host ([[graft.plans.IdnToAscii]]): identity
+    * on all-ASCII hosts, punycode on Unicode hosts, input unchanged
+    * when IDNA rejects the label shape. */
+  def idnAsciiHost(c: Column): Column =
+    GraftBridge.column(graft.plans.IdnToAscii(GraftBridge.expression(c)))
+
+  /** Shared host pipeline over the trimmed URL: scheme + fragment off,
+    * percent-normalize, authority, userinfo + port off, lowercase,
+    * trailing root-dot off, IDNA. (The leading `www.` strip is the
+    * caller's — [[canonicalUrl]] needs the pre-strip form for port
+    * logic anyway.) */
+  private def hostExpr(t: Column): Column = {
+    val rest = percentNormalize(
+      regexp_replace(regexp_replace(t, schemeRe, ""), "#.*$", ""))
+    val authority = regexp_extract(rest, "^([^/?]*)", 1)
+    val hostport = regexp_replace(authority, "^[^@]*@", "")
+    val host0 = lower(regexp_replace(hostport, ":[0-9]+$", ""))
+    idnAsciiHost(regexp_replace(host0, "\\.$", ""))
+  }
+
   /** Canonical form of an absolute URL, NULL for anything else.
     *
-    * Steps, in order: trim; lowercase scheme and host; strip
-    * userinfo; drop the fragment; drop `:80`/`:443` on http/https
-    * (other ports kept); strip a leading `www.`; collapse duplicate
-    * slashes in the path; drop trailing slashes (the empty path
-    * becomes `/`); drop tracking parameters
-    * ([[trackingParamPatterns]]) and empty parameters; sort the
-    * surviving query parameters bytewise; drop an emptied query. */
+    * Steps, in order: trim; lowercase scheme; drop the fragment;
+    * normalize percent-encodings ([[percentNormalize]]); strip
+    * userinfo; drop `:80`/`:443` on http/https (other ports kept);
+    * lowercase the host, drop a trailing root dot, IDNA-normalize,
+    * strip a leading `www.`; collapse duplicate slashes in the path;
+    * drop trailing slashes (the empty path becomes `/`); drop
+    * tracking parameters ([[trackingParamPatterns]]) and empty
+    * parameters; sort the surviving query parameters bytewise; drop
+    * an emptied query. */
   def canonicalUrl(url: Column): Column = {
     val t = trim(url)
     val scheme = lower(regexp_extract(t, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
-    // everything after ://, fragment dropped
-    val rest = regexp_replace(regexp_replace(t, schemeRe, ""), "#.*$", "")
+    // everything after ://, fragment dropped, escapes normalized
+    val rest = percentNormalize(
+      regexp_replace(regexp_replace(t, schemeRe, ""), "#.*$", ""))
     val authority = regexp_extract(rest, "^([^/?]*)", 1)
     val pathq = regexp_replace(rest, "^[^/?]*", "")
     val hostport = regexp_replace(authority, "^[^@]*@", "")
     val port = regexp_extract(hostport, ":([0-9]+)$", 1)
     val host0 = lower(regexp_replace(hostport, ":[0-9]+$", ""))
-    val host = regexp_replace(host0, "^www\\.", "")
+    val hostIdn = idnAsciiHost(regexp_replace(host0, "\\.$", ""))
+    val host = regexp_replace(hostIdn, "^www\\.", "")
     val keepPort = (port =!= "") &&
       !((scheme === "http" && port === "80") ||
         (scheme === "https" && port === "443"))
@@ -82,57 +152,120 @@ object Web {
       .otherwise(lit(null).cast("string"))
   }
 
-  /** Host part of a canonical URL (NULL for non-absolute input).
-    * Port strip and `www.` strip are two SEPARATE replaces: an
-    * alternation would need replace-all semantics, which DuckDB's
-    * regexp_replace only has with the 'g' flag — two anchored
-    * single-match replaces are portable by construction. */
+  /** Host part of a canonical URL (NULL for non-absolute input):
+    * [[hostExpr]] plus the leading `www.` strip. Port strip and
+    * `www.` strip are SEPARATE replaces: an alternation would need
+    * replace-all semantics, which DuckDB's regexp_replace only has
+    * with the 'g' flag — anchored single-match replaces are portable
+    * by construction. */
   def canonicalHost(url: Column): Column =
     when(isAbsoluteUrl(trim(url)),
-      regexp_replace(
-        regexp_replace(
-          lower(regexp_replace(
-            regexp_extract(regexp_replace(trim(url), schemeRe, ""),
-              "^([^/?#]*)", 1),
-            "^[^@]*@", "")),
-          ":[0-9]+$", ""),
-        "^www\\.", ""))
+      regexp_replace(hostExpr(trim(url)), "^www\\.", ""))
       .otherwise(lit(null).cast("string"))
+
+  // ---- registered domain (public-suffix list semantics) ------------
+
+  /** Rule kinds parsed from a PSL-style entry. */
+  private sealed trait PslRule { def raw: String; def labels: Int }
+  private final case class Exception_(body: String, raw: String)
+      extends PslRule { def labels: Int = body.count(_ == '.') + 1 }
+  private final case class Wildcard(body: String, raw: String)
+      extends PslRule { def labels: Int = body.count(_ == '.') + 2 }
+  private final case class Plain(body: String, raw: String)
+      extends PslRule { def labels: Int = body.count(_ == '.') + 1 }
+
+  private def parseRule(raw: String): PslRule =
+    if (raw.startsWith("!")) Exception_(raw.drop(1), raw)
+    else if (raw.startsWith("*.")) Wildcard(raw.drop(2), raw)
+    else Plain(raw, raw)
+
+  /** Evaluation order per the PSL algorithm: exception rules beat
+    * everything, then more-specific (more labels, counting a `*` as
+    * one) beats less. */
+  private def orderedRules(suffixes: Seq[String]): Seq[PslRule] =
+    suffixes.map(parseRule).sortBy {
+      case r: Exception_ => (0, -r.labels, -r.raw.length)
+      case r             => (1, -r.labels, -r.raw.length)
+    }
 
   /** Registrable domain of `host` given the caller's public-suffix
     * list (production pipelines ship the PSL as a config file; this
-    * sandbox's fixtures use `example.test`). Longest-suffix-wins:
-    * the registered domain is the suffix plus one label. A host that
-    * IS a listed suffix, or has no dot at all, returns itself; a
-    * host under no listed suffix falls back to its last two labels. */
+    * sandbox's fixtures use `example.test`), with full PSL rule
+    * semantics (publicsuffix.org/list):
+    *
+    *   - plain `suffix`: registered domain = suffix plus one label;
+    *     a host that IS the suffix returns itself;
+    *   - wildcard `*.suffix`: EVERY label directly under `suffix` is
+    *     a public suffix, so the registered domain is the last THREE
+    *     labels ending in `.suffix`; a two-label `<x>.suffix` host IS
+    *     a public suffix and returns itself;
+    *   - exception `!host`: carves `host` back out of a wildcard —
+    *     `host` is NOT a public suffix, so it (not a label above it)
+    *     is the registered domain for itself and everything below.
+    *
+    * Exceptions are tested first, then rules by label count
+    * descending (`*` counts as a label). A host under no listed rule
+    * falls back to its last two labels; a dotless host returns
+    * itself. */
   def registeredDomain(host: Column, suffixes: Seq[String]): Column = {
-    val ordered = suffixes.sortBy(s => (-s.count(_ == '.'), -s.length))
     val fallback = when(host.contains("."),
       regexp_extract(host, "([^.]+\\.[^.]+)$", 1)).otherwise(host)
-    ordered.foldRight(fallback) { (suf, acc) =>
-      val esc = suf.replace(".", "\\.")
-      when(host === suf, host)
-        .when(host.endsWith("." + suf),
-          regexp_extract(host, s"([^.]+\\.$esc)$$", 1))
-        .otherwise(acc)
+    orderedRules(suffixes).foldRight(fallback) { (rule, acc) =>
+      rule match {
+        case Exception_(e, _) =>
+          when(host === e || host.endsWith("." + e), lit(e)).otherwise(acc)
+        case Wildcard(s, _) =>
+          val esc = s.replace(".", "\\.")
+          when(host.rlike(s"\\.[^.]+\\.$esc$$"),
+            regexp_extract(host, s"([^.]+\\.[^.]+\\.$esc)$$", 1))
+            .when(host.rlike(s"^[^.]+\\.$esc$$"), host)
+            .otherwise(acc)
+        case Plain(suf, _) =>
+          val esc = suf.replace(".", "\\.")
+          when(host === suf, host)
+            .when(host.endsWith("." + suf),
+              regexp_extract(host, s"([^.]+\\.$esc)$$", 1))
+            .otherwise(acc)
+      }
     }
   }
 
   // ---- DuckDB twins (generated from the same constants) ------------
 
+  /** DuckDB twin of [[percentNormalize]] over SQL expression `e`:
+    * same split-on-`%`, same per-escape CASE. Hex is parsed via
+    * strpos into a 16-char digit table (DuckDB 1.0 has no conv);
+    * both engines compare on the final STRING, so the parse route
+    * is free to differ. */
+  def percentNormalizeSql(e: String): String = {
+    val v = "((strpos('0123456789abcdef', lower(substr(x, 1, 1))) - 1) " +
+      "* 16 + strpos('0123456789abcdef', lower(substr(x, 2, 1))) - 1)"
+    val unres = s"($v BETWEEN 65 AND 90 OR $v BETWEEN 97 AND 122 " +
+      s"OR $v BETWEEN 48 AND 57 OR $v IN (45, 46, 95, 126))"
+    // coalesce: DuckDB 1.0's array_to_string([], '') is NULL (Spark's
+    // array_join on an empty array is ''), and '||' propagates it
+    s"(string_split($e, '%')[1] || coalesce(array_to_string(" +
+      s"list_transform(string_split($e, '%')[2:], x -> " +
+      s"CASE WHEN NOT regexp_matches(x, '^[0-9A-Fa-f]{2}') THEN '%' || x " +
+      s"WHEN $unres THEN chr(CAST($v AS INTEGER)) || substr(x, 3) " +
+      s"ELSE '%' || upper(substr(x, 1, 2)) || substr(x, 3) END), ''), ''))"
+  }
+
   /** DuckDB twin of [[canonicalUrl]] over SQL expression `e`. Kept as
     * one readable CTE-free expression via nested replaces — the
-    * oracle's job is bit-equality, not elegance. */
+    * oracle's job is bit-equality, not elegance. (No IDNA twin: the
+    * expression is identity on the ASCII hosts oracle fixtures use.) */
   def canonicalUrlSql(e: String): String = {
     val t = s"trim($e)"
-    val rest =
-      s"regexp_replace(regexp_replace($t, '$schemeRe', ''), '#.*$$', '')"
+    val rest = percentNormalizeSql(
+      s"regexp_replace(regexp_replace($t, '$schemeRe', ''), '#.*$$', '')")
     val hostport =
       s"regexp_replace(regexp_extract($rest, '^([^/?]*)', 1), '^[^@]*@', '')"
     val pathq = s"regexp_replace($rest, '^[^/?]*', '')"
     val scheme = s"lower(regexp_extract($t, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))"
     val port = s"regexp_extract($hostport, ':([0-9]+)$$', 1)"
-    val host = s"regexp_replace(lower(regexp_replace($hostport, ':[0-9]+$$', '')), '^www\\.', '')"
+    val host = s"regexp_replace(regexp_replace(lower(regexp_replace(" +
+      s"$hostport, ':[0-9]+$$', '')), '\\.$$', ''), '^www\\.', '')"
     val squashed =
       s"regexp_replace(regexp_replace(regexp_extract($pathq, '^([^?]*)', 1), '/{2,}', '/', 'g'), '/+$$', '')"
     val path = s"CASE WHEN $squashed = '' THEN '/' ELSE $squashed END"
@@ -152,22 +285,32 @@ object Web {
   /** DuckDB twin of [[canonicalHost]] over SQL expression `e`. */
   def canonicalHostSql(e: String): String = {
     val t = s"trim($e)"
-    val auth = s"regexp_extract(regexp_replace($t, '$schemeRe', ''), '^([^/?#]*)', 1)"
+    val rest = percentNormalizeSql(
+      s"regexp_replace(regexp_replace($t, '$schemeRe', ''), '#.*$$', '')")
+    val auth = s"regexp_extract($rest, '^([^/?]*)', 1)"
     s"""CASE WHEN regexp_matches($t, '$schemeRe') THEN
-       |  regexp_replace(regexp_replace(
+       |  regexp_replace(regexp_replace(regexp_replace(
        |    lower(regexp_replace($auth, '^[^@]*@', '')),
-       |    ':[0-9]+$$', ''), '^www\\.', '')
+       |    ':[0-9]+$$', ''), '\\.$$', ''), '^www\\.', '')
        |ELSE NULL END""".stripMargin
   }
 
-  /** DuckDB twin of [[registeredDomain]] over SQL expression `e`. */
+  /** DuckDB twin of [[registeredDomain]] over SQL expression `e` —
+    * same rule parse, same evaluation order. */
   def registeredDomainSql(e: String, suffixes: Seq[String]): String = {
-    val ordered = suffixes.sortBy(s => (-s.count(_ == '.'), -s.length))
-    val arms = ordered.map { suf =>
-      val esc = suf.replace(".", "\\.")
-      s"""WHEN $e = '$suf' THEN $e
-         |WHEN $e LIKE '%.$suf'
-         |  THEN regexp_extract($e, '([^.]+\\.$esc)$$', 1)""".stripMargin
+    val arms = orderedRules(suffixes).map {
+      case Exception_(x, _) =>
+        s"""WHEN $e = '$x' OR $e LIKE '%.$x' THEN '$x'""".stripMargin
+      case Wildcard(s, _) =>
+        val esc = s.replace(".", "\\.")
+        s"""WHEN regexp_matches($e, '\\.[^.]+\\.$esc$$')
+           |  THEN regexp_extract($e, '([^.]+\\.[^.]+\\.$esc)$$', 1)
+           |WHEN regexp_matches($e, '^[^.]+\\.$esc$$') THEN $e""".stripMargin
+      case Plain(suf, _) =>
+        val esc = suf.replace(".", "\\.")
+        s"""WHEN $e = '$suf' THEN $e
+           |WHEN $e LIKE '%.$suf'
+           |  THEN regexp_extract($e, '([^.]+\\.$esc)$$', 1)""".stripMargin
     }.mkString("\n")
     s"""CASE $arms
        |WHEN contains($e, '.') THEN regexp_extract($e, '([^.]+\\.[^.]+)$$', 1)

@@ -95,6 +95,12 @@ object ExtensionQueries {
   private val x1dParams = Dedup.MinHashParams()
   private val x1dMinEst = 0.75
 
+  /** x56's public-suffix list: one plain rule, one wildcard, one
+    * exception — every PSL rule kind the registered-domain extractor
+    * supports, exercised by the fixture's shape-7 hosts. */
+  private val x56Suffixes: Seq[String] =
+    Seq("example.test", "*.cdn.example.test", "!origin.cdn.example.test")
+
   /** x21/x21b shared oracle chain: language/quality filter → exact
     * fingerprint dedup → MinHash pairs → recursive reachability →
     * min-label per node. Ends at `labels(u, mv)`; `kept(doc_id, text)`
@@ -2545,10 +2551,11 @@ object ExtensionQueries {
         "position never change as the corpus grows; the salt picks " +
         "the permutation), shard = key % 8 written hive-partitioned " +
         "with rows in key order so reading a shard start-to-finish IS " +
-        "the shuffled order; one hash exchange + in-partition sort — " +
-        "the cost floor of any global permutation; the manifest is " +
-        "read back from the WRITTEN files, gating the layout, not " +
-        "the plan",
+        "the shuffled order; one RANGE exchange on (shard, key) + " +
+        "in-partition sort — the disjoint-per-file key ranges the " +
+        "manifest relies on hold ONLY under range partitioning; the " +
+        "manifest is read back from the WRITTEN files, gating the " +
+        "layout, not the plan",
       (s, dir) => {
         val path = Layout.saveShuffledShards(t(s, dir, "documents"),
           "documents_shuffled", "doc_id", nShards = 8)
@@ -2647,19 +2654,25 @@ object ExtensionQueries {
 
     QuerySpec("x56_url_canonicalize",
       "crawl-curation URL keying: RFC 3986 §6 canonicalization " +
-        "(scheme/host case, default-port elision) plus the de-facto " +
-        "crawl extensions — fragment/userinfo drop, tracking-param " +
-        "removal, query-param sort, slash normalization — and " +
-        "suffix-list registered-domain extraction; the fixture " +
-        "derives six messy URL shapes per document deterministically. " +
-        "A pure chain of codegen'd regexp/array projections, zero " +
-        "shuffle before the gate's ORDER BY: at 100 TB the ~40-byte " +
-        "canonical key is what shuffles for URL-level dedup and " +
-        "per-domain quotas (x30), never the page bytes",
+        "(scheme/host case, default-port elision, §6.2.2.2 " +
+        "percent-encoding normalization — uppercase hex, unreserved " +
+        "octets decoded, reserved kept encoded, bare % preserved) " +
+        "plus the de-facto crawl extensions — fragment/userinfo " +
+        "drop, tracking-param removal, query-param sort, slash and " +
+        "trailing-host-dot normalization, punycode-stable xn-- " +
+        "labels — and registered-domain extraction with FULL " +
+        "public-suffix-list rule semantics (plain, *.wildcard and " +
+        "!exception rules, exceptions first then longest); the " +
+        "fixture derives nine messy URL shapes per document " +
+        "deterministically. A pure chain of codegen'd regexp/array " +
+        "projections, zero shuffle before the gate's ORDER BY: at " +
+        "100 TB the ~40-byte canonical key is what shuffles for " +
+        "URL-level dedup and per-domain quotas (x30), never the " +
+        "page bytes",
       (s, dir) => {
         import graft.operators.Web
         val id = col("doc_id").cast("string")
-        val m = col("doc_id") % 6
+        val m = col("doc_id") % 9
         val url = when(m === 0, concat(lit("HTTP://WWW."),
             upper(col("source")), lit(".Example.TEST:80/Docs/"), id,
             lit("//a/?utm_source=x&b=2&a=1#frag")))
@@ -2671,6 +2684,17 @@ object ExtensionQueries {
             lit(".example.test:8080/p/"), id, lit("?z=9&a=1&fbclid=t&")))
           .when(m === 4, concat(lit("https://www."), col("source"),
             lit(".example.test/docs/"), id, lit("/#sec")))
+          .when(m === 5, concat(lit("https://"), col("source"),
+            lit(".example.test/%7Edocs%2fx/"), id,
+            lit("?a=%41%2d1&utm_campaign=c&b=%3a&c=100%")))
+          .when(m === 6, concat(lit("HTTPS://WWW.XN--BCHER-KVA."),
+            upper(col("source")), lit(".Example.TEST.:443/b/"), id,
+            lit("#x")))
+          .when(m === 7 && col("doc_id") % 2 === 0,
+            concat(lit("https://a."), col("source"),
+              lit(".cdn.example.test/w/"), id))
+          .when(m === 7, concat(
+            lit("https://sub.origin.cdn.example.test/e/"), id))
           .otherwise(concat(lit("doc "), id))
         t(s, dir, "documents")
           .select(col("doc_id"), url.as("url"))
@@ -2678,28 +2702,40 @@ object ExtensionQueries {
             Web.canonicalUrl(col("url")).as("canonical"),
             Web.canonicalHost(col("url")).as("host"),
             Web.registeredDomain(Web.canonicalHost(col("url")),
-              Seq("example.test")).as("reg_domain"))
+              x56Suffixes).as("reg_domain"))
           .orderBy(col("doc_id"))
       },
       Some {
         import graft.operators.Web
         s"""WITH u AS (
            |  SELECT doc_id,
-           |    CASE doc_id % 6
-           |      WHEN 0 THEN 'HTTP://WWW.' || upper(source) ||
+           |    CASE
+           |      WHEN doc_id % 9 = 0 THEN 'HTTP://WWW.' || upper(source) ||
            |        '.Example.TEST:80/Docs/' || CAST(doc_id AS VARCHAR) ||
            |        '//a/?utm_source=x&b=2&a=1#frag'
-           |      WHEN 1 THEN 'https://' || source ||
+           |      WHEN doc_id % 9 = 1 THEN 'https://' || source ||
            |        '.example.test:443/docs/' || CAST(doc_id AS VARCHAR)
-           |      WHEN 2 THEN 'https://u:p@' || source ||
+           |      WHEN doc_id % 9 = 2 THEN 'https://u:p@' || source ||
            |        '.example.test/a//b/' || CAST(doc_id AS VARCHAR) ||
            |        '/?gclid=zz&z=1&a=2'
-           |      WHEN 3 THEN 'http://' || source ||
+           |      WHEN doc_id % 9 = 3 THEN 'http://' || source ||
            |        '.example.test:8080/p/' || CAST(doc_id AS VARCHAR) ||
            |        '?z=9&a=1&fbclid=t&'
-           |      WHEN 4 THEN 'https://www.' || source ||
+           |      WHEN doc_id % 9 = 4 THEN 'https://www.' || source ||
            |        '.example.test/docs/' || CAST(doc_id AS VARCHAR) ||
            |        '/#sec'
+           |      WHEN doc_id % 9 = 5 THEN 'https://' || source ||
+           |        '.example.test/%7Edocs%2fx/' || CAST(doc_id AS VARCHAR) ||
+           |        '?a=%41%2d1&utm_campaign=c&b=%3a&c=100%'
+           |      WHEN doc_id % 9 = 6 THEN 'HTTPS://WWW.XN--BCHER-KVA.' ||
+           |        upper(source) || '.Example.TEST.:443/b/' ||
+           |        CAST(doc_id AS VARCHAR) || '#x'
+           |      WHEN doc_id % 9 = 7 AND doc_id % 2 = 0
+           |        THEN 'https://a.' || source ||
+           |          '.cdn.example.test/w/' || CAST(doc_id AS VARCHAR)
+           |      WHEN doc_id % 9 = 7
+           |        THEN 'https://sub.origin.cdn.example.test/e/' ||
+           |          CAST(doc_id AS VARCHAR)
            |      ELSE 'doc ' || CAST(doc_id AS VARCHAR)
            |    END AS url
            |  FROM documents),
@@ -2709,7 +2745,7 @@ object ExtensionQueries {
            |    ${Web.canonicalHostSql("url")} AS host
            |  FROM u)
            |SELECT doc_id, url, canonical, host,
-           |  ${Web.registeredDomainSql("host", Seq("example.test"))}
+           |  ${Web.registeredDomainSql("host", x56Suffixes)}
            |    AS reg_domain
            |FROM c ORDER BY doc_id""".stripMargin
       }),

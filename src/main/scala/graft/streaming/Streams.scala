@@ -391,6 +391,12 @@ object Streams {
         .start()
       q.awaitTermination()
       stashLastPlan(queryName, q)
+      // an empty source runs ZERO micro-batches, so foreachBatch never
+      // fires and `out` is never created — mirror the append sink's
+      // contract (empty frame, right columns) instead of throwing
+      if (!java.nio.file.Files.exists(root.resolve("out")))
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          streaming.schema).write.parquet(out)
       spark.read.schema(streaming.schema).parquet(out)
     }
   }

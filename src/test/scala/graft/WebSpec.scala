@@ -78,4 +78,92 @@ class WebSpec extends SparkSpec {
       .select(Web.canonicalHost(col("u")).as("h")).as[String].head()
     assert(h == "a.example.test")
   }
+
+  test("percent-encoding normalization (RFC 3986 §6.2.2.2): unreserved " +
+    "escapes decode, reserved escapes uppercase but stay encoded, " +
+    "bare/truncated % passes through") {
+    assert(canon(
+      // %7E ~ and %41 A decode (either hex case); %2f / stays, upcased
+      "https://a.example.test/%7Edocs%2fx?q=%41%2d1",
+      // %3a : reserved -> %3A; 100% has no valid escape -> untouched
+      "https://a.example.test/p?b=%3a&c=100%",
+      // decoded %7e merges with the literal-~ spelling of the same URL
+      "https://a.example.test/~docs") == Seq(
+      Some("https://a.example.test/~docs%2Fx?q=A-1"),
+      Some("https://a.example.test/p?b=%3A&c=100%"),
+      Some("https://a.example.test/~docs")))
+  }
+
+  test("percent-normalized equivalents collapse to ONE canonical key") {
+    val ks = canon(
+      "https://a.example.test/%7euser",
+      "https://a.example.test/%7Euser",
+      "https://a.example.test/~user").map(_.get)
+    assert(ks.distinct.size == 1)
+  }
+
+  test("host: trailing root dot dropped, mixed-case punycode (xn--) " +
+    "labels lowercase-stable, Unicode hosts IDNA-encode to the same " +
+    "key as their ACE spelling (RFC 3492 §7.1 vector)") {
+    val hosts = Seq(
+      "https://a.example.test./p",
+      "https://XN--BCHER-KVA.example.test/p",
+      "https://bücher.example.test/p", // bücher -> xn--bcher-kva
+      "https://xn--bcher-kva.example.test/p")
+      .toDF("u").select(Web.canonicalHost(col("u")).as("h"))
+      .as[String].collect().toSeq
+    assert(hosts(0) == "a.example.test")
+    assert(hosts(1) == "xn--bcher-kva.example.test")
+    assert(hosts(2) == "xn--bcher-kva.example.test")
+    assert(hosts(3) == "xn--bcher-kva.example.test")
+  }
+
+  test("idnAsciiHost: invalid IDNA label shapes pass through unchanged " +
+    "instead of erroring (crawl input must not kill the job)") {
+    // a label over 63 chars is rejected by IDNA toASCII; the ü forces
+    // it off the ASCII fast path into the JDK call
+    val bad = "ü" + ("a" * 70) + ".example.test"
+    val out = Seq(bad).toDF("h")
+      .select(Web.idnAsciiHost(col("h")).as("o")).as[String].head()
+    assert(out == bad)
+  }
+
+  test("registeredDomain PSL wildcard rule *.s: every label under s is " +
+    "a public suffix (reg domain = 3 trailing labels); a 2-label host " +
+    "IS a suffix and returns itself") {
+    val sufs = Seq("*.ck")
+    assert(domain(Seq(
+      "a.b.ck",      // label + wildcard suffix b.ck
+      "x.a.b.ck",    // deeper: still last 3 labels
+      "b.ck",        // IS a public suffix
+      "weck"         // dotless, unrelated to .ck
+    ), sufs) == Seq("a.b.ck", "a.b.ck", "b.ck", "weck"))
+  }
+
+  test("registeredDomain PSL exception rule !e carves e out of the " +
+    "wildcard: e is the registered domain for itself and below") {
+    val sufs = Seq("*.ck", "!www.ck")
+    assert(domain(Seq(
+      "www.ck",         // the exception itself
+      "foo.www.ck",     // below it
+      "a.b.ck"          // untouched wildcard behavior
+    ), sufs) == Seq("www.ck", "www.ck", "a.b.ck"))
+  }
+
+  test("registeredDomain: oracle twin agrees arm-for-arm on the mixed " +
+    "rule list (plain + wildcard + exception)") {
+    val sufs = Seq("example.test", "*.cdn.example.test",
+      "!origin.cdn.example.test")
+    assert(domain(Seq(
+      "a.b.example.test",
+      "a.b.cdn.example.test",        // wildcard: 3 trailing labels
+      "x.a.b.cdn.example.test",      // deeper under wildcard
+      "b.cdn.example.test",          // IS a wildcard public suffix
+      "origin.cdn.example.test",     // exception itself
+      "sub.origin.cdn.example.test"  // below the exception
+    ), sufs) == Seq(
+      "b.example.test", "a.b.cdn.example.test", "a.b.cdn.example.test",
+      "b.cdn.example.test", "origin.cdn.example.test",
+      "origin.cdn.example.test"))
+  }
 }
