@@ -2619,6 +2619,77 @@ object ExtensionQueries {
              |SELECT coalesce(ok, nk) AS doc_id, change FROM j
              |WHERE change IS NOT NULL ORDER BY doc_id""".stripMargin)),
 
+    QuerySpec("s19_ingest_quarantine",
+      "corrupt-input quarantine at ingest — a 100 TB crawl's first " +
+        "operator is separating the parseable from the garbage " +
+        "without dying: the fixture salts a JSONL file with two " +
+        "corruption shapes (truncated JSON and a type-mismatched " +
+        "field), the PERMISSIVE parse is materialized ONCE to " +
+        "parquet, clean rows and a per-reason quarantine table are " +
+        "narrow filters over that parse, and the builder REQUIRES " +
+        "clean + quarantined = input lines (PERMISSIVE drops " +
+        "nothing, unlike DROPMALFORMED); the gate hashes per-reason " +
+        "counts plus content signatures (parsed-field sums for " +
+        "clean, raw-line-length sums for quarantined) against DuckDB " +
+        "reconstructing the same deterministic corruption",
+      (s, dir) => {
+        import graft.sources.{Jsonl, Quarantine}
+        val id = col("doc_id").cast("string")
+        val nc = col("n_chars").cast("string")
+        val m = col("doc_id") % 7
+        val line = when(m === 0,
+            concat(lit("{\"doc_id\": "), id, lit(", \"nc\": ")))
+          .when(m === 1, concat(lit("{\"doc_id\": \"x"), id,
+            lit("\", \"nc\": "), nc, lit("}")))
+          .otherwise(concat(lit("{\"doc_id\": "), id,
+            lit(", \"nc\": "), nc, lit("}")))
+        val fixDir = java.nio.file.Paths.get("target", "ingest",
+          "s19_fixture").toAbsolutePath.toString
+        t(s, dir, "documents").select(line.as("value"))
+          .write.mode("overwrite").text(fixDir)
+        val schema = new StructType()
+          .add("doc_id", LongType).add("nc", LongType)
+        val parsed = Jsonl.read(s, fixDir, schema, keepCorrupt = true)
+        val (clean, quar) = Quarantine.ingest(s, parsed, "s19",
+          Quarantine.jsonReason)
+        // reconciliation gate: nothing silently dropped between the
+        // raw file and the two output tables
+        val inputLines = s.read.text(fixDir)
+          .filter(length(trim(col("value"))) > 0).count()
+        val (nClean, nQuar) = (clean.count(), quar.count())
+        require(nClean + nQuar == inputLines,
+          s"quarantine must reconcile: $nClean clean + $nQuar " +
+            s"quarantined != $inputLines input lines")
+        clean.agg(count(lit(1)).as("n_rows"),
+            (sum(col("doc_id")) + sum(col("nc"))).as("sig"))
+          .select(lit("clean").as("reason"), col("n_rows"), col("sig"))
+          .unionByName(quar.groupBy(col("reason"))
+            .agg(count(lit(1)).as("n_rows"),
+              sum(length(col("raw"))).cast("long").as("sig")))
+          .orderBy(col("reason"))
+      },
+      Some("""WITH f AS (
+             |  SELECT doc_id, n_chars, doc_id % 7 AS m,
+             |    CASE WHEN doc_id % 7 = 0
+             |      THEN '{"doc_id": ' || CAST(doc_id AS VARCHAR) || ', "nc": '
+             |    WHEN doc_id % 7 = 1
+             |      THEN '{"doc_id": "x' || CAST(doc_id AS VARCHAR) ||
+             |        '", "nc": ' || CAST(n_chars AS VARCHAR) || '}'
+             |    END AS badline
+             |  FROM documents)
+             |SELECT 'clean' AS reason, CAST(count(*) AS BIGINT) AS n_rows,
+             |  CAST(sum(doc_id) + sum(n_chars) AS BIGINT) AS sig
+             |FROM f WHERE m NOT IN (0, 1)
+             |UNION ALL
+             |SELECT 'malformed_json', CAST(count(*) AS BIGINT),
+             |  CAST(sum(length(badline)) AS BIGINT)
+             |FROM f WHERE m = 0
+             |UNION ALL
+             |SELECT 'schema_mismatch', CAST(count(*) AS BIGINT),
+             |  CAST(sum(length(badline)) AS BIGINT)
+             |FROM f WHERE m = 1
+             |ORDER BY reason""".stripMargin)),
+
     QuerySpec("x55_pagerank_centrality",
       "link-graph centrality for crawl/corpus curation (Page et al. " +
         "1999; Common Crawl ranks hosts by centrality to prioritize " +

@@ -27,6 +27,21 @@ object Csv {
       .schema(schema)
       .csv(path)
 
+  /** PERMISSIVE read for dirty inputs: rows that fail the declared
+    * schema (bad types, wrong field counts) land with their raw line
+    * in `_corrupt_record` instead of failing the job — feed the
+    * result to [[Quarantine.ingest]] with [[Quarantine.csvReason]]. */
+  def readQuarantined(spark: SparkSession, path: String,
+      schema: StructType,
+      timestampFormat: String = "yyyy-MM-dd HH:mm:ss"): DataFrame =
+    spark.read
+      .option("header", "true")
+      .option("timestampFormat", timestampFormat)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", Quarantine.CorruptCol)
+      .schema(schema.add(Quarantine.CorruptCol, "string"))
+      .csv(path)
+
   /** Read keeping only the given 0-based ordinals (reference S1 shape).
     * The ordinal list is resolved to names via the declared schema, so
     * projection is still by name underneath — Catalyst prunes the

@@ -44,4 +44,28 @@ class CsvSpec extends SparkSpec {
       ("CTY-2", "Mexico City", "Mexico"),
       ("CTY-3", "Munich", "West Germany")))
   }
+
+  test("readQuarantined + Quarantine.ingest: type-corrupt CSV rows are " +
+    "kept as evidence, clean rows parse, counts reconcile") {
+    import org.apache.spark.sql.types.{LongType, StringType, StructType}
+    import graft.sources.Quarantine
+    val dir = java.nio.file.Files.createTempDirectory("csvq").toString
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "rows.csv"),
+      """id,name
+        |1,alpha
+        |not_a_number,beta
+        |3,gamma
+        |""".stripMargin)
+    val schema = new StructType()
+      .add("id", LongType).add("name", StringType)
+    val parsed = Csv.readQuarantined(spark, dir, schema)
+    val (clean, quar) = Quarantine.ingest(spark, parsed, "spec_csv",
+      Quarantine.csvReason)
+    assert(clean.select("id").as[Long].collect().sorted.toSeq == Seq(1L, 3L))
+    assert(quar.select("reason").as[String].collect().toSeq ==
+      Seq("malformed_row"))
+    assert(quar.select("raw").as[String].head() == "not_a_number,beta")
+    assert(clean.count() + quar.count() == 3L)
+  }
 }
