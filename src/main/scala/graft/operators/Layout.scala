@@ -169,6 +169,88 @@ object Layout {
     loc.toString
   }
 
+  /** Parquet bloom-filter layout for needle-in-100 TB point lookups.
+    * Min/max row-group stats only prune a SORTED key; the standard
+    * access path for point lookups on a key the layout is NOT sorted
+    * by (doc ids, URL hashes, order keys in an arrival-ordered lake)
+    * is a split-block bloom filter per row group
+    * (`parquet.bloom.filter.enabled#<col>`): the reader hashes the
+    * probe key and skips every row group whose filter says
+    * "definitely absent" — IO proportional to the handful of row
+    * groups that might match, not the table.
+    *
+    * The writer hash-distributes on the key (deliberately: min/max
+    * stats become useless, isolating the bloom filter as the only
+    * skip mechanism) and bounds `parquet.block.size` so files hold
+    * multiple row groups — the skip granularity. `expectedNdv` sizes
+    * the filter per row group (over-sizing wastes footer bytes,
+    * under-sizing inflates false positives). */
+  def saveBloomFiltered(df: DataFrame, dirName: String, keyCol: String,
+      nFiles: Int, expectedNdv: Long = 0L,
+      blockBytes: Long = 1L << 20): String = {
+    require(nFiles > 0, s"nFiles must be positive, got $nFiles")
+    val spark = df.sparkSession
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), dirName)
+    loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(loc, true)
+    val w = df.repartition(nFiles, col(keyCol))
+      .write.mode("overwrite")
+      .option(s"parquet.bloom.filter.enabled#$keyCol", "true")
+      // parquet-mr SKIPS the bloom filter for a fully dict-encoded
+      // chunk (the dictionary already prunes exactly). Small fixtures
+      // keep the key dictionary-viable artificially; at 100 TB a
+      // high-cardinality key blows the dictionary anyway — pin that
+      // regime so the written layout is the one being rehearsed.
+      .option(s"parquet.enable.dictionary#$keyCol", "false")
+      .option("parquet.block.size", blockBytes.toString)
+    (if (expectedNdv > 0)
+       w.option(s"parquet.bloom.filter.expected.ndv#$keyCol",
+         expectedNdv.toString)
+     else w).parquet(loc.toString)
+    loc.toString
+  }
+
+  /** Row-group skip evidence for a point lookup over a
+    * [[saveBloomFiltered]] layout, read from the WRITTEN files'
+    * footers (the artifact, not the plan): returns (row groups,
+    * row groups carrying a bloom filter on `keyCol`, row groups whose
+    * filter says `probe` MIGHT be present). A reader with bloom
+    * filtering on touches only the candidates; `total - candidates`
+    * is the skipped IO. */
+  def bloomPointLookupStats(spark: org.apache.spark.sql.SparkSession,
+      dir: String, keyCol: String, probe: Long): (Int, Int, Int) = {
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(conf)
+    var total = 0
+    var withBloom = 0
+    var candidates = 0
+    fs.listStatus(p).iterator
+      .filter(f => f.getPath.getName.startsWith("part-") &&
+        f.getPath.getName.endsWith(".parquet"))
+      .foreach { f =>
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            f.getPath, conf))
+        try reader.getFooter.getBlocks.asScala.foreach { block =>
+          total += 1
+          block.getColumns.asScala
+            .find(_.getPath.toDotString == keyCol)
+            .foreach { cc =>
+              val bf = reader.getBloomFilterDataReader(block)
+                .readBloomFilter(cc)
+              if (bf != null) {
+                withBloom += 1
+                if (bf.findHash(bf.hash(probe))) candidates += 1
+              }
+            }
+        } finally reader.close()
+      }
+    (total, withBloom, candidates)
+  }
+
   /** Data-file count of a parquet directory (part-files only). */
   def parquetFileCount(spark: org.apache.spark.sql.SparkSession,
       dir: String): Int = {

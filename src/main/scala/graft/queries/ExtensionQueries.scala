@@ -2104,6 +2104,59 @@ object ExtensionQueries {
              |  AND l_suppkey BETWEEN 10 AND 40
              |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
+    QuerySpec("s14b_bloom_point_lookup",
+      "parquet bloom-filter layout + point lookup — the standard " +
+        "needle-in-100 TB access path for a HIGH-CARDINALITY key the " +
+        "layout is NOT sorted by (min/max stats can't prune a " +
+        "hash-distributed key): lineitem rewritten hash-distributed " +
+        "on l_orderkey with split-block bloom filters per row group " +
+        "and a bounded block size so files hold several row groups; " +
+        "the builder walks the WRITTEN footers and REQUIRES every " +
+        "row group carries a filter AND the probe key's candidate " +
+        "row groups are a strict minority (the skipped majority is " +
+        "the saved IO), plus the equality predicate reaching the " +
+        "scan as a pushed filter; the lookup result itself is " +
+        "hash-gated against DuckDB over the original table",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem").select(
+          col("l_orderkey").cast("long").as("l_orderkey"),
+          col("l_linenumber").cast("long").as("l_linenumber"),
+          col("l_partkey").cast("long").as("l_partkey"),
+          dec2(col("l_quantity")).as("qty"),
+          col("l_returnflag"))
+        val path = Layout.saveBloomFiltered(li, "lineitem_bloom",
+          "l_orderkey", nFiles = 4, expectedNdv = 20000L,
+          blockBytes = 256L << 10)
+        // deterministic probe both engines can name: the max key
+        val probe = li.agg(max(col("l_orderkey"))).head().getLong(0)
+        val (total, withBloom, cand) =
+          Layout.bloomPointLookupStats(s, path, "l_orderkey", probe)
+        require(total > 0 && withBloom == total,
+          s"every row group must carry a bloom filter on l_orderkey; " +
+            s"got $withBloom of $total")
+        require(cand < total,
+          s"bloom filters must rule out row groups for the probe: " +
+            s"$cand candidates of $total row groups — no skip, no point")
+        val q = s.read.parquet(path)
+          .filter(col("l_orderkey") === probe)
+          .orderBy(col("l_linenumber"))
+        val scans = q.queryExecution.sparkPlan.collect {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+        }
+        require(scans.nonEmpty, "expected a parquet file scan")
+        val pushed = scans.head.metadata.getOrElse("PushedFilters", "")
+        require(pushed.contains("l_orderkey"),
+          s"point predicate must be pushed to the scan; got: $pushed")
+        q
+      },
+      Some("""SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
+             |  CAST(l_linenumber AS BIGINT) AS l_linenumber,
+             |  CAST(l_partkey AS BIGINT) AS l_partkey,
+             |  CAST(l_quantity AS DECIMAL(18,2)) AS qty, l_returnflag
+             |FROM lineitem
+             |WHERE l_orderkey = (SELECT max(l_orderkey) FROM lineitem)
+             |ORDER BY l_linenumber""".stripMargin)),
+
     QuerySpec("x40_heavy_hitters_two_phase",
       "scalable heavy-hitter tokens, sample-then-verify: phase 1 " +
         "counts a deterministic 20% hash-sample of docs and keeps a " +

@@ -132,4 +132,27 @@ class LayoutSpec extends SparkSpec {
       }
     }
   }
+
+  test("saveBloomFiltered: every row group carries a bloom filter on " +
+      "the key; a present key matches few row groups, an ABSENT key " +
+      "matches none (the needle-in-100TB skip evidence)") {
+    val rows = (0L until 40000L).map(i => (i, s"payload $i"))
+      .toDF("k", "payload")
+    val out = Layout.saveBloomFiltered(rows, "bloom_unit", "k",
+      nFiles = 4, expectedNdv = 40000L, blockBytes = 128L << 10)
+    val (total, withBloom, candPresent) =
+      Layout.bloomPointLookupStats(spark, out, "k", probe = 12345L)
+    assert(total >= 4, s"expected several row groups, got $total")
+    assert(withBloom == total,
+      s"bloom filter missing on ${total - withBloom} of $total groups")
+    assert(candPresent >= 1 && candPresent < total,
+      s"present key should match a strict minority: $candPresent/$total")
+    val (_, _, candAbsent) =
+      Layout.bloomPointLookupStats(spark, out, "k", probe = -99L)
+    assert(candAbsent == 0 || candAbsent < candPresent,
+      s"absent key should match (almost) nothing: $candAbsent/$total")
+    // the lookup itself stays correct over the rewritten layout
+    assert(spark.read.parquet(out).filter($"k" === 12345L).count() == 1)
+    assert(spark.read.parquet(out).filter($"k" === -99L).count() == 0)
+  }
 }
