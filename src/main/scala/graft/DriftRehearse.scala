@@ -1,0 +1,132 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity
+
+/** Dev tool: frozen-index recall decay vs appended drifted fraction —
+  * the number that turns "when should we retrain the ANN index?" from
+  * a guess into a threshold (TUNING.md "ANN drift").
+  *
+  * The fixture's own appends are iid with the base corpus (x41's
+  * frozen-centroid append path showed ZERO decay by construction) and
+  * the fixture embeddings are near-isotropic, so an isometric
+  * transform (tried first: dimension reversal) also produces zero
+  * signal — the drifted rows spread over stale cells as evenly as the
+  * base did. Drift is therefore injected as what real domain shift
+  * is: a NEW TIGHT MODE (a new content vertical / language / model
+  * version) — appended vectors are `0.3·v + 0.8` per dimension, a
+  * dominant shared component with scaled-down residual diversity,
+  * which the base-trained centroids have no cell boundary through.
+  *
+  * At each appended fraction f the corpus is base + f·|base| drifted
+  * rows; queries are a fixed hash-slice of the CURRENT corpus (so the
+  * query mix drifts with the data, like production traffic). Reported
+  * per fraction, frozen vs retrained-on-current-corpus:
+  *
+  *   - recall@5 against brute force — the quality decay signal;
+  *   - max cell share and effective cell count (inverse Herfindahl of
+  *     the cell-size distribution) — the EFFICIENCY decay signal:
+  *     drift that lands whole new modes inside a few stale cells can
+  *     keep recall (drifted queries probe the same crowded cells
+  *     their neighbors fell into) while candidate volume per probe
+  *     grows toward a corpus scan, which at 100 TB is the failure
+  *     that actually pages someone. Retrain thresholds must watch
+  *     BOTH numbers.
+  *
+  * Usage: SPARK_GRAFT_SF_DIR=<dir> runMain graft.DriftRehearse
+  */
+object DriftRehearse {
+  def main(args: Array[String]): Unit = {
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = graft.sources.Tables.withSessionConfs(SparkSession.builder())
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val emb = graft.sources.Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+    val nBase = emb.count()
+    val frozen = Similarity.ivfTrain(emb, "vec_id", "embedding",
+      nCells = 16, iters = 2, tag = "drift-base")
+
+    // (maxShare, effectiveCells) of the cell-size distribution under
+    // `cents`: effective cells = 1 / sum(share^2); candidates per
+    // probe scale ~ corpus/effectiveCells
+    def imbalance(corpus: org.apache.spark.sql.DataFrame,
+        cents: Array[Array[Double]]): (Double, Double) = {
+      val shares = Similarity.ivfAssign(corpus, "vec_id", "embedding",
+          cents)
+        .groupBy(col("cell")).agg(count(lit(1)).cast("double").as("n"))
+        .select(col("n")).collect().map(_.getDouble(0))
+      val tot = shares.sum
+      val frac = shares.map(_ / tot)
+      (frac.max, 1.0 / frac.map(f => f * f).sum)
+    }
+
+    Seq(0, 25, 50, 100).foreach { fracPct =>
+      // norm-matched tight mode: 0.3·v + 0.8 rescaled to each row's
+      // ORIGINAL norm — without the rescale the mode's large norm
+      // dominates every argmax-dot comparison and even a retrained
+      // dot-quantizer collapses onto it (the known IP-k-means norm
+      // pathology); norm-matching isolates the DIRECTION drift the
+      // rehearsal is about. Scale is a bound column, not an inline
+      // expression (hof lambdas re-evaluate captured expressions per
+      // element).
+      val appended = emb.filter(col("vec_id") % 100 < fracPct)
+        .select((col("vec_id") + 10000000L).as("vec_id"),
+          transform(col("embedding"),
+            x => (x * lit(0.3f) + lit(0.8f)).cast("float")).as("t"),
+          col("embedding"))
+        .select(col("vec_id"), col("t"),
+          (graft.functions.VectorFunctions.l2Norm(col("embedding")) /
+            graft.functions.VectorFunctions.l2Norm(col("t"))).as("sc"))
+        .select(col("vec_id"),
+          transform(col("t"),
+            x => (x * col("sc")).cast("float")).as("embedding"))
+      val corpus = emb.unionByName(appended)
+      val queries = corpus.filter(col("vec_id") % 29 === 0)
+      val t0 = System.nanoTime()
+      val exact = Similarity.bruteForceTopK(corpus, queries,
+        "vec_id", "embedding", 5)
+      def recallWith(cents: Array[Array[Double]]): Double =
+        Similarity.recallAtK(
+            Similarity.ivfTopKWith(corpus, queries, "vec_id",
+              "embedding", 5, cents, nProbes = 4), exact)
+          .agg(avg(col("recall_at_k"))).head().getDouble(0)
+      val retrained = Similarity.ivfTrain(corpus, "vec_id", "embedding",
+        nCells = 16, iters = 2, tag = s"drift-retrain-$fracPct")
+      // ivfTrain seeds from the K LOWEST-id rows — after a drifted
+      // append those are all BASE rows, so a plain retrain never
+      // seeds inside the new mode and Lloyd leaves it one cell.
+      // Remapping ids to their md5 hash makes the same deterministic
+      // trainer seed a representative sample (blob seeds proportional
+      // to its share) — "diverse-init retrain", the actual remedy.
+      val diverse = Similarity.ivfTrain(
+        corpus.select(graft.functions.HashFunctions.md5Hash60(
+            col("vec_id").cast("string")).as("vec_id"),
+          col("embedding")),
+        "vec_id", "embedding", nCells = 16, iters = 2,
+        tag = s"drift-diverse-$fracPct")
+      val (msF, ecF) = imbalance(corpus, frozen)
+      val (msR, ecR) = imbalance(corpus, retrained)
+      val (msD, ecD) = imbalance(corpus, diverse)
+      val nQ = queries.count()
+      println(f"[drift] base=$nBase%d appendedPct=$fracPct%d " +
+        f"queries=$nQ%d recall_frozen=${recallWith(frozen)}%.3f " +
+        f"recall_retrained=${recallWith(retrained)}%.3f " +
+        f"recall_diverse=${recallWith(diverse)}%.3f " +
+        f"maxshare_frozen=$msF%.3f maxshare_retrained=$msR%.3f " +
+        f"maxshare_diverse=$msD%.3f " +
+        f"effcells_frozen=$ecF%.1f effcells_retrained=$ecR%.1f " +
+        f"effcells_diverse=$ecD%.1f " +
+        f"secs=${(System.nanoTime() - t0) / 1e9}%.1f")
+    }
+    spark.stop()
+  }
+}

@@ -193,8 +193,18 @@ object Similarity {
     * ~nCells/nProbes-fold vs brute force. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, nCells: Int, nProbes: Int,
-      iters: Int = 2): DataFrame = {
-    val centroids = ivfTrain(corpus, idCol, vecCol, nCells, iters)
+      iters: Int = 2): DataFrame =
+    ivfTopKWith(corpus, queries, idCol, vecCol, k,
+      ivfTrain(corpus, idCol, vecCol, nCells, iters), nProbes)
+
+  /** [[ivfTopK]] against FROZEN centroids (a loaded/persisted index or
+    * an earlier train): the serving shape of the index lifecycle —
+    * train once, assign and search many corpus versions, retrain when
+    * the drift rehearsal says recall decayed (see DriftRehearse /
+    * TUNING.md). */
+  def ivfTopKWith(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, centroids: Array[Array[Double]],
+      nProbes: Int): DataFrame = {
     val c = corpus.select(col(idCol).as("did"), col(vecCol).as("dvec"),
       l2Norm(col(vecCol)).as("dn"),
       cellExpr(col(vecCol), centroids).as("cell"))
@@ -1161,5 +1171,125 @@ object Similarity {
        |  FROM scored)
        |SELECT qid, rn, did, round(score, 6) AS score_r
        |FROM ranked WHERE rn <= $k ORDER BY qid, rn""".stripMargin
+  }
+
+  // ---- index persistence (lifecycle) --------------------------------
+  // Trained centroids/codebooks otherwise live only inside query
+  // closures: un-reusable across sessions, un-auditable, retrained on
+  // every run. Persisting them as parquet tables plus a key-value
+  // MANIFEST (params + caller metadata such as the trained-on snapshot
+  // id) makes the index a first-class artifact: train once on a 100 TB
+  // snapshot, serve assignment/search from the saved tables, and
+  // retrain on the DriftRehearse schedule instead of per job. All
+  // driver traffic here is the same O(K·dim) / O(m·ksub·subDim) bound
+  // as the trainers themselves.
+
+  private def indexRoot(spark: org.apache.spark.sql.SparkSession,
+      name: String): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), s"ann_index/$name")
+
+  private def writeManifest(spark: org.apache.spark.sql.SparkSession,
+      root: org.apache.hadoop.fs.Path,
+      entries: Map[String, String]): Unit = {
+    import spark.implicits._
+    entries.toSeq.sortBy(_._1).toDF("key", "value")
+      .repartition(1).write.mode("overwrite")
+      .parquet(s"$root/manifest")
+  }
+
+  private def readManifest(spark: org.apache.spark.sql.SparkSession,
+      root: org.apache.hadoop.fs.Path): Map[String, String] =
+    spark.read.parquet(s"$root/manifest").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+
+  /** Persist IVF centroids under `<warehouse>/ann_index/<name>`:
+    * a `centroids(cell, vec)` table plus the manifest. Structural
+    * params (`kind`, `n_cells`, `dim`) are stamped by the writer so
+    * the loader can validate; pass training provenance (snapshot id,
+    * iters, corpus predicate) in `manifest`. Returns the root path. */
+  def saveIvfIndex(spark: org.apache.spark.sql.SparkSession, name: String,
+      centroids: Array[Array[Double]],
+      manifest: Map[String, String] = Map.empty): String = {
+    import spark.implicits._
+    require(centroids.nonEmpty, "cannot persist an empty index")
+    val root = indexRoot(spark, name)
+    root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(root, true)
+    centroids.zipWithIndex.toSeq.map { case (v, i) => (i, v.toSeq) }
+      .toDF("cell", "vec").repartition(1)
+      .write.mode("overwrite").parquet(s"$root/centroids")
+    writeManifest(spark, root, manifest ++ Map(
+      "kind" -> "ivf",
+      "n_cells" -> centroids.length.toString,
+      "dim" -> centroids.head.length.toString))
+    root.toString
+  }
+
+  /** Load a [[saveIvfIndex]] index: (centroids, manifest), validated
+    * against the manifest's structural params — a partial write or a
+    * mixed-up directory fails loudly here, not as silent recall loss
+    * downstream. */
+  def loadIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      name: String): (Array[Array[Double]], Map[String, String]) = {
+    val root = indexRoot(spark, name)
+    val man = readManifest(spark, root)
+    require(man.get("kind").contains("ivf"),
+      s"index $name is kind=${man.getOrElse("kind", "?")}, expected ivf")
+    val cents = spark.read.parquet(s"$root/centroids").collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    require(cents.map(_._1).toSeq == cents.indices.toSeq,
+      s"index $name cell ids must be contiguous 0..K-1")
+    require(cents.length == man("n_cells").toInt &&
+      cents.forall(_._2.length == man("dim").toInt),
+      s"index $name tables disagree with manifest " +
+        s"(n_cells=${man("n_cells")}, dim=${man("dim")})")
+    (cents.map(_._2), man)
+  }
+
+  /** Persist PQ codebooks under `<warehouse>/ann_index/<name>`:
+    * a `codebooks(sub, code, vec)` table plus the manifest (`kind`,
+    * `m`, `ksub`, `sub_dim` stamped by the writer). */
+  def savePqIndex(spark: org.apache.spark.sql.SparkSession, name: String,
+      books: Array[Array[Array[Double]]],
+      manifest: Map[String, String] = Map.empty): String = {
+    import spark.implicits._
+    require(books.nonEmpty && books.head.nonEmpty,
+      "cannot persist an empty codebook")
+    val root = indexRoot(spark, name)
+    root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(root, true)
+    (for {
+      s <- books.indices
+      j <- books(s).indices
+    } yield (s, j, books(s)(j).toSeq))
+      .toDF("sub", "code", "vec").repartition(1)
+      .write.mode("overwrite").parquet(s"$root/codebooks")
+    writeManifest(spark, root, manifest ++ Map(
+      "kind" -> "pq",
+      "m" -> books.length.toString,
+      "ksub" -> books.head.length.toString,
+      "sub_dim" -> books.head.head.length.toString))
+    root.toString
+  }
+
+  /** Load a [[savePqIndex]] index: (codebooks, manifest), validated. */
+  def loadPqIndex(spark: org.apache.spark.sql.SparkSession,
+      name: String): (Array[Array[Array[Double]]], Map[String, String]) = {
+    val root = indexRoot(spark, name)
+    val man = readManifest(spark, root)
+    require(man.get("kind").contains("pq"),
+      s"index $name is kind=${man.getOrElse("kind", "?")}, expected pq")
+    val (m, ksub, subDim) =
+      (man("m").toInt, man("ksub").toInt, man("sub_dim").toInt)
+    val rows = spark.read.parquet(s"$root/codebooks").collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), r.getSeq[Double](2).toArray))
+      .toMap
+    require(rows.size == m * ksub &&
+      rows.values.forall(_.length == subDim),
+      s"index $name tables disagree with manifest (m=$m, ksub=$ksub, " +
+        s"sub_dim=$subDim)")
+    (Array.tabulate(m, ksub)((s, j) => rows((s, j))), man)
   }
 }

@@ -430,4 +430,48 @@ class SimilaritySpec extends SparkSpec {
     assert(a.map(_._2).distinct.size == 2,
       "both clusters must stay represented")
   }
+
+  test("IVF index persistence: save/load round-trips centroids " +
+      "bit-exactly with a validated manifest; search via the loaded " +
+      "index equals search via the original") {
+    val cents = Similarity.ivfTrain(pqCorpus, "vec_id", "embedding",
+      nCells = 2, tag = "persist-spec")
+    Similarity.saveIvfIndex(spark, "spec_ivf", cents,
+      Map("snapshot" -> "spec-fixture"))
+    val (loaded, man) = Similarity.loadIvfIndex(spark, "spec_ivf")
+    assert(loaded.length == cents.length &&
+      loaded.zip(cents).forall { case (a, b) => a.sameElements(b) },
+      "parquet round-trip must be bit-exact")
+    assert(man("kind") == "ivf" && man("n_cells") == "2" &&
+      man("snapshot") == "spec-fixture")
+    val orig = Similarity.ivfTopKWith(pqCorpus,
+        pqCorpus.filter($"vec_id" === 0), "vec_id", "embedding",
+        k = 2, cents, nProbes = 1)
+      .select($"rn", $"did").as[(Long, Long)].collect().toSeq.sorted
+    val viaLoaded = Similarity.ivfTopKWith(pqCorpus,
+        pqCorpus.filter($"vec_id" === 0), "vec_id", "embedding",
+        k = 2, loaded, nProbes = 1)
+      .select($"rn", $"did").as[(Long, Long)].collect().toSeq.sorted
+    assert(orig == viaLoaded)
+  }
+
+  test("PQ index persistence round-trips codebooks; loaders REJECT a " +
+      "kind mismatch and a manifest/table disagreement") {
+    val books = Similarity.pqTrain(pqCorpus, "vec_id", "embedding",
+      m = 2, ksub = 2, tag = "persist-spec")
+    Similarity.savePqIndex(spark, "spec_pq", books,
+      Map("snapshot" -> "spec-fixture"))
+    val (loaded, man) = Similarity.loadPqIndex(spark, "spec_pq")
+    assert(man("m") == "2" && man("ksub") == "2")
+    assert(loaded.length == books.length &&
+      loaded.flatten[Array[Double]].zip(books.flatten[Array[Double]])
+        .forall { case (a, b) => a.sameElements(b) })
+    // kind mismatch fails loudly, both directions
+    intercept[IllegalArgumentException] {
+      Similarity.loadIvfIndex(spark, "spec_pq")
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.loadPqIndex(spark, "spec_ivf")
+    }
+  }
 }
