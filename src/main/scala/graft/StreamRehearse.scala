@@ -39,6 +39,10 @@ import org.apache.spark.sql.streaming.{StreamingQueryListener, Trigger}
   *                                (default 4)
   *   SPARK_GRAFT_STATE_STORE      rocksdb|hdfs (Streams override; the
   *                                RocksDB rehearsal knob)
+  *   SPARK_GRAFT_ROCKSDB_TUNED_MB apply Streams.rocksDbTuningConfs
+  *                                (bounded memory at this cap +
+  *                                changelog checkpointing) — the r12
+  *                                RocksDB tuning A/B knob
   */
 object StreamRehearse {
 
@@ -91,6 +95,15 @@ object StreamRehearse {
     spark.sparkContext.setLogLevel("WARN")
     graft.streaming.Streams.stateStoreProviderOverride().foreach(
       spark.conf.set("spark.sql.streaming.stateStore.providerClass", _))
+    sys.env.get("SPARK_GRAFT_ROCKSDB_TUNED_MB").foreach { v =>
+      val mb = v.trim.toLongOption.filter(_ > 0).getOrElse(
+        throw new IllegalArgumentException(
+          s"SPARK_GRAFT_ROCKSDB_TUNED_MB must be a positive int, got '$v'"))
+      val confs = graft.streaming.Streams.rocksDbTuningConfs(mb)
+      confs.foreach { case (k, vv) => spark.conf.set(k, vv) }
+      Console.err.println(
+        s"[rehearse] RocksDB tuning applied: $confs")
+    }
 
     def events(): DataFrame =
       graft.sources.Tables.loadStream(spark, dir, "events")

@@ -57,6 +57,74 @@ object Graph {
       shards: Int = 64,
       materialize: DataFrame => DataFrame = identity): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
+    val (e, nodes, n, deg) = prepare(edges, damping, shards, materialize)
+    var ranks = nodes.select(col("id"), lit(1.0 / n).as("r"))
+    (0 until iters).foreach { _ =>
+      ranks = materialize(nextRanks(e, deg, nodes, n, ranks, damping, shards))
+    }
+    ranks.select(col("id"), round(col("r"), 6).as("rank_r"))
+  }
+
+  /** One [[pageRank]] run's convergence outcome. */
+  final case class PageRankRun(ranks: DataFrame, iters: Int,
+      l1Delta: Double)
+
+  /** PageRank with an L1-delta convergence probe instead of a fixed
+    * iteration count: iterates until `sum |r_i - r_{i-1}| <= tol` or
+    * `maxIters`, whichever first. Each round's rank vector is
+    * persisted and the delta metric rides the SAME materialization
+    * job via `observe()` + one noop-sink write (the x19 pattern) — no
+    * second pass and no extra count Exchange per round. The persisted
+    * previous round is released as soon as its successor lands, so
+    * steady state holds exactly two rank vectors (2×|nodes| rows).
+    *
+    * Convergence mode implies per-round actions by construction, so
+    * the lazy-DAG option [[pageRank]] defaults to does not exist
+    * here. Each round's rank vector is also LINEAGE-TRUNCATED
+    * (`Dedup.defaultMaterialize`, non-negotiable): `ranks` feeds the
+    * next round TWICE (contributions and the delta join), so an
+    * un-truncated plan doubles per round — exponential, an
+    * analysis-time OOM by round ~30 regardless of caching. The
+    * `materialize` hook covers the STATIC inputs (edges/degrees/
+    * nodes), as in [[pageRank]]. Returns the final ranks (6 dp),
+    * rounds run, and the last observed delta. */
+  def pageRankConverged(edges: DataFrame, maxIters: Int, tol: Double,
+      damping: Double = 0.85, shards: Int = 64,
+      materialize: DataFrame => DataFrame = identity): PageRankRun = {
+    require(maxIters >= 1, s"maxIters must be >= 1, got $maxIters")
+    require(tol > 0, s"tol must be positive, got $tol")
+    val (e, nodes, n, deg) = prepare(edges, damping, shards, materialize)
+    var ranks = nodes.select(col("id"), lit(1.0 / n).as("r"))
+    var itersRun = 0
+    var delta = Double.MaxValue
+    while (itersRun < maxIters && delta > tol) {
+      val stepped = nextRanks(e, deg, nodes, n, ranks, damping, shards)
+        .join(ranks.select(col("id"), col("r").as("__prev")), Seq("id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      val obs = new org.apache.spark.sql.Observation()
+      stepped.observe(obs, sum(abs(col("r") - col("__prev"))).as("l1"))
+        .write.format("noop").mode("overwrite").save()
+      // null metric = zero observed rows = an empty graph; converged
+      delta = obs.get.get("l1") match {
+        case Some(v: java.lang.Double) => v.doubleValue()
+        case _ => 0.0
+      }
+      // truncation reads the cache populated by the noop write and
+      // stores its own blocks, so the round's cache can go right away
+      ranks = Dedup.defaultMaterialize(
+        stepped.select(col("id"), col("r")))
+      stepped.unpersist()
+      itersRun += 1
+    }
+    PageRankRun(ranks.select(col("id"), round(col("r"), 6).as("rank_r")),
+      itersRun, delta)
+  }
+
+  /** Shared setup: normalized src-partitioned edges, node set, node
+    * count, out-degrees (exchange-free — co-partitioned with e). */
+  private def prepare(edges: DataFrame, damping: Double, shards: Int,
+      materialize: DataFrame => DataFrame)
+      : (DataFrame, DataFrame, Double, DataFrame) = {
     require(damping > 0 && damping < 1, s"damping in (0,1), got $damping")
     require(shards >= 1, s"shards must be >= 1, got $shards")
     val e = materialize(
@@ -68,32 +136,35 @@ object Graph {
     // e is already partitioned on src, so this aggregate is
     // exchange-free and stays co-partitioned with the join below
     val deg = materialize(e.groupBy(col("src")).agg(count(lit(1)).as("__deg")))
-    var ranks = nodes.select(col("id"), lit(1.0 / n).as("r"))
-    (0 until iters).foreach { _ =>
-      val contribs = e
-        .join(ranks.withColumnRenamed("id", "src"), Seq("src"))
-        .join(deg, Seq("src"))
-        .select(col("dst").as("id"), col("src"),
-          (col("src") % shards).as("__shard"),
-          round(col("r") / col("__deg"), 12).as("c"))
-      // phase 1: fold each (id, shard) slice in src order
-      val p1 = contribs.groupBy(col("id"), col("__shard"))
-        .agg(aggregate(
-          transform(array_sort(collect_list(struct(col("src"), col("c")))),
-            x => x.getField("c")),
-          lit(0.0), (acc, x) => acc + x).as("ps"))
-      // phase 2: fold shard partials in shard order
-      val sums = p1.groupBy(col("id"))
-        .agg(aggregate(
-          transform(array_sort(collect_list(struct(col("__shard"), col("ps")))),
-            x => x.getField("ps")),
-          lit(0.0), (acc, x) => acc + x).as("s"))
-      ranks = materialize(nodes.join(sums, Seq("id"), "left_outer")
-        .select(col("id"),
-          round(lit((1.0 - damping) / n) +
-            lit(damping) * coalesce(col("s"), lit(0.0)), 12).as("r")))
-    }
-    ranks.select(col("id"), round(col("r"), 6).as("rank_r"))
+    (e, nodes, n, deg)
+  }
+
+  /** One power iteration: the two-phase src-then-shard sorted fold. */
+  private def nextRanks(e: DataFrame, deg: DataFrame, nodes: DataFrame,
+      n: Double, ranks: DataFrame, damping: Double,
+      shards: Int): DataFrame = {
+    val contribs = e
+      .join(ranks.withColumnRenamed("id", "src"), Seq("src"))
+      .join(deg, Seq("src"))
+      .select(col("dst").as("id"), col("src"),
+        (col("src") % shards).as("__shard"),
+        round(col("r") / col("__deg"), 12).as("c"))
+    // phase 1: fold each (id, shard) slice in src order
+    val p1 = contribs.groupBy(col("id"), col("__shard"))
+      .agg(aggregate(
+        transform(array_sort(collect_list(struct(col("src"), col("c")))),
+          x => x.getField("c")),
+        lit(0.0), (acc, x) => acc + x).as("ps"))
+    // phase 2: fold shard partials in shard order
+    val sums = p1.groupBy(col("id"))
+      .agg(aggregate(
+        transform(array_sort(collect_list(struct(col("__shard"), col("ps")))),
+          x => x.getField("ps")),
+        lit(0.0), (acc, x) => acc + x).as("s"))
+    nodes.join(sums, Seq("id"), "left_outer")
+      .select(col("id"),
+        round(lit((1.0 - damping) / n) +
+          lit(damping) * coalesce(col("s"), lit(0.0)), 12).as("r"))
   }
 
   /** DuckDB twin of [[pageRank]]: same fixed iterations unrolled as

@@ -249,6 +249,96 @@ object Streams {
     "org.apache.spark.sql.execution.streaming.state." +
       "RocksDBStateStoreProvider"
 
+  /** The default heap-backed provider. */
+  val HeapProvider: String =
+    "org.apache.spark.sql.execution.streaming.state." +
+      "HDFSBackedStateStoreProvider"
+
+  /** Shape of a streaming operator's keyed state, the axis the
+    * measured provider costs split on (SCALE.md "RocksDB state store
+    * rehearsal"): aggregation-shaped state (dedup digests, windowed
+    * aggs, sessions — one store access per key per batch) runs at
+    * parity or better under RocksDB, while join-shaped state (the
+    * symmetric-hash stream-stream join — 4 stores touched per input
+    * row, point lookups both sides) pays ~4× through JNI. */
+  sealed trait StateShape
+  case object AggregationState extends StateShape
+  case object JoinState extends StateShape
+
+  /** The provider-choice rule, mechanized from the sf10 A/B
+    * measurements (SCALE.md r11/r12; prose in TUNING.md "Streaming
+    * state"): heap while the projected state comfortably fits the
+    * executor heap, RocksDB once it rivals task memory — with the
+    * switch point per state SHAPE:
+    *
+    *   - aggregation: switch at 2% of heap. RocksDB is wall-parity
+    *     here (sf10: 17.6 s vs heap's 20.7 s), so the insurance is
+    *     ~free and the threshold only guards against paying RocksDB's
+    *     fixed overhead on trivially small state (x48-scale gates:
+    *     5.4 s vs 3.4 s).
+    *   - join: switch at 10% of heap. The ~4× JNI wall is real and
+    *     tuning does not remove it, so heap is kept until the state
+    *     actually threatens executor survival — the same arithmetic
+    *     that OOMed x19 at sf10/32g (state ≥ ~13% of heap shared
+    *     with 32 concurrent tasks).
+    *
+    * `projectedStateBytes` is the caller's estimate for THIS query
+    * (peak `stateOperators.memoryUsedBytes` from a rehearsal, or
+    * rows × bytes/row arithmetic); `executorHeapBytes` defaults to
+    * this JVM's -Xmx. */
+  def chooseStateStoreProvider(shape: StateShape,
+      projectedStateBytes: Long,
+      executorHeapBytes: Long = Runtime.getRuntime.maxMemory): String = {
+    require(projectedStateBytes >= 0 && executorHeapBytes > 0,
+      "state and heap sizes must be non-negative / positive")
+    val threshold = shape match {
+      case AggregationState => 0.02
+      case JoinState        => 0.10
+    }
+    if (projectedStateBytes > executorHeapBytes * threshold)
+      RocksDbProvider
+    else HeapProvider
+  }
+
+  /** Apply [[chooseStateStoreProvider]] to the session (logged), for
+    * stream queries planned after this call. Returns the chosen
+    * class. An explicit SPARK_GRAFT_STATE_STORE override still wins
+    * at gate-run time ([[withStreamConfs]] applies it last). */
+  def applyStateStore(spark: SparkSession, shape: StateShape,
+      projectedStateBytes: Long,
+      executorHeapBytes: Long = Runtime.getRuntime.maxMemory): String = {
+    val cls = chooseStateStoreProvider(shape, projectedStateBytes,
+      executorHeapBytes)
+    Console.err.println(s"[graft] applyStateStore($shape, " +
+      s"state=${projectedStateBytes / (1024 * 1024)}MB, " +
+      s"heap=${executorHeapBytes / (1024 * 1024)}MB) -> $cls")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", cls)
+    cls
+  }
+
+  /** Bounded-memory + changelog-checkpoint RocksDB settings (the r12
+    * tuning rehearsal, SCALE.md): caps the TOTAL RocksDB native
+    * footprint per executor (block cache + memtables share one
+    * budget — unbounded, each of the join's 4 stores × partitions
+    * sizes itself independently), and replaces full-snapshot uploads
+    * with changelog files at commit (the snapshot moves to the
+    * background maintenance thread). Session-level confs: set before
+    * the stream starts. */
+  def rocksDbTuningConfs(maxMemoryMB: Long,
+      writeBufferRatio: Double = 0.5,
+      highPriorityPoolRatio: Double = 0.1,
+      changelogCheckpointing: Boolean = true): Map[String, String] = {
+    require(maxMemoryMB > 0, s"maxMemoryMB must be positive")
+    val p = "spark.sql.streaming.stateStore.rocksdb."
+    Map(
+      s"${p}boundedMemoryUsage" -> "true",
+      s"${p}maxMemoryUsageMB" -> maxMemoryMB.toString,
+      s"${p}writeBufferCacheRatio" -> writeBufferRatio.toString,
+      s"${p}highPriorityPoolRatio" -> highPriorityPoolRatio.toString,
+      s"${p}changelogCheckpointing.enabled" ->
+        changelogCheckpointing.toString)
+  }
+
   /** State-store provider override from the environment:
     * SPARK_GRAFT_STATE_STORE=rocksdb routes every [[runAvailableNow]] /
     * [[runAvailableNowToDir]] gate run through [[RocksDbProvider]];
@@ -258,9 +348,7 @@ object Streams {
     sys.env.get("SPARK_GRAFT_STATE_STORE").map { v =>
       val cls = v.trim.toLowerCase match {
         case "rocksdb" => RocksDbProvider
-        case "hdfs" | "heap" | "default" =>
-          "org.apache.spark.sql.execution.streaming.state." +
-            "HDFSBackedStateStoreProvider"
+        case "hdfs" | "heap" | "default" => HeapProvider
         case other => throw new IllegalArgumentException(
           "SPARK_GRAFT_STATE_STORE must be rocksdb|hdfs, got " +
             s"'$other'")

@@ -69,4 +69,41 @@ class GraphSpec extends SparkSpec {
     intercept[IllegalArgumentException] { Graph.pageRank(e, 1, damping = 1.0) }
     intercept[IllegalArgumentException] { Graph.pageRank(e, 1, shards = 0) }
   }
+
+  test("pageRankConverged stops at tolerance with the L1-delta probe " +
+      "and equals the fixed-iteration ranks at the rounds it ran") {
+    val edges = Seq((2L, 1L), (3L, 1L), (4L, 1L), (5L, 1L), (1L, 2L),
+      (2L, 3L), (3L, 4L), (4L, 5L), (5L, 2L), (6L, 1L), (1L, 6L))
+    val e = edges.toDF("src", "dst")
+    val run = Graph.pageRankConverged(e, maxIters = 50, tol = 1e-6)
+    assert(run.iters < 50,
+      s"expected convergence well before the cap, ran ${run.iters}")
+    assert(run.l1Delta <= 1e-6, s"returned delta ${run.l1Delta} > tol")
+    val got = run.ranks.as[(Long, Double)].collect().toMap
+    val fixed = Graph.pageRank(e, run.iters).as[(Long, Double)]
+      .collect().toMap
+    assert(got == fixed,
+      "converged ranks must equal the fixed-iteration operator at " +
+        s"iters=${run.iters}")
+    // a looser tolerance must stop earlier (the probe is monotone
+    // on this contraction)
+    val loose = Graph.pageRankConverged(e, maxIters = 50, tol = 1e-2)
+    assert(loose.iters < run.iters,
+      s"tol=1e-2 ran ${loose.iters}, tol=1e-6 ran ${run.iters}")
+    intercept[IllegalArgumentException] {
+      Graph.pageRankConverged(e, maxIters = 0, tol = 1e-6)
+    }
+    intercept[IllegalArgumentException] {
+      Graph.pageRankConverged(e, maxIters = 5, tol = 0.0)
+    }
+  }
+
+  test("pageRankConverged on a two-node cycle converges in one round " +
+      "(the initial vector is already the fixpoint)") {
+    val e = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val run = Graph.pageRankConverged(e, maxIters = 10, tol = 1e-9)
+    assert(run.iters == 1 && run.l1Delta <= 1e-9)
+    assert(run.ranks.as[(Long, Double)].collect().toMap ==
+      Map(1L -> 0.5, 2L -> 0.5))
+  }
 }

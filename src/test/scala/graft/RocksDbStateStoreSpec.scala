@@ -76,4 +76,59 @@ class RocksDbStateStoreSpec extends SparkSpec {
       "heap_join_out", statePartitions = Some(4)))
     assert(rocks.nonEmpty && rocks == heap)
   }
+
+  test("provider rule: aggregation state switches to RocksDB at 2% of " +
+      "heap, join state holds heap until 10% (the measured JNI wall)") {
+    val heapB = 32L << 30
+    import Streams.{AggregationState, JoinState}
+    // aggregation: parity wall -> switch early
+    assert(Streams.chooseStateStoreProvider(AggregationState,
+      (heapB * 0.01).toLong, heapB) == Streams.HeapProvider)
+    assert(Streams.chooseStateStoreProvider(AggregationState,
+      (heapB * 0.03).toLong, heapB) == Streams.RocksDbProvider)
+    // join: 4x JNI wall -> pay only when heap survival is threatened
+    assert(Streams.chooseStateStoreProvider(JoinState,
+      (heapB * 0.05).toLong, heapB) == Streams.HeapProvider)
+    assert(Streams.chooseStateStoreProvider(JoinState,
+      (heapB * 0.13).toLong, heapB) == Streams.RocksDbProvider)
+    // the r11 sf10 measurements land on the right side of the rule:
+    // sessionize 3,276 MB state / 32 GB heap (10%) -> RocksDB (it
+    // measured FASTER there); interval join in a 64 GB heap (6%) ->
+    // heap (RocksDB was 4x slower while survivable)
+    assert(Streams.chooseStateStoreProvider(AggregationState,
+      3276L << 20, 32L << 30) == Streams.RocksDbProvider)
+    assert(Streams.chooseStateStoreProvider(JoinState,
+      4091L << 20, 64L << 30) == Streams.HeapProvider)
+    intercept[IllegalArgumentException] {
+      Streams.chooseStateStoreProvider(JoinState, -1L, heapB)
+    }
+  }
+
+  test("applyStateStore sets the session provider conf to the rule's " +
+      "choice and returns it") {
+    val prev = spark.conf.getOption(provKey)
+    try {
+      val chosen = Streams.applyStateStore(spark,
+        Streams.AggregationState, 8L << 30, 32L << 30)
+      assert(chosen == Streams.RocksDbProvider)
+      assert(spark.conf.get(provKey) == Streams.RocksDbProvider)
+      val chosen2 = Streams.applyStateStore(spark,
+        Streams.JoinState, 1L << 30, 32L << 30)
+      assert(chosen2 == Streams.HeapProvider)
+      assert(spark.conf.get(provKey) == Streams.HeapProvider)
+    } finally prev.fold(spark.conf.unset(provKey))(
+      spark.conf.set(provKey, _))
+  }
+
+  test("rocksDbTuningConfs emits the bounded-memory + changelog conf " +
+      "set and validates the cap") {
+    val confs = Streams.rocksDbTuningConfs(2048)
+    val p = "spark.sql.streaming.stateStore.rocksdb."
+    assert(confs(s"${p}boundedMemoryUsage") == "true")
+    assert(confs(s"${p}maxMemoryUsageMB") == "2048")
+    assert(confs(s"${p}changelogCheckpointing.enabled") == "true")
+    intercept[IllegalArgumentException] {
+      Streams.rocksDbTuningConfs(0)
+    }
+  }
 }
