@@ -63,31 +63,16 @@ object Web {
     * unencoded percent signs exist, and normalization must not
     * corrupt them).
     *
-    * Shape: split on `%`, rewrite each escape head, re-join — array
-    * functions over short strings, still a narrow projection. Safe to
-    * apply to the whole after-scheme string BEFORE structural
-    * parsing: unreserved characters are never URL delimiters, so
-    * decoding cannot create a new `/`, `?`, `#`, `@`, `&` or `=`. */
-  def percentNormalize(c: Column): Column = {
-    val parts = split(c, "%", -1)
-    val tail = slice(parts, lit(2), greatest(size(parts) - 1, lit(0)))
-    concat(element_at(parts, 1),
-      array_join(transform(tail, x => pctToken(x)), ""))
-  }
-
-  /** One post-`%` token: rewrite the leading 2-hex escape. */
-  private def pctToken(x: Column): Column = {
-    val hex2 = upper(substring(x, 1, 2))
-    val v = conv(hex2, 16, 10).cast("int")
-    val rest = call_function("substr", x, lit(3))
-    val unreserved =
-      (v >= 65 && v <= 90) || (v >= 97 && v <= 122) ||
-        (v >= 48 && v <= 57) || v === 45 || v === 46 || v === 95 ||
-        v === 126
-    when(!x.rlike("^[0-9A-Fa-f]{2}"), concat(lit("%"), x))
-      .when(unreserved, concat(call_function("char", v), rest))
-      .otherwise(concat(lit("%"), hex2, rest))
-  }
+    * Shape: one in-row byte pass (the native codegen'd
+    * [[graft.plans.PercentNormalize]] expression — the composed
+    * split/transform/re-join form evaluated its lambda interpreted
+    * per token, ~3× the whole x56 entry's cost). Safe to apply to the
+    * whole after-scheme string BEFORE structural parsing: unreserved
+    * characters are never URL delimiters, so decoding cannot create a
+    * new `/`, `?`, `#`, `@`, `&` or `=`. */
+  def percentNormalize(c: Column): Column =
+    GraftBridge.column(
+      graft.plans.PercentNormalize(GraftBridge.expression(c)))
 
   /** IDNA ACE form of a host ([[graft.plans.IdnToAscii]]): identity
     * on all-ASCII hosts, punycode on Unicode hosts, input unchanged

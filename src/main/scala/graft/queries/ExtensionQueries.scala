@@ -2824,9 +2824,15 @@ object ExtensionQueries {
           .select(col("doc_id"), url.as("url"))
           .select(col("doc_id"), col("url"),
             Web.canonicalUrl(col("url")).as("canonical"),
-            Web.canonicalHost(col("url")).as("host"),
-            Web.registeredDomain(Web.canonicalHost(col("url")),
-              x56Suffixes).as("reg_domain"))
+            Web.canonicalHost(col("url")).as("host"))
+          // registeredDomain over the COMPUTED host column (the twin's
+          // CTE shape): its rule fold references the host many times,
+          // and CollapseProject keeps the non-cheap host pipeline from
+          // being inlined into each reference
+          .select(col("doc_id"), col("url"), col("canonical"),
+            col("host"),
+            Web.registeredDomain(col("host"), x56Suffixes)
+              .as("reg_domain"))
           .orderBy(col("doc_id"))
       },
       Some {

@@ -94,6 +94,15 @@ class WebSpec extends SparkSpec {
       Some("https://a.example.test/~docs")))
   }
 
+  test("percentNormalize (native expression): truncated escape at end " +
+    "of string, escape-free fast path, and multi-byte UTF-8 bytes " +
+    "pass through verbatim") {
+    val got = Seq("a%7", "a%", "no escapes here", "ü%7eü", "%41")
+      .toDF("s").select(Web.percentNormalize(col("s")).as("n"))
+      .as[String].collect().toSeq
+    assert(got == Seq("a%7", "a%", "no escapes here", "ü~ü", "A"))
+  }
+
   test("percent-normalized equivalents collapse to ONE canonical key") {
     val ks = canon(
       "https://a.example.test/%7euser",
