@@ -63,6 +63,35 @@ object TextAnalysis {
       stopwords, langMarkers))
   }
 
+  /** Mojibake (double-encoded UTF-8) detector, shared verbatim by the
+    * Spark `rlike` and the DuckDB `regexp_matches` twin: a Latin-1
+    * lead char `Â`/`Ã` (U+00C2/U+00C3 — what UTF-8 lead bytes C2/C3
+    * become under a wrong Latin-1 decode) immediately followed by a
+    * character in the continuation range U+0080-U+00BF. Pure-ASCII
+    * text can never match; genuine Latin-1 prose almost never pairs
+    * these (`Ã` mid-word is followed by a letter, not a control /
+    * symbol char). Same Java-regex/RE2-portable subset rule as
+    * [[Web]] and [[Corpus.piiPatterns]]. */
+  val mojibakePattern: String =
+    "[\\x{00C2}\\x{00C3}][\\x{0080}-\\x{00BF}]"
+
+  /** True iff the text shows the double-encoding signature. */
+  def mojibakeFlag(textCol: Column): Column = textCol.rlike(mojibakePattern)
+
+  /** Repaired form of double-encoded UTF-8 text, identity on
+    * everything else — [[graft.plans.MojibakeRepair]]: re-encode the
+    * chars as Latin-1 bytes and accept the result only if it is
+    * strictly valid multi-byte UTF-8. Narrow, codegen'd, zero
+    * shuffle: runs where the text bytes already are. Run BEFORE any
+    * dedup keying or tokenization — the corrupted and clean forms of
+    * a document never hash equal, so unrepaired mojibake silently
+    * defeats exact and near dedup both. */
+  def repairMojibake(textCol: Column): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(graft.plans.MojibakeRepair(
+      GraftBridge.expression(textCol)))
+  }
+
   /** Stopword ratio over a token array (English stopword set). */
   def stopwordRatioFromTokens(toks: Column): Column =
     tokensInArr(toks, stopwords).cast("double") / size(toks).cast("long")

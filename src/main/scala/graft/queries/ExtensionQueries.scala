@@ -28,6 +28,14 @@ object ExtensionQueries {
 
   private def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
 
+  /** Clean form of the x58 mojibake-fixture suffix (é ñ ü ö — all
+    * Latin-1-representable, so one mis-decode step is exactly
+    * invertible); the corrupted twin is DERIVED from it via the same
+    * UTF-8-bytes-read-as-Latin-1 transform on both engines' sides,
+    * so the fixture and oracle cannot drift. */
+  private val MOJIBAKE_CLEAN_SUFFIX =
+    " café señor über schön"
+
   /** Trainer-scan cache for the PQ/IVF eval queries: persists the
     * (id, vec) projection the trainers re-read every Lloyd iteration
     * (2 trainers × (1 init + iters) scans in the ADC paths), then
@@ -2742,6 +2750,229 @@ object ExtensionQueries {
              |  CAST(sum(length(badline)) AS BIGINT)
              |FROM f WHERE m = 1
              |ORDER BY reason""".stripMargin)),
+
+    QuerySpec("s20_dpp_star_join",
+      "dynamic partition pruning on the star-join access path: the " +
+        "fact (events, hive-partitioned by event_type) joins a small " +
+        "filtered dim whose surviving keys are only known at RUN " +
+        "time (md5-derived tag, opaque to static pruning) — the " +
+        "broadcast dim's keys become a runtime partition filter on " +
+        "the fact scan, so pruned partitions are never read; the " +
+        "builder REQUIRES the DynamicPruningSubquery in the " +
+        "optimized plan (a silently-degraded full scan still " +
+        "hash-matches — the plan contract is the point). At 100 TB " +
+        "this is THE mechanism that turns a dim filter into fact " +
+        "I/O elision without a manual partition list",
+      (s, dir) => {
+        val path = Warehouse.savePartitioned(
+          t(s, dir, "events").select(col("event_id"), col("user_id"),
+            col("event_type"), col("value")),
+          "events_dpp", Seq("event_type"))
+        val fact = s.read.parquet(path)
+        val dim = t(s, dir, "events").select(col("event_type")).distinct()
+          .withColumn("type_tag", substring(md5(col("event_type")), 1, 2))
+          .filter(col("type_tag") < "80")
+        val q = fact.join(broadcast(dim), Seq("event_type"))
+          .groupBy(col("event_type"), col("type_tag"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(dec2(col("value"))).cast("double").as("sum_value"),
+            min(col("event_id")).as("min_event_id"),
+            max(col("event_id")).as("max_event_id"))
+          .orderBy(col("event_type"))
+        val hasDpp = q.queryExecution.optimizedPlan.collectFirst {
+          case p if p.expressions.exists(_.exists(
+              _.isInstanceOf[org.apache.spark.sql.catalyst.expressions
+                .DynamicPruningSubquery])) => p
+        }.nonEmpty
+        require(hasDpp, "fact scan must carry a dynamic partition " +
+          "pruning subquery; a full scan means DPP silently degraded:\n" +
+          q.queryExecution.optimizedPlan)
+        q
+      },
+      Some("""WITH dim AS (
+             |  SELECT DISTINCT event_type,
+             |    substr(md5(event_type), 1, 2) AS type_tag
+             |  FROM events)
+             |SELECT e.event_type, d.type_tag,
+             |  count(*) AS n_events,
+             |  CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE)
+             |    AS sum_value,
+             |  min(e.event_id) AS min_event_id,
+             |  max(e.event_id) AS max_event_id
+             |FROM events e JOIN dim d USING (event_type)
+             |WHERE d.type_tag < '80'
+             |GROUP BY e.event_type, d.type_tag
+             |ORDER BY e.event_type""".stripMargin)),
+
+    QuerySpec("s21_orc_roundtrip",
+      "ORC storage interop: lineitem columns rewritten as ORC, read " +
+        "back with a selective filter and the g1 pricing aggregate — " +
+        "the builder REQUIRES the scan is the ORC format AND the " +
+        "row-level filter reached it as a pushed filter (ORC carries " +
+        "the same predicate-pushdown/column-pruning contract as " +
+        "parquet; a post-scan-only filter means the interop lost its " +
+        "I/O elision); content hash-gated against DuckDB over the " +
+        "original parquet — format roundtrip must be lossless",
+      (s, dir) => {
+        val path = Warehouse.saveFormat(
+          t(s, dir, "lineitem").select(col("l_orderkey"),
+            col("l_quantity"), col("l_extendedprice"),
+            col("l_returnflag"), col("l_linestatus")),
+          "lineitem_orc", "orc")
+        val q = s.read.orc(path)
+          .filter(col("l_returnflag") === "R")
+          .groupBy(col("l_linestatus"))
+          .agg(count(lit(1)).as("n_items"),
+            sum(dec2(col("l_quantity"))).cast("double").as("sum_qty"),
+            sum(dec2(col("l_extendedprice"))).cast("double")
+              .as("sum_price"),
+            countDistinct(col("l_orderkey")).as("n_orders"))
+          .orderBy(col("l_linestatus"))
+        val scans = q.queryExecution.sparkPlan.collect {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+        }
+        require(scans.nonEmpty &&
+            scans.head.relation.fileFormat.isInstanceOf[
+              org.apache.spark.sql.execution.datasources.orc.OrcFileFormat],
+          "expected an ORC file scan")
+        require(scans.head.metadata.get("PushedFilters")
+            .exists(_.contains("l_returnflag")),
+          s"l_returnflag filter must push to the ORC scan; got: " +
+            scans.head.metadata.get("PushedFilters"))
+        q
+      },
+      Some("""SELECT l_linestatus, count(*) AS n_items,
+             |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+             |    AS sum_qty,
+             |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             |    AS sum_price,
+             |  count(DISTINCT l_orderkey) AS n_orders
+             |FROM lineitem WHERE l_returnflag = 'R'
+             |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin)),
+
+    QuerySpec("s22_schema_evolution",
+      "schema-drift-tolerant ingest (sources.Evolution): three orders " +
+        "snapshots written with EVOLVED schemas — v1 the base three " +
+        "columns, v2 adds o_orderpriority, v3 instead carries an INT " +
+        "priority_rank the canonical schema declares BIGINT (the " +
+        "widening mergeSchema refuses — it fails conflicting footer " +
+        "types outright, which is why a declared canonical schema + " +
+        "per-snapshot cast/NULL-fill + union-by-position is the 100 " +
+        "TB contract: narrow per-file, zero shuffle, snapshots " +
+        "stream independently); builder REQUIRES exactly three " +
+        "parquet scans under the union",
+      (s, dir) => {
+        val orders = t(s, dir, "orders")
+        val v1 = Warehouse.saveFormat(
+          orders.filter(col("o_orderkey") % 3 === 0)
+            .select(col("o_orderkey"), col("o_custkey"),
+              col("o_totalprice")),
+          "orders_evo_v1", "parquet")
+        val v2 = Warehouse.saveFormat(
+          orders.filter(col("o_orderkey") % 3 === 1)
+            .select(col("o_orderkey"), col("o_custkey"),
+              col("o_totalprice"), col("o_orderpriority")),
+          "orders_evo_v2", "parquet")
+        val v3 = Warehouse.saveFormat(
+          orders.filter(col("o_orderkey") % 3 === 2)
+            .select(col("o_orderkey"), col("o_custkey"),
+              col("o_totalprice"),
+              substring(col("o_orderpriority"), 1, 1).cast("int")
+                .as("priority_rank")),
+          "orders_evo_v3", "parquet")
+        val canonical = new StructType()
+          .add("o_orderkey", LongType).add("o_custkey", LongType)
+          .add("o_totalprice", org.apache.spark.sql.types.DoubleType)
+          .add("o_orderpriority", StringType)
+          .add("priority_rank", LongType)
+        val u = graft.sources.Evolution.readUnion(s,
+          Seq("v1" -> v1, "v2" -> v2, "v3" -> v3), canonical)
+        val q = u.select(col("snapshot_id"), col("o_orderkey"),
+            col("o_custkey"),
+            dec2(col("o_totalprice")).as("o_totalprice"),
+            col("o_orderpriority"), col("priority_rank"))
+          .orderBy(col("o_orderkey"))
+        val nScans = q.queryExecution.sparkPlan.collect {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+        }.size
+        require(nScans == 3,
+          s"evolved union must plan as 3 independent scans, got $nScans")
+        q
+      },
+      Some("""WITH u AS (
+             |  SELECT 'v1' AS snapshot_id, o_orderkey, o_custkey,
+             |    o_totalprice, CAST(NULL AS VARCHAR) AS o_orderpriority,
+             |    CAST(NULL AS BIGINT) AS priority_rank
+             |  FROM orders WHERE o_orderkey % 3 = 0
+             |  UNION ALL
+             |  SELECT 'v2', o_orderkey, o_custkey, o_totalprice,
+             |    o_orderpriority, CAST(NULL AS BIGINT)
+             |  FROM orders WHERE o_orderkey % 3 = 1
+             |  UNION ALL
+             |  SELECT 'v3', o_orderkey, o_custkey, o_totalprice,
+             |    CAST(NULL AS VARCHAR),
+             |    CAST(substr(o_orderpriority, 1, 1) AS BIGINT)
+             |  FROM orders WHERE o_orderkey % 3 = 2)
+             |SELECT snapshot_id, o_orderkey, o_custkey,
+             |  CAST(o_totalprice AS DECIMAL(18,2)) AS o_totalprice,
+             |  o_orderpriority, priority_rank
+             |FROM u ORDER BY o_orderkey""".stripMargin)),
+
+    QuerySpec("x58_mojibake_repair",
+      "double-encoded-UTF-8 (mojibake) detection + repair — the most " +
+        "common crawl encoding corruption, and a silent dedup killer " +
+        "(corrupted and clean forms of one document never hash " +
+        "equal): the fixture appends a deterministically mis-decoded " +
+        "accented suffix to every third document, detection is the " +
+        "shared C2/C3-lead regexp, repair is the native single-pass " +
+        "byte expression (plans.MojibakeRepair: Latin-1 re-encode " +
+        "accepted only if strictly-valid multi-byte UTF-8 — natural " +
+        "text never repairs by accident); builder REQUIRES every " +
+        "flagged row actually changed under repair; oracle states " +
+        "the expected repaired form from the same constants",
+      (s, dir) => {
+        val suffix = MOJIBAKE_CLEAN_SUFFIX
+        val moji = new String(
+          suffix.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+          java.nio.charset.StandardCharsets.ISO_8859_1)
+        val base = t(s, dir, "documents").select(col("doc_id"),
+          when(col("doc_id") % 3 === 0, concat(col("text"), lit(moji)))
+            .otherwise(col("text")).as("corrupted"))
+        val repaired = base.select(col("doc_id"), col("corrupted"),
+          TextAnalysis.mojibakeFlag(col("corrupted")).as("flagged"),
+          TextAnalysis.repairMojibake(col("corrupted")).as("repaired"))
+        // repair must be REAL on every flagged row, not a no-op that
+        // happens to hash-match a fixture accident
+        val unrepaired = repaired
+          .filter(col("flagged") && col("repaired") === col("corrupted"))
+          .count()
+        require(unrepaired == 0,
+          s"$unrepaired flagged rows survived repair unchanged")
+        repaired.select(col("doc_id"), col("flagged"),
+            md5(col("corrupted")).as("corrupt_md5"),
+            md5(col("repaired")).as("repaired_md5"),
+            length(col("repaired")).cast("long").as("repaired_chars"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH c AS (
+             |  SELECT doc_id,
+             |    CASE WHEN doc_id % 3 = 0
+             |      THEN text || '${new String(
+                      MOJIBAKE_CLEAN_SUFFIX.getBytes(
+                        java.nio.charset.StandardCharsets.UTF_8),
+                      java.nio.charset.StandardCharsets.ISO_8859_1)}'
+             |      ELSE text END AS corrupted,
+             |    CASE WHEN doc_id % 3 = 0
+             |      THEN text || '$MOJIBAKE_CLEAN_SUFFIX'
+             |      ELSE text END AS repaired
+             |  FROM documents)
+             |SELECT doc_id,
+             |  regexp_matches(corrupted,
+             |    '${TextAnalysis.mojibakePattern}') AS flagged,
+             |  md5(corrupted) AS corrupt_md5,
+             |  md5(repaired) AS repaired_md5,
+             |  CAST(length(repaired) AS BIGINT) AS repaired_chars
+             |FROM c ORDER BY doc_id""".stripMargin)),
 
     QuerySpec("x55_pagerank_centrality",
       "link-graph centrality for crawl/corpus curation (Page et al. " +
