@@ -2918,6 +2918,65 @@ object ExtensionQueries {
              |  o_orderpriority, priority_rank
              |FROM u ORDER BY o_orderkey""".stripMargin)),
 
+    QuerySpec("s23_runtime_bloom_join",
+      "runtime bloom-filter join injection — the row-level analog of " +
+        "s20's partition-level DPP, for the 100 TB case where the " +
+        "fact is NOT partitioned by the join key: Catalyst's " +
+        "InjectRuntimeFilter plants a bloom_filter_agg subquery over " +
+        "the selectively-filtered dim and a might_contain filter on " +
+        "the fact side, so most fact rows die at the scan instead of " +
+        "crossing the join shuffle (the built-in counterpart of the " +
+        "hand-rolled x37 prefilter). The builder lowers the " +
+        "size-threshold confs (fixtures are far below the 10 GB " +
+        "production default), forces and REQUIREs the injected " +
+        "BloomFilterMightContain in the memoized optimized plan, " +
+        "then RESTORES the confs — the hash gate itself is " +
+        "plan-independent, which is the point: the filter is pure " +
+        "I/O elision, never a semantics change",
+      (s, dir) => {
+        val confs = Seq(
+          "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+          "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+          "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+        val saved = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+        confs.foreach { case (k, v) => s.conf.set(k, v) }
+        try {
+          val fact = t(s, dir, "lineitem")
+            .select(col("l_partkey"), col("l_quantity"),
+              col("l_extendedprice"))
+          val dim = t(s, dir, "part")
+            .filter(col("p_size") === 1)
+            .select(col("p_partkey"), col("p_brand"))
+          val q = fact.join(dim, col("l_partkey") === col("p_partkey"))
+            .groupBy(col("p_brand"))
+            .agg(count(lit(1)).as("n_items"),
+              sum(dec2(col("l_quantity"))).cast("double").as("sum_qty"),
+              sum(dec2(col("l_extendedprice"))).cast("double")
+                .as("sum_price"))
+            .orderBy(col("p_brand"))
+          val hasBloom = q.queryExecution.optimizedPlan.collectFirst {
+            case p if p.expressions.exists(_.exists(
+                _.isInstanceOf[org.apache.spark.sql.catalyst.expressions
+                  .BloomFilterMightContain])) => p
+          }.nonEmpty
+          require(hasBloom, "fact side must carry an injected " +
+            "bloom-filter runtime filter; got:\n" +
+            q.queryExecution.optimizedPlan)
+          q
+        } finally saved.foreach {
+          case (k, Some(v)) => s.conf.set(k, v)
+          case (k, None) => s.conf.unset(k)
+        }
+      },
+      Some("""SELECT p.p_brand, count(*) AS n_items,
+             |  CAST(sum(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+             |    AS sum_qty,
+             |  CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)))
+             |    AS DOUBLE) AS sum_price
+             |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+             |WHERE p.p_size = 1
+             |GROUP BY p.p_brand ORDER BY p.p_brand""".stripMargin)),
+
     QuerySpec("x58_mojibake_repair",
       "double-encoded-UTF-8 (mojibake) detection + repair — the most " +
         "common crawl encoding corruption, and a silent dedup killer " +
