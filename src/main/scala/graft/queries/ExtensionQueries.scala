@@ -3033,6 +3033,37 @@ object ExtensionQueries {
              |  CAST(length(repaired) AS BIGINT) AS repaired_chars
              |FROM c ORDER BY doc_id""".stripMargin)),
 
+    QuerySpec("x59_bpe_merge_learn",
+      "distributed BPE merge learning (Sennrich et al. 2016) — the " +
+        "step that LEARNS a subword vocabulary from the corpus " +
+        "(x29 applies one): three merges learned over the normalized " +
+        "word-frequency table, ties broken lexicographically so the " +
+        "trajectory is engine-independent. Scale factorization: the " +
+        "corpus is scanned once into the vocabulary; every iteration " +
+        "shuffles only DISTINCT-pair counts and collects exactly one " +
+        "argmax row. The oracle is late-bound but NON-circular: " +
+        "DuckDB RE-DERIVES each level's argmax over the vocabulary " +
+        "with the previous merges applied (recursive-CTE " +
+        "replace-to-fixpoint per level) — the stashed merges only " +
+        "drive the applications, so a wrongly-learned merge at any " +
+        "level diverges that level's recomputed argmax and count",
+      (s, dir) => {
+        import s.implicits._
+        val words = graft.operators.Bpe.wordFrequencies(
+          t(s, dir, "documents"), "text")
+        val merges = graft.operators.Bpe.learnMerges(words, 3)
+        graft.operators.Bpe.recordMerges(3, "documents", merges)
+        merges.zipWithIndex.map { case ((l, r, n), i) =>
+          (i + 1L, l, r, l + r, n)
+        }.toDF("merge_rank", "lhs", "rhs", "merged", "pair_count")
+          .orderBy(col("merge_rank"))
+      },
+      None,
+      oracleGen = () => graft.operators.Bpe.learnedMerges
+        .get((3, "documents"))
+        .map(m => graft.operators.Bpe.trajectoryOracleSql(
+          "documents", "text", m))),
+
     QuerySpec("x55_pagerank_centrality",
       "link-graph centrality for crawl/corpus curation (Page et al. " +
         "1999; Common Crawl ranks hosts by centrality to prioritize " +
