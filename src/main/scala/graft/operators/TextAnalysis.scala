@@ -92,6 +92,21 @@ object TextAnalysis {
       GraftBridge.expression(textCol)))
   }
 
+  /** Unicode NFC canonicalization ([[graft.plans.NfcNormalize]],
+    * UAX #15): composes decomposed sequences (`e`+U+0301 → `é`) and
+    * canonical singletons (U+212B → U+00C5), identity on text already
+    * in NFC (zero-copy) and on pure ASCII (no String materialized).
+    * Like [[repairMojibake]], run BEFORE any dedup keying,
+    * shingling, or tokenization — NFD and NFC spellings of one
+    * document are codepoint-distinct while rendering identically, so
+    * un-normalized text silently defeats exact and near dedup and
+    * splits BPE vocabulary. Narrow, codegen'd, zero shuffle. */
+  def nfcNormalize(textCol: Column): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(graft.plans.NfcNormalize(
+      GraftBridge.expression(textCol)))
+  }
+
   /** Stopword ratio over a token array (English stopword set). */
   def stopwordRatioFromTokens(toks: Column): Column =
     tokensInArr(toks, stopwords).cast("double") / size(toks).cast("long")

@@ -36,6 +36,17 @@ object ExtensionQueries {
   private val MOJIBAKE_CLEAN_SUFFIX =
     " café señor über schön"
 
+  /** Composed (NFC) core of the x60 fixture suffix; the decomposed
+    * twin is DERIVED from it via `Normalizer` NFD — so fixture and
+    * expectation cannot drift — plus two canonical singletons
+    * (U+212B ANGSTROM SIGN, U+2126 OHM SIGN) that NFC folds to
+    * U+00C5/U+03A9, exercising composition-exclusion handling beyond
+    * plain combining-mark composition. */
+  private val NFC_CLEAN_SUFFIX = " café España über naïve"
+  private val NFD_CORRUPT_SUFFIX =
+    java.text.Normalizer.normalize(
+      NFC_CLEAN_SUFFIX, java.text.Normalizer.Form.NFD) + " \u212B\u2126"
+
   /** Trainer-scan cache for the PQ/IVF eval queries: persists the
     * (id, vec) projection the trainers re-read every Lloyd iteration
     * (2 trainers × (1 init + iters) scans in the ADC paths), then
@@ -3031,6 +3042,57 @@ object ExtensionQueries {
              |  md5(corrupted) AS corrupt_md5,
              |  md5(repaired) AS repaired_md5,
              |  CAST(length(repaired) AS BIGINT) AS repaired_chars
+             |FROM c ORDER BY doc_id""".stripMargin)),
+
+    QuerySpec("x60_nfc_normalize",
+      "Unicode NFC canonicalization (UAX #15) — NFD and NFC " +
+        "spellings of one document are codepoint-distinct while " +
+        "rendering identically, so un-normalized crawl text " +
+        "silently defeats exact/near dedup keys and splits BPE " +
+        "vocabulary (`café` vs `cafe`+U+0301 learn separate " +
+        "merges); the fixture appends a Normalizer-NFD-derived " +
+        "decomposed suffix plus two canonical singletons (U+212B, " +
+        "U+2126 — composition-exclusion folds to U+00C5/U+03A9) to " +
+        "every third document, normalization is the native " +
+        "single-pass expression (plans.NfcNormalize: codegen'd, " +
+        "ASCII and already-NFC fast paths return the input " +
+        "zero-copy); builder REQUIRES every synthesized row " +
+        "actually changed; the oracle derives NFC independently " +
+        "via DuckDB's own nfc_normalize (utf8proc) — two " +
+        "implementations of UAX #15 must agree bit-for-bit",
+      (s, dir) => {
+        val base = t(s, dir, "documents").select(col("doc_id"),
+          when(col("doc_id") % 3 === 1,
+            concat(col("text"), lit(NFD_CORRUPT_SUFFIX)))
+            .otherwise(col("text")).as("raw"))
+        val n = base.select(col("doc_id"), col("raw"),
+          TextAnalysis.nfcNormalize(col("raw")).as("norm"))
+        // composition must be REAL on every synthesized row, not a
+        // no-op that happens to hash-match a fixture accident
+        val untouched = n
+          .filter(col("doc_id") % 3 === 1 && col("norm") === col("raw"))
+          .count()
+        require(untouched == 0,
+          s"$untouched decomposed rows survived NFC unchanged")
+        n.select(col("doc_id"),
+            (col("raw") === col("norm")).as("was_nfc"),
+            md5(col("raw")).as("raw_md5"),
+            md5(col("norm")).as("nfc_md5"),
+            (length(col("raw")) - length(col("norm"))).cast("long")
+              .as("composed_away"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH c AS (
+             |  SELECT doc_id,
+             |    CASE WHEN doc_id % 3 = 1
+             |      THEN text || '$NFD_CORRUPT_SUFFIX'
+             |      ELSE text END AS raw
+             |  FROM documents)
+             |SELECT doc_id, raw = nfc_normalize(raw) AS was_nfc,
+             |  md5(raw) AS raw_md5,
+             |  md5(nfc_normalize(raw)) AS nfc_md5,
+             |  CAST(length(raw) - length(nfc_normalize(raw)) AS BIGINT)
+             |    AS composed_away
              |FROM c ORDER BY doc_id""".stripMargin)),
 
     QuerySpec("x59_bpe_merge_learn",
