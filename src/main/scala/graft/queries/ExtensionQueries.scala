@@ -3095,6 +3095,49 @@ object ExtensionQueries {
              |    AS composed_away
              |FROM c ORDER BY doc_id""".stripMargin)),
 
+    QuerySpec("x61_hll_cardinality",
+      "sketch-based distinct-cardinality governance (HLL, Apache " +
+        "DataSketches via Spark's hll_sketch_agg family) — the 100 TB " +
+        "answer to `how many distinct tokens/URLs/doc keys`: exact " +
+        "COUNT(DISTINCT) shuffles every distinct key, a sketch " +
+        "shuffles a fixed-KB binary per group with map-side partials, " +
+        "and sketches MERGE — built once per shard (per day, per " +
+        "crawl segment), any rollup is a union of sketches, never a " +
+        "rescan. The entry builds per-(lang, shard) sketches, unions " +
+        "them per lang (two-level merge, the pattern that matters), " +
+        "REQUIRES the estimate within 5% of exact per group (HLL " +
+        "lgK=12 ≈ 1.6% rsd — deterministic given fixed input, so " +
+        "green stays green), and hash-gates the exact side against " +
+        "DuckDB; the ok flag reaching the oracle as literal TRUE " +
+        "means an out-of-bounds sketch fails the hash, not a log line",
+      (s, dir) => {
+        val toks = t(s, dir, "documents")
+          .select(col("lang"), pmod(col("doc_id"), lit(4)).as("shard"),
+            explode(wsTokens(col("text"))).as("tok"))
+        val shardSketches = toks.groupBy(col("lang"), col("shard"))
+          .agg(hll_sketch_agg(col("tok"), lit(12)).as("sk"))
+        val merged = shardSketches.groupBy(col("lang"))
+          .agg(hll_sketch_estimate(hll_union_agg(col("sk")))
+            .as("n_approx"))
+        val exact = toks.groupBy(col("lang"))
+          .agg(countDistinct(col("tok")).as("n_exact"))
+        val j = exact.join(merged, Seq("lang")).select(col("lang"),
+          col("n_exact"),
+          (abs(col("n_approx") - col("n_exact")).cast("double") /
+            col("n_exact").cast("double")).as("rel_err"))
+        val bad = j.filter(col("rel_err") > 0.05).collect()
+        require(bad.isEmpty, "sketch estimate out of bounds: " +
+          bad.map(r => s"${r.get(0)} err=${r.get(2)}").mkString(", "))
+        j.select(col("lang"), col("n_exact"),
+            (col("rel_err") <= 0.05).as("approx_ok"))
+          .orderBy(col("lang"))
+      },
+      Some(s"""SELECT lang, CAST(count(DISTINCT tok) AS BIGINT) AS n_exact,
+             |  TRUE AS approx_ok
+             |FROM (SELECT lang, unnest($duckWsTokens) AS tok
+             |      FROM documents)
+             |GROUP BY lang ORDER BY lang""".stripMargin)),
+
     QuerySpec("x59_bpe_merge_learn",
       "distributed BPE merge learning (Sennrich et al. 2016) — the " +
         "step that LEARNS a subword vocabulary from the corpus " +

@@ -35,4 +35,24 @@ class SketchFunctionsSpec extends SparkSpec {
     assert(ints.filter(SketchFunctions.mightContain(bfi, col("i")))
       .count() == 100L)
   }
+
+  test("HLL sketches are mergeable without information loss: the " +
+      "union of per-shard sketches estimates EXACTLY what one global " +
+      "sketch over the same rows estimates (same lgK) — the property " +
+      "x61's shard-then-rollup pattern rests on") {
+    val rows = (0L until 20000L)
+      .map(i => (i % 8, s"key-${i % 4999}")).toDF("shard", "k")
+    val viaShards = rows.groupBy(col("shard"))
+      .agg(hll_sketch_agg(col("k"), lit(12)).as("sk"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("n"))
+      .head.getLong(0)
+    val global = rows
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("k"), lit(12))).as("n"))
+      .head.getLong(0)
+    assert(viaShards == global,
+      s"shard-union estimate $viaShards != global-sketch estimate $global")
+    val exact = 4999L
+    assert(math.abs(viaShards - exact).toDouble / exact <= 0.05,
+      s"estimate $viaShards outside 5% of $exact")
+  }
 }
