@@ -83,6 +83,38 @@ object Similarity {
       else -1.0
     }
 
+  /** Deterministic Rademacher JL weights — same md5-bit derivation as
+    * [[planeWeights]] but namespaced (`jl-…`) so the projection is
+    * independent of the sign-LSH planes. */
+  def jlWeights(dOut: Int, dim: Int): Array[Array[Double]] =
+    Array.tabulate(dOut, dim) { (p, d) =>
+      val md = MessageDigest.getInstance("MD5")
+        .digest(s"jl-$p-$d".getBytes("UTF-8"))
+      val hex = md.map(b => f"$b%02x").mkString
+      if ((java.lang.Long.parseLong(hex.substring(0, 15), 16) & 1L) == 1L) 1.0
+      else -1.0
+    }
+
+  /** Johnson–Lindenstrauss random projection (Johnson & Lindenstrauss
+    * 1984; ±1 "database-friendly" form, Achlioptas 2003): out_j =
+    * ⟨v, w_j⟩ / √dOut over the deterministic [[jlWeights]] matrix.
+    * Preserves inner products in expectation with per-coordinate
+    * variance 1/dOut, so cosine survives a 4× dimension cut within a
+    * governed error band — the standard CHEAP-PREFILTER step before
+    * semantic dedup or ANN at 100 TB: bucket/shortlist in the reduced
+    * space (4× less shuffle bytes, 4× faster dot products), re-verify
+    * survivors at full dimension (same candidates-then-adjudicate
+    * shape as the LSH families). Pure projection: narrow, codegen'd
+    * dot products against literal planes, zero shuffle, input
+    * partitioning preserved. */
+  def jlProject(vecCol: Column, dOut: Int, dim: Int): Column = {
+    val w = jlWeights(dOut, dim)
+    val scale = math.sqrt(dOut.toDouble)
+    array((0 until dOut).map { j =>
+      dotProduct(vecCol, array(w(j).map(lit): _*)) / scale
+    }: _*)
+  }
+
   /** Sign-LSH bucket id (0..2^nPlanes-1) as a pure projection: bit p is
     * the sign of the dot product with literal plane p. Narrow — no
     * shuffle, no join; partitioning of the input is preserved. */

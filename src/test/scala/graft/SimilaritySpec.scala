@@ -474,4 +474,49 @@ class SimilaritySpec extends SparkSpec {
       Similarity.loadPqIndex(spark, "spec_ivf")
     }
   }
+
+  test("jlWeights: deterministic Rademacher, namespaced apart from " +
+    "the sign-LSH planes") {
+    val w1 = Similarity.jlWeights(4, 8)
+    val w2 = Similarity.jlWeights(4, 8)
+    assert(w1.map(_.toSeq).toSeq == w2.map(_.toSeq).toSeq)
+    assert(w1.flatten.forall(v => v == 1.0 || v == -1.0))
+    assert(w1.map(_.toSeq).toSeq !=
+      Similarity.planeWeights(4, 8).map(_.toSeq).toSeq)
+  }
+
+  test("jlProject: basis vector e_d maps to column d of the weight " +
+    "matrix scaled by 1/sqrt(dOut) — pins the projection arithmetic") {
+    val dOut = 4; val dim = 8; val d = 3
+    val w = Similarity.jlWeights(dOut, dim)
+    val e = Seq(Seq.tabulate(dim)(i => if (i == d) 1f else 0f)).toDF("v")
+    val got = e.select(Similarity.jlProject(col("v"), dOut, dim).as("p"))
+      .as[Seq[Double]].head
+    val want = (0 until dOut).map(j => w(j)(d) / math.sqrt(dOut.toDouble))
+    assert(got == want)
+  }
+
+  test("jlProject preserves the cosine of a near-dup pair far more " +
+    "tightly than that of an independent pair (distortion scales " +
+    "with pair distance — the margin x62 rests on)") {
+    val dim = 64
+    val base = Seq.tabulate(dim)(i => math.sin(i + 1.0).toFloat)
+    val twin = base.map(v => (v + 0.05f))
+    val other = Seq.tabulate(dim)(i => math.cos(2.0 * i).toFloat)
+    val df = Seq((base, twin, other)).toDF("a", "b", "c")
+      .select(Similarity.jlProject(col("a"), 32, dim).as("ja"),
+        Similarity.jlProject(col("b"), 32, dim).as("jb"),
+        Similarity.jlProject(col("c"), 32, dim).as("jc"),
+        cosine(col("a"), col("b")).as("cab"),
+        cosine(col("a"), col("c")).as("cac"))
+    val r = df.select(col("cab"), col("cac"),
+      cosine(col("ja"), col("jb")).as("jab"),
+      cosine(col("ja"), col("jc")).as("jac")).head
+    val (cab, cac, jab, jac) =
+      (r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))
+    assert(math.abs(cab - jab) < 0.02,
+      s"near pair drifted: full $cab vs JL $jab")
+    assert(jab > jac + 0.2, "near pair must stay separated from the " +
+      s"independent pair in JL space: $jab vs $jac")
+  }
 }
