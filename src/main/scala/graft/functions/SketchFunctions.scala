@@ -52,4 +52,15 @@ object SketchFunctions {
     GraftBridge.column(BloomFilterMightContain(
       GraftBridge.expression(lit(sketch)),
       GraftBridge.expression(normKey(key))))
+
+  /** Per-key frequency estimate from a driver-collected count-min
+    * sketch (built with Spark's `count_min_sketch` aggregate, merged
+    * across shards with [[graft.plans.CmsEstimate.merge]]). Same
+    * literal-sketch transport as [[mightContain]]; the estimate is
+    * one-sided — never below the true count, above it by at most
+    * `eps * totalCount` with the sketch's configured confidence. */
+  def cmsEstimate(sketch: Array[Byte], key: Column): Column =
+    GraftBridge.column(graft.plans.CmsEstimate(
+      GraftBridge.expression(lit(sketch)),
+      GraftBridge.expression(key)))
 }

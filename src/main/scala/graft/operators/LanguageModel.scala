@@ -482,6 +482,65 @@ object LanguageModel {
   /** DuckDB twin of [[crossEntropyBuckets]]: same tokenization, same
     * add-one smoothing, same token-sorted left fold, same 6-dp
     * rounding before the per-language ntile. */
+  /** Windowed co-occurrence counting + pointwise mutual information
+    * (Church & Hanks 1990; the statistic skip-gram-with-negative-
+    * sampling embeddings implicitly factorize — Levy & Goldberg,
+    * "Neural Word Embedding as Implicit Matrix Factorization",
+    * NeurIPS 2014): directional (word, context) pairs within a
+    * FORWARD window of `window` tokens, scored
+    *
+    *   pmi(a, b) = ln( c(a,b) · T / (c(a,·) · c(·,b)) )
+    *
+    * with both marginals and the total T taken from the pair table
+    * itself (the Levy-Goldberg convention), so the statistic is
+    * self-consistent without a separate unigram pass.
+    *
+    * Scale shape: pair generation is NARROW — posexplode plus an
+    * in-row `slice` of the token array already present in the row,
+    * never a positional self-join (the naive form joins a corpus to
+    * itself on doc id + position range: at 100 TB that is a second
+    * full-corpus shuffle and a range-join; the slice form emits the
+    * same pairs from each row alone). The corpus pays exactly ONE
+    * pair-keyed aggregation shape (map-side combined); marginals and
+    * T are then derived FROM the distinct-pair count table —
+    * vocabulary²-sized, orders of magnitude below the pair stream.
+    * The pair-count frame feeds four consumers, and join-side
+    * inferred null filters make their subtrees unequal, so exchange
+    * reuse does NOT kick in (verified on the executed plan) — pass
+    * `materialize` to persist the pair counts and the corpus is
+    * scanned once, full stop; unmaterialized, the plan recomputes the
+    * (cheap, combined) aggregation per consumer. Corpus text never
+    * shuffles — only (a, b) key pairs.
+    *
+    * Determinism: the integer products c_ab·T and c_a·c_b are exact
+    * in long; ONE double division then ln, and the result is rounded
+    * to 6 dp before it is compared or ranked (the x36 BM25 boundary
+    * trick — ln differs across libms by ≤1 ulp).
+    *
+    * Output: (a, b, c_ab, pmi_r), one row per co-occurring pair. */
+  def cooccurrencePmi(docs: DataFrame, textCol: String, window: Int,
+      materialize: DataFrame => DataFrame = identity): DataFrame = {
+    require(window >= 1, s"window must be >= 1: $window")
+    val pairs = docs
+      .select(wsTokens(col(textCol)).as("__tk"))
+      .select(col("__tk"), posexplode(col("__tk")).as(Seq("__i", "a")))
+      // 0-based pos __i → the next token is 1-based index __i + 2;
+      // slice past the array end yields the empty array, which
+      // explode drops — the end-of-document taper needs no guard
+      .select(col("a"), explode(slice(col("__tk"),
+        col("__i") + lit(2), lit(window))).as("b"))
+    val cAb = materialize(pairs.groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("c_ab")))
+    val cA = cAb.groupBy(col("a")).agg(sum(col("c_ab")).as("c_a"))
+    val cB = cAb.groupBy(col("b")).agg(sum(col("c_ab")).as("c_b"))
+    val tot = cAb.agg(sum(col("c_ab")).as("t_pairs"))
+    cAb.join(cA, "a").join(cB, "b")
+      .crossJoin(broadcast(tot))
+      .select(col("a"), col("b"), col("c_ab"),
+        round(log((col("c_ab") * col("t_pairs")).cast("double") /
+          (col("c_a") * col("c_b")).cast("double")), 6).as("pmi_r"))
+  }
+
   def crossEntropyOracleSql(table: String, idCol: String, textCol: String,
       langCol: String, refPredicate: String): String = {
     val ws = s"string_split_regex(trim($textCol), '\\s+')"

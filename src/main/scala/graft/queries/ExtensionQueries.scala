@@ -3194,6 +3194,118 @@ object ExtensionQueries {
              |      FROM documents)
              |GROUP BY lang ORDER BY lang""".stripMargin)),
 
+    QuerySpec("x63_cms_frequency",
+      "sketch-based per-key frequency governance (count-min sketch, " +
+        "Cormode & Muthukrishnan 2005; Spark's count_min_sketch " +
+        "aggregate + the native cms_estimate probe, which Spark does " +
+        "not ship — without it the aggregate is write-only) — HLL " +
+        "(x61) answers `how many distinct`, CMS answers `how often " +
+        "does THIS key occur` without materializing a distinct-key " +
+        "frequency table: a fixed-size counter grid per shard with " +
+        "map-side partials, merged cell-wise (lossless, enforced " +
+        "same-params), probed per key at depth hashes per probe. " +
+        "Keyed on adjacent-token bigrams against a DELIBERATELY " +
+        "narrow grid (eps=0.005 → width 400 < the bigram vocabulary) " +
+        "so collisions are real and the one-sided contract is " +
+        "exercised, not vacuous: estimates never BELOW exact, above " +
+        "by ≤ ceil(eps·N). Both bounds REQUIREd per key over the " +
+        "top-25 bigrams and routed to the oracle as literal-TRUE " +
+        "flags — an out-of-contract sketch fails the hash gate, and " +
+        "the exact side is hash-gated against DuckDB",
+      (s, dir) => {
+        val eps = 0.005; val conf = 0.99; val seed = 42
+        val bg = t(s, dir, "documents")
+          .select(pmod(col("doc_id"), lit(4)).as("shard"),
+            wsTokens(col("text")).as("tk"))
+          .filter(size(col("tk")) >= 2)
+          .select(col("shard"), explode(arrays_zip(
+            expr("slice(tk, 1, size(tk) - 1)"),
+            expr("slice(tk, 2, size(tk) - 1)"))).as("z"))
+          .select(col("shard"),
+            concat(col("z.0"), lit(" "), col("z.1")).as("bg"))
+        // shard→merge is the pattern that matters at 100 TB: one grid
+        // per shard/day/segment, KB-scale binaries driver-merged, any
+        // rollup probed without a rescan (the x61 HLL shape, for
+        // frequencies); the collect is 4 × O(depth·width) bytes
+        val shardSk = bg.groupBy(col("shard"))
+          .agg(count_min_sketch(col("bg"), lit(eps), lit(conf),
+            lit(seed)).as("sk"))
+          .collect().toSeq.map(_.getAs[Array[Byte]]("sk"))
+        val merged = graft.plans.CmsEstimate.merge(shardSk)
+        val bound = math.ceil(eps * org.apache.spark.util.sketch
+          .CountMinSketch.readFrom(merged).totalCount).toLong
+        val top = bg.groupBy(col("bg"))
+          .agg(count(lit(1)).as("n_exact"))
+          .orderBy(col("n_exact").desc, col("bg")).limit(25)
+          .withColumn("n_est",
+            SketchFunctions.cmsEstimate(merged, col("bg")))
+        val bad = top.filter(col("n_est") < col("n_exact") ||
+          col("n_est") > col("n_exact") + lit(bound)).collect()
+        require(bad.isEmpty, "cms estimate out of contract: " +
+          bad.map(r => s"${r.get(0)} exact=${r.get(1)} est=${r.get(2)}")
+            .mkString(", "))
+        top.select(col("bg"), col("n_exact"),
+            (col("n_est") >= col("n_exact")).as("never_under"),
+            (col("n_est") <= col("n_exact") + lit(bound))
+              .as("within_bound"))
+          .orderBy(col("n_exact").desc, col("bg"))
+      },
+      Some(s"""WITH base AS (
+             |  SELECT $duckWsTokens AS tk FROM documents),
+             |pos AS (
+             |  SELECT tk, unnest(range(1, len(tk))) AS i FROM base
+             |  WHERE len(tk) >= 2)
+             |SELECT tk[i] || ' ' || tk[i+1] AS bg,
+             |  CAST(count(*) AS BIGINT) AS n_exact,
+             |  TRUE AS never_under, TRUE AS within_bound
+             |FROM pos GROUP BY bg
+             |ORDER BY n_exact DESC, bg LIMIT 25""".stripMargin)),
+
+    QuerySpec("x64_pmi_cooccurrence",
+      "windowed co-occurrence + pointwise mutual information (Church " +
+        "& Hanks 1990; the statistic SGNS embeddings implicitly " +
+        "factorize — Levy & Goldberg 2014), the embedding-prep / " +
+        "collocation-mining stage of a corpus pipeline: directional " +
+        "(word, context) pairs within a forward window of 3, " +
+        "pmi = ln(c_ab·T / (c_a·c_b)) with marginals from the pair " +
+        "table itself. Pair generation is NARROW — posexplode + an " +
+        "in-row slice of the token array already in the row, never a " +
+        "positional self-join (which at 100 TB is a second " +
+        "full-corpus shuffle + a range join); the corpus pays ONE " +
+        "pair-keyed aggregation SHAPE and the marginals + T derive " +
+        "from the distinct-pair table (vocabulary²-sized) — at scale " +
+        "the operator's materialize hook persists that table so the " +
+        "corpus is scanned once (inferred null filters defeat " +
+        "exchange reuse, verified on the executed plan) — corpus " +
+        "text never shuffles. Top-50 by support with a " +
+        "lexicographic tiebreak; integer products exact in long, one " +
+        "double division then ln, rounded to 6 dp (the x36 boundary " +
+        "trick) and hash-gated against DuckDB's independent " +
+        "position-based rederivation",
+      (s, dir) => LanguageModel.cooccurrencePmi(
+          t(s, dir, "documents"), "text", window = 3)
+        .orderBy(col("c_ab").desc, col("a"), col("b")).limit(50)
+        .orderBy(col("c_ab").desc, col("a"), col("b")),
+      Some(s"""WITH base AS (
+             |  SELECT $duckWsTokens AS tk FROM documents),
+             |pos AS (
+             |  SELECT tk, unnest(range(1, len(tk) + 1)) AS i FROM base),
+             |pairs AS (
+             |  SELECT tk[i] AS a, unnest(list_slice(tk, i + 1, i + 3)) AS b
+             |  FROM pos),
+             |cab AS (SELECT a, b, CAST(count(*) AS BIGINT) AS c_ab
+             |        FROM pairs GROUP BY a, b),
+             |ca AS (SELECT a, CAST(count(*) AS BIGINT) AS c_a
+             |       FROM pairs GROUP BY a),
+             |cb AS (SELECT b, CAST(count(*) AS BIGINT) AS c_b
+             |       FROM pairs GROUP BY b),
+             |tot AS (SELECT CAST(count(*) AS BIGINT) AS t FROM pairs)
+             |SELECT a, b, c_ab,
+             |  round(ln(CAST(c_ab * t AS DOUBLE) /
+             |           CAST(c_a * c_b AS DOUBLE)), 6) AS pmi_r
+             |FROM cab JOIN ca USING (a) JOIN cb USING (b) CROSS JOIN tot
+             |ORDER BY c_ab DESC, a, b LIMIT 50""".stripMargin)),
+
     QuerySpec("x62_jl_margin_prefilter",
       "Johnson-Lindenstrauss random-projection prefilter governance " +
         "(Johnson & Lindenstrauss 1984; Achlioptas 2003 ±1 form) — " +

@@ -99,4 +99,64 @@ class LanguageModelSpec extends SparkSpec {
     assert(got(2L)._3 < got(3L)._3 && got(3L)._3 < got(4L)._3,
       "each backoff level must score strictly higher")
   }
+
+  test("cooccurrencePmi emits directional forward-window pairs with " +
+      "hand-checked marginals and pmi values") {
+    val d = Seq((1L, "a b c d")).toDF("doc_id", "text")
+    val got = LanguageModel.cooccurrencePmi(d, "text", window = 2)
+      .as[(String, String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    // pairs: (a,b) (a,c) (b,c) (b,d) (c,d); T=5
+    // c(a,·)=2 c(b,·)=2 c(c,·)=1; c(·,b)=1 c(·,c)=2 c(·,d)=2
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    assert(got.size == 5, s"expected 5 directional pairs: ${got.keySet}")
+    assert(got(("a", "b")) == ((1L, r6(math.log(5.0 / 2.0)))))
+    assert(got(("a", "c")) == ((1L, r6(math.log(5.0 / 4.0)))))
+    assert(got(("b", "c")) == ((1L, r6(math.log(5.0 / 4.0)))))
+    assert(got(("b", "d")) == ((1L, r6(math.log(5.0 / 4.0)))))
+    assert(got(("c", "d")) == ((1L, r6(math.log(5.0 / 2.0)))))
+    assert(!got.contains(("b", "a")), "pairs are directional")
+    assert(!got.contains(("a", "d")), "window 2 cannot reach 3 ahead")
+  }
+
+  test("cooccurrencePmi: pmi is invariant under corpus duplication " +
+      "(counts double, the ratio does not), the window tapers at " +
+      "document end without a guard, and sub-window docs contribute " +
+      "nothing") {
+    val once = Seq((1L, "a b c d"), (2L, "x y"), (3L, "z"))
+      .toDF("doc_id", "text")
+    val twice = once.unionAll(once)
+    val p1 = LanguageModel.cooccurrencePmi(once, "text", window = 3)
+      .as[(String, String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    val p2 = LanguageModel.cooccurrencePmi(twice, "text", window = 3)
+      .as[(String, String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    assert(p1.contains(("x", "y")), "2-token doc yields its one pair")
+    assert(p1.keys.forall(_._1 != "z"), "1-token doc yields nothing")
+    assert(p1.keySet == p2.keySet)
+    p1.foreach { case (k, (n, pmi)) =>
+      assert(p2(k)._1 == 2 * n, s"$k: support must double")
+      assert(p2(k)._2 == pmi, s"$k: pmi must be duplication-invariant")
+    }
+  }
+
+  test("cooccurrencePmi materialize hook receives the pair-count " +
+      "frame (the single corpus-side subplan) and a persisting hook " +
+      "changes nothing about the result") {
+    val d = Seq((1L, "a b c d"), (2L, "b c d a")).toDF("doc_id", "text")
+    var hooked: Option[org.apache.spark.sql.DataFrame] = None
+    val viaHook = LanguageModel.cooccurrencePmi(d, "text", window = 2,
+        materialize = { df =>
+          hooked = Some(df)
+          df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        })
+      .as[(String, String, Long, Double)].collect().toSet
+    val plain = LanguageModel.cooccurrencePmi(d, "text", window = 2)
+      .as[(String, String, Long, Double)].collect().toSet
+    assert(viaHook == plain)
+    assert(hooked.get.columns.toSeq == Seq("a", "b", "c_ab"),
+      "the hook must see the distinct-pair count table")
+    hooked.get.unpersist(false)
+  }
 }

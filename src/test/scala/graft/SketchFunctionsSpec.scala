@@ -55,4 +55,46 @@ class SketchFunctionsSpec extends SparkSpec {
     assert(math.abs(viaShards - exact).toDouble / exact <= 0.05,
       s"estimate $viaShards outside 5% of $exact")
   }
+
+  test("cms estimates are exact when the grid dwarfs the key space " +
+      "(the probe and Spark's aggregate hash keys identically — a " +
+      "build/probe asymmetry would misestimate even without " +
+      "collisions)") {
+    val rows = (0L until 1000L).map(i => s"key-${i % 100}").toDF("k")
+    val sk = rows.agg(count_min_sketch(col("k"), lit(0.001), lit(0.99),
+      lit(7)).as("sk")).head.getAs[Array[Byte]]("sk")
+    val est = rows.distinct()
+      .select(col("k"), SketchFunctions.cmsEstimate(sk, col("k")).as("e"))
+      .as[(String, Long)].collect().toMap
+    assert(est.size == 100 && est.values.forall(_ == 10L),
+      s"collision-free grid must be exact, got ${est.values.toSet}")
+  }
+
+  test("cms grids merge losslessly (cell-wise counter sums): " +
+      "per-shard sketches merged estimate EXACTLY what one global " +
+      "sketch estimates, and never under-count, on a deliberately " +
+      "crowded grid — the properties x63's shard-then-probe pattern " +
+      "rests on") {
+    val rows = (0L until 5000L)
+      .map(i => (i % 8, s"key-${i % 499}")).toDF("shard", "k")
+    // eps=0.2 → width 10 << 499 keys: every cell crowded
+    def agg = count_min_sketch(col("k"), lit(0.2), lit(0.99), lit(7))
+    val merged = graft.plans.CmsEstimate.merge(
+      rows.groupBy(col("shard")).agg(agg.as("sk"))
+        .collect().toSeq.map(_.getAs[Array[Byte]]("sk")))
+    val global = rows.agg(agg.as("sk")).head.getAs[Array[Byte]]("sk")
+    val both = rows.groupBy(col("k")).agg(count(lit(1)).as("n"))
+      .select(col("k"), col("n"),
+        SketchFunctions.cmsEstimate(merged, col("k")).as("em"),
+        SketchFunctions.cmsEstimate(global, col("k")).as("eg"))
+      .as[(String, Long, Long, Long)].collect()
+    assert(both.length == 499)
+    both.foreach { case (k, n, em, eg) =>
+      assert(em == eg, s"$k: merged $em != global $eg")
+      assert(em >= n, s"$k: estimate $em below exact $n")
+    }
+    // the grid is genuinely crowded: overestimation must be visible
+    assert(both.count { case (_, n, em, _) => em > n } > 400,
+      "crowded grid should overestimate most keys")
+  }
 }
