@@ -63,4 +63,23 @@ object SketchFunctions {
     GraftBridge.column(graft.plans.CmsEstimate(
       GraftBridge.expression(lit(sketch)),
       GraftBridge.expression(key)))
+
+  /** Aggregate a numeric column into a serialized mergeable quantile
+    * sketch (binary) — [[graft.plans.KllSketchAgg]], the
+    * distribution-shaped sibling of `hll_sketch_agg` (distincts) and
+    * `count_min_sketch` (frequencies), which Spark ships no quantile
+    * counterpart for. Map-side partials fold rows locally; only the
+    * KB-scale sketch crosses the shuffle. */
+  def kllAgg(value: Column, k: Int): Column =
+    GraftBridge.column(graft.plans.KllSketchAgg(
+      GraftBridge.expression(value.cast("double")), k)
+      .toAggregateExpression())
+
+  /** Union serialized quantile sketches into one (the rollup half of
+    * the shard→rollup pattern — the quantile analogue of
+    * `hll_union_agg`). Probe the result driver-side via
+    * [[graft.plans.QuantileSketch.deserialize]]`.quantile(p)`. */
+  def kllUnionAgg(sketch: Column): Column =
+    GraftBridge.column(graft.plans.KllUnionAgg(
+      GraftBridge.expression(sketch)).toAggregateExpression())
 }

@@ -123,4 +123,52 @@ object Sampling {
       .filter(col("__r2") <= quota)
       .drop("__r1", "__r2")
   }
+
+  /** Deterministic weighted sampling without replacement (Efraimidis
+    * & Spirakis 2006): per class, keep the `k` rows with the largest
+    * priority `ln(u) / w`, where `u ∈ (0, 1]` derives from the row
+    * id's md5 — never `rand()` — and `w` is the row's weight. That
+    * priority is a monotone transform of E-S's `u^(1/w)` key, so the
+    * top-k by it IS a weighted sample without replacement: inclusion
+    * probability rises with weight (the token-budget-proportional /
+    * quality-score-proportional subset selection step of a corpus
+    * mix), and the draw is reproducible across runs, engines, and
+    * cluster layouts — the DuckDB oracle re-derives the identical
+    * sample from the identical md5 arithmetic.
+    *
+    * Cross-engine determinism: `u` is exact 60-bit integer arithmetic
+    * in both engines; `ln` may differ by ~1 ulp across libms (the
+    * temperatureSample pow note), so the priority is rounded to 9 dp
+    * BEFORE ranking and ties break on the id — both engines rank the
+    * same.
+    *
+    * Skew shape: same two-phase ranking as [[domainQuota]] — phase 1
+    * ranks within (class, id-hash shard) and keeps at most `k` per
+    * shard (lossless: a row with `k` higher-priority classmates in
+    * its OWN shard cannot be in the class top-k), phase 2 ranks the
+    * ≤ shards×k survivors. No task ever holds more than shards×k
+    * rows of one class; the weight column never shuffles beyond the
+    * two window exchanges. Adds `w` (the evaluated weight), `priority_r`
+    * (the rounded priority) and `rk` (the final per-class rank). */
+  def weightedSample(df: DataFrame, classCol: String, idCol: String,
+      weight: Column, k: Int, shards: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k > 0 && shards > 0, "k and shards must be positive")
+    val u = (md5Hash60(col(idCol).cast("string")) + 1).cast("double") /
+      lit((1L << 60).toDouble)
+    val pri = round(log(u) / weight.cast("double"), 9)
+    val w1 = Window
+      .partitionBy(col(classCol),
+        md5Hash60b(col(idCol).cast("string")) % shards)
+      .orderBy(col("priority_r").desc, col(idCol))
+    val w2 = Window.partitionBy(col(classCol))
+      .orderBy(col("priority_r").desc, col(idCol))
+    df.withColumn("w", weight.cast("double"))
+      .withColumn("priority_r", pri)
+      .withColumn("__r1", row_number().over(w1))
+      .filter(col("__r1") <= k)
+      .withColumn("rk", row_number().over(w2))
+      .filter(col("rk") <= k)
+      .drop("__r1")
+  }
 }

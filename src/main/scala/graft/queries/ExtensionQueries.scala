@@ -3306,6 +3306,139 @@ object ExtensionQueries {
              |FROM cab JOIN ca USING (a) JOIN cb USING (b) CROSS JOIN tot
              |ORDER BY c_ab DESC, a, b LIMIT 50""".stripMargin)),
 
+    QuerySpec("x65_kll_quantiles",
+      "sketch-based quantile governance (compactor stack in the " +
+        "Manku-Rajagopalan-Lindsay 1998 / Karnin-Lang-Liberty 2016 " +
+        "family with deterministic alternating-offset compaction; " +
+        "plans.KllSketchAgg / KllUnionAgg — Spark ships " +
+        "hll_sketch_agg for distincts and count_min_sketch for " +
+        "frequencies but NO mergeable quantile aggregate) — the " +
+        "100 TB answer to `what is the p99 per segment`: an exact " +
+        "per-group quantile sorts the full value column per group " +
+        "and two shards' exact answers do not combine, while the " +
+        "sketch is a few KB per group with map-side partials and " +
+        "MERGES (build per shard/day/segment once, roll up to any " +
+        "scope without a rescan — the x61/x63 shard→rollup shape). " +
+        "k=256 is DELIBERATELY small against ~20k values/group so " +
+        "compaction fires for real (builder REQUIREs retained < n); " +
+        "governance gates on the measured TRUE rank of every " +
+        "estimate over the data itself (|rank(est) - p| <= 0.02 per " +
+        "group x probe), routed to the oracle as literal-TRUE " +
+        "flags; the exact side is hash-gated (Spark percentile and " +
+        "DuckDB quantile_cont are both p*(n-1) linear interpolation)",
+      (s, dir) => {
+        val kParam = 256
+        val probes = Seq(0.1, 0.5, 0.9, 0.99)
+        val tol = 0.02
+        val vals = t(s, dir, "lineitem").select(
+          col("l_returnflag").as("grp"),
+          pmod(col("l_orderkey"), lit(8)).as("shard"),
+          col("l_extendedprice").cast("double").as("v"))
+        // shard sketches -> per-group rollup; the collect is one
+        // KB-scale binary per group, never the value column
+        val merged = vals.groupBy(col("grp"), col("shard"))
+          .agg(SketchFunctions.kllAgg(col("v"), kParam).as("sk"))
+          .groupBy(col("grp"))
+          .agg(SketchFunctions.kllUnionAgg(col("sk")).as("sk"))
+          .collect()
+        val ests = merged.toSeq.flatMap { r =>
+          val sk = graft.plans.QuantileSketch
+            .deserialize(r.getAs[Array[Byte]]("sk"))
+          require(sk.retained < sk.n,
+            s"sketch never compacted (n=${sk.n}, k=$kParam vacuous)")
+          probes.map(p => (r.getString(0), p, sk.quantile(p)))
+        }
+        import s.implicits._
+        val estDf = ests.toDF("grp", "p", "est")
+        val bad = vals.join(broadcast(estDf), Seq("grp"))
+          .groupBy(col("grp"), col("p"))
+          .agg((sum(when(col("v") <= col("est"), 1L).otherwise(0L))
+            .cast("double") / count(lit(1))).as("true_rank"))
+          .filter(abs(col("true_rank") - col("p")) > tol).collect()
+        require(bad.isEmpty, "kll rank error out of bounds: " +
+          bad.map(r => s"${r.get(0)}@p=${r.get(1)} rank=${r.get(2)}")
+            .mkString(", "))
+        vals.groupBy(col("grp"))
+          .agg(expr(s"percentile(v, array(${probes.mkString(", ")}))")
+            .as("qs"))
+          .select(col("grp"), posexplode(col("qs")))
+          .select(col("grp"),
+            element_at(array(probes.map(lit): _*), col("pos") + 1)
+              .as("p"),
+            round(col("col"), 6).as("q_exact"),
+            lit(true).as("rank_ok"))
+          .orderBy(col("grp"), col("p"))
+      },
+      Some("""WITH v AS (
+             |  SELECT l_returnflag AS grp,
+             |    CAST(l_extendedprice AS DOUBLE) AS v FROM lineitem)
+             |SELECT grp, CAST(0.1 AS DOUBLE) AS p,
+             |  round(quantile_cont(v, 0.1), 6) AS q_exact,
+             |  TRUE AS rank_ok FROM v GROUP BY grp
+             |UNION ALL
+             |SELECT grp, CAST(0.5 AS DOUBLE),
+             |  round(quantile_cont(v, 0.5), 6), TRUE FROM v GROUP BY grp
+             |UNION ALL
+             |SELECT grp, CAST(0.9 AS DOUBLE),
+             |  round(quantile_cont(v, 0.9), 6), TRUE FROM v GROUP BY grp
+             |UNION ALL
+             |SELECT grp, CAST(0.99 AS DOUBLE),
+             |  round(quantile_cont(v, 0.99), 6), TRUE FROM v GROUP BY grp
+             |ORDER BY grp, p""".stripMargin)),
+
+    QuerySpec("x66_weighted_sample",
+      "deterministic weighted sampling without replacement " +
+        "(Efraimidis & Spirakis 2006): per-lang top-10 by the " +
+        "md5-derived priority ln(u)/w with w = whitespace token " +
+        "count — token-budget-proportional document selection, the " +
+        "corpus-mix subset step where longer (or higher-quality) " +
+        "documents should be proportionally likelier to survive. No " +
+        "rand() anywhere: u is exact 60-bit md5 integer arithmetic " +
+        "and the priority rounds to 9 dp BEFORE ranking (ln differs " +
+        "across libms by ~1 ulp — the temperatureSample pow note) " +
+        "with id tiebreaks, so runs, engines, and cluster layouts " +
+        "draw the IDENTICAL sample. Skew shape: two-phase " +
+        "(lang, id-hash shard) then lang ranking (the x30 " +
+        "domain-quota pattern — no task holds more than shards x k " +
+        "rows of one lang), and the hash gate against DuckDB's " +
+        "ONE-phase window proves the shard discard lossless " +
+        "cross-engine. Builder REQUIREs the sample's mean weight " +
+        "exceeds the corpus mean — the bias weighted sampling " +
+        "exists to produce",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val w = greatest(lit(1L), size(col("__tk")).cast("long"))
+        val sampled = Sampling.weightedSample(
+          docs.select(col("lang"), col("doc_id"),
+            wsTokens(col("text")).as("__tk")),
+          "lang", "doc_id", w, k = 10)
+        val corpusMean = docs.agg(avg(greatest(lit(1L),
+          size(wsTokens(col("text"))).cast("long")))).head.getDouble(0)
+        val sampleMean = sampled.agg(avg(col("w"))).head.getDouble(0)
+        require(sampleMean > corpusMean,
+          f"weighted sample mean weight $sampleMean%.2f does not " +
+            f"exceed corpus mean $corpusMean%.2f")
+        sampled.select(col("lang"), col("doc_id"),
+            col("w").cast("long").as("w_tokens"), col("priority_r"),
+            col("rk").cast("long").as("rk"))
+          .orderBy(col("lang"), col("rk"))
+      },
+      Some(s"""WITH d AS (
+             |  SELECT lang, doc_id,
+             |    CAST(greatest(1, len($duckWsTokens)) AS DOUBLE) AS w,
+             |    (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+             |      ::BIGINT + 1) / 1152921504606846976.0 AS u
+             |  FROM documents),
+             |r AS (
+             |  SELECT lang, doc_id, w,
+             |    round(ln(u) / w, 9) AS priority_r,
+             |    row_number() OVER (PARTITION BY lang
+             |      ORDER BY round(ln(u) / w, 9) DESC, doc_id) AS rk
+             |  FROM d)
+             |SELECT lang, doc_id, CAST(w AS BIGINT) AS w_tokens,
+             |  priority_r, CAST(rk AS BIGINT) AS rk
+             |FROM r WHERE rk <= 10 ORDER BY lang, rk""".stripMargin)),
+
     QuerySpec("x62_jl_margin_prefilter",
       "Johnson-Lindenstrauss random-projection prefilter governance " +
         "(Johnson & Lindenstrauss 1984; Achlioptas 2003 ±1 form) — " +

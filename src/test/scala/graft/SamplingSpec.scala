@@ -111,4 +111,51 @@ class SamplingSpec extends SparkSpec {
     val torn = naive.groupBy(_._1).count(_._2.map(_._2).distinct.length > 1)
     assert(torn > 0, "doc-keyed split should tear at least one cluster")
   }
+
+  // driver-side replica of the md5-derived 60-bit hash (chars 1..15
+  // of the hex digest), for brute-force agreement checks
+  private def md5Hash60Local(s: String): Long =
+    java.lang.Long.parseLong(java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.substring(0, 15), 16)
+
+  test("weightedSample matches a brute-force one-phase Efraimidis-" +
+      "Spirakis draw exactly for any shard count (the two-phase " +
+      "shard discard is lossless) and is deterministic") {
+    val rows = (1L to 500L).map(i =>
+      (if (i % 2 == 0) "en" else "de", i, 1.0 + (i % 17).toDouble))
+      .toDF("cls", "id", "wt")
+    val brute = rows.as[(String, Long, Double)].collect()
+      .map { case (cls, id, wt) =>
+        val u = (md5Hash60Local(id.toString) + 1).toDouble / math.pow(2, 60)
+        val pri = BigDecimal(math.log(u) / wt)
+          .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+        (cls, id, pri) }
+      .groupBy(_._1).toSeq.flatMap { case (_, g) =>
+        g.sortBy(r => (-r._3, r._2)).take(7) }
+      .map(r => (r._1, r._2)).toSet
+    for (shards <- Seq(1, 4, 64)) {
+      val got = Sampling.weightedSample(rows, "cls", "id", col("wt"),
+          k = 7, shards = shards)
+        .select($"cls", $"id").as[(String, Long)].collect().toSet
+      assert(got == brute, s"shards=$shards diverged from brute force")
+    }
+  }
+
+  test("weightedSample is weight-biased: heavy rows dominate the " +
+      "sample far beyond their population share") {
+    // 500 rows of weight 1, 50 rows of weight 100 (9% of the
+    // population, ~91% of the mass)
+    val rows = ((1L to 500L).map(i => ("c", i, 1.0)) ++
+      (1001L to 1050L).map(i => ("c", i, 100.0))).toDF("cls", "id", "wt")
+    val got = Sampling.weightedSample(rows, "cls", "id", col("wt"), k = 20)
+      .select($"id").as[Long].collect().toSet
+    val heavy = got.count(_ > 1000L)
+    assert(heavy >= 15,
+      s"expected heavy rows to dominate the top-20, got $heavy/20")
+    // rank column is a correct 1..k per class
+    val rks = Sampling.weightedSample(rows, "cls", "id", col("wt"), k = 20)
+      .select($"rk").as[Int].collect().sorted.toSeq
+    assert(rks == (1 to 20), s"ranks must be 1..20, got $rks")
+  }
 }

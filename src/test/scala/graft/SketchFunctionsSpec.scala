@@ -97,4 +97,84 @@ class SketchFunctionsSpec extends SparkSpec {
     assert(both.count { case (_, n, em, _) => em > n } > 400,
       "crowded grid should overestimate most keys")
   }
+
+  // a deterministic permutation of 0..n-1 (2654435761 is odd and ends
+  // in 1, so it is coprime with 10^k moduli) — adversarial-ish insert
+  // order without rand(), so measured error bounds stay pinned
+  private def permuted(n: Int): IndexedSeq[Double] =
+    (0 until n).map(i => ((i.toLong * 2654435761L) % n).toDouble)
+
+  test("kll sketch conserves mass exactly (totalWeight == n through " +
+      "every compaction), compacts for real, and bounds rank error " +
+      "on a known uniform stream") {
+    val sk = new graft.plans.QuantileSketch(128)
+    val n = 100000
+    permuted(n).foreach(sk.update)
+    assert(sk.n == n)
+    assert(sk.totalWeight == n,
+      s"mass leaked: totalWeight ${sk.totalWeight} != n $n")
+    assert(sk.retained < n / 20,
+      s"sketch barely compacted: retained ${sk.retained}")
+    // true p-quantile of {0..n-1} is ~p*n; measured max error for
+    // this deterministic insert order is ~0.004 — pin 3x headroom
+    for (p <- Seq(0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99)) {
+      val est = sk.quantile(p)
+      val err = math.abs(est / n - p)
+      assert(err <= 0.012, s"p=$p est=$est rank error $err > 0.012")
+    }
+  }
+
+  test("kll quantile estimates are monotone in p (one cumulative " +
+      "scan serves every probe) and serialization roundtrips " +
+      "bit-identically") {
+    val sk = new graft.plans.QuantileSketch(64)
+    permuted(20000).foreach(sk.update)
+    val ps = (0 to 100).map(_ / 100.0)
+    val qs = ps.map(sk.quantile)
+    assert(qs.sliding(2).forall(w => w(0) <= w(1)),
+      "quantile must be nondecreasing in p")
+    val rt = graft.plans.QuantileSketch.deserialize(sk.serialize)
+    assert(rt.n == sk.n && rt.k == sk.k && rt.retained == sk.retained)
+    assert(ps.map(rt.quantile) == qs,
+      "roundtripped sketch must answer identically")
+  }
+
+  test("kll sketches merge through the DataFrame aggregates (map-side " +
+      "partials + union rollup) within the same rank-error envelope " +
+      "as direct building — the property x65's shard-then-rollup " +
+      "pattern rests on — and reject mismatched k") {
+    val n = 50000
+    val rows = permuted(n).zipWithIndex
+      .map { case (v, i) => (i % 8, v) }.toDF("shard", "v")
+    val merged = graft.plans.QuantileSketch.deserialize(
+      rows.groupBy(col("shard"))
+        .agg(SketchFunctions.kllAgg(col("v"), 128).as("sk"))
+        .agg(SketchFunctions.kllUnionAgg(col("sk")).as("sk"))
+        .head.getAs[Array[Byte]]("sk"))
+    assert(merged.n == n)
+    assert(merged.totalWeight == n, "mass must survive the merge path")
+    for (p <- Seq(0.1, 0.5, 0.9, 0.99)) {
+      val err = math.abs(merged.quantile(p) / n - p)
+      assert(err <= 0.02, s"merged sketch p=$p rank error $err > 0.02")
+    }
+    val a = new graft.plans.QuantileSketch(64)
+    val b = new graft.plans.QuantileSketch(128)
+    a.update(1.0); b.update(2.0)
+    val e = intercept[IllegalArgumentException](a.merge(b))
+    assert(e.getMessage.contains("different k"))
+  }
+
+  test("kll aggregate skips nulls and an uninitialized union " +
+      "accumulator adopts the first input's k (empty-group safety)") {
+    val rows = Seq[(Int, Option[Double])]((0, Some(1.0)), (0, None),
+      (0, Some(3.0)), (1, Some(2.0))).toDF("g", "v")
+    val sks = rows.groupBy(col("g"))
+      .agg(SketchFunctions.kllAgg(col("v"), 16).as("sk"))
+    val union = graft.plans.QuantileSketch.deserialize(
+      sks.agg(SketchFunctions.kllUnionAgg(col("sk")).as("u"))
+        .head.getAs[Array[Byte]]("u"))
+    assert(union.n == 3, s"nulls must not count: n=${union.n}")
+    assert(union.k == 16, "union accumulator must adopt input k")
+    assert(union.quantile(0.5) == 2.0)
+  }
 }
