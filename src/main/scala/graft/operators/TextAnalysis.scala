@@ -107,6 +107,20 @@ object TextAnalysis {
       GraftBridge.expression(textCol)))
   }
 
+  /** Shannon entropy (nats) of the character distribution — the
+    * information-theoretic quality signal ([[graft.plans.CharEntropy]]:
+    * one in-row codegen'd pass, ASCII fast path). Catches NARROW
+    * ALPHABETS (keyboard mash, padding runs, template boilerplate)
+    * that length/stopword signals miss; complements x26's n-gram
+    * repetition ratios, which catch repeated STRUCTURE. Fold order is
+    * ascending-codepoint left-to-right — part of the cross-engine
+    * contract (floating addition is not associative). */
+  def charEntropy(textCol: Column): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(graft.plans.CharEntropy(
+      GraftBridge.expression(textCol)))
+  }
+
   /** Stopword ratio over a token array (English stopword set). */
   def stopwordRatioFromTokens(toks: Column): Column =
     tokensInArr(toks, stopwords).cast("double") / size(toks).cast("long")

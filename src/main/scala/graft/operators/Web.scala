@@ -301,4 +301,83 @@ object Web {
        |WHEN contains($e, '.') THEN regexp_extract($e, '([^.]+\\.[^.]+)$$', 1)
        |ELSE $e END""".stripMargin
   }
+
+  // ---- HTML text + outlink extraction ------------------------------
+
+  /** The crawl-ingest stage BEFORE every text operator in this
+    * library: a fetched page is markup, and quality scoring, dedup
+    * keys, language ID and token counts over raw HTML measure the
+    * boilerplate, not the document. RE2 has no backreferences, so
+    * script and style containers are removed by two separate
+    * container-specific passes instead of one `<(script|style)>.*?
+    * </\1>` alternation (which would let `<script>...</style>`
+    * cross-match); containers go FIRST so their payload (which
+    * legitimately contains `<`, `>` and quotes — `if (x < 2)`) never
+    * reaches the generic tag strip. */
+  private val scriptRe = "(?is)<script\\b[^>]*>.*?</script\\s*>"
+  private val styleRe = "(?is)<style\\b[^>]*>.*?</style\\s*>"
+  private val commentRe = "(?s)<!--.*?-->"
+  private val tagRe = "<[^>]*>"
+
+  /** Double-quoted `href` targets of anchor tags (group 1). */
+  private val hrefRe = "(?i)<a\\b[^>]*\\bhref\\s*=\\s*\"([^\"]*)\""
+
+  /** Entity decodes, in application order — `&amp;` LAST, the
+    * standard order that keeps `&amp;lt;` from double-decoding into
+    * `<`. The six cover the entities non-XML crawl text actually
+    * uses; unknown entities pass through as text. */
+  private val htmlEntities: Seq[(String, String)] = Seq(
+    "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"", "&#39;" -> "'",
+    "&nbsp;" -> " ", "&amp;" -> "&")
+
+  /** Visible text of an HTML page: drop script/style containers with
+    * their payload, drop comments, replace every remaining tag with a
+    * space, decode the common entities, collapse whitespace. A chain
+    * of codegen'd replaces — narrow, zero shuffle, runs where the
+    * page bytes already are; at 100 TB this is the projection that
+    * turns a crawl table into the `text` column every downstream
+    * operator (x1/x8/x9/x21...) consumes. */
+  def htmlToText(html: Column): Column = {
+    val noScript = regexp_replace(html, scriptRe, " ")
+    val noStyle = regexp_replace(noScript, styleRe, " ")
+    val noComment = regexp_replace(noStyle, commentRe, " ")
+    val noTags = regexp_replace(noComment, tagRe, " ")
+    val decoded = htmlEntities.foldLeft(noTags) {
+      case (c, (ent, ch)) => replace(c, lit(ent), lit(ch))
+    }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
+  /** Outlink targets (double-quoted anchor hrefs, document order) —
+    * the edge-extraction step that feeds URL canonicalization
+    * ([[canonicalUrl]]), per-domain quotas and the x55 link graph.
+    * Script containers and comments are stripped first so
+    * commented-out or script-embedded markup never contributes
+    * edges. */
+  def extractLinks(html: Column): Column =
+    regexp_extract_all(
+      regexp_replace(regexp_replace(html, scriptRe, " "), commentRe, " "),
+      lit(hrefRe), lit(1))
+
+  private def sq(s: String): String = "'" + s.replace("'", "''") + "'"
+
+  /** DuckDB twin of [[htmlToText]] over SQL expression `e` — same
+    * regex constants, same entity order; DuckDB needs the explicit
+    * 'g' flag for replace-all. */
+  def htmlToTextSql(e: String): String = {
+    val noScript = s"regexp_replace($e, ${sq(scriptRe)}, ' ', 'g')"
+    val noStyle = s"regexp_replace($noScript, ${sq(styleRe)}, ' ', 'g')"
+    val noComment = s"regexp_replace($noStyle, ${sq(commentRe)}, ' ', 'g')"
+    val noTags = s"regexp_replace($noComment, ${sq(tagRe)}, ' ', 'g')"
+    val decoded = htmlEntities.foldLeft(noTags) {
+      case (c, (ent, ch)) => s"replace($c, ${sq(ent)}, ${sq(ch)})"
+    }
+    s"trim(regexp_replace($decoded, '\\s+', ' ', 'g'))"
+  }
+
+  /** DuckDB twin of [[extractLinks]] over SQL expression `e`. */
+  def extractLinksSql(e: String): String =
+    s"regexp_extract_all(regexp_replace(regexp_replace($e, " +
+      s"${sq(scriptRe)}, ' ', 'g'), ${sq(commentRe)}, ' ', 'g'), " +
+      s"${sq(hrefRe)}, 1)"
 }

