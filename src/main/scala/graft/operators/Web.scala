@@ -359,6 +359,31 @@ object Web {
       regexp_replace(regexp_replace(html, scriptRe, " "), commentRe, " "),
       lit(hrefRe), lit(1))
 
+  /** Whole anchor elements (open tag through close tag) and the
+    * href attribute within one, for [[extractAnchors]]. */
+  private val anchorRe = "(?is)<a\\b[^>]*>.*?</a\\s*>"
+  private val hrefAttrRe = "(?i)href\\s*=\\s*\"([^\"]*)\""
+
+  /** (href, anchor text) pairs of a page's anchors, document order —
+    * the inbound-description signal: aggregated per canonical TARGET,
+    * anchor text is how the rest of the web describes a page (the
+    * classic ranking/retrieval-training signal that the page's own
+    * text cannot provide). Script containers and comments strip
+    * first, as in [[extractLinks]]; anchor text is the element's
+    * tag-stripped, whitespace-collapsed payload. Returns
+    * `array<struct<href, anchor>>` — explode, canonicalize href with
+    * [[canonicalUrl]], and group by the canonical target (one
+    * short-string shuffle; the page bytes stay put). */
+  def extractAnchors(html: Column): Column = {
+    val stripped =
+      regexp_replace(regexp_replace(html, scriptRe, " "), commentRe, " ")
+    transform(regexp_extract_all(stripped, lit(anchorRe), lit(0)),
+      e => struct(
+        regexp_extract(e, hrefAttrRe, 1).as("href"),
+        trim(regexp_replace(regexp_replace(e, tagRe, " "), "\\s+", " "))
+          .as("anchor")))
+  }
+
   private def sq(s: String): String = "'" + s.replace("'", "''") + "'"
 
   /** DuckDB twin of [[htmlToText]] over SQL expression `e` — same
@@ -380,4 +405,15 @@ object Web {
     s"regexp_extract_all(regexp_replace(regexp_replace($e, " +
       s"${sq(scriptRe)}, ' ', 'g'), ${sq(commentRe)}, ' ', 'g'), " +
       s"${sq(hrefRe)}, 1)"
+
+  /** DuckDB twin of [[extractAnchors]] over SQL expression `e` —
+    * same constants; returns `list<struct(href, anchor)>`. */
+  def extractAnchorsSql(e: String): String = {
+    val stripped = s"regexp_replace(regexp_replace($e, " +
+      s"${sq(scriptRe)}, ' ', 'g'), ${sq(commentRe)}, ' ', 'g')"
+    s"list_transform(regexp_extract_all($stripped, ${sq(anchorRe)}), " +
+      s"x -> struct_pack(href := regexp_extract(x, ${sq(hrefAttrRe)}, 1), " +
+      s"anchor := trim(regexp_replace(regexp_replace(x, ${sq(tagRe)}, " +
+      s"' ', 'g'), '\\s+', ' ', 'g'))))"
+  }
 }

@@ -3853,6 +3853,196 @@ object ExtensionQueries {
              |  entropy_r < 2.0 AS is_degenerate
              |FROM e ORDER BY doc_id""".stripMargin)),
 
+    QuerySpec("x69_anchor_text",
+      "anchor-text aggregation per canonical link target — the " +
+        "inbound-description signal: anchor text is how the REST of " +
+        "the web describes a page (the classic ranking/" +
+        "retrieval-training-pair signal a page's own text cannot " +
+        "provide), so the operator inverts the link graph: extract " +
+        "(href, anchor) pairs per page (Web.extractAnchors — " +
+        "script/comment noise stripped first, the x67 contract), " +
+        "canonicalize the href (x56 — WITHOUT canonicalization " +
+        "`:443/p//5/?utm_source=x` and `/p/5` split one page's " +
+        "anchor evidence across keys), and aggregate per target. " +
+        "Scale shape: pair extraction is narrow in-row regexp work; " +
+        "the ONE shuffle is keyed on the ~40-byte canonical target " +
+        "carrying short anchor strings — page bytes never move; a " +
+        "boilerplate-anchor hot target (every page linking `hub`) " +
+        "concentrates rows, which map-side partial aggregation " +
+        "absorbs (count/count-distinct/set-collect all fold " +
+        "per-partition first; the fixture's hub key, linked from " +
+        "EVERY document, is the deliberate hot-key probe). Builder " +
+        "REQUIREs the hub target aggregates every source doc into " +
+        "exactly 5 distinct anchor variants and no ghost/script " +
+        "anchor leaks; hash-gated against the same-constants DuckDB " +
+        "twins end-to-end (extraction, canonicalization, " +
+        "aggregation)",
+      (s, dir) => {
+        import graft.operators.Web
+        val id = col("doc_id").cast("string")
+        val html = concat(
+          lit("<html><body><p>intro</p><a href=\"https://www.s"),
+          pmod(col("doc_id"), lit(7)).cast("string"),
+          lit(".example.test:443/p//"),
+          pmod(col("doc_id"), lit(40)).cast("string"),
+          lit("/?utm_source=x\">guide "),
+          pmod(col("doc_id"), lit(3)).cast("string"),
+          lit(" for s"), pmod(col("doc_id"), lit(7)).cast("string"),
+          lit("</a><a href=\"http://hub.example.test/\"> hub  "),
+          pmod(col("doc_id"), lit(5)).cast("string"),
+          lit(" </a><!-- <a href=\"http://x.test/g\">ghost</a> -->" +
+            "<script>var a = '<a href=\"http://x.test/j\">js</a>';" +
+            "</script></body></html>"))
+        val pairs = t(s, dir, "documents")
+          .select(col("doc_id"), html.as("html"))
+          .select(col("doc_id"),
+            explode(Web.extractAnchors(col("html"))).as("a"))
+          .select(col("doc_id"),
+            Web.canonicalUrl(col("a.href")).as("target"),
+            col("a.anchor").as("anchor"))
+        val agg = pairs.groupBy(col("target"))
+          .agg(count(lit(1)).as("n_anchors"),
+            countDistinct(col("doc_id")).as("n_sources"),
+            array_join(array_sort(collect_set(col("anchor"))), " | ")
+              .as("anchors_set"))
+        val nDocs = t(s, dir, "documents").count()
+        val hub = agg.filter(col("target") === "http://hub.example.test/")
+          .collect()
+        require(hub.length == 1 &&
+          hub.head.getAs[Long]("n_sources") == nDocs &&
+          hub.head.getAs[String]("anchors_set").split(" \\| ").length == 5,
+          s"hot-key target must aggregate all $nDocs docs into 5 " +
+            s"anchor variants: ${hub.toSeq}")
+        val leaked = pairs.filter(col("anchor").contains("ghost") ||
+          col("anchor").contains("js")).count()
+        require(leaked == 0, s"$leaked commented/script anchors leaked")
+        agg.orderBy(col("target"))
+      },
+      Some {
+        import graft.operators.Web
+        s"""WITH h AS (
+           |  SELECT doc_id,
+           |    '<html><body><p>intro</p><a href="https://www.s' ||
+           |    CAST(doc_id % 7 AS VARCHAR) || '.example.test:443/p//' ||
+           |    CAST(doc_id % 40 AS VARCHAR) || '/?utm_source=x">guide ' ||
+           |    CAST(doc_id % 3 AS VARCHAR) || ' for s' ||
+           |    CAST(doc_id % 7 AS VARCHAR) ||
+           |    '</a><a href="http://hub.example.test/"> hub  ' ||
+           |    CAST(doc_id % 5 AS VARCHAR) ||
+           |    ' </a><!-- <a href="http://x.test/g">ghost</a> -->' ||
+           |    '<script>var a = ''<a href="http://x.test/j">js</a>'';' ||
+           |    '</script></body></html>' AS html
+           |  FROM documents),
+           |p AS (
+           |  SELECT doc_id,
+           |    unnest(${Web.extractAnchorsSql("html")}) AS a
+           |  FROM h),
+           |c AS (
+           |  SELECT doc_id, a.anchor AS anchor, a.href AS href FROM p),
+           |k AS (
+           |  SELECT doc_id, anchor,
+           |    ${Web.canonicalUrlSql("href")} AS target
+           |  FROM c)
+           |SELECT target, CAST(count(*) AS BIGINT) AS n_anchors,
+           |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_sources,
+           |  array_to_string(list_sort(list(DISTINCT anchor)), ' | ')
+           |    AS anchors_set
+           |FROM k GROUP BY target ORDER BY target""".stripMargin
+      }),
+
+    QuerySpec("x70_prefix_filter_join",
+      "EXACT-threshold set-similarity self-join via prefix filtering " +
+        "(Chaudhuri et al. 2006; Bayardo et al. 2007 All-Pairs; Xiao " +
+        "et al. 2008 PPJoin) — the exact complement to the " +
+        "probabilistic MinHash path (x3): every pair with word-" +
+        "3-shingle-set Jaccard >= 0.7 is found with NO false " +
+        "negatives, because a document's PREFIX (its " +
+        "|d| - ceil(t|d|) + 1 globally-RAREST shingles) must " +
+        "intersect the prefix of any set within threshold — recall " +
+        "is a theorem, candidate volume is the knob. Scale shape: " +
+        "one shingle-keyed frequency agg, one doc-keyed ordered-set " +
+        "agg (persisted: one corpus scan serves candidates AND " +
+        "verify), one prefix-shingle equi-join — the rarest-first " +
+        "ordering bounds exactly the posting lists that explode in a " +
+        "naive token join — then per-pair exact-Jaccard " +
+        "adjudication. Builder REQUIREs candidates <= 5% of " +
+        "all-pairs (the filter must actually filter) and every " +
+        "synthesized twin pair found (doc_id%10==0 twinned with its " +
+        "first token dropped: shingle Jaccard (n-1)/n >= 0.7); " +
+        "DuckDB re-derives the whole pipeline — frequencies, " +
+        "ordering, prefixes, candidates, verification — from the " +
+        "same constants",
+      (s, dir) => {
+        val base = t(s, dir, "documents")
+          .select(col("doc_id"), col("text"))
+        val twins = base.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 1000000).as("doc_id"),
+            expr("substring(text, instr(text, ' ') + 1)").as("text"))
+        val corpus = base.unionByName(twins)
+        val sets = Dedup.prefixFilterSets(corpus, "doc_id", "text", 3)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val cands = Dedup.prefixFilterCandidates(sets, "doc_id", 0.7)
+          val verified =
+            Dedup.prefixFilterVerify(sets, cands, "doc_id", 0.7)
+          val nCand = cands.count()
+          val m = corpus.count()
+          require(nCand * 20 <= m * (m - 1) / 2,
+            s"prefix filter degenerated: $nCand candidates vs " +
+              s"${m * (m - 1) / 2} all-pairs")
+          val missed = base.filter(col("doc_id") % 10 === 0)
+            .select(col("doc_id").as("id_a"),
+              (col("doc_id") + 1000000).as("id_b"))
+            .join(verified, Seq("id_a", "id_b"), "left_anti").count()
+          require(missed == 0,
+            s"$missed twin pairs missed — completeness broken")
+          verified.select(col("id_a"), col("id_b"),
+              round(col("jac"), 6).as("jac_r"))
+            .orderBy(col("id_a"), col("id_b"))
+        } finally sets.unpersist(false)
+      },
+      Some("""WITH base AS (
+             |  SELECT doc_id, text FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 1000000,
+             |    substring(text, strpos(text, ' ') + 1)
+             |  FROM documents WHERE doc_id % 10 = 0),
+             |tk AS (
+             |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk,
+             |    trim(text) AS t
+             |  FROM base),
+             |sh AS (
+             |  SELECT doc_id, unnest(list_distinct(
+             |    CASE WHEN len(tk) >= 3 THEN list_transform(
+             |      range(1, len(tk) - 1),
+             |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+             |    ELSE [t] END)) AS g
+             |  FROM tk),
+             |f AS (SELECT g, CAST(count(*) AS BIGINT) AS f
+             |      FROM sh GROUP BY g),
+             |sets AS (
+             |  SELECT doc_id, list(g ORDER BY f, g) AS toks,
+             |    CAST(count(*) AS BIGINT) AS sz
+             |  FROM sh JOIN f USING (g) GROUP BY doc_id),
+             |pref AS (
+             |  SELECT doc_id, unnest(
+             |    toks[1 : CAST(sz - ceil(0.7 * sz) + 1 AS INT)]) AS p
+             |  FROM sets),
+             |cand AS (
+             |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             |  FROM pref a JOIN pref b
+             |    ON a.p = b.p AND a.doc_id < b.doc_id),
+             |v AS (
+             |  SELECT id_a, id_b,
+             |    CAST(len(list_intersect(x.toks, y.toks)) AS DOUBLE) /
+             |      (x.sz + y.sz - len(list_intersect(x.toks, y.toks)))
+             |      AS jac
+             |  FROM cand
+             |  JOIN sets x ON x.doc_id = id_a
+             |  JOIN sets y ON y.doc_id = id_b)
+             |SELECT id_a, id_b, round(jac, 6) AS jac_r
+             |FROM v WHERE jac >= 0.7 ORDER BY id_a, id_b""".stripMargin)),
+
     QuerySpec("x57_ann_index_roundtrip",
       "ANN index lifecycle, IVF persistence leg: centroids trained " +
         "once, persisted as parquet tables with a manifest (kind, " +

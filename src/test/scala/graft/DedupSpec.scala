@@ -385,4 +385,51 @@ class DedupSpec extends SparkSpec {
     assert(removal == Seq((2L, 3L, 10L, 8L, 1L)),
       s"removal view reports only the non-first occurrence: $removal")
   }
+
+  test("prefixFilterCandidates is COMPLETE against brute force at " +
+      "every threshold (the prefix theorem, checked not assumed) and " +
+      "prefixFilterVerify agrees with brute-force Jaccard exactly") {
+    import org.apache.spark.sql.functions._
+    // 60 docs over a seeded pool: doc i draws 12 words starting at a
+    // deterministic offset with stride, so neighbors overlap heavily
+    // and distant docs barely — a full spread of true Jaccards
+    val pool = (0 until 40).map(w => s"w$w")
+    val corpus = (0L until 60L).map { i =>
+      val words = (0 until 12).map(j => pool(((i * 3 + j * (1 + (i % 2))) % 40).toInt))
+      (i, words.mkString(" "))
+    }.toDF("doc_id", "text")
+    val sets = graft.operators.Dedup
+      .prefixFilterSets(corpus, "doc_id", "text", 3)
+    val collected = sets
+      .select($"doc_id", $"toks", $"sz").as[(Long, Seq[String], Long)]
+      .collect().map(r => (r._1, r._2.toSet)).sortBy(_._1)
+    def bruteAt(t: Double): Map[(Long, Long), Double] = (for {
+      a <- collected; b <- collected if a._1 < b._1
+      i = (a._2 & b._2).size
+      j = i.toDouble / (a._2.size + b._2.size - i)
+      if j >= t
+    } yield ((a._1, b._1), j)).toMap
+    for (t <- Seq(0.5, 0.7, 0.9)) {
+      val truth = bruteAt(t)
+      val cands = graft.operators.Dedup
+        .prefixFilterCandidates(sets, "doc_id", t)
+        .as[(Long, Long)].collect().toSet
+      val missedCand = truth.keySet -- cands
+      assert(missedCand.isEmpty,
+        s"t=$t: candidates missed true pairs $missedCand")
+      val got = graft.operators.Dedup
+        .prefixFilterVerify(sets, graft.operators.Dedup
+          .prefixFilterCandidates(sets, "doc_id", t), "doc_id", t)
+        .select($"id_a", $"id_b", $"jac")
+        .as[(Long, Long, Double)].collect()
+        .map(r => ((r._1, r._2), r._3)).toMap
+      assert(got.keySet == truth.keySet,
+        s"t=$t: verified pairs diverge from brute force")
+      got.foreach { case (k, j) =>
+        assert(math.abs(j - truth(k)) < 1e-12, s"t=$t $k: $j vs ${truth(k)}")
+      }
+      // the filter must filter: fewer candidates than all-pairs
+      assert(cands.size < 60 * 59 / 2, s"t=$t: candidate set degenerate")
+    }
+  }
 }

@@ -218,4 +218,22 @@ class WebSpec extends SparkSpec {
       Seq("http://a.test/1", "http://a.test/2", "http://a.test/3"))
     assert(links("<p>no anchors here</p>").isEmpty)
   }
+
+  test("extractAnchors pairs each href with its tag-stripped, " +
+      "whitespace-collapsed anchor text, in document order, ignoring " +
+      "commented and script-embedded anchors") {
+    val html = "<a href=\"http://a.test/1\"> first  link </a>" +
+      "<a href=\"http://a.test/2\"><b>bold</b> two</a>" +
+      "<!-- <a href=\"http://a.test/no\">n</a> -->" +
+      "<script>s('<a href=\"http://a.test/js\">j</a>')</script>" +
+      "<a name=\"no-href\">plain</a>"
+    val got = Seq(html).toDF("h")
+      .select(explode(Web.extractAnchors(col("h"))).as("a"))
+      .select($"a.href", $"a.anchor").as[(String, String)]
+      .collect().toSeq
+    assert(got == Seq(
+      ("http://a.test/1", "first link"),
+      ("http://a.test/2", "bold two"),
+      ("", "plain")))
+  }
 }
