@@ -4043,6 +4043,87 @@ object ExtensionQueries {
              |SELECT id_a, id_b, round(jac, 6) AS jac_r
              |FROM v WHERE jac >= 0.7 ORDER BY id_a, id_b""".stripMargin)),
 
+    QuerySpec("x71_vocab_coverage",
+      "vocabulary-coverage / OOV-rate curve (Zipf-mass governance) — " +
+        "the tokenizer-sizing question: what fraction of corpus " +
+        "token mass does a top-V vocabulary cover, and what OOV " +
+        "rate does the budget leave? Unit here is adjacent-token " +
+        "bigrams (the fixture's unigram vocabulary is a degenerate " +
+        "31 words; the unit is pluggable — words, subwords, " +
+        "shingles). Scale shape: the corpus reduces ONCE to a " +
+        "vocabulary-sized frequency table (persisted; vocabulary is " +
+        "orders of magnitude smaller than the corpus), then each " +
+        "cutoff is a distributed top-V (TakeOrdered — deliberately " +
+        "NOT a global row_number window, which would pull the whole " +
+        "vocabulary through one task) plus a scalar sum; the " +
+        "returned frame is three audited scalars per cutoff. " +
+        "Builder REQUIREs the curve is monotone and non-vacuous " +
+        "(coverage strictly grows across cutoffs); DuckDB " +
+        "re-derives the curve via an independent rank-based route " +
+        "(window + rk <= cutoff join) — two implementations, one " +
+        "answer",
+      (s, dir) => {
+        val cutoffs = Seq(10L, 100L, 500L)
+        val bg = t(s, dir, "documents")
+          .select(wsTokens(col("text")).as("tk"))
+          .filter(size(col("tk")) >= 2)
+          .select(explode(arrays_zip(
+            expr("slice(tk, 1, size(tk) - 1)"),
+            expr("slice(tk, 2, size(tk) - 1)"))).as("z"))
+          .select(concat(col("z.0"), lit(" "), col("z.1")).as("g"))
+        val freq = bg.groupBy(col("g")).agg(count(lit(1)).as("f"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val total = freq.agg(sum(col("f"))).head.getLong(0)
+          val vocab = freq.count()
+          val rows = cutoffs.map { v =>
+            val covered = freq.orderBy(col("f").desc, col("g"))
+              .limit(v.toInt)
+              .agg(coalesce(sum(col("f")), lit(0L))).head.getLong(0)
+            (v, covered)
+          }
+          require(rows.sliding(2).forall(w => w(0)._2 <= w(1)._2) &&
+            rows.last._2 > rows.head._2,
+            s"coverage curve must be monotone and non-vacuous: $rows")
+          import s.implicits._
+          rows.toDF("cutoff", "covered")
+            .select(col("cutoff"), lit(vocab).as("vocab_total"),
+              lit(total).as("n_grams"),
+              round(col("covered").cast("double") / lit(total.toDouble),
+                6).as("coverage_r"),
+              round(lit(1.0) - col("covered").cast("double") /
+                lit(total.toDouble), 6).as("oov_rate_r"))
+            .orderBy(col("cutoff"))
+        } finally freq.unpersist(false)
+      },
+      Some(s"""WITH base AS (
+             |  SELECT $duckWsTokens AS tk FROM documents),
+             |pos AS (
+             |  SELECT tk, unnest(range(1, len(tk))) AS i FROM base
+             |  WHERE len(tk) >= 2),
+             |f AS (
+             |  SELECT tk[i] || ' ' || tk[i+1] AS g,
+             |    CAST(count(*) AS BIGINT) AS f
+             |  FROM pos GROUP BY g),
+             |t AS (
+             |  SELECT CAST(sum(f) AS BIGINT) AS total,
+             |    CAST(count(*) AS BIGINT) AS vocab FROM f),
+             |r AS (
+             |  SELECT f, row_number() OVER (ORDER BY f DESC, g) AS rk
+             |  FROM f),
+             |c AS (
+             |  SELECT CAST(v AS BIGINT) AS cutoff
+             |  FROM (VALUES (10), (100), (500)) AS x(v))
+             |SELECT c.cutoff, t.vocab AS vocab_total,
+             |  t.total AS n_grams,
+             |  round(CAST(sum(r.f) AS DOUBLE) / t.total, 6)
+             |    AS coverage_r,
+             |  round(1.0 - CAST(sum(r.f) AS DOUBLE) / t.total, 6)
+             |    AS oov_rate_r
+             |FROM c JOIN r ON r.rk <= c.cutoff CROSS JOIN t
+             |GROUP BY c.cutoff, t.vocab, t.total
+             |ORDER BY c.cutoff""".stripMargin)),
+
     QuerySpec("x57_ann_index_roundtrip",
       "ANN index lifecycle, IVF persistence leg: centroids trained " +
         "once, persisted as parquet tables with a manifest (kind, " +
