@@ -360,4 +360,93 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("QuantileSketch invariants hold for arbitrary double streams: " +
+      "mass conservation, rank-error bound, monotone quantiles, " +
+      "merge-vs-direct equivalence of n and mass") {
+    val stream: Gen[List[Double]] = Gen.choose(50, 2000).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(-1e6, 1e6)))
+    forAll(stream, minSuccessful(10)) { (xs: List[Double]) =>
+      val sk = new graft.plans.QuantileSketch(32)
+      xs.foreach(sk.update)
+      assert(sk.n == xs.length && sk.totalWeight == xs.length)
+      val sorted = xs.sorted
+      // sketch rank of the estimate within a generous k=32 envelope
+      for (p <- Seq(0.1, 0.5, 0.9)) {
+        val est = sk.quantile(p)
+        val rank = sorted.count(_ <= est).toDouble / xs.length
+        assert(math.abs(rank - p) <= 0.25,
+          s"p=$p rank=$rank for n=${xs.length}")
+      }
+      val qs = (0 to 20).map(i => sk.quantile(i / 20.0))
+      assert(qs.sliding(2).forall(w => w(0) <= w(1)))
+      // split-merge preserves n and mass exactly
+      val (l, r) = xs.splitAt(xs.length / 2)
+      val a = new graft.plans.QuantileSketch(32)
+      val b = new graft.plans.QuantileSketch(32)
+      l.foreach(a.update); r.foreach(b.update)
+      a.merge(b)
+      assert(a.n == xs.length && a.totalWeight == xs.length)
+    }
+  }
+
+  test("weightedSample inclusion is monotone in weight for arbitrary " +
+      "weight maps: raising one excluded row's weight high enough " +
+      "pulls it in, and the rest of the draw stays deterministic") {
+    val weights: Gen[List[Double]] = Gen.choose(30, 60).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(1.0, 20.0)))
+    forAll(weights, minSuccessful(5)) { (ws: List[Double]) =>
+      val rows = ws.zipWithIndex
+        .map { case (w, i) => ("c", i.toLong, w) }.toDF("cls", "id", "wt")
+      val k = 5
+      val got = graft.operators.Sampling
+        .weightedSample(rows, "cls", "id", col("wt"), k)
+        .select($"id").as[Long].collect().toSet
+      assert(got.size == k)
+      val out = ws.indices.map(_.toLong).toSet -- got
+      assert(out.nonEmpty)
+      // boost one excluded row far beyond the pool: E-S priority
+      // ln(u)/w -> 0 as w -> inf, the maximum possible, so it enters
+      val boosted = out.head
+      val rows2 = ws.zipWithIndex.map { case (w, i) =>
+        ("c", i.toLong, if (i.toLong == boosted) 1e9 else w)
+      }.toDF("cls", "id", "wt")
+      val got2 = graft.operators.Sampling
+        .weightedSample(rows2, "cls", "id", col("wt"), k)
+        .select($"id").as[Long].collect().toSet
+      assert(got2.contains(boosted),
+        s"boosting $boosted to 1e9 must pull it into the sample")
+    }
+  }
+
+  test("prefix-filter candidates are complete for arbitrary corpora " +
+      "and thresholds (the prefix theorem fuzzed, not just the " +
+      "DedupSpec fixture)") {
+    val doc: Gen[String] = Gen.choose(4, 15)
+      .flatMap(n => Gen.listOfN(n,
+        Gen.oneOf((0 until 25).map(i => s"t$i"))).map(_.mkString(" ")))
+    val corpus: Gen[List[String]] = Gen.choose(15, 40)
+      .flatMap(n => Gen.listOfN(n, doc))
+    forAll(Gen.zip(corpus, Gen.oneOf(0.4, 0.6, 0.8)), minSuccessful(5)) {
+      case (texts: List[String], t: Double) =>
+        val df = texts.zipWithIndex.map { case (x, i) => (i.toLong, x) }
+          .toDF("doc_id", "text")
+        val sets = graft.operators.Dedup
+          .prefixFilterSets(df, "doc_id", "text", 3)
+        val collected = sets.select($"doc_id", $"toks")
+          .as[(Long, Seq[String])].collect()
+          .map(r => (r._1, r._2.toSet))
+        val truth = (for {
+          a <- collected; b <- collected if a._1 < b._1
+          i = (a._2 & b._2).size
+          j = i.toDouble / (a._2.size + b._2.size - i)
+          if j >= t
+        } yield (a._1, b._1)).toSet
+        val cands = graft.operators.Dedup
+          .prefixFilterCandidates(sets, "doc_id", t)
+          .as[(Long, Long)].collect().toSet
+        assert((truth -- cands).isEmpty,
+          s"t=$t: missed ${(truth -- cands).size} true pairs")
+    }
+  }
 }
