@@ -110,4 +110,38 @@ class EmptyInputSpec extends SparkSpec {
     assert(Similarity.ivfAssign(emptyVecs, "vec_id", "embedding",
       Array(Array(1.0, 0.0))).count() == 0)
   }
+
+  test("round-12 operators tolerate empty and degenerate inputs") {
+    import graft.operators.{Sampling, TextAnalysis, Web}
+    // weighted sampling of an empty frame
+    assert(Sampling.weightedSample(
+      emptyDocs.withColumn("w", lit(1.0)).withColumnRenamed("text", "cls"),
+      "cls", "doc_id", col("w"), k = 5).count() == 0)
+    // prefix-filter pipeline end-to-end on an empty corpus
+    val sets = Dedup.prefixFilterSets(emptyDocs, "doc_id", "text", 3)
+    assert(sets.count() == 0)
+    val cands = Dedup.prefixFilterCandidates(sets, "doc_id", 0.7)
+    assert(cands.count() == 0)
+    assert(Dedup.prefixFilterVerify(sets, cands, "doc_id", 0.7)
+      .count() == 0)
+    // html/anchor extraction on empty frames and empty/plain strings
+    val shapes = Seq("", "plain text no markup", "<p>", "&amp;")
+      .toDF("h")
+    val cleaned = shapes.select(Web.htmlToText(col("h")).as("t"),
+      Web.extractLinks(col("h")).as("l"),
+      Web.extractAnchors(col("h")).as("a")).collect()
+    assert(cleaned.length == 4)
+    assert(cleaned.forall(_.getSeq[String](1).isEmpty))
+    assert(shapes.limit(0)
+      .select(Web.extractAnchors(col("h"))).count() == 0)
+    // entropy of empty string / empty frame
+    assert(shapes.select(TextAnalysis.charEntropy(col("h")).as("e"))
+      .as[Double].collect().head == 0.0)
+    assert(emptyDocs
+      .select(TextAnalysis.charEntropy(col("text"))).count() == 0)
+    // empty quantile sketch aggregate: zero groups, zero rows
+    assert(emptyDocs.groupBy(col("text"))
+      .agg(graft.functions.SketchFunctions.kllAgg(
+        col("doc_id").cast("double"), 16)).count() == 0)
+  }
 }
