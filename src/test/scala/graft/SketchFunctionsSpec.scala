@@ -177,4 +177,20 @@ class SketchFunctionsSpec extends SparkSpec {
     assert(union.k == 16, "union accumulator must adopt input k")
     assert(union.quantile(0.5) == 2.0)
   }
+
+  test("kll rank error stays bounded on SORTED insert order — the " +
+      "classic adversary for deterministic compactors (monotone ids, " +
+      "timestamps): alternating-offset compaction de-biases it") {
+    for (xs <- Seq((0 until 100000).map(_.toDouble),
+      (0 until 100000).map(i => (99999 - i).toDouble))) {
+      val sk = new graft.plans.QuantileSketch(256)
+      xs.foreach(sk.update)
+      assert(sk.totalWeight == 100000L)
+      // measured max over both directions ~0.005; pin 3x headroom
+      for (p <- Seq(0.01, 0.1, 0.5, 0.9, 0.99)) {
+        val err = math.abs(sk.quantile(p) / 100000 - p)
+        assert(err <= 0.015, s"sorted insert p=$p err=$err")
+      }
+    }
+  }
 }
