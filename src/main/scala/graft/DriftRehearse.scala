@@ -52,6 +52,10 @@ object DriftRehearse {
     val emb = graft.sources.Tables.load(spark, dir, "embeddings")
       .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
     val nBase = emb.count()
+    // id offset for synthesized drift rows derives from the data —
+    // a fixed constant would collide with base ids on a large-enough
+    // fixture and silently corrupt the recall join
+    val idOffset = emb.agg(max(col("vec_id"))).head.getLong(0) + 1L
     val frozen = Similarity.ivfTrain(emb, "vec_id", "embedding",
       nCells = 16, iters = 2, tag = "drift-base")
 
@@ -79,7 +83,7 @@ object DriftRehearse {
       // expression (hof lambdas re-evaluate captured expressions per
       // element).
       val appended = emb.filter(col("vec_id") % 100 < fracPct)
-        .select((col("vec_id") + 10000000L).as("vec_id"),
+        .select((col("vec_id") + idOffset).as("vec_id"),
           transform(col("embedding"),
             x => (x * lit(0.3f) + lit(0.8f)).cast("float")).as("t"),
           col("embedding"))

@@ -93,6 +93,17 @@ object Graph {
       materialize: DataFrame => DataFrame = identity): PageRankRun = {
     require(maxIters >= 1, s"maxIters must be >= 1, got $maxIters")
     require(tol > 0, s"tol must be positive, got $tol")
+    // fail fast where truncation is impossible: defaultMaterialize
+    // silently degrades to persist on a cluster with no checkpoint
+    // dir, and persist does NOT truncate — the doubling plan would
+    // resurface as the analysis-time OOM this operator exists to
+    // prevent
+    val sc = edges.sparkSession.sparkContext
+    require(sc.isLocal || sc.getCheckpointDir.isDefined,
+      "pageRankConverged needs lineage truncation every round; on a " +
+        "cluster set a checkpoint dir (sparkContext.setCheckpointDir) " +
+        "first — without one the per-round plan doubles (ranks feeds " +
+        "the next round twice) and analysis OOMs by ~30 rounds")
     val (e, nodes, n, deg) = prepare(edges, damping, shards, materialize)
     var ranks = nodes.select(col("id"), lit(1.0 / n).as("r"))
     var itersRun = 0

@@ -156,13 +156,20 @@ object Sampling {
     require(k > 0 && shards > 0, "k and shards must be positive")
     val u = (md5Hash60(col(idCol).cast("string")) + 1).cast("double") /
       lit((1L << 60).toDouble)
-    val pri = round(log(u) / weight.cast("double"), 9)
+    // E-S requires w > 0. Guard rather than trust: a NEGATIVE weight
+    // flips ln(u)/w positive (beats every legitimate priority — the
+    // row would ALWAYS be drawn), and Spark orders NaN above every
+    // double (same hijack). Invalid weights get a NULL priority and
+    // desc_nulls_last, so they are never sampled while valid rows
+    // draw exactly as before.
+    val wd = weight.cast("double")
+    val pri = when(!isnan(wd) && wd > 0, round(log(u) / wd, 9))
     val w1 = Window
       .partitionBy(col(classCol),
         md5Hash60b(col(idCol).cast("string")) % shards)
-      .orderBy(col("priority_r").desc, col(idCol))
+      .orderBy(col("priority_r").desc_nulls_last, col(idCol))
     val w2 = Window.partitionBy(col(classCol))
-      .orderBy(col("priority_r").desc, col(idCol))
+      .orderBy(col("priority_r").desc_nulls_last, col(idCol))
     df.withColumn("w", weight.cast("double"))
       .withColumn("priority_r", pri)
       .withColumn("__r1", row_number().over(w1))

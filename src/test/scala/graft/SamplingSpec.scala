@@ -158,4 +158,20 @@ class SamplingSpec extends SparkSpec {
       .select($"rk").as[Int].collect().sorted.toSeq
     assert(rks == (1 to 20), s"ranks must be 1..20, got $rks")
   }
+
+  test("weightedSample never draws rows with invalid weights: " +
+      "negative (which would flip ln(u)/w positive and ALWAYS win), " +
+      "zero, and NaN (which Spark sorts above every double) are all " +
+      "excluded while valid rows draw exactly as before") {
+    val clean = (1L to 50L).map(i => ("c", i, 2.0)).toDF("cls", "id", "wt")
+    val expected = Sampling.weightedSample(clean, "cls", "id", col("wt"), 5)
+      .select($"id").as[Long].collect().toSet
+    val dirty = ((1L to 50L).map(i => ("c", i, 2.0)) ++ Seq(
+      ("c", 101L, -5.0), ("c", 102L, 0.0), ("c", 103L, Double.NaN)))
+      .toDF("cls", "id", "wt")
+    val got = Sampling.weightedSample(dirty, "cls", "id", col("wt"), 5)
+      .select($"id").as[Long].collect().toSet
+    assert(got == expected,
+      s"invalid-weight rows changed the draw: $got vs $expected")
+  }
 }
