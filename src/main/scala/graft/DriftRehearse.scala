@@ -120,15 +120,37 @@ object DriftRehearse {
       val (msF, ecF) = imbalance(corpus, frozen)
       val (msR, ecR) = imbalance(corpus, retrained)
       val (msD, ecD) = imbalance(corpus, diverse)
+      // the remedy the rehearsal's own conclusion points at: frozen
+      // centroids + a per-cell serving cap at the BALANCED cell
+      // budget (corpus-at-train / nCells). Measured as the average
+      // candidate count per query (k set huge so every probe-join
+      // survivor is returned) — uncapped, this number is what drifts
+      // toward a corpus scan; capped, it is bounded by construction.
+      val cap = math.max(1, (nBase / 16L).toInt)
+      def candsPerQuery(serve: org.apache.spark.sql.DataFrame): Double =
+        serve.groupBy(col("qid")).agg(count(lit(1)).as("n"))
+          .agg(avg(col("n"))).head.getDouble(0)
+      val candU = candsPerQuery(Similarity.ivfTopKWith(corpus, queries,
+        "vec_id", "embedding", Int.MaxValue, frozen, nProbes = 4))
+      val candC = candsPerQuery(Similarity.ivfTopKWithCapped(corpus,
+        queries, "vec_id", "embedding", Int.MaxValue, frozen,
+        nProbes = 4, perCellCap = cap))
+      val recallCapped = Similarity.recallAtK(
+          Similarity.ivfTopKWithCapped(corpus, queries, "vec_id",
+            "embedding", 5, frozen, nProbes = 4, perCellCap = cap),
+          exact)
+        .agg(avg(col("recall_at_k"))).head().getDouble(0)
       val nQ = queries.count()
       println(f"[drift] base=$nBase%d appendedPct=$fracPct%d " +
         f"queries=$nQ%d recall_frozen=${recallWith(frozen)}%.3f " +
         f"recall_retrained=${recallWith(retrained)}%.3f " +
         f"recall_diverse=${recallWith(diverse)}%.3f " +
+        f"recall_capped=$recallCapped%.3f " +
         f"maxshare_frozen=$msF%.3f maxshare_retrained=$msR%.3f " +
         f"maxshare_diverse=$msD%.3f " +
         f"effcells_frozen=$ecF%.1f effcells_retrained=$ecR%.1f " +
         f"effcells_diverse=$ecD%.1f " +
+        f"cap=$cap%d cand_frozen=$candU%.1f cand_capped=$candC%.1f " +
         f"secs=${(System.nanoTime() - t0) / 1e9}%.1f")
     }
     spark.stop()

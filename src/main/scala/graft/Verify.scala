@@ -33,9 +33,21 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       if (keep(name))
-        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-          .parquet(s"$outDir/$name")
-        catch { case e: Throwable =>
+        try {
+          val df = fn(spark, sfDir)
+          // cheap boundary lint at dump time (CatalogSpec is the hard
+          // gate): a DECIMAL output or a missing top-level ORDER BY is
+          // a comparator-nondeterminism defect (r12's s14b/s22).
+          val decs = graft.queries.CatalogChecks.decimalColumns(df)
+          if (decs.nonEmpty) System.err.println(
+            s"[verify] WARNING $name returns DECIMAL column(s) " +
+              decs.mkString(","))
+          if (graft.queries.CatalogChecks.totalOrderCheck(df).isLeft)
+            System.err.println(
+              s"[verify] WARNING $name has no name-resolvable " +
+                "top-level ORDER BY")
+          df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        } catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
         }
     }

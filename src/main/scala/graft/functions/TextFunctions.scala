@@ -45,6 +45,19 @@ object TextFunctions {
   /** Whitespace token count as BIGINT. */
   def wsTokenCount(c: Column): Column = size(wsTokens(c)).cast("long")
 
+  /** Adjacent-token bigram strings ("w1 w2") from a token-array
+    * column — one in-row zip of the array with its own tail (narrow,
+    * codegen'd, no join); empty for arrays shorter than 2. Shared by
+    * the CMS frequency key (x63), the vocabulary-coverage unit (x71),
+    * and any future n-gram-keyed governance, so the pairing
+    * convention lives in exactly one place. */
+  def adjacentBigrams(tokens: Column): Column =
+    when(size(tokens) < 2, array().cast("array<string>"))
+      .otherwise(zip_with(
+        slice(tokens, lit(1), size(tokens) - 1),
+        slice(tokens, lit(2), size(tokens) - 1),
+        (a, b) => concat(a, lit(" "), b)))
+
   /** Most-frequent-adjacent-bigram fraction of a token array, computed
     * in-row by the native `graft.plans.TopBigramFraction` expression —
     * zero shuffles vs the explode/groupBy composition. */

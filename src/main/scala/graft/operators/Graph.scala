@@ -93,17 +93,28 @@ object Graph {
       materialize: DataFrame => DataFrame = identity): PageRankRun = {
     require(maxIters >= 1, s"maxIters must be >= 1, got $maxIters")
     require(tol > 0, s"tol must be positive, got $tol")
-    // fail fast where truncation is impossible: defaultMaterialize
-    // silently degrades to persist on a cluster with no checkpoint
-    // dir, and persist does NOT truncate — the doubling plan would
-    // resurface as the analysis-time OOM this operator exists to
-    // prevent
+    // fail fast where truncation is impossible AND the iteration
+    // budget reaches the danger zone: defaultMaterialize silently
+    // degrades to persist on a cluster with no checkpoint dir, and
+    // persist does NOT truncate — the doubling plan would resurface
+    // as the analysis-time OOM this operator exists to prevent. For
+    // small budgets (a handful of rounds) the un-truncated plan is
+    // harmless, so a short-run cluster caller keeps working and gets
+    // a warning instead of a regression.
     val sc = edges.sparkSession.sparkContext
-    require(sc.isLocal || sc.getCheckpointDir.isDefined,
-      "pageRankConverged needs lineage truncation every round; on a " +
-        "cluster set a checkpoint dir (sparkContext.setCheckpointDir) " +
-        "first — without one the per-round plan doubles (ranks feeds " +
-        "the next round twice) and analysis OOMs by ~30 rounds")
+    val truncatable = sc.isLocal || sc.getCheckpointDir.isDefined
+    if (!truncatable && maxIters > 10)
+      throw new IllegalArgumentException(
+        "pageRankConverged needs lineage truncation every round at " +
+          s"maxIters=$maxIters; on a cluster set a checkpoint dir " +
+          "(sparkContext.setCheckpointDir) first — without one the " +
+          "per-round plan doubles (ranks feeds the next round twice) " +
+          "and analysis OOMs by ~30 rounds")
+    else if (!truncatable)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"pageRankConverged: no checkpoint dir — plan truncation " +
+          s"degrades to persist; fine for maxIters=$maxIters, set " +
+          "sparkContext.setCheckpointDir before raising the budget")
     val (e, nodes, n, deg) = prepare(edges, damping, shards, materialize)
     var ranks = nodes.select(col("id"), lit(1.0 / n).as("r"))
     var itersRun = 0

@@ -160,18 +160,21 @@ object Sampling {
     // flips ln(u)/w positive (beats every legitimate priority — the
     // row would ALWAYS be drawn), and Spark orders NaN above every
     // double (same hijack). Invalid weights get a NULL priority and
-    // desc_nulls_last, so they are never sampled while valid rows
-    // draw exactly as before.
+    // are filtered OUT before ranking: desc_nulls_last alone only
+    // pushes them below valid rows — row_number still ranks them, so
+    // a class with fewer than k valid rows would leak invalid rows
+    // through both `<= k` filters.
     val wd = weight.cast("double")
     val pri = when(!isnan(wd) && wd > 0, round(log(u) / wd, 9))
     val w1 = Window
       .partitionBy(col(classCol),
         md5Hash60b(col(idCol).cast("string")) % shards)
-      .orderBy(col("priority_r").desc_nulls_last, col(idCol))
+      .orderBy(col("priority_r").desc, col(idCol))
     val w2 = Window.partitionBy(col(classCol))
-      .orderBy(col("priority_r").desc_nulls_last, col(idCol))
+      .orderBy(col("priority_r").desc, col(idCol))
     df.withColumn("w", weight.cast("double"))
       .withColumn("priority_r", pri)
+      .filter(col("priority_r").isNotNull)
       .withColumn("__r1", row_number().over(w1))
       .filter(col("__r1") <= k)
       .withColumn("rk", row_number().over(w2))

@@ -236,10 +236,47 @@ object Similarity {
     * TUNING.md). */
   def ivfTopKWith(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, centroids: Array[Array[Double]],
-      nProbes: Int): DataFrame = {
+      nProbes: Int): DataFrame =
+    ivfServe(corpus.select(col(idCol).as("did"), col(vecCol).as("dvec"),
+      l2Norm(col(vecCol)).as("dn"),
+      cellExpr(col(vecCol), centroids).as("cell")),
+      queries, idCol, vecCol, k, centroids, nProbes)
+
+  /** [[ivfTopKWith]] with a PER-CELL CAP on the corpus side — the
+    * serving-path guard the drift rehearsal concluded actually holds
+    * candidate volume flat under a tight drift mode (TUNING.md "ANN
+    * drift": a blind retrain does NOT rebalance a one-direction blob;
+    * caps do). At most `perCellCap` corpus rows survive per cell, in
+    * deterministic md5-hash order (unbiased w.r.t. ingestion order,
+    * reproducible across engines — [[cellBalancedSample]]'s
+    * ordering), then the usual probe join + exact ranking. Crowded-
+    * cell recall trades for a HARD bound: candidates/query ≤
+    * nProbes × perCellCap no matter how skewed assignment gets under
+    * drift. Production shape: apply the cap when writing the
+    * cell-partitioned index table (one window at build, not one per
+    * query batch) — here it composes with serving so the bound is
+    * visible in one plan. */
+  def ivfTopKWithCapped(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      centroids: Array[Array[Double]], nProbes: Int,
+      perCellCap: Int): DataFrame = {
+    require(perCellCap >= 1, s"perCellCap must be >= 1, got $perCellCap")
     val c = corpus.select(col(idCol).as("did"), col(vecCol).as("dvec"),
       l2Norm(col(vecCol)).as("dn"),
       cellExpr(col(vecCol), centroids).as("cell"))
+    val w = Window.partitionBy(col("cell"))
+      .orderBy(graft.functions.HashFunctions
+        .md5Hash60(col("did").cast("string")), col("did"))
+    val capped = c.withColumn("__cr", row_number().over(w))
+      .filter(col("__cr") <= perCellCap).drop("__cr")
+    ivfServe(capped, queries, idCol, vecCol, k, centroids, nProbes)
+  }
+
+  /** Shared probe-join + exact-rank tail over an assigned (and
+    * possibly capped) corpus frame `c(did, dvec, dn, cell)`. */
+  private def ivfServe(c: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, centroids: Array[Array[Double]],
+      nProbes: Int): DataFrame = {
     val probeStructs = centroids.zipWithIndex.map { case (cent, i) =>
       struct(dotProduct(col(vecCol), array(cent.map(lit): _*)).as("s"),
         lit(i).as("i"))
@@ -340,14 +377,31 @@ object Similarity {
     * [[minePairsOracleSql]]. */
   private def ivfScoredCte(table: String, idCol: String, vecCol: String,
       centroids: Array[Array[Double]], nProbes: Int,
-      queryPred: String): String = {
+      queryPred: String, perCellCap: Option[Int] = None): String = {
     val structs = (v: String) => cellStructsSql(v, centroids)
+    // optional per-cell cap, mirroring ivfTopKWithCapped's
+    // deterministic md5-order keep (the cellBalancedSample ordering)
+    val cCte = perCellCap match {
+      case None =>
+        s"""c AS (SELECT did, dvec, sqrt(list_dot_product(dvec, dvec)) AS dn,
+           |             list_sort(${structs("dvec")}, 'DESC')[1].i AS cell
+           |      FROM c0),""".stripMargin
+      case Some(cap) =>
+        s"""c1 AS (SELECT did, dvec, sqrt(list_dot_product(dvec, dvec)) AS dn,
+           |              list_sort(${structs("dvec")}, 'DESC')[1].i AS cell
+           |       FROM c0),
+           |cr AS (SELECT did, dvec, dn, cell, row_number() OVER (
+           |         PARTITION BY cell ORDER BY
+           |           ('0x' || substr(md5(CAST(did AS VARCHAR)), 1, 15))::BIGINT,
+           |           did) AS ccr
+           |       FROM c1),
+           |c AS (SELECT did, dvec, dn, cell FROM cr WHERE ccr <= $cap),"""
+          .stripMargin
+    }
     s"""q0 AS (SELECT $idCol AS qid, $vecCol::DOUBLE[] AS qvec
        |           FROM $table WHERE $queryPred),
        |c0 AS (SELECT $idCol AS did, $vecCol::DOUBLE[] AS dvec FROM $table),
-       |c AS (SELECT did, dvec, sqrt(list_dot_product(dvec, dvec)) AS dn,
-       |             list_sort(${structs("dvec")}, 'DESC')[1].i AS cell
-       |      FROM c0),
+       |$cCte
        |q1 AS (SELECT qid, qvec, sqrt(list_dot_product(qvec, qvec)) AS qn,
        |              unnest(list_sort(${structs("qvec")}, 'DESC')[1:$nProbes])
        |                AS probe
@@ -366,6 +420,14 @@ object Similarity {
       queryPred: String): String =
     s"""WITH ${ivfScoredCte(table, idCol, vecCol, centroids, nProbes,
          queryPred)},
+       |${rankedTailSql(k)}""".stripMargin
+
+  /** DuckDB twin of [[ivfTopKWithCapped]] (late-bound centroids). */
+  def ivfCappedOracleSql(table: String, idCol: String, vecCol: String,
+      k: Int, centroids: Array[Array[Double]], nProbes: Int,
+      queryPred: String, perCellCap: Int): String =
+    s"""WITH ${ivfScoredCte(table, idCol, vecCol, centroids, nProbes,
+         queryPred, Some(perCellCap))},
        |${rankedTailSql(k)}""".stripMargin
 
   /** Recall@k of an approximate ANN result against the exact one:

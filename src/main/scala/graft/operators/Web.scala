@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, GraftBridge}
+import org.apache.spark.sql.{Column, DataFrame, GraftBridge}
 import org.apache.spark.sql.functions._
 
 /** Crawl-curation URL handling: canonicalization and registered-domain
@@ -80,19 +80,30 @@ object Web {
   def idnAsciiHost(c: Column): Column =
     GraftBridge.column(graft.plans.IdnToAscii(GraftBridge.expression(c)))
 
-  /** Shared host pipeline over the trimmed URL: scheme + fragment off,
-    * percent-normalize, authority, userinfo + port off, lowercase,
-    * trailing root-dot off, IDNA. (The leading `www.` strip is the
-    * caller's — [[canonicalUrl]] needs the pre-strip form for port
-    * logic anyway.) */
-  private def hostExpr(t: Column): Column = {
+  /** Structural pieces every URL consumer derives between "trimmed
+    * URL" and "IDNA host": scheme + fragment off, percent-normalize,
+    * authority, userinfo off, port split, lowercase, trailing
+    * root-dot off, IDNA. ONE construction site — [[hostExpr]] and
+    * [[canonicalUrl]] both consume this, so the next RFC rule lands
+    * in one place and the two can never drift (they did in r12:
+    * two hand-maintained copies of this pipeline). */
+  private final case class UrlParts(rest: Column, port: Column,
+      hostIdn: Column)
+
+  private def urlParts(t: Column): UrlParts = {
     val rest = percentNormalize(
       regexp_replace(regexp_replace(t, schemeRe, ""), "#.*$", ""))
     val authority = regexp_extract(rest, "^([^/?]*)", 1)
     val hostport = regexp_replace(authority, "^[^@]*@", "")
+    val port = regexp_extract(hostport, ":([0-9]+)$", 1)
     val host0 = lower(regexp_replace(hostport, ":[0-9]+$", ""))
-    idnAsciiHost(regexp_replace(host0, "\\.$", ""))
+    UrlParts(rest, port, idnAsciiHost(regexp_replace(host0, "\\.$", "")))
   }
+
+  /** Shared host pipeline over the trimmed URL. (The leading `www.`
+    * strip is the caller's — [[canonicalUrl]] needs the pre-strip
+    * form for port logic anyway.) */
+  private def hostExpr(t: Column): Column = urlParts(t).hostIdn
 
   /** Canonical form of an absolute URL, NULL for anything else.
     *
@@ -108,16 +119,10 @@ object Web {
   def canonicalUrl(url: Column): Column = {
     val t = trim(url)
     val scheme = lower(regexp_extract(t, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
-    // everything after ://, fragment dropped, escapes normalized
-    val rest = percentNormalize(
-      regexp_replace(regexp_replace(t, schemeRe, ""), "#.*$", ""))
-    val authority = regexp_extract(rest, "^([^/?]*)", 1)
+    val parts = urlParts(t)
+    val (rest, port) = (parts.rest, parts.port)
     val pathq = regexp_replace(rest, "^[^/?]*", "")
-    val hostport = regexp_replace(authority, "^[^@]*@", "")
-    val port = regexp_extract(hostport, ":([0-9]+)$", 1)
-    val host0 = lower(regexp_replace(hostport, ":[0-9]+$", ""))
-    val hostIdn = idnAsciiHost(regexp_replace(host0, "\\.$", ""))
-    val host = regexp_replace(hostIdn, "^www\\.", "")
+    val host = regexp_replace(parts.hostIdn, "^www\\.", "")
     val keepPort = (port =!= "") &&
       !((scheme === "http" && port === "80") ||
         (scheme === "https" && port === "443"))
@@ -214,6 +219,98 @@ object Web {
       }
     }
   }
+
+  /** Parse the publicsuffix.org file format (publicsuffix.org/list):
+    * one rule per line, `//` comment lines skipped (the ICANN/PRIVATE
+    * section markers are comments), blank lines skipped, anything
+    * after whitespace on a rule line ignored (the format allows
+    * trailing comments), rules lower-cased (the list is defined on
+    * lower-case; hosts arrive lower-cased from [[hostExpr]]). File
+    * order is irrelevant — evaluation order is the PSL algorithm's. */
+  def parsePslFile(text: String): Seq[String] =
+    text.linesIterator
+      .map(l => l.trim.takeWhile(!_.isWhitespace))
+      .filter(l => l.nonEmpty && !l.startsWith("//"))
+      .map(_.toLowerCase(java.util.Locale.ROOT))
+      .toSeq
+
+  def parsePslFile(path: java.nio.file.Path): Seq[String] =
+    parsePslFile(java.nio.file.Files.readString(path))
+
+  /** Registrable domain via a broadcast rule-table join — the at-scale
+    * form of [[registeredDomain]] for the real ~9k-rule PSL. The
+    * expression form is NOT viable there: measured, its per-rule fold
+    * overflows the analyzer stack at ~300 rules (nested-Column
+    * conversion recurses per arm), two orders of magnitude below the
+    * list publicsuffix.org ships — and even below that ceiling every
+    * row pays a linear walk of the arms. Identical semantics,
+    * different shape:
+    *
+    *  1. each DISTINCT host explodes into its dot-suffix chain
+    *     (≤ label-count rows, generated in-row — never a corpus-wide
+    *     tokenize), each candidate carrying its parent suffix;
+    *  2. ONE broadcast equi-join matches candidates against the rule
+    *     table — plain/exception rules key on the candidate itself,
+    *     wildcard rules on the candidate's parent (`*.b` ⟺ the
+    *     candidate is exactly one label over `b`);
+    *  3. the prevailing rule per host is a lexicographic struct-min
+    *     (exception beats, then most labels, then longest raw rule —
+    *     [[orderedRules]]' exact key), carrying the public-suffix
+    *     label count;
+    *  4. the registered domain is the host's last `ps + 1` labels
+    *     (capped at the host itself), unmatched hosts falling back to
+    *     the last two labels — the same arithmetic every rule kind of
+    *     [[registeredDomain]] reduces to.
+    *
+    * The corpus pays one host-keyed shuffle (the distinct) and one
+    * host-equi join back; the rule table is KBs and broadcasts. */
+  def withRegisteredDomain(df: DataFrame, hostCol: String,
+      rules: Seq[String], outCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ruleRows = rules.map(parseRule).map {
+      case r @ Exception_(b, raw) =>
+        (b, "exact", 0, r.labels, raw.length, b.count(_ == '.'))
+      case r @ Wildcard(b, raw) =>
+        (b, "parent", 1, r.labels, raw.length, b.count(_ == '.') + 2)
+      case r @ Plain(b, raw) =>
+        (b, "exact", 1, r.labels, raw.length, b.count(_ == '.') + 1)
+    }.toDF("key", "mode", "exc", "rule_labels", "raw_len", "ps_labels")
+    val host = col(hostCol)
+    val labels = split(col("h"), "\\.")
+    val cands = hosts(df, hostCol)
+      .select(col("h"), explode(transform(
+        sequence(lit(1), size(labels)),
+        i => array_join(slice(labels, i, size(labels) - i + 1), ".")))
+        .as("cand"))
+      .withColumn("par", regexp_replace(col("cand"), "^[^.]+\\.", ""))
+    // a two-keyed union keeps the rule match a pure (mode, key)
+    // BroadcastHashJoin — an OR-of-modes condition would plan as a
+    // BroadcastNestedLoopJoin, a linear rule walk per candidate
+    val keyed = cands
+      .select(col("h"), lit("exact").as("mode"), col("cand").as("key"))
+      .unionByName(cands.filter(col("par") =!= col("cand"))
+        .select(col("h"), lit("parent").as("mode"),
+          col("par").as("key")))
+    val matched = keyed.join(broadcast(ruleRows), Seq("mode", "key"))
+    val win = matched.groupBy(col("h"))
+      .agg(min(struct(col("exc").as("x"),
+        (-col("rule_labels")).as("nl"), (-col("raw_len")).as("nr"),
+        col("ps_labels"))).as("w"))
+      .select(col("h").as("__rd_h"), col("w.ps_labels").as("__rd_ps"))
+    val n = size(split(host, "\\."))
+    val keep = least(col("__rd_ps") + 1, n)
+    val fallback = when(host.contains("."),
+      regexp_extract(host, "([^.]+\\.[^.]+)$", 1)).otherwise(host)
+    df.join(win, host === col("__rd_h"), "left")
+      .withColumn(outCol, when(col("__rd_ps").isNull, fallback)
+        .otherwise(array_join(slice(split(host, "\\."), -keep, keep),
+          ".")))
+      .drop("__rd_h", "__rd_ps")
+  }
+
+  private def hosts(df: DataFrame, hostCol: String): DataFrame =
+    df.select(col(hostCol).as("h")).where(col("h").isNotNull).distinct()
 
   // ---- DuckDB twins (generated from the same constants) ------------
 

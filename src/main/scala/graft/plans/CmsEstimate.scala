@@ -68,22 +68,42 @@ case class CmsEstimate(left: Expression, right: Expression)
 
 object CmsEstimate {
 
-  /** Per-thread memo of the last-deserialized sketch, keyed by array
-    * REFERENCE: the sketch is a plan literal, so every row of a task
-    * sees the same array object and deserialization happens once per
-    * thread, not once per row. Reference (not content) comparison is
-    * deliberate — content-hashing a multi-KB grid per row would cost
-    * more than the probe it guards. */
-  private val lastSketch =
-    new ThreadLocal[(Array[Byte], CountMinSketch)]
+  /** Per-thread TWO-slot memo of deserialized sketches, keyed by
+    * array REFERENCE: each sketch is a plan literal, so every row of
+    * a task sees the same array object and deserialization happens
+    * once per (thread, sketch), not once per row. Two slots because a
+    * projection that probes two sketches per row (comparing epochs,
+    * before/after grids) alternates between them — a 1-slot memo
+    * deserializes BOTH multi-KB grids on EVERY row. Slot 0 is
+    * most-recently-used; a miss evicts slot 1. Reference (not
+    * content) comparison is deliberate — content-hashing a multi-KB
+    * grid per row would cost more than the probe it guards. */
+  private val memo =
+    new ThreadLocal[Array[(Array[Byte], CountMinSketch)]] {
+      override def initialValue(): Array[(Array[Byte], CountMinSketch)] =
+        new Array[(Array[Byte], CountMinSketch)](2)
+    }
+
+  /** Total grid deserializations across threads — test observability
+    * for the memo's hit rate (one increment per MISS only; no cost on
+    * the hit path). */
+  private[graft] val deserializations =
+    new java.util.concurrent.atomic.AtomicLong(0L)
 
   def estimate(sketch: Array[Byte], key: UTF8String): Long = {
-    var memo = lastSketch.get()
-    if (memo == null || (memo._1 ne sketch)) {
-      memo = (sketch, CountMinSketch.readFrom(sketch))
-      lastSketch.set(memo)
+    val slots = memo.get()
+    val s0 = slots(0)
+    if (s0 != null && (s0._1 eq sketch))
+      return s0._2.estimateCount(key.getBytes)
+    val s1 = slots(1)
+    if (s1 != null && (s1._1 eq sketch)) {
+      slots(1) = s0; slots(0) = s1 // promote to MRU
+      return s1._2.estimateCount(key.getBytes)
     }
-    memo._2.estimateCount(key.getBytes)
+    deserializations.incrementAndGet()
+    val fresh = (sketch, CountMinSketch.readFrom(sketch))
+    slots(1) = s0; slots(0) = fresh
+    fresh._2.estimateCount(key.getBytes)
   }
 
   /** Driver-side lossless union of serialized sketches (cell-wise sum

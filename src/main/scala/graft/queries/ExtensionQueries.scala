@@ -28,6 +28,24 @@ object ExtensionQueries {
 
   private def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
 
+  /** Materialize an intermediate to a parquet scratch table under
+    * target/ and read it back — the entry-level answer to "this
+    * subtree feeds N consumers, including the RETURNED plan". A
+    * persist() released in the builder dies before the harness
+    * executes the returned frame (the r12 x70 recompute finding),
+    * and one left unreleased leaks across a 186-entry suite; a
+    * written table serves every consumer — in-entry REQUIRE gates,
+    * the returned plan, and the driver's re-execution — from ONE
+    * compute. At 100 TB this is the real design too: heavy reusable
+    * intermediates (set indexes, pair tables, token frames) are
+    * artifacts, not lineage. */
+  private def scratch(df: DataFrame, name: String): DataFrame = {
+    val dir = java.nio.file.Paths.get("target", "scratch", name)
+      .toAbsolutePath.toString
+    df.write.mode("overwrite").parquet(dir)
+    df.sparkSession.read.parquet(dir)
+  }
+
   /** Clean form of the x58 mojibake-fixture suffix (é ñ ü ö — all
     * Latin-1-representable, so one mis-decode step is exactly
     * invertible); the corrupted twin is DERIVED from it via the same
@@ -622,6 +640,44 @@ object ExtensionQueries {
            |  ON e.qid = a.qid AND e.did = a.did
            |GROUP BY e.qid ORDER BY e.qid""".stripMargin
       }),
+
+    QuerySpec("x6d_ivf_capped_serving",
+      "IVF serving with a PER-CELL candidate cap — the drift " +
+        "rehearsal's actual remedy (TUNING.md \"ANN drift\": a tight " +
+        "appended mode collapses effective cells, and a blind retrain " +
+        "does NOT rebalance it because one direction is one argmax " +
+        "cell by geometry; per-cell caps are what hold candidate " +
+        "volume flat): at most 12 corpus rows survive per cell, kept " +
+        "in deterministic md5-hash order, so candidates/query ≤ " +
+        "nProbes × cap REGARDLESS of how skewed assignment gets under " +
+        "drift. Builder REQUIREs the cap actually bites at this SF " +
+        "(the largest cell is over it — a vacuous cap would gate " +
+        "nothing); the hash gate re-derives cells, the capped keep, " +
+        "probe selection, and ranking in DuckDB via the late-bound " +
+        "centroid oracle",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val cap = 12
+        val cents = Similarity.ivfTrain(emb, "vec_id", "embedding",
+          nCells = 8, iters = 2, tag = "capped")
+        val maxCell = emb
+          .select(Similarity.cellExpr(col("embedding"), cents).as("cell"))
+          .groupBy(col("cell")).agg(count(lit(1)).as("n"))
+          .agg(max(col("n"))).head.getLong(0)
+        require(maxCell > cap,
+          s"cap must bite at this SF: max cell $maxCell <= cap $cap")
+        Similarity.ivfTopKWithCapped(emb,
+            emb.filter(col("vec_id") < 8), "vec_id", "embedding", 5,
+            cents, nProbes = 2, perCellCap = cap)
+          .select(col("qid"), col("rn"), col("did"),
+            round(col("cos"), 6).as("cos_r"))
+          .orderBy(col("qid"), col("rn"))
+      },
+      None,
+      oracleGen = () => Similarity.trainedCentroids.get((8, 2, "capped"))
+        .map(cents => Similarity.ivfCappedOracleSql("embeddings",
+          "vec_id", "embedding", 5, cents, nProbes = 2,
+          queryPred = "vec_id < 8", perCellCap = 12))),
 
     QuerySpec("x7_dedup_embedding_cosine",
       "embedding-cosine near-dup ADJUDICATION over sign-LSH bucket " +
@@ -2212,9 +2268,17 @@ object ExtensionQueries {
         require(cand < total,
           s"bloom filters must rule out row groups for the probe: " +
             s"$cand candidates of $total row groups — no skip, no point")
+        // boundary convention: decimal never crosses to the
+        // comparator (representational divergence vs DuckDB), and the
+        // ORDER BY must be a total order — the synthetic fixture has
+        // duplicate (l_orderkey, l_linenumber) pairs (see
+        // ParityQueries note on the fixture trap), so l_partkey and
+        // qty complete the key.
         val q = s.read.parquet(path)
           .filter(col("l_orderkey") === probe)
-          .orderBy(col("l_linenumber"))
+          .withColumn("qty", col("qty").cast("double"))
+          .orderBy(col("l_linenumber"), col("l_partkey"), col("qty"),
+            col("l_returnflag"))
         val scans = q.queryExecution.sparkPlan.collect {
           case f: org.apache.spark.sql.execution.FileSourceScanExec => f
         }
@@ -2227,10 +2291,12 @@ object ExtensionQueries {
       Some("""SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
              |  CAST(l_linenumber AS BIGINT) AS l_linenumber,
              |  CAST(l_partkey AS BIGINT) AS l_partkey,
-             |  CAST(l_quantity AS DECIMAL(18,2)) AS qty, l_returnflag
+             |  CAST(CAST(l_quantity AS DECIMAL(18,2)) AS DOUBLE) AS qty,
+             |  l_returnflag
              |FROM lineitem
              |WHERE l_orderkey = (SELECT max(l_orderkey) FROM lineitem)
-             |ORDER BY l_linenumber""".stripMargin)),
+             |ORDER BY l_linenumber, l_partkey, qty, l_returnflag"""
+        .stripMargin)),
 
     QuerySpec("x40_heavy_hitters_two_phase",
       "scalable heavy-hitter tokens, sample-then-verify: phase 1 " +
@@ -2466,12 +2532,17 @@ object ExtensionQueries {
         .filter(col("l_orderkey") <= 200)
         .select(col("l_orderkey"), col("l_linenumber").cast("long"),
           Layout.zValue(col("l_partkey"), col("l_suppkey"), 21).as("zval"))
-        .orderBy(col("l_orderkey"), col("l_linenumber")),
+        // zval completes the total order: the fixture has duplicate
+        // (l_orderkey, l_linenumber) pairs whose tied rows carry
+        // DIFFERENT zvals, so the pair alone leaves both engines free
+        // to flip them. With zval in the key any remaining tie is a
+        // fully identical row — hash-safe in either order.
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("zval")),
       Some(s"""SELECT l_orderkey, CAST(l_linenumber AS BIGINT)
              |    AS l_linenumber,
              |  ${Layout.zValueSql("l_partkey", "l_suppkey", 21)} AS zval
              |FROM lineitem WHERE l_orderkey <= 200
-             |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+             |ORDER BY l_orderkey, l_linenumber, zval""".stripMargin)),
 
     QuerySpec("x45_hard_negative_mining",
       "contrastive-pair mining for embedding training: per anchor, " +
@@ -2954,9 +3025,12 @@ object ExtensionQueries {
           .add("priority_rank", LongType)
         val u = graft.sources.Evolution.readUnion(s,
           Seq("v1" -> v1, "v2" -> v2, "v3" -> v3), canonical)
+        // dec2 round-trips to 2dp for cross-engine determinism, but
+        // the catalog's boundary convention is that DECIMAL never
+        // reaches the comparator — cast back to double.
         val q = u.select(col("snapshot_id"), col("o_orderkey"),
             col("o_custkey"),
-            dec2(col("o_totalprice")).as("o_totalprice"),
+            dec2(col("o_totalprice")).cast("double").as("o_totalprice"),
             col("o_orderpriority"), col("priority_rank"))
           .orderBy(col("o_orderkey"))
         val nScans = q.queryExecution.sparkPlan.collect {
@@ -2981,7 +3055,8 @@ object ExtensionQueries {
              |    CAST(substr(o_orderpriority, 1, 1) AS BIGINT)
              |  FROM orders WHERE o_orderkey % 3 = 2)
              |SELECT snapshot_id, o_orderkey, o_custkey,
-             |  CAST(o_totalprice AS DECIMAL(18,2)) AS o_totalprice,
+             |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE)
+             |    AS o_totalprice,
              |  o_orderpriority, priority_rank
              |FROM u ORDER BY o_orderkey""".stripMargin)),
 
@@ -3167,9 +3242,13 @@ object ExtensionQueries {
         "DuckDB; the ok flag reaching the oracle as literal TRUE " +
         "means an out-of-bounds sketch fails the hash, not a log line",
       (s, dir) => {
-        val toks = t(s, dir, "documents")
+        // the token frame feeds BOTH the sketch build and the exact
+        // side (different aggregations — exchange reuse cannot fire),
+        // and the returned plan re-executes at harness time: one
+        // tokenize+explode, every consumer reads the scratch table
+        val toks = scratch(t(s, dir, "documents")
           .select(col("lang"), pmod(col("doc_id"), lit(4)).as("shard"),
-            explode(wsTokens(col("text"))).as("tok"))
+            explode(wsTokens(col("text"))).as("tok")), "x61_toks")
         val shardSketches = toks.groupBy(col("lang"), col("shard"))
           .agg(hll_sketch_agg(col("tok"), lit(12)).as("sk"))
         val merged = shardSketches.groupBy(col("lang"))
@@ -3214,15 +3293,14 @@ object ExtensionQueries {
         "the exact side is hash-gated against DuckDB",
       (s, dir) => {
         val eps = 0.005; val conf = 0.99; val seed = 42
-        val bg = t(s, dir, "documents")
+        // the bigram frame feeds the sketch build (collected eagerly),
+        // the exact top-25 (computed at the REQUIRE gate) AND the
+        // returned plan's re-execution: one tokenize+pair pass,
+        // scratch-read by every consumer
+        val bg = scratch(t(s, dir, "documents")
           .select(pmod(col("doc_id"), lit(4)).as("shard"),
-            wsTokens(col("text")).as("tk"))
-          .filter(size(col("tk")) >= 2)
-          .select(col("shard"), explode(arrays_zip(
-            expr("slice(tk, 1, size(tk) - 1)"),
-            expr("slice(tk, 2, size(tk) - 1)"))).as("z"))
-          .select(col("shard"),
-            concat(col("z.0"), lit(" "), col("z.1")).as("bg"))
+            explode(adjacentBigrams(wsTokens(col("text")))).as("bg")),
+          "x63_bigrams")
         // shard→merge is the pattern that matters at 100 TB: one grid
         // per shard/day/segment, KB-scale binaries driver-merged, any
         // rollup probed without a rescan (the x61 HLL shape, for
@@ -3283,7 +3361,12 @@ object ExtensionQueries {
         "trick) and hash-gated against DuckDB's independent " +
         "position-based rederivation",
       (s, dir) => LanguageModel.cooccurrencePmi(
-          t(s, dir, "documents"), "text", window = 3)
+          t(s, dir, "documents"), "text", window = 3,
+          // the distinct-pair table feeds marginals a, b, T and the
+          // final join (4 consumers; inferred null filters defeat
+          // exchange reuse, verified r12): one corpus pair-gen pass,
+          // every consumer reads the vocabulary²-sized scratch table
+          materialize = df => scratch(df, "x64_cab"))
         .orderBy(col("c_ab").desc, col("a"), col("b")).limit(50)
         .orderBy(col("c_ab").desc, col("a"), col("b")),
       Some(s"""WITH base AS (
@@ -3465,10 +3548,14 @@ object ExtensionQueries {
                 col("vec_id").cast("string"), lit("-"),
                 i.cast("string"))), 32, 1).isin(signs: _*),
                 lit(0.05)).otherwise(lit(-0.05))).as("twin"))
-        val proj = withTwin.select(col("vec_id"), col("embedding"),
-          col("twin"),
+        // the projection pipeline feeds the dup leg, both bg join
+        // sides, and three executions (two REQUIRE gates + the
+        // returned plan): one compute, scratch-read everywhere
+        val proj = scratch(withTwin.select(col("vec_id"),
+          col("embedding"), col("twin"),
           Similarity.jlProject(col("embedding"), dOut, dim).as("jl_v"),
-          Similarity.jlProject(col("twin"), dOut, dim).as("jl_t"))
+          Similarity.jlProject(col("twin"), dOut, dim).as("jl_t")),
+          "x62_proj")
         val dup = proj.select(lit("dup").as("kind"),
           col("vec_id").as("id_a"), col("vec_id").as("id_b"),
           cosine(col("embedding"), col("twin")).as("cos_full"),
@@ -3477,8 +3564,19 @@ object ExtensionQueries {
           col("embedding").as("va"), col("jl_v").as("ja"))
         val bSide = proj.select(col("vec_id").as("id_b"),
           col("embedding").as("vb"), col("jl_v").as("jb"))
-        val bg = aSide.join(bSide, col("id_a") < col("id_b") &&
-            pmod(col("id_a") + col("id_b"), lit(37)) === 0)
+        // equi-keyed rewrite of the background 1/37 pair sample:
+        // (id_a + id_b) % 37 == 0  ⟺  id_a % 37 == (37 - id_b % 37)
+        // % 37 — bucketing both sides turns the raw theta predicate
+        // (a BroadcastNestedLoopJoin, O(n²) predicate evaluations)
+        // into a 37-bucket shuffled equi-join with an id_a < id_b
+        // residual, selecting the IDENTICAL pair set the oracle
+        // re-derives
+        val bg = aSide
+          .withColumn("__bk", pmod(col("id_a"), lit(37)))
+          .join(bSide.withColumn("__bk",
+            pmod(lit(37) - pmod(col("id_b"), lit(37)), lit(37))),
+            Seq("__bk"))
+          .filter(col("id_a") < col("id_b"))
           .select(lit("bg").as("kind"), col("id_a"), col("id_b"),
             cosine(col("va"), col("vb")).as("cos_full"),
             cosine(col("ja"), col("jb")).as("cos_jl"))
@@ -3979,27 +4077,35 @@ object ExtensionQueries {
           .select((col("doc_id") + 1000000).as("doc_id"),
             expr("substring(text, instr(text, ' ') + 1)").as("text"))
         val corpus = base.unionByName(twins)
-        val sets = Dedup.prefixFilterSets(corpus, "doc_id", "text", 3)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        try {
-          val cands = Dedup.prefixFilterCandidates(sets, "doc_id", 0.7)
-          val verified =
-            Dedup.prefixFilterVerify(sets, cands, "doc_id", 0.7)
-          val nCand = cands.count()
-          val m = corpus.count()
-          require(nCand * 20 <= m * (m - 1) / 2,
-            s"prefix filter degenerated: $nCand candidates vs " +
-              s"${m * (m - 1) / 2} all-pairs")
-          val missed = base.filter(col("doc_id") % 10 === 0)
-            .select(col("doc_id").as("id_a"),
-              (col("doc_id") + 1000000).as("id_b"))
-            .join(verified, Seq("id_a", "id_b"), "left_anti").count()
-          require(missed == 0,
-            s"$missed twin pairs missed — completeness broken")
-          verified.select(col("id_a"), col("id_b"),
-              round(col("jac"), 6).as("jac_r"))
-            .orderBy(col("id_a"), col("id_b"))
-        } finally sets.unpersist(false)
+        // The shingle+global-frequency+ordered-set aggregation is the
+        // entry's heaviest subtree and is consumed FOUR times (the
+        // candidate join's two sides, verify, and the returned plan).
+        // A persist released in `finally` runs before the harness
+        // executes the RETURNED frame (r12 verdict: 3-4 redundant
+        // corpus-wide shuffles per run) — so materialize to parquet
+        // once and read it back for every consumer (the
+        // Quarantine.ingest pattern). At 100 TB this IS the design:
+        // the sets table is the reusable index artifact.
+        val sets = scratch(
+          Dedup.prefixFilterSets(corpus, "doc_id", "text", 3),
+          "x70_sets")
+        val cands = Dedup.prefixFilterCandidates(sets, "doc_id", 0.7)
+        val verified =
+          Dedup.prefixFilterVerify(sets, cands, "doc_id", 0.7)
+        val nCand = cands.count()
+        val m = corpus.count()
+        require(nCand * 20 <= m * (m - 1) / 2,
+          s"prefix filter degenerated: $nCand candidates vs " +
+            s"${m * (m - 1) / 2} all-pairs")
+        val missed = base.filter(col("doc_id") % 10 === 0)
+          .select(col("doc_id").as("id_a"),
+            (col("doc_id") + 1000000).as("id_b"))
+          .join(verified, Seq("id_a", "id_b"), "left_anti").count()
+        require(missed == 0,
+          s"$missed twin pairs missed — completeness broken")
+        verified.select(col("id_a"), col("id_b"),
+            round(col("jac"), 6).as("jac_r"))
+          .orderBy(col("id_a"), col("id_b"))
       },
       Some("""WITH base AS (
              |  SELECT doc_id, text FROM documents
@@ -4065,36 +4171,34 @@ object ExtensionQueries {
       (s, dir) => {
         val cutoffs = Seq(10L, 100L, 500L)
         val bg = t(s, dir, "documents")
-          .select(wsTokens(col("text")).as("tk"))
-          .filter(size(col("tk")) >= 2)
-          .select(explode(arrays_zip(
-            expr("slice(tk, 1, size(tk) - 1)"),
-            expr("slice(tk, 2, size(tk) - 1)"))).as("z"))
-          .select(concat(col("z.0"), lit(" "), col("z.1")).as("g"))
-        val freq = bg.groupBy(col("g")).agg(count(lit(1)).as("f"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        try {
-          val total = freq.agg(sum(col("f"))).head.getLong(0)
-          val vocab = freq.count()
-          val rows = cutoffs.map { v =>
-            val covered = freq.orderBy(col("f").desc, col("g"))
-              .limit(v.toInt)
-              .agg(coalesce(sum(col("f")), lit(0L))).head.getLong(0)
-            (v, covered)
-          }
-          require(rows.sliding(2).forall(w => w(0)._2 <= w(1)._2) &&
-            rows.last._2 > rows.head._2,
-            s"coverage curve must be monotone and non-vacuous: $rows")
-          import s.implicits._
-          rows.toDF("cutoff", "covered")
-            .select(col("cutoff"), lit(vocab).as("vocab_total"),
-              lit(total).as("n_grams"),
-              round(col("covered").cast("double") / lit(total.toDouble),
-                6).as("coverage_r"),
-              round(lit(1.0) - col("covered").cast("double") /
-                lit(total.toDouble), 6).as("oov_rate_r"))
-            .orderBy(col("cutoff"))
-        } finally freq.unpersist(false)
+          .select(explode(adjacentBigrams(wsTokens(col("text"))))
+            .as("g"))
+        // vocabulary-sized (not corpus-sized) and consumed 2+|cutoffs|
+        // times — the scratch table replaces a persist the returned
+        // plan could never see (every consumer here runs eagerly, but
+        // the convention is one compute per heavy subtree, period)
+        val freq = scratch(
+          bg.groupBy(col("g")).agg(count(lit(1)).as("f")), "x71_freq")
+        val total = freq.agg(sum(col("f"))).head.getLong(0)
+        val vocab = freq.count()
+        val rows = cutoffs.map { v =>
+          val covered = freq.orderBy(col("f").desc, col("g"))
+            .limit(v.toInt)
+            .agg(coalesce(sum(col("f")), lit(0L))).head.getLong(0)
+          (v, covered)
+        }
+        require(rows.sliding(2).forall(w => w(0)._2 <= w(1)._2) &&
+          rows.last._2 > rows.head._2,
+          s"coverage curve must be monotone and non-vacuous: $rows")
+        import s.implicits._
+        rows.toDF("cutoff", "covered")
+          .select(col("cutoff"), lit(vocab).as("vocab_total"),
+            lit(total).as("n_grams"),
+            round(col("covered").cast("double") / lit(total.toDouble),
+              6).as("coverage_r"),
+            round(lit(1.0) - col("covered").cast("double") /
+              lit(total.toDouble), 6).as("oov_rate_r"))
+          .orderBy(col("cutoff"))
       },
       Some(s"""WITH base AS (
              |  SELECT $duckWsTokens AS tk FROM documents),

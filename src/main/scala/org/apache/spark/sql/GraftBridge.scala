@@ -22,4 +22,15 @@ object GraftBridge {
 
   def expression(c: Column): Expression =
     org.apache.spark.sql.classic.ExpressionUtils.expression(c)
+
+  /** Wrap an analyzed logical plan as a DataFrame — used by the
+    * catalog's total-order checker to re-execute the PRE-limit input
+    * of a top-k entry's Sort (a non-total key above a LIMIT picks
+    * engine-dependent boundary rows, invisible in the post-limit
+    * output). */
+  def ofRows(spark: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 }

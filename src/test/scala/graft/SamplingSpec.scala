@@ -174,4 +174,17 @@ class SamplingSpec extends SparkSpec {
     assert(got == expected,
       s"invalid-weight rows changed the draw: $got vs $expected")
   }
+
+  test("weightedSample with FEWER valid rows than k still excludes " +
+      "invalid-weight rows (the desc_nulls_last-only form leaked " +
+      "them through both <= k filters when valid rows ran short)") {
+    val rows = (Seq(("c", 1L, 2.0), ("c", 2L, 3.0)) ++ Seq(
+      ("c", 101L, -5.0), ("c", 102L, 0.0), ("c", 103L, Double.NaN),
+      ("d", 201L, Double.NaN)))
+      .toDF("cls", "id", "wt")
+    val got = Sampling.weightedSample(rows, "cls", "id", col("wt"), 5)
+      .select($"cls", $"id").as[(String, Long)].collect().toSet
+    assert(got == Set(("c", 1L), ("c", 2L)),
+      s"expected only the two valid rows (and no 'd' row), got $got")
+  }
 }

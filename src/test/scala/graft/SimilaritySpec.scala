@@ -143,6 +143,36 @@ class SimilaritySpec extends SparkSpec {
     assert(top.head._3 > 0.99)
   }
 
+  test("ivfTopKWithCapped: candidate volume per query is HARD-bounded " +
+      "by nProbes × cap however skewed the cells are, and a cap above " +
+      "the largest cell is a no-op (identical to uncapped serving)") {
+    // all 30 vectors share one direction: ONE cell holds everything —
+    // the drift rehearsal's tight-mode geometry, worst-case skew
+    val vecs = (0L until 30L).map(i =>
+      (i, Seq.tabulate(8)(d => 1f + 0.001f * (i * 8 + d))))
+      .toDF("vec_id", "embedding")
+    val cents = Similarity.ivfTrain(vecs, "vec_id", "embedding",
+      nCells = 4, iters = 2, tag = "capspec")
+    val q = vecs.filter($"vec_id" < 3)
+    val capped = Similarity.ivfTopKWithCapped(vecs, q, "vec_id",
+      "embedding", k = 30, cents, nProbes = 1, perCellCap = 5)
+    // k deliberately huge: the row count per query IS the candidate
+    // count, and it must not exceed nProbes × cap (minus self-match)
+    val perQuery = capped.groupBy($"qid").count()
+      .as[(Long, Long)].collect().toMap
+    assert(perQuery.values.forall(_ <= 5L),
+      s"cap must bound candidates: $perQuery")
+    val uncapped = Similarity.ivfTopKWith(vecs, q, "vec_id",
+        "embedding", k = 5, cents, nProbes = 1)
+      .select($"qid", $"rn", $"did").as[(Long, Long, Long)]
+      .collect().toSet
+    val bigCap = Similarity.ivfTopKWithCapped(vecs, q, "vec_id",
+        "embedding", k = 5, cents, nProbes = 1, perCellCap = 1000)
+      .select($"qid", $"rn", $"did").as[(Long, Long, Long)]
+      .collect().toSet
+    assert(bigCap == uncapped, "a non-biting cap must be a no-op")
+  }
+
   test("ivfTrain is deterministic across invocations") {
     val vecs = (0L until 12L).map(i =>
       (i, Seq.tabulate(4)(d => (i * 7 % 5 + d).toFloat))).toDF("vec_id", "embedding")

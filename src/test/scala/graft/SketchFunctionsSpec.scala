@@ -98,6 +98,29 @@ class SketchFunctionsSpec extends SparkSpec {
       "crowded grid should overestimate most keys")
   }
 
+  test("cms 2-slot memo survives a two-sketch projection: probing " +
+      "two grids per row deserializes once per (thread, sketch), " +
+      "not twice per row — the one-slot memo's thrash mode") {
+    val rows = (0L until 4000L).map(i => s"key-${i % 97}").toDF("k")
+    def agg = count_min_sketch(col("k"), lit(0.01), lit(0.99), lit(7))
+    val skA = rows.agg(agg.as("sk")).head.getAs[Array[Byte]]("sk")
+    val skB = rows.limit(2000).agg(agg.as("sk"))
+      .head.getAs[Array[Byte]]("sk")
+    val before = graft.plans.CmsEstimate.deserializations.get()
+    val probed = rows
+      .select(SketchFunctions.cmsEstimate(skA, col("k")).as("ea"),
+        SketchFunctions.cmsEstimate(skB, col("k")).as("eb"))
+      .agg(sum(col("ea")), sum(col("eb"))).head
+    assert(probed.getLong(0) >= 4000L && probed.getLong(1) >= 2000L)
+    val misses = graft.plans.CmsEstimate.deserializations.get() - before
+    // bound: 2 sketches × threads that touched a partition (local[4]
+    // + possible driver-side eval), far below the 8000 a per-row
+    // thrash would produce
+    assert(misses <= 16L,
+      s"memo thrashed: $misses deserializations for a 4000-row " +
+        "two-sketch projection")
+  }
+
   // a deterministic permutation of 0..n-1 (2654435761 is odd and ends
   // in 1, so it is coprime with 10^k moduli) — adversarial-ish insert
   // order without rand(), so measured error bounds stay pinned

@@ -194,5 +194,14 @@ class TextFunctionsSpec extends SparkSpec {
     val ascii = Seq("aabbcc").toDF("t")
       .select(TextAnalysis.charEntropy($"t")).as[Double].head()
     assert(math.abs(ascii - math.log(3)) < 1e-12)
+    // force the SAME balanced multiset down the codepoint path: the
+    // appended "αα" makes the string non-ASCII (dispatch goes to
+    // codepointEntropy) and keeps the distribution uniform — 4
+    // symbols × count 2 of 8 → exactly ln 4. A fast-path/codepoint
+    // disagreement on the shared a/b/c symbols would break this.
+    val mixed = Seq("aabbccαα").toDF("t")
+      .select(TextAnalysis.charEntropy($"t")).as[Double].head()
+    assert(math.abs(mixed - math.log(4)) < 1e-12,
+      s"codepoint path on uniform 4-symbol multiset: $mixed != ln 4")
   }
 }

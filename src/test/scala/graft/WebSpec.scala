@@ -176,6 +176,88 @@ class WebSpec extends SparkSpec {
       "origin.cdn.example.test"))
   }
 
+  private def domainJoin(hosts: Seq[String],
+      rules: Seq[String]): Seq[String] = {
+    val m = Web.withRegisteredDomain(hosts.toDF("h"), "h", rules, "d")
+      .select(col("h"), col("d")).as[(String, String)].collect().toMap
+    hosts.map(m)
+  }
+
+  test("parsePslFile: publicsuffix.org format — comment lines " +
+      "(including the ICANN/PRIVATE section markers), blank lines, " +
+      "trailing annotations, and case are all handled") {
+    val file =
+      """// ===BEGIN ICANN DOMAINS===
+        |// ck : https://example.test/registry
+        |*.ck
+        |!www.ck
+        |
+        |Example.TEST   // inline trailing comment
+        |// ===END ICANN DOMAINS===
+        |// ===BEGIN PRIVATE DOMAINS===
+        |cdn.example.test
+        |// ===END PRIVATE DOMAINS===
+        |""".stripMargin
+    assert(Web.parsePslFile(file) ==
+      Seq("*.ck", "!www.ck", "example.test", "cdn.example.test"))
+    // the file form round-trips through registeredDomain unchanged
+    val p = java.nio.file.Files.createTempFile("psl", ".dat")
+    java.nio.file.Files.writeString(p, file)
+    assert(domain(Seq("foo.www.ck", "a.b.ck", "x.example.test"),
+      Web.parsePslFile(p)) ==
+      Seq("www.ck", "a.b.ck", "x.example.test"))
+  }
+
+  test("withRegisteredDomain (broadcast rule-table join) agrees with " +
+      "the expression form on every PSL rule-kind interaction, and " +
+      "plans the rule match as a BroadcastHashJoin (never a " +
+      "nested-loop rule walk)") {
+    val rules = Seq("example.test", "*.cdn.example.test",
+      "!origin.cdn.example.test", "*.ck", "!www.ck", "test")
+    val hostsUnderTest = Seq(
+      "a.b.example.test", "a.b.cdn.example.test",
+      "x.a.b.cdn.example.test", "b.cdn.example.test",
+      "origin.cdn.example.test", "sub.origin.cdn.example.test",
+      "www.ck", "foo.www.ck", "a.b.ck", "weck",
+      "plain.test", "test", "unrelated.zz", "dotless")
+    assert(domainJoin(hostsUnderTest, rules) ==
+      domain(hostsUnderTest, rules))
+    val out = Web.withRegisteredDomain(
+      hostsUnderTest.toDF("h"), "h", rules, "d")
+    out.collect() // finalize AQE so the plan string is the real one
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"rule match must be a BroadcastHashJoin:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"no nested-loop join may appear in the plan:\n$plan")
+  }
+
+  test("withRegisteredDomain at real-PSL rule scale: a 300-rule " +
+      "generated list (nested wildcards + exceptions included) " +
+      "resolves every rule-kind correctly — the expression form " +
+      "CANNOT run this (its 300-arm fold overflows the analyzer " +
+      "stack), which is exactly why the lookup-join form exists") {
+    val rules =
+      (0 until 250).map(i => s"tld$i") ++
+        (0 until 25).map(i => s"co.tld$i") ++
+        (0 until 15).map(i => s"*.w.tld$i") ++
+        (0 until 10).map(i => s"!keep$i.w.tld$i")
+    // expected values derived from the PSL algorithm by hand — the
+    // expression form is NOT the oracle here (it stack-overflows at
+    // this rule count; measured, see withRegisteredDomain's doc)
+    val cases =
+      (0 until 40).map(i =>
+        s"a.site$i.tld${i % 250}" -> s"site$i.tld${i % 250}") ++
+        (0 until 20).map(i =>
+          s"x.shop$i.co.tld${i % 25}" -> s"shop$i.co.tld${i % 25}") ++
+        (0 until 15).map(i =>
+          s"a$i.b$i.w.tld${i % 15}" -> s"a$i.b$i.w.tld${i % 15}") ++
+        (0 until 10).map(i =>
+          s"deep$i.keep$i.w.tld$i" -> s"keep$i.w.tld$i") ++
+        Seq("bare.unlisted" -> "bare.unlisted", "solo" -> "solo")
+    assert(domainJoin(cases.map(_._1), rules) == cases.map(_._2))
+  }
+
   private def clean(htmls: String*): Seq[String] =
     htmls.toDF("h").select(Web.htmlToText(col("h")).as("t"))
       .as[String].collect().toSeq
