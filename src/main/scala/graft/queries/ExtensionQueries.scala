@@ -4089,9 +4089,16 @@ object ExtensionQueries {
         val sets = scratch(
           Dedup.prefixFilterSets(corpus, "doc_id", "text", 3),
           "x70_sets")
-        val cands = Dedup.prefixFilterCandidates(sets, "doc_id", 0.7)
-        val verified =
-          Dedup.prefixFilterVerify(sets, cands, "doc_id", 0.7)
+        // candidates and the verified relation are each consumed by a
+        // REQUIRE gate AND a downstream stage/returned plan — scratch
+        // both so the prefix join and the exact-Jaccard adjudication
+        // each execute exactly ONCE per run
+        val cands = scratch(
+          Dedup.prefixFilterCandidates(sets, "doc_id", 0.7),
+          "x70_cands")
+        val verified = scratch(
+          Dedup.prefixFilterVerify(sets, cands, "doc_id", 0.7),
+          "x70_verified")
         val nCand = cands.count()
         val m = corpus.count()
         require(nCand * 20 <= m * (m - 1) / 2,
