@@ -127,9 +127,13 @@ object DriftRehearse {
       // survivor is returned) — uncapped, this number is what drifts
       // toward a corpus scan; capped, it is bounded by construction.
       val cap = math.max(1, (nBase / 16L).toInt)
+      val nQd = queries.count().toDouble
+      // total rows / ALL queries — a groupBy("qid") average would
+      // silently drop zero-candidate queries from the denominator,
+      // making the capped and uncapped numbers averages over
+      // DIFFERENT query sets
       def candsPerQuery(serve: org.apache.spark.sql.DataFrame): Double =
-        serve.groupBy(col("qid")).agg(count(lit(1)).as("n"))
-          .agg(avg(col("n"))).head.getDouble(0)
+        serve.count().toDouble / nQd
       val candU = candsPerQuery(Similarity.ivfTopKWith(corpus, queries,
         "vec_id", "embedding", Int.MaxValue, frozen, nProbes = 4))
       val candC = candsPerQuery(Similarity.ivfTopKWithCapped(corpus,
@@ -140,7 +144,7 @@ object DriftRehearse {
             "embedding", 5, frozen, nProbes = 4, perCellCap = cap),
           exact)
         .agg(avg(col("recall_at_k"))).head().getDouble(0)
-      val nQ = queries.count()
+      val nQ = nQd.toLong
       println(f"[drift] base=$nBase%d appendedPct=$fracPct%d " +
         f"queries=$nQ%d recall_frozen=${recallWith(frozen)}%.3f " +
         f"recall_retrained=${recallWith(retrained)}%.3f " +

@@ -264,11 +264,7 @@ object Similarity {
     val c = corpus.select(col(idCol).as("did"), col(vecCol).as("dvec"),
       l2Norm(col(vecCol)).as("dn"),
       cellExpr(col(vecCol), centroids).as("cell"))
-    val w = Window.partitionBy(col("cell"))
-      .orderBy(graft.functions.HashFunctions
-        .md5Hash60(col("did").cast("string")), col("did"))
-    val capped = c.withColumn("__cr", row_number().over(w))
-      .filter(col("__cr") <= perCellCap).drop("__cr")
+    val capped = perCellHashKeep(c, "did", "cell", perCellCap).drop("rk")
     ivfServe(capped, queries, idCol, vecCol, k, centroids, nProbes)
   }
 
@@ -391,9 +387,8 @@ object Similarity {
            |              list_sort(${structs("dvec")}, 'DESC')[1].i AS cell
            |       FROM c0),
            |cr AS (SELECT did, dvec, dn, cell, row_number() OVER (
-           |         PARTITION BY cell ORDER BY
-           |           ('0x' || substr(md5(CAST(did AS VARCHAR)), 1, 15))::BIGINT,
-           |           did) AS ccr
+           |         PARTITION BY cell
+           |         ORDER BY ${cellCapOrderSql("did")}) AS ccr
            |       FROM c1),
            |c AS (SELECT did, dvec, dn, cell FROM cr WHERE ccr <= $cap),"""
           .stripMargin
@@ -925,15 +920,49 @@ object Similarity {
   def cellBalancedSample(corpus: DataFrame, idCol: String, vecCol: String,
       centroids: Array[Array[Double]], perCell: Int): DataFrame = {
     require(perCell >= 1, s"perCell must be >= 1, got $perCell")
-    val id = col(idCol)
-    val w = Window.partitionBy(col("cell"))
-      .orderBy(graft.functions.HashFunctions.md5Hash60(id.cast("string")),
-        id)
-    corpus
-      .select(id, cellExpr(col(vecCol), centroids).as("cell"))
-      .withColumn("rk", row_number().over(w).cast("long"))
-      .filter(col("rk") <= perCell)
+    perCellHashKeep(
+      corpus.select(col(idCol), cellExpr(col(vecCol), centroids)
+        .as("cell")),
+      idCol, "cell", perCell)
   }
+
+  /** Deterministic per-cell hash-order keep: at most `cap` rows per
+    * `cellCol`, ranked by (60-bit md5 of the id, id) — the ONE
+    * ordering convention [[cellBalancedSample]] and
+    * [[ivfTopKWithCapped]] share with their DuckDB twins
+    * ([[cellCapOrderSql]]); a second hand-maintained copy of this
+    * window is how the engines drift. Two-phase shard-then-merge
+    * shape (the domainQuota/weightedSample pattern), because the cap
+    * matters exactly when ONE cell holds most of the corpus (the
+    * tight drift mode) and a plain cell-keyed window would pull that
+    * whole cell through one task: phase 1 ranks within (cell,
+    * id-hash shard) and keeps ≤ cap per shard — lossless, a row with
+    * cap lower-hash rows in its OWN shard cannot be in the cell's
+    * overall lowest cap — phase 2 ranks the ≤ shards×cap survivors.
+    * Appends `rk`, the final per-cell rank (BIGINT). */
+  private def perCellHashKeep(df: DataFrame, idCol: String,
+      cellCol: String, cap: Int, shards: Int = 64): DataFrame = {
+    val id = col(idCol)
+    val hash = graft.functions.HashFunctions.md5Hash60(id.cast("string"))
+    val w1 = Window
+      .partitionBy(col(cellCol),
+        graft.functions.HashFunctions.md5Hash60b(id.cast("string"))
+          % shards)
+      .orderBy(hash, id)
+    val w2 = Window.partitionBy(col(cellCol)).orderBy(hash, id)
+    df.withColumn("__k1", row_number().over(w1))
+      .filter(col("__k1") <= cap)
+      .withColumn("rk", row_number().over(w2).cast("long"))
+      .filter(col("rk") <= cap)
+      .drop("__k1")
+  }
+
+  /** DuckDB twin of [[perCellHashKeep]]'s ordering key (the one-phase
+    * window gives the same result as the two-phase Spark shape, whose
+    * split is scaling, not semantics). */
+  private def cellCapOrderSql(idExpr: String): String =
+    s"('0x' || substr(md5(CAST($idExpr AS VARCHAR)), 1, 15))::BIGINT, " +
+      idExpr
 
   /** DuckDB twin of [[cellBalancedSample]] (late-bound centroids). */
   def cellBalancedSampleOracleSql(table: String, idCol: String,
@@ -943,9 +972,8 @@ object Similarity {
        |             ${cellSqlExpr(s"$vecCol::DOUBLE[]", centroids)} AS cell
        |           FROM $table),
        |r AS (SELECT id, cell, CAST(row_number() OVER (
-       |        PARTITION BY cell ORDER BY
-       |          ('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 15))::BIGINT,
-       |          id) AS BIGINT) AS rk
+       |        PARTITION BY cell ORDER BY ${cellCapOrderSql("id")})
+       |        AS BIGINT) AS rk
        |      FROM c)
        |SELECT id AS $idCol, cell, rk FROM r WHERE rk <= $perCell
        |ORDER BY $idCol""".stripMargin

@@ -164,10 +164,23 @@ object Web {
   private final case class Plain(body: String, raw: String)
       extends PslRule { def labels: Int = body.count(_ == '.') + 1 }
 
+  /** Driver-side mirror of [[graft.plans.IdnToAscii.toAsciiSafe]]:
+    * ASCII passthrough, else `IDN.toASCII` lowercased, unchanged when
+    * IDNA rejects the shape. Rule bodies MUST take the same IDNA path
+    * hosts take — the real publicsuffix.org list carries unicode
+    * rules (`公司.cn`, `*.навсегда`...) while hosts arrive already
+    * punycoded from [[hostExpr]], so an un-normalized rule can never
+    * match anything. */
+  private def idnRuleBody(body: String): String =
+    if (body.forall(_ < 0x80)) body
+    else try java.net.IDN.toASCII(body)
+      .toLowerCase(java.util.Locale.ROOT)
+    catch { case _: IllegalArgumentException => body }
+
   private def parseRule(raw: String): PslRule =
-    if (raw.startsWith("!")) Exception_(raw.drop(1), raw)
-    else if (raw.startsWith("*.")) Wildcard(raw.drop(2), raw)
-    else Plain(raw, raw)
+    if (raw.startsWith("!")) Exception_(idnRuleBody(raw.drop(1)), raw)
+    else if (raw.startsWith("*.")) Wildcard(idnRuleBody(raw.drop(2)), raw)
+    else Plain(idnRuleBody(raw), raw)
 
   /** Evaluation order per the PSL algorithm: exception rules beat
     * everything, then more-specific (more labels, counting a `*` as

@@ -40,7 +40,14 @@ object ExtensionQueries {
     * intermediates (set indexes, pair tables, token frames) are
     * artifacts, not lineage. */
   private def scratch(df: DataFrame, name: String): DataFrame = {
-    val dir = java.nio.file.Paths.get("target", "scratch", name)
+    // namespaced by the Spark application id: two concurrent graft
+    // JVMs (a CatalogSpec sweep beside a Verify dump, at possibly
+    // DIFFERENT SFs) would otherwise overwrite each other's table
+    // mid-read — FileNotFound at best, the other run's SF data in a
+    // hash gate at worst. target/ is build scrap; the per-app dirs
+    // go with `sbt clean` like the rest of it.
+    val dir = java.nio.file.Paths.get("target", "scratch",
+      df.sparkSession.sparkContext.applicationId, name)
       .toAbsolutePath.toString
     df.write.mode("overwrite").parquet(dir)
     df.sparkSession.read.parquet(dir)

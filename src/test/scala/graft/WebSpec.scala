@@ -208,6 +208,27 @@ class WebSpec extends SparkSpec {
       Seq("www.ck", "a.b.ck", "x.example.test"))
   }
 
+  test("PSL unicode rules are IDNA-normalized like hosts: a 公司.cn " +
+      "rule matches the punycoded hosts hostExpr actually produces, " +
+      "in both the expression and join forms") {
+    // the real publicsuffix.org list carries unicode rules while
+    // crawl hosts arrive punycoded (xn--55qx5d.cn = 公司.cn) — an
+    // un-normalized rule silently never matches and distinct sites
+    // collapse into the 2-label fallback
+    val rules = Seq("公司.cn", "*.навсегда.bg")
+    val hostsUnderTest = Seq(
+      "a.foo.xn--55qx5d.cn",            // plain unicode rule, deep
+      "foo.xn--55qx5d.cn",              // suffix + one label
+      "x.lbl.xn--80aafefe7c8a.bg")     // wildcard unicode rule
+    val expected = Seq(
+      "foo.xn--55qx5d.cn",
+      "foo.xn--55qx5d.cn",
+      "x.lbl.xn--80aafefe7c8a.bg")
+    assert(java.net.IDN.toASCII("навсегда.bg") == "xn--80aafefe7c8a.bg")
+    assert(domain(hostsUnderTest, rules) == expected)
+    assert(domainJoin(hostsUnderTest, rules) == expected)
+  }
+
   test("withRegisteredDomain (broadcast rule-table join) agrees with " +
       "the expression form on every PSL rule-kind interaction, and " +
       "plans the rule match as a BroadcastHashJoin (never a " +
