@@ -79,20 +79,26 @@ object PslRehearse {
         count(lit(1)).as("n"),
         sum(when(col("rd") === col("host"), 1L).otherwise(0L))
           .as("n_self"),
-        sum(when(col("host").endsWith(".w." +
-            regexp_extract(col("rd"), "(tld[0-9]+)$", 1)) ||
-          col("host").contains(".w."), 1L).otherwise(0L)).as("n_wild"),
+        // wildcard-family hosts all carry the ".w." infix by
+        // construction (the m%11 branches are the only ".w." source)
+        sum(when(col("host").contains(".w."), 1L).otherwise(0L))
+          .as("n_wild"),
         countDistinct(col("rd")).as("n_domains")).head
       val wall = (System.nanoTime() - t0) / 1e9
       // spot semantics at volume, cheap enough to run inline
+      // exception hosts look like siteK.keep.w.tldT (every generated
+      // host leads with a site/subdomain label, never bare keep.w...);
+      // for T in the exception-rule range the rd must be the carved
+      // exception BODY keep.w.tldT, not the wildcard's 3-label suffix
+      val excTld = regexp_extract(col("host"),
+        "\\.keep\\.w\\.tld([0-9]+)$", 1)
       val bad = out.filter(
         // plain-TLD host: registered domain must be exactly 2 labels
         (!col("host").contains(".w.") && !col("host").contains(".co.") &&
           size(split(col("host"), "\\.")) === 2 &&
           col("rd") =!= col("host")) ||
-          // exception host: rd must be the keep.w.tldN itself
-          (col("host").startsWith("keep.w.") &&
-            col("rd") =!= col("host")))
+          (excTld =!= "" && excTld.cast("long") < nTlds / 32 &&
+            col("rd") =!= concat(lit("keep.w.tld"), excTld)))
         .count()
       require(bad == 0, s"$bad hosts violated PSL spot semantics")
       println(f"[psl-rehearse] hosts=$n%d matched_rules_selfs=" +
