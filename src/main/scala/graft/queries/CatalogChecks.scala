@@ -98,6 +98,22 @@ object CatalogChecks {
       resolved.collectFirst { case Left(err) => err }
         .toLeft(resolved.map(_.toOption.get))
     }
+    // a Limit sitting BELOW the top Sort (the orderBy(k).limit(n)
+    // .orderBy(k) top-k idiom, x64) still picks boundary rows
+    // PRE-limit: find it through order-preserving Projects
+    @annotation.tailrec
+    def limitBelow(p: LogicalPlan): Option[LogicalPlan] = p match {
+      case pr: Project    => limitBelow(pr.child)
+      case l: GlobalLimit => Some(l.child)
+      case l: LocalLimit  => Some(l.child)
+      case _              => None
+    }
+    @annotation.tailrec
+    def unwrapLimits(p: LogicalPlan): LogicalPlan = p match {
+      case l: GlobalLimit => unwrapLimits(l.child)
+      case l: LocalLimit  => unwrapLimits(l.child)
+      case _              => p
+    }
     topSort(plan, limited = false) match {
       case (None, _) if globalAgg(plan) =>
         // ungrouped aggregate: exactly one output row, order-safe
@@ -105,10 +121,7 @@ object CatalogChecks {
       case (None, _) => Left("no top-level global ORDER BY")
       case (Some(s), limited) =>
         val keys = s.order.map(_.child)
-        if (!limited)
-          resolveNames(keys, plan.output).map(ns =>
-            SortCheck(ns, Some(df)))
-        else
+        if (limited)
           // check on the pre-limit frame: stricter than the output
           // needs (a tied row differing only in a column dropped
           // ABOVE the limit flags too) — strictness errs safe; such
@@ -116,6 +129,28 @@ object CatalogChecks {
           resolveNames(keys, s.child.output).map(ns =>
             SortCheck(ns, Some(org.apache.spark.sql.GraftBridge
               .ofRows(df.sparkSession, s.child))))
+        else limitBelow(s.child) match {
+          case None =>
+            resolveNames(keys, plan.output).map(ns =>
+              SortCheck(ns, Some(df)))
+          case Some(underLimit) => unwrapLimits(underLimit) match {
+            // the limit's boundary rows are picked by the INNER sort;
+            // when it matches the top sort key-for-key, one pre-limit
+            // tie check covers both the boundary pick and the final
+            // emission order (totality over a frame implies totality
+            // over any subset of its rows)
+            case inner: Sort if inner.global &&
+                inner.order.length == s.order.length &&
+                inner.order.zip(s.order).forall {
+                  case (a, b) => a.semanticEquals(b) } =>
+              resolveNames(keys, inner.child.output).map(ns =>
+                SortCheck(ns, Some(org.apache.spark.sql.GraftBridge
+                  .ofRows(df.sparkSession, inner.child))))
+            case _ => Left("LIMIT below the top ORDER BY with a " +
+              "different (or no) inner sort — boundary rows are picked " +
+              "by a key the checker cannot verify")
+          }
+        }
     }
   }
 

@@ -46,6 +46,20 @@ class CatalogSpec extends SparkSpec {
     val cutCheck = CatalogChecks.totalOrderCheck(cut).toOption.get
     assert(CatalogChecks.totalOrderViolations(
       cutCheck.frame.get, cutCheck.keys) == 1L)
+    // the LIMIT-BELOW trap (r13 ADVICE): orderBy(k).limit(n).orderBy(k)
+    // matches the top Sort with no limit above it, but the limit under
+    // it still picks boundary rows pre-limit — the checker must find
+    // it and run the tie check on the PRE-limit input
+    val resort = Seq((1, "a"), (2, "b"), (2, "c")).toDF("k", "v")
+      .orderBy(col("k")).limit(2).orderBy(col("k"))
+    val resortCheck = CatalogChecks.totalOrderCheck(resort).toOption.get
+    assert(CatalogChecks.totalOrderViolations(
+      resortCheck.frame.get, resortCheck.keys) == 1L)
+    // a differing inner sort key picks boundary rows the top key can't
+    // verify: reported as a shape needing hand justification
+    assert(CatalogChecks.totalOrderCheck(
+      Seq((1, "a"), (2, "b"), (2, "c")).toDF("k", "v")
+        .orderBy(col("v")).limit(2).orderBy(col("k"))).isLeft)
     // ungrouped aggregate: one row, order-safe with no data check
     val agg = CatalogChecks.totalOrderCheck(
       dup.agg(count(lit(1)).as("n")))
