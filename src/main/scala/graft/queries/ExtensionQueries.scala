@@ -44,14 +44,43 @@ object ExtensionQueries {
     // JVMs (a CatalogSpec sweep beside a Verify dump, at possibly
     // DIFFERENT SFs) would otherwise overwrite each other's table
     // mid-read — FileNotFound at best, the other run's SF data in a
-    // hash gate at worst. target/ is build scrap; the per-app dirs
-    // go with `sbt clean` like the rest of it.
-    val dir = java.nio.file.Paths.get("target", "scratch",
-      df.sparkSession.sparkContext.applicationId, name)
-      .toAbsolutePath.toString
+    // hash gate at worst. The per-app dir is reclaimed at JVM exit by
+    // a shutdown hook (at the 100 TB analog these are temp tables an
+    // orphan sweep would otherwise have to find), with total scratch
+    // bytes logged so the artifact cost is a measured line item.
+    val appDir = java.nio.file.Paths.get("target", "scratch",
+      df.sparkSession.sparkContext.applicationId).toAbsolutePath
+    registerCleanup(appDir)
+    val dir = appDir.resolve(name).toString
     df.write.mode("overwrite").parquet(dir)
     df.sparkSession.read.parquet(dir)
   }
+
+  /** One shutdown hook per app-scratch dir: deletes the dir at JVM
+    * exit and logs its final size. Registered lazily on first use so
+    * runs that never scratch pay nothing. */
+  private val cleanupRegistered =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[java.nio.file.Path]()
+
+  private def registerCleanup(appDir: java.nio.file.Path): Unit =
+    if (cleanupRegistered.add(appDir))
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        import scala.jdk.CollectionConverters._
+        if (java.nio.file.Files.exists(appDir)) {
+          val files = java.nio.file.Files.walk(appDir)
+            .sorted(java.util.Comparator.reverseOrder())
+            .iterator().asScala.toSeq
+          val bytes = files.map(p =>
+            try { if (java.nio.file.Files.isRegularFile(p))
+              java.nio.file.Files.size(p) else 0L }
+            catch { case _: java.io.IOException => 0L }).sum
+          files.foreach(p =>
+            try java.nio.file.Files.deleteIfExists(p)
+            catch { case _: java.io.IOException => () })
+          // stdout, not a logger: hooks run after log4j may have shut down
+          println(s"[graft-scratch] reclaimed $appDir ($bytes bytes)")
+        }
+      }, s"graft-scratch-cleanup"))
 
   /** Clean form of the x58 mojibake-fixture suffix (é ñ ü ö — all
     * Latin-1-representable, so one mis-decode step is exactly
