@@ -174,6 +174,47 @@ object ExtensionQueries {
   private val x56Suffixes: Seq[String] =
     Seq("example.test", "*.cdn.example.test", "!origin.cdn.example.test")
 
+  /** x72's public-suffix fixture, in the publicsuffix.org FILE format
+    * (comment/section lines, blank lines, a trailing-comment rule) and
+    * at a rule count deliberately ABOVE the ~300-rule analyzer ceiling
+    * where the expression form ([[graft.operators.Web.registeredDomain]])
+    * stops being buildable in Spark — the regime that makes the
+    * broadcast rule-table join ([[graft.operators.Web.withRegisteredDomain]])
+    * the only viable shape (the real list is ~9,250 rules). Covers
+    * every rule kind: plain one-label TLDs, two-level registries,
+    * nested wildcards, exceptions carved from wildcards, and unicode
+    * rules that must IDNA-normalize to match already-punycoded hosts. */
+  private val x72UniPlainBody: String =     // 公司.tld1 → xn--....tld1
+    java.net.IDN.toASCII("公司.tld1")
+      .toLowerCase(java.util.Locale.ROOT)
+  private val x72UniWildBody: String =      // 例.tld2 → xn--....tld2
+    java.net.IDN.toASCII("例.tld2")
+      .toLowerCase(java.util.Locale.ROOT)
+  private val x72PslFileText: String =
+    s"""// ===BEGIN ICANN DOMAINS===
+       |// generated graft fixture — one rule per line, format per
+       |// publicsuffix.org/list
+       |
+       |${(0 until 320).map(i => s"tld$i").mkString("\n")}
+       |
+       |// two-level registries
+       |${(0 until 40).map(i => s"co.tld$i").mkString("\n")}
+       |
+       |// wildcard registries (every label under w.tldN is public)
+       |${(0 until 40).map(i => s"*.w.tld$i").mkString("\n")}
+       |
+       |// exceptions carved back out of the first wildcards
+       |${(0 until 20).map(i => s"!keep.w.tld$i").mkString("\n")}
+       |
+       |// unicode rules (the list ships these raw; hosts arrive
+       |// punycoded, so rule bodies must take the same IDNA path)
+       |公司.tld1 ${"\t"}// trailing comment, format-legal
+       |*.例.tld2
+       |// ===END ICANN DOMAINS===
+       |""".stripMargin
+  private lazy val x72Rules: Seq[String] =
+    graft.operators.Web.parsePslFile(x72PslFileText)
+
   /** x21/x21b shared oracle chain: language/quality filter → exact
     * fingerprint dedup → MinHash pairs → recursive reachability →
     * min-label per node. Ends at `labels(u, mv)`; `kept(doc_id, text)`
@@ -3805,6 +3846,119 @@ object ExtensionQueries {
            |  ${Web.registeredDomainSql("host", x56Suffixes)}
            |    AS reg_domain
            |FROM c ORDER BY doc_id""".stripMargin
+      }),
+
+    QuerySpec("x72_psl_join_registered_domain",
+      "registered-domain extraction via the broadcast rule-table JOIN " +
+        "(Web.withRegisteredDomain) — the production PSL path, and " +
+        "the ONLY shape viable at the real publicsuffix.org size: the " +
+        "per-rule expression fold (x56's form) overflows the analyzer " +
+        "stack at ~300 rules, two orders of magnitude under the " +
+        "~9,250-rule list. The fixture is a " +
+        "publicsuffix.org-FORMAT file (comments, blank lines, a " +
+        "trailing-comment rule) parsed by parsePslFile into 422 rules " +
+        "covering every kind: plain TLDs, two-level registries, " +
+        "nested wildcards, exceptions, and raw-unicode rules that " +
+        "must IDNA-normalize to match punycoded hosts. Each DISTINCT " +
+        "host explodes to its dot-suffix chain in-row; ONE broadcast " +
+        "(mode,key) equi-join matches candidates against the KB-sized " +
+        "rule table (REQUIREd to plan as a BroadcastHashJoin, never a " +
+        "nested-loop rule walk); the prevailing rule per host is a " +
+        "struct-min on the PSL algorithm's exact precedence key. The " +
+        "DuckDB twin re-derives every host through the per-rule CASE " +
+        "spec (registeredDomainSql), so the hash gate checks the join " +
+        "ALGORITHM against the straightforward per-rule semantics " +
+        "cross-engine. At 100 TB the corpus pays one host-keyed " +
+        "distinct + one equi-join back; hosts never walk the rule list",
+      (s, dir) => {
+        import graft.operators.Web
+        // >300: the regime where only the join form can run (the
+        // fixture must actually be past the expression ceiling)
+        require(x72Rules.size == 422,
+          s"PSL fixture must parse to 422 rules, got ${x72Rules.size}")
+        val id = col("doc_id").cast("string")
+        val m = col("doc_id") % 9
+        val t320 = (col("doc_id") % 320).cast("string")
+        val t40 = (col("doc_id") % 40).cast("string")
+        val t20 = (col("doc_id") % 20).cast("string")
+        val host =
+          // plain TLD, 2 labels → rd = host
+          when(m === 0, concat(lit("site"), id, lit(".tld"), t320))
+          // deeper under plain → rd = last 2 labels
+          .when(m === 1, concat(lit("a"), id, lit(".site"), id,
+            lit(".tld"), t320))
+          // two-level registry → rd = last 3 labels
+          .when(m === 2, concat(lit("site"), id, lit(".co.tld"), t40))
+          // host IS a listed suffix → rd = itself
+          .when(m === 3, concat(lit("co.tld"), t40))
+          // under a wildcard: 4 labels → rd = whole host; 3 labels →
+          // host IS a (wildcard-defined) public suffix → rd = itself
+          .when(m === 4 && col("doc_id") % 2 === 0, concat(lit("x"), id,
+            lit(".site"), id, lit(".w.tld"), t40))
+          .when(m === 4, concat(lit("site"), id, lit(".w.tld"), t40))
+          // exception carve-out → rd = the exception body
+          .when(m === 5, concat(lit("site"), id, lit(".keep.w.tld"), t20))
+          // punycoded hosts under the raw-unicode rules
+          .when(m === 6 && col("doc_id") % 2 === 0,
+            concat(lit("site"), id, lit("." + x72UniPlainBody)))
+          .when(m === 6, concat(lit("s"), id, lit(".b." + x72UniWildBody)))
+          // unlisted → fallback last-2-labels
+          .when(m === 7, concat(lit("site"), id, lit(".zz"), t320))
+          // dotless → itself
+          .otherwise(concat(lit("host"), id))
+        val out = Web.withRegisteredDomain(
+            t(s, dir, "documents").select(col("doc_id"), host.as("host")),
+            "host", x72Rules, "reg_domain")
+          .select(col("doc_id"), col("host"), col("reg_domain"))
+          .orderBy(col("doc_id"))
+        // plan contract (WebSpec's assertion, enforced per run): the
+        // rule match must be a pure hash join on (mode, key) — a
+        // nested-loop walk of 422 rules per candidate is the shape
+        // this operator exists to avoid
+        val plan = out.queryExecution.sparkPlan.toString
+        require(plan.contains("BroadcastHashJoin"),
+          s"rule match must plan as a BroadcastHashJoin:\n$plan")
+        require(!plan.contains("BroadcastNestedLoopJoin"),
+          s"no nested-loop join may appear in the plan:\n$plan")
+        out
+      },
+      Some {
+        import graft.operators.Web
+        s"""WITH h AS (
+           |  SELECT doc_id,
+           |    CASE
+           |      WHEN doc_id % 9 = 0 THEN 'site' || CAST(doc_id AS VARCHAR)
+           |        || '.tld' || CAST(doc_id % 320 AS VARCHAR)
+           |      WHEN doc_id % 9 = 1 THEN 'a' || CAST(doc_id AS VARCHAR)
+           |        || '.site' || CAST(doc_id AS VARCHAR)
+           |        || '.tld' || CAST(doc_id % 320 AS VARCHAR)
+           |      WHEN doc_id % 9 = 2 THEN 'site' || CAST(doc_id AS VARCHAR)
+           |        || '.co.tld' || CAST(doc_id % 40 AS VARCHAR)
+           |      WHEN doc_id % 9 = 3
+           |        THEN 'co.tld' || CAST(doc_id % 40 AS VARCHAR)
+           |      WHEN doc_id % 9 = 4 AND doc_id % 2 = 0
+           |        THEN 'x' || CAST(doc_id AS VARCHAR)
+           |          || '.site' || CAST(doc_id AS VARCHAR)
+           |          || '.w.tld' || CAST(doc_id % 40 AS VARCHAR)
+           |      WHEN doc_id % 9 = 4 THEN 'site' || CAST(doc_id AS VARCHAR)
+           |        || '.w.tld' || CAST(doc_id % 40 AS VARCHAR)
+           |      WHEN doc_id % 9 = 5 THEN 'site' || CAST(doc_id AS VARCHAR)
+           |        || '.keep.w.tld' || CAST(doc_id % 20 AS VARCHAR)
+           |      WHEN doc_id % 9 = 6 AND doc_id % 2 = 0
+           |        THEN 'site' || CAST(doc_id AS VARCHAR)
+           |          || '.$x72UniPlainBody'
+           |      WHEN doc_id % 9 = 6 THEN 's' || CAST(doc_id AS VARCHAR)
+           |        || '.b.$x72UniWildBody'
+           |      WHEN doc_id % 9 = 7 THEN 'site' || CAST(doc_id AS VARCHAR)
+           |        || '.zz' || CAST(doc_id % 320 AS VARCHAR)
+           |      ELSE 'host' || CAST(doc_id AS VARCHAR)
+           |    END AS host
+           |  FROM documents)
+           |SELECT doc_id, host,
+           |  ${Web.registeredDomainSql("host", x72Rules)
+                .replace("\n", "\n  ")}
+           |    AS reg_domain
+           |FROM h ORDER BY doc_id""".stripMargin
       }),
 
     QuerySpec("x67_html_extract",
