@@ -189,12 +189,19 @@ object Graph {
           lit(damping) * coalesce(col("s"), lit(0.0)), 12).as("r"))
   }
 
-  /** DuckDB twin of [[pageRank]]: same fixed iterations unrolled as
-    * CTEs, same two-phase src-then-shard sorted folds, same rounding
-    * sequence. `edgesSql` must yield columns (src, dst). */
-  def pageRankOracleSql(edgesSql: String, iters: Int,
-      damping: Double = 0.85, shards: Int = 64): String = {
+  /** Shared CTE scaffolding for the DuckDB twins: base tables plus
+    * `iters` unrolled power-iteration rounds r1..rN, each the same
+    * two-phase src-then-shard sorted fold and rounding sequence as
+    * [[nextRanks]]. `edgesSql` must yield columns (src, dst). */
+  private def pageRankCtes(edgesSql: String, iters: Int,
+      damping: Double, shards: Int,
+      materializedRounds: Boolean = false): String = {
     val d = java.lang.Double.toString(damping)
+    // DuckDB inlines plain CTEs; when a round is referenced more than
+    // once (next round + delta + final pick, the converged twin) the
+    // recursive inlining is EXPONENTIAL in rounds — r_i must be
+    // MATERIALIZED there (values unchanged; a planner directive only)
+    val mat = if (materializedRounds) "MATERIALIZED " else ""
     val base =
       s"""e AS (
          |  ${edgesSql.replace("\n", "\n  ")}),
@@ -221,15 +228,63 @@ object Graph {
          |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
          |      list(ps ORDER BY shard)), (a, x) -> a + x) AS s
          |  FROM p$i GROUP BY id),
-         |r$i AS (
+         |r$i AS $mat(
          |  SELECT nodes.id,
          |    round((1.0 - $d) / nn.n +
          |      $d * coalesce(s$i.s, 0.0), 12) AS r
          |  FROM nodes CROSS JOIN nn
          |  LEFT JOIN s$i ON nodes.id = s$i.id)""".stripMargin
     }
-    s"""WITH $base,
-       |${iterCtes.mkString(",\n")}
+    s"""$base,
+       |${iterCtes.mkString(",\n")}""".stripMargin
+  }
+
+  /** DuckDB twin of [[pageRank]]: same fixed iterations unrolled as
+    * CTEs, same two-phase src-then-shard sorted folds, same rounding
+    * sequence. `edgesSql` must yield columns (src, dst). */
+  def pageRankOracleSql(edgesSql: String, iters: Int,
+      damping: Double = 0.85, shards: Int = 64): String =
+    s"""WITH ${pageRankCtes(edgesSql, iters, damping, shards)}
        |SELECT id, round(r, 6) AS rank_r FROM r$iters""".stripMargin
+
+  /** DuckDB twin of [[pageRankConverged]]: unrolls `maxIters` rounds,
+    * RE-DERIVES the per-round L1 delta sum |r_i - r_{i-1}|, and picks
+    * the FIRST round whose delta is <= tol (else maxIters) — so a
+    * wrong Spark-side stop round diverges the hash both through the
+    * emitted `iters_run` and through the rank values themselves.
+    *
+    * The delta sums are unordered double folds on BOTH engines
+    * (Spark's Observation metric is an unordered partial-agg sum), so
+    * the comparison is exact only up to ULP noise (~1e-15 relative);
+    * callers must pick `tol` with a margin to the nearest achievable
+    * delta that dwarfs that — x73 sits >= 2e-4 away on a tol of 2e-3.
+    * The rank values inside each round stay bit-exact (sorted folds,
+    * 12-dp rounds), so the gate's precision is the stop ROUND, which
+    * the margin pins. */
+  def pageRankConvergedOracleSql(edgesSql: String, maxIters: Int,
+      tol: Double, damping: Double = 0.85, shards: Int = 64): String = {
+    val t = java.lang.Double.toString(tol)
+    val deltas = (1 to maxIters).map { i =>
+      s"""  SELECT $i AS it,
+         |    (SELECT sum(abs(a.r - b.r))
+         |     FROM r$i a JOIN r${i - 1} b ON a.id = b.id) AS dlt"""
+        .stripMargin
+    }.mkString("\n  UNION ALL\n")
+    val allR = (1 to maxIters)
+      .map(i => s"  SELECT $i AS it, id, r FROM r$i")
+      .mkString("\n  UNION ALL\n")
+    s"""WITH ${pageRankCtes(edgesSql, maxIters, damping, shards,
+         materializedRounds = true)},
+       |deltas AS (
+       |$deltas),
+       |stop AS (
+       |  SELECT coalesce(min(it), $maxIters) AS it FROM deltas
+       |  WHERE dlt <= CAST($t AS DOUBLE)),
+       |allr AS (
+       |$allR)
+       |SELECT allr.id, round(allr.r, 6) AS rank_r,
+       |  CAST(stop.it AS BIGINT) AS iters_run
+       |FROM allr JOIN stop ON allr.it = stop.it
+       |ORDER BY id""".stripMargin
   }
 }

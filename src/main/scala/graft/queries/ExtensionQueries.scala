@@ -3744,6 +3744,56 @@ object ExtensionQueries {
           |UNION ALL SELECT p AS src, s AS dst FROM sp""".stripMargin,
         iters = 3) + "\nORDER BY id")),
 
+    QuerySpec("x73_pagerank_converged",
+      "PageRank with the PRODUCTION stopping rule — iterate until the " +
+        "L1 delta sum |r_i - r_(i-1)| drops under tol, not a fixed " +
+        "round count (x55): the delta metric rides each round's " +
+        "materialization job via observe() + one noop write (no " +
+        "second pass), each round's rank vector is lineage-truncated " +
+        "(ranks feeds the next round twice — an un-truncated plan " +
+        "doubles per round), and steady state holds exactly two rank " +
+        "vectors. The oracle re-derives the stop round independently: " +
+        "it unrolls maxIters rounds in DuckDB, recomputes every " +
+        "round's L1 delta, and picks the first round under tol — a " +
+        "wrong Spark-side stop diverges the hash through BOTH the " +
+        "emitted iters_run and the rank values. tol sits >= 2e-4 from " +
+        "the nearest achievable delta (measured), dwarfing the ULP " +
+        "noise of the unordered delta sums; rank values stay " +
+        "bit-exact via the x55 sorted folds",
+      (s, dir) => {
+        val sp = t(s, dir, "lineitem")
+          .filter(col("l_partkey") <= 600)
+          .select(col("l_suppkey").cast("long").as("s"),
+            (col("l_partkey").cast("long") + 1000000L).as("p"))
+          .distinct()
+        val edges = sp.select(col("s").as("src"), col("p").as("dst"))
+          .unionByName(sp.select(col("p").as("src"), col("s").as("dst")))
+        // damping 0.5 halves the delta per round, so the rule fires
+        // within a small budget; measured deltas on the fixture:
+        // round 9 ~ 2.8-3.5e-3, round 10 ~ 1.4-1.8e-3 → tol 2e-3
+        // stops at round 10 at both gate SFs with >= 2e-4 margin
+        val run = graft.operators.Graph.pageRankConverged(edges,
+          maxIters = 12, tol = 2e-3, damping = 0.5)
+        require(run.iters >= 1 && run.iters < 12,
+          s"the L1 stopping rule must fire BEFORE the iteration budget " +
+            s"(converged=${run.iters}, budget=12) — hitting the cap " +
+            "means the entry no longer exercises convergence")
+        require(run.l1Delta <= 2e-3,
+          s"converged run must end under tol, got ${run.l1Delta}")
+        run.ranks.withColumn("iters_run", lit(run.iters.toLong))
+          .orderBy(col("id"))
+      },
+      Some(graft.operators.Graph.pageRankConvergedOracleSql(
+        """SELECT s AS src, p AS dst FROM (
+          |  SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS s,
+          |    CAST(l_partkey AS BIGINT) + 1000000 AS p
+          |  FROM lineitem WHERE l_partkey <= 600)
+          |UNION ALL SELECT p AS src, s AS dst FROM (
+          |  SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS s,
+          |    CAST(l_partkey AS BIGINT) + 1000000 AS p
+          |  FROM lineitem WHERE l_partkey <= 600)""".stripMargin,
+        maxIters = 12, tol = 2e-3, damping = 0.5))),
+
     QuerySpec("x56_url_canonicalize",
       "crawl-curation URL keying: RFC 3986 §6 canonicalization " +
         "(scheme/host case, default-port elision, §6.2.2.2 " +
