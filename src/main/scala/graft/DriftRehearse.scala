@@ -144,6 +144,43 @@ object DriftRehearse {
             "embedding", 5, frozen, nProbes = 4, perCellCap = cap),
           exact)
         .agg(avg(col("recall_at_k"))).head().getDouble(0)
+      // the COMPOSED remedy the capped table's conclusion names:
+      // near-dup-screen the arriving mode (x31's semanticDedup —
+      // keep-first within tau-cosine, cell-bucketed) BEFORE append,
+      // then serve capped. A tight mode is near-dups of itself by
+      // construction, so the screen collapses it to a handful of
+      // representatives; the cap then prices as no-op insurance and
+      // recall returns to the f=0 baseline instead of decaying with
+      // (cap / crowded-cell size). maxCell is sized to the batch so
+      // the screen is exhaustive here; at production scale the
+      // arriving batch is screened shard-wise with the same capped
+      // cells + overflow reporter (semanticCellOverflow).
+      if (fracPct > 0) {
+        val nRaw = appended.count()
+        val survivors = Similarity.semanticDedup(appended, "vec_id",
+            "embedding", nCells = 16, tau = 0.9,
+            maxCell = math.max(2, nRaw.toInt))
+          .filter(col("kept")).select(col("vec_id"))
+          .join(appended, Seq("vec_id"))
+          .select(col("vec_id"), col("embedding"))
+        val nKept = survivors.count()
+        val corpusS = emb.unionByName(survivors)
+        val queriesS = corpusS.filter(col("vec_id") % 29 === 0)
+        val exactS = Similarity.bruteForceTopK(corpusS, queriesS,
+          "vec_id", "embedding", 5)
+        val recallS = Similarity.recallAtK(
+            Similarity.ivfTopKWithCapped(corpusS, queriesS, "vec_id",
+              "embedding", 5, frozen, nProbes = 4, perCellCap = cap),
+            exactS)
+          .agg(avg(col("recall_at_k"))).head().getDouble(0)
+        val nQs = queriesS.count().toDouble
+        val candS = Similarity.ivfTopKWithCapped(corpusS, queriesS,
+          "vec_id", "embedding", Int.MaxValue, frozen, nProbes = 4,
+          perCellCap = cap).count().toDouble / nQs
+        println(f"[drift-screen] appendedPct=$fracPct%d raw=$nRaw%d " +
+          f"kept=$nKept%d recall_capped_screened=$recallS%.3f " +
+          f"cand_capped_screened=$candS%.1f")
+      }
       val nQ = nQd.toLong
       println(f"[drift] base=$nBase%d appendedPct=$fracPct%d " +
         f"queries=$nQ%d recall_frozen=${recallWith(frozen)}%.3f " +

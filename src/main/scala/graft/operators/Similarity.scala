@@ -691,6 +691,19 @@ object Similarity {
     val base = materialize(corpus.select(col(idCol), col(vecCol)))
     val books = pqTrain(base, idCol, vecCol, m, ksub, iters)
     val centroids = ivfTrain(base, idCol, vecCol, nCells, iters)
+    adcTopKWith(base, queries, idCol, vecCol, k, books, centroids, nProbes)
+  }
+
+  /** [[adcTopK]] against FROZEN trained artifacts (a loaded index or a
+    * training memo shared across governance siblings): encode + probe
+    * + LUT rank with ZERO training scans — the serving shape of the
+    * x57 index lifecycle, and what lets the recall family (x39/x42b/
+    * x42d...) train once per corpus instead of once per entry. */
+  def adcTopKWith(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, books: Array[Array[Array[Double]]],
+      centroids: Array[Array[Double]], nProbes: Int): DataFrame = {
+    val m = books.length
+    val base = corpus.select(col(idCol), col(vecCol))
     val subDim = books(0)(0).length
     val codeCols = (0 until m).map(s =>
       subCellExpr(col(vecCol), s, books(s), subDim).as(s"code_$s"))
@@ -997,10 +1010,18 @@ object Similarity {
   def minePairs(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, nCells: Int, nProbes: Int, posBand: Double,
       negBand: Double, iters: Int = 2): DataFrame = {
+    minePairsWith(corpus, queries, idCol, vecCol,
+      ivfTrain(corpus, idCol, vecCol, nCells, iters), nProbes,
+      posBand, negBand)
+  }
+
+  /** [[minePairs]] against FROZEN centroids — see [[adcTopKWith]]. */
+  def minePairsWith(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, centroids: Array[Array[Double]], nProbes: Int,
+      posBand: Double, negBand: Double): DataFrame = {
     require(posBand >= negBand,
       s"posBand=$posBand must be >= negBand=$negBand " +
         "(equal bands = no excluded middle)")
-    val centroids = ivfTrain(corpus, idCol, vecCol, nCells, iters)
     val c = corpus.select(col(idCol).as("did"), col(vecCol).as("dvec"),
       l2Norm(col(vecCol)).as("dn"),
       cellExpr(col(vecCol), centroids).as("cell"))
@@ -1200,6 +1221,20 @@ object Similarity {
     val centroids = ivfTrain(base, idCol, vecCol, nCells, iters)
     val books = pqTrainResidual(base, idCol, vecCol, centroids, m, ksub,
       iters)
+    adcResidualTopKWith(base, queries, idCol, vecCol, k, books,
+      centroids, nProbes)
+  }
+
+  /** [[adcResidualTopK]] against FROZEN artifacts — see
+    * [[adcTopKWith]]; the residual-encode bias is re-derived from the
+    * (centroids, books) pair, a driver-side fold over K×m×ksub
+    * doubles. */
+  def adcResidualTopKWith(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      books: Array[Array[Array[Double]]],
+      centroids: Array[Array[Double]], nProbes: Int): DataFrame = {
+    val m = books.length
+    val base = corpus.select(col(idCol), col(vecCol))
     val bias = residualEncodeBias(centroids, books)
     val subDim = books(0)(0).length
     val codeCols = (0 until m).map(s =>

@@ -119,6 +119,58 @@ object ExtensionQueries {
     finally cached.get.foreach(_.unpersist(false))
   }
 
+  /** Session-scoped memo of trained ANN artifacts shared across the
+    * recall/eval family (x6b/x6c, x39, x42/x42b/x42d, x45/x46, plus
+    * x42c's coarse quantizer): the trainers are deterministic over
+    * (corpus dir, params), so each artifact trains ONCE per JVM per
+    * test-data dir and every sibling serves/evaluates against the
+    * frozen result — the x57 lifecycle (train once, serve many)
+    * applied to the catalog itself, which previously re-trained the
+    * SAME index 5× per sweep (~11% of the bench). Keyed by dir so a
+    * JVM sweeping several SFs can never cross-pollinate; hashes are
+    * unchanged by construction because the late-bound oracles embed
+    * Similarity's stash, which the single training call populated.
+    * A concurrent duplicate train is harmless (deterministic, last
+    * write wins). Entries gating the TRAINING or PERSISTENCE path
+    * itself (x6d "capped", x41 "base<400", x57 "persist", x42c's
+    * ksub=16 sweep) keep their own eager trains. */
+  private val annMemo = new java.util.concurrent.atomic.AtomicReference(
+    Map.empty[(String, String), AnyRef])
+
+  private def trainOnce[A <: AnyRef](dir: String, key: String)
+      (train: => A): A =
+    annMemo.get().get((dir, key)) match {
+      case Some(v) => v.asInstanceOf[A]
+      case None =>
+        val v = train
+        annMemo.updateAndGet(_ + ((dir, key) -> v))
+        v
+    }
+
+  private def memoCentroids(s: SparkSession, dir: String,
+      hook: DataFrame => DataFrame = identity): Array[Array[Double]] =
+    trainOnce(dir, "ivf-cents-8-2") {
+      Similarity.ivfTrain(t(s, dir, "embeddings"), "vec_id", "embedding",
+        nCells = 8, iters = 2, materialize = hook)
+    }
+
+  private def memoBooks(s: SparkSession, dir: String,
+      hook: DataFrame => DataFrame = identity)
+      : Array[Array[Array[Double]]] =
+    trainOnce(dir, "pq-books-8-8-2") {
+      Similarity.pqTrain(t(s, dir, "embeddings"), "vec_id", "embedding",
+        m = 8, ksub = 8, iters = 2, materialize = hook)
+    }
+
+  private def memoResBooks(s: SparkSession, dir: String,
+      hook: DataFrame => DataFrame = identity)
+      : Array[Array[Array[Double]]] =
+    trainOnce(dir, "pq-books-res-8-8-2") {
+      Similarity.pqTrainResidual(t(s, dir, "embeddings"), "vec_id",
+        "embedding", memoCentroids(s, dir, hook), m = 8, ksub = 8,
+        iters = 2, materialize = hook)
+    }
+
   // DuckDB twins of TextFunctions helpers, kept adjacent to their use.
   private val duckWsTokens = "string_split_regex(trim(text), '\\s+')"
   private def duckTokensIn(words: Seq[String]): String = {
@@ -679,8 +731,8 @@ object ExtensionQueries {
         "as literals and hash-matches",
       (s, dir) => {
         val emb = t(s, dir, "embeddings")
-        Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 8),
-            "vec_id", "embedding", 5, nCells = 8, nProbes = 2)
+        Similarity.ivfTopKWith(emb, emb.filter(col("vec_id") < 8),
+            "vec_id", "embedding", 5, memoCentroids(s, dir), nProbes = 2)
           .select(col("qid"), col("rn"), col("did"),
             round(col("cos"), 6).as("cos_r"))
           .orderBy(col("qid"), col("rn"))
@@ -698,8 +750,8 @@ object ExtensionQueries {
         val emb = t(s, dir, "embeddings")
         val q = emb.filter(col("vec_id") < 8)
         val exact = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 5)
-        val approx = Similarity.ivfTopK(emb, q, "vec_id", "embedding", 5,
-          nCells = 8, nProbes = 2)
+        val approx = Similarity.ivfTopKWith(emb, q, "vec_id",
+          "embedding", 5, memoCentroids(s, dir), nProbes = 2)
         Similarity.recallAtK(approx, exact).orderBy(col("qid"))
       },
       None,
@@ -2252,9 +2304,9 @@ object ExtensionQueries {
         "coarse centroids as literals and hash-matches bit-for-bit",
       (s, dir) => withTrainerCache { hook =>
         val emb = t(s, dir, "embeddings")
-        Similarity.adcTopK(emb, emb.filter(col("vec_id") < 8),
-            "vec_id", "embedding", 5, m = 8, ksub = 8, nCells = 8,
-            nProbes = 2, materialize = hook)
+        Similarity.adcTopKWith(emb, emb.filter(col("vec_id") < 8),
+            "vec_id", "embedding", 5, memoBooks(s, dir, hook),
+            memoCentroids(s, dir, hook), nProbes = 2)
           .select(col("qid"), col("rn"), col("did"),
             round(col("adc"), 6).as("adc_r"))
           .orderBy(col("qid"), col("rn"))
@@ -2424,9 +2476,10 @@ object ExtensionQueries {
         "codebooks + biases",
       (s, dir) => withTrainerCache { hook =>
         val emb = t(s, dir, "embeddings")
-        Similarity.adcResidualTopK(emb, emb.filter(col("vec_id") < 8),
-            "vec_id", "embedding", 5, m = 8, ksub = 8, nCells = 8,
-            nProbes = 2, materialize = hook)
+        Similarity.adcResidualTopKWith(emb,
+            emb.filter(col("vec_id") < 8), "vec_id", "embedding", 5,
+            memoResBooks(s, dir, hook), memoCentroids(s, dir, hook),
+            nProbes = 2)
           .select(col("qid"), col("rn"), col("did"),
             round(col("score"), 6).as("score_r"))
           .orderBy(col("qid"), col("rn"))
@@ -2451,12 +2504,12 @@ object ExtensionQueries {
         val q = emb.filter(col("vec_id") < 8)
         val exact = Similarity.bruteForceTopK(emb, q, "vec_id",
           "embedding", 5)
-        val plain = Similarity.adcTopK(emb, q, "vec_id", "embedding",
-          5, m = 8, ksub = 8, nCells = 8, nProbes = 2,
-          materialize = hook)
-        val res = Similarity.adcResidualTopK(emb, q, "vec_id",
-          "embedding", 5, m = 8, ksub = 8, nCells = 8, nProbes = 2,
-          materialize = hook)
+        val plain = Similarity.adcTopKWith(emb, q, "vec_id",
+          "embedding", 5, memoBooks(s, dir, hook),
+          memoCentroids(s, dir, hook), nProbes = 2)
+        val res = Similarity.adcResidualTopKWith(emb, q, "vec_id",
+          "embedding", 5, memoResBooks(s, dir, hook),
+          memoCentroids(s, dir, hook), nProbes = 2)
         Similarity.recallAtK(plain, exact)
           .withColumnRenamed("recall_at_k", "recall_pq")
           .join(Similarity.recallAtK(res, exact)
@@ -2631,8 +2684,8 @@ object ExtensionQueries {
         "engines mine the identical set",
       (s, dir) => {
         val emb = t(s, dir, "embeddings")
-        Similarity.minePairs(emb, emb.filter(col("vec_id") < 8),
-          "vec_id", "embedding", nCells = 8, nProbes = 2,
+        Similarity.minePairsWith(emb, emb.filter(col("vec_id") < 8),
+          "vec_id", "embedding", memoCentroids(s, dir), nProbes = 2,
           posBand = 0.10, negBand = 0.0)
       },
       None,
@@ -2649,10 +2702,8 @@ object ExtensionQueries {
         "coverage; the only wide op is a cell-keyed window",
       (s, dir) => {
         val emb = t(s, dir, "embeddings")
-        val cents = Similarity.ivfTrain(emb, "vec_id", "embedding",
-          nCells = 8, iters = 2)
         Similarity.cellBalancedSample(emb, "vec_id", "embedding",
-            cents, perCell = 12)
+            memoCentroids(s, dir), perCell = 12)
           .orderBy(col("vec_id"))
       },
       None,
@@ -2671,9 +2722,12 @@ object ExtensionQueries {
         val q = emb.filter(col("vec_id") < 8)
         val exact = Similarity.bruteForceTopK(emb, q, "vec_id",
           "embedding", 5)
-        val wide = Similarity.adcTopK(emb, q, "vec_id", "embedding",
-          5, m = 8, ksub = 16, nCells = 8, nProbes = 4,
-          materialize = hook)
+        // the ksub=16 codebook IS the sweep (trains eagerly); the
+        // coarse quantizer is identical across the family — shared
+        val wide = Similarity.adcTopKWith(emb, q, "vec_id", "embedding",
+          5, Similarity.pqTrain(emb, "vec_id", "embedding", m = 8,
+            ksub = 16, iters = 2, materialize = hook),
+          memoCentroids(s, dir, hook), nProbes = 4)
         Similarity.recallAtK(wide, exact)
           .withColumnRenamed("recall_at_k", "recall_k16p4")
           .orderBy(col("qid"))
@@ -2715,9 +2769,9 @@ object ExtensionQueries {
           "embedding", 5)
         // ONE shortlist at the widest C; narrower C is a filter on its
         // rank — one training pass, one candidate join for all points
-        val short100 = Similarity.adcTopK(emb, q, "vec_id", "embedding",
-          100, m = 8, ksub = 8, nCells = 8, nProbes = 2,
-          materialize = hook)
+        val short100 = Similarity.adcTopKWith(emb, q, "vec_id",
+          "embedding", 100, memoBooks(s, dir, hook),
+          memoCentroids(s, dir, hook), nProbes = 2)
         def reAt(c: Int) = Similarity.exactRerank(emb, q, "vec_id",
           "embedding",
           short100.filter(col("rn") <= c)
