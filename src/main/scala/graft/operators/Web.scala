@@ -291,20 +291,29 @@ object Web {
     }.toDF("key", "mode", "exc", "rule_labels", "raw_len", "ps_labels")
     val host = col(hostCol)
     val labels = split(col("h"), "\\.")
-    val cands = hosts(df, hostCol)
-      .select(col("h"), explode(transform(
-        sequence(lit(1), size(labels)),
-        i => array_join(slice(labels, i, size(labels) - i + 1), ".")))
-        .as("cand"))
-      .withColumn("par", regexp_replace(col("cand"), "^[^.]+\\.", ""))
-    // a two-keyed union keeps the rule match a pure (mode, key)
-    // BroadcastHashJoin — an OR-of-modes condition would plan as a
-    // BroadcastNestedLoopJoin, a linear rule walk per candidate
-    val keyed = cands
-      .select(col("h"), lit("exact").as("mode"), col("cand").as("key"))
-      .unionByName(cands.filter(col("par") =!= col("cand"))
-        .select(col("h"), lit("parent").as("mode"),
-          col("par").as("key")))
+    // BOTH key kinds generate from ONE in-row pass over the suffix
+    // chain: each candidate yields its exact key plus (when it has a
+    // parent) its parent key. The earlier two-arm union of a shared
+    // `cands` frame re-computed the distinct-host aggregate per arm —
+    // the differing per-arm filters defeat Catalyst's exchange reuse —
+    // so the distinct-host table scanned twice; one flatten'd explode
+    // scans it once. The (mode, key) keying itself is what keeps the
+    // rule match a pure BroadcastHashJoin — an OR-of-modes condition
+    // would plan as a BroadcastNestedLoopJoin, a linear rule walk per
+    // candidate.
+    val keyed = hosts(df, hostCol)
+      .select(col("h"), explode(flatten(transform(
+        transform(sequence(lit(1), size(labels)),
+          i => array_join(slice(labels, i, size(labels) - i + 1), ".")),
+        c => {
+          val par = regexp_replace(c, "^[^.]+\\.", "")
+          val exact = struct(lit("exact").as("mode"), c.as("key"))
+          when(par =!= c,
+            array(exact, struct(lit("parent").as("mode"),
+              par.as("key"))))
+            .otherwise(array(exact))
+        }))).as("mk"))
+      .select(col("h"), col("mk.mode").as("mode"), col("mk.key").as("key"))
     val matched = keyed.join(broadcast(ruleRows), Seq("mode", "key"))
     val win = matched.groupBy(col("h"))
       .agg(min(struct(col("exc").as("x"),
