@@ -421,6 +421,198 @@ object Web {
        |ELSE $e END""".stripMargin
   }
 
+  // ---- robots.txt (RFC 9309) ---------------------------------------
+
+  /** Line-parse regexes shared by the Spark fold and the DuckDB twin:
+    * field names are case-insensitive, a trailing `#` comment and a
+    * stray CR are stripped before parsing, surrounding blanks around
+    * `:` are ignored. Only the three RFC 9309 fields matter; unknown
+    * lines pass through as no-ops (the spec requires ignoring them). */
+  private val robotsFieldRe = "(?i)^([a-z-]+)[ \t]*:"
+  private val robotsValueRe = "(?i)^[a-z-]+[ \t]*:[ \t]*"
+
+  private def robotsCleanLine(l: Column): Column =
+    trim(regexp_replace(regexp_replace(l, "\r", ""), "#.*$", ""))
+
+  /** Applicable rule group of a robots.txt BODY for `userAgent`, per
+    * RFC 9309 §2.2.1: consecutive `User-agent:` lines form one group
+    * header; a group applies when any header token matches the
+    * crawler's token (case-insensitive) — all matching groups MERGE;
+    * when no group matches, the `*` groups apply; rules before any
+    * header belong to no group. Empty-pattern rules (`Disallow:` with
+    * no value = "no restriction") are dropped at parse.
+    *
+    * Returns `array<struct<p: string, a: boolean>>` (pattern,
+    * is-allow), computed as ONE in-row `aggregate` fold over the
+    * body's lines — a robots body is KBs, so the parse is a narrow
+    * projection on the (tiny) per-host robots table, parsed once per
+    * host and broadcast to the URL corpus; page/URL rows never carry
+    * the body. */
+  def robotsGroup(body: Column, userAgent: String): Column = {
+    val emptyRules = array().cast("array<struct<p:string,a:boolean>>")
+    val init = struct(
+      lit(false).as("hdr"),       // inside a group header
+      lit(false).as("app"),       // current group names our UA
+      lit(false).as("star"),      // current group names *
+      lit(false).as("saw"),       // any group named our UA
+      emptyRules.as("re"),        // merged rules of matching groups
+      emptyRules.as("rs"))        // merged rules of * groups
+    val folded = aggregate(
+      split(body, "\n"),
+      init,
+      (acc, line) => {
+        val l = robotsCleanLine(line)
+        val fld = lower(regexp_extract(l, robotsFieldRe, 1))
+        val v = trim(regexp_replace(l, robotsValueRe, ""))
+        val isUa = fld === "user-agent"
+        // an allow/disallow LINE closes the header even when its empty
+        // value contributes no rule (RFC 9309: "Disallow:" with no
+        // value = no restriction, but it is still a rule line; blank
+        // and unknown lines are no-ops and do NOT close the header —
+        // the grammar allows empty lines inside a header sequence)
+        val isRuleLine = fld.isin("allow", "disallow")
+        val uaHit = lower(v) === lit(userAgent.toLowerCase(
+          java.util.Locale.ROOT))
+        val starHit = v === "*"
+        val rule = struct(v.as("p"), (fld === "allow").as("a"))
+        when(isUa, struct(
+          lit(true).as("hdr"),
+          // a header line EXTENDS the current header or STARTS a new
+          // group (resetting applicability) depending on acc.hdr
+          when(acc.getField("hdr"), acc.getField("app") || uaHit)
+            .otherwise(uaHit).as("app"),
+          when(acc.getField("hdr"), acc.getField("star") || starHit)
+            .otherwise(starHit).as("star"),
+          (acc.getField("saw") || uaHit).as("saw"),
+          acc.getField("re").as("re"),
+          acc.getField("rs").as("rs")))
+        .when(isRuleLine, struct(
+          lit(false).as("hdr"),
+          acc.getField("app").as("app"),
+          acc.getField("star").as("star"),
+          acc.getField("saw").as("saw"),
+          when(acc.getField("app") && v =!= "",
+            array_append(acc.getField("re"), rule))
+            .otherwise(acc.getField("re")).as("re"),
+          when(acc.getField("star") && v =!= "",
+            array_append(acc.getField("rs"), rule))
+            .otherwise(acc.getField("rs")).as("rs")))
+        .otherwise(acc)
+      })
+    when(folded.getField("saw"), folded.getField("re"))
+      .otherwise(folded.getField("rs"))
+  }
+
+  /** LIKE-pattern translation of an RFC 9309 path pattern (shared
+    * recipe, both engines): `*` matches any octet sequence, a TRAILING
+    * `$` anchors the end, everything else is literal; without `$` the
+    * pattern is a prefix match (trailing `%`). Escape char is `\`. */
+  private def robotsLikePattern(core: Column, endsDollar: Column)
+      : Column = {
+    val esc = replace(replace(replace(core,
+      lit("\\"), lit("\\\\")), lit("%"), lit("\\%")), lit("_"), lit("\\_"))
+    concat(replace(esc, lit("*"), lit("%")),
+      when(endsDollar, lit("")).otherwise(lit("%")))
+  }
+
+  /** RFC 9309 §2.2.2 access decision for `path` under `rules` (the
+    * array [[robotsGroup]] returns): the MOST SPECIFIC matching rule
+    * wins — specificity is the raw pattern's octet length — and an
+    * Allow beats a Disallow of equal length; no matching rule means
+    * allowed. Ties beyond (length, kind) break on the pattern string
+    * (descending) so the winner is total cross-engine. Returns
+    * `struct<allowed: boolean, win_len: bigint, win_p: string>`
+    * (win_len = -1, win_p = '' when nothing matches) — one in-row
+    * fold over the (dozens at most) rules, no shuffle, no regex:
+    * pattern matching is LIKE with `*`→`%`, so there is no per-row
+    * regex compilation on the corpus side. */
+  def robotsDecision(path: Column, rules: Column): Column = {
+    val init = struct(lit(-1).as("len"), lit(1).as("a"), lit("").as("p"))
+    val win = aggregate(rules, init, (acc, r) => {
+      val p = r.getField("p")
+      val endsD = p.endsWith("$")
+      val core = when(endsD, p.substr(lit(1), length(p) - 1)).otherwise(p)
+      val hit = like(path, robotsLikePattern(core, endsD), lit("\\"))
+      val cand = struct(length(p).as("len"),
+        r.getField("a").cast("int").as("a"), p.as("p"))
+      when(hit, greatest(acc, cand)).otherwise(acc)
+    })
+    struct(
+      (win.getField("len") === -1 || win.getField("a") === 1)
+        .as("allowed"),
+      win.getField("len").cast("long").as("win_len"),
+      win.getField("p").as("win_p"))
+  }
+
+  /** DuckDB twin of [[robotsGroup]] + [[robotsDecision]], taking the
+    * INDEPENDENT relational route (the cross-algorithm gate): lines
+    * unnest with ordinality, group blocks via a lag/running-sum
+    * window (a block starts at each non-header→header transition),
+    * per-block applicability via bool_or, rule selection via the
+    * saw-exact switch, and the longest-match decision as a
+    * row_number over (length DESC, allow DESC, pattern DESC). Emits
+    * CTEs ending in `<out>(kind, p, a)` — the applicable rules per
+    * robots `kind` from `robotsSrc(kind, body)`. */
+  def robotsRulesSqlCtes(robotsSrc: String, userAgent: String,
+      out: String): String = {
+    val ua = userAgent.toLowerCase(java.util.Locale.ROOT)
+    s"""${out}_lines AS (
+       |  SELECT kind, unnest(range(1, len(ls) + 1)) AS i,
+       |    unnest(list_transform(ls, x -> trim(regexp_replace(
+       |      regexp_replace(x, '\r', ''), '#.*$$', '')))) AS l
+       |  FROM (SELECT kind, string_split(body, chr(10)) AS ls
+       |        FROM $robotsSrc)),
+       |${out}_parsed AS (
+       |  SELECT kind, i,
+       |    lower(regexp_extract(l, '$robotsFieldRe', 1)) AS fld,
+       |    trim(regexp_replace(l, '$robotsValueRe', '')) AS val
+       |  FROM ${out}_lines),
+       |${out}_marked AS (
+       |  -- blank/unknown lines are no-ops that must NOT split a header
+       |  -- (RFC 9309 grammar allows empty lines inside the header
+       |  -- sequence), so only ua/rule lines survive to block detection
+       |  SELECT kind, i, fld, val, (fld = 'user-agent') AS isua
+       |  FROM ${out}_parsed
+       |  WHERE fld IN ('user-agent', 'allow', 'disallow')),
+       |${out}_hdr AS (
+       |  -- DuckDB forbids nesting lag inside sum: two window passes
+       |  SELECT kind, i, fld, val, isua,
+       |    CASE WHEN isua AND NOT coalesce(
+       |        lag(isua) OVER (PARTITION BY kind ORDER BY i), false)
+       |      THEN 1 ELSE 0 END AS hdrstart
+       |  FROM ${out}_marked),
+       |${out}_blk AS (
+       |  SELECT kind, i, fld, val, isua,
+       |    sum(hdrstart) OVER (PARTITION BY kind ORDER BY i
+       |                        ROWS UNBOUNDED PRECEDING) AS b
+       |  FROM ${out}_hdr),
+       |${out}_grp AS (
+       |  SELECT kind, b,
+       |    bool_or(isua AND lower(val) = '$ua') AS ex,
+       |    bool_or(isua AND val = '*') AS st
+       |  FROM ${out}_blk GROUP BY kind, b),
+       |${out}_saw AS (
+       |  SELECT kind, bool_or(ex) AS saw FROM ${out}_grp GROUP BY kind),
+       |$out AS (
+       |  SELECT r.kind, r.val AS p, (r.fld = 'allow') AS a
+       |  FROM ${out}_blk r
+       |  JOIN ${out}_grp g ON r.kind = g.kind AND r.b = g.b
+       |  JOIN ${out}_saw s ON r.kind = s.kind
+       |  WHERE NOT r.isua AND r.val <> ''
+       |    AND (CASE WHEN s.saw THEN g.ex ELSE g.st END))"""
+      .stripMargin
+  }
+
+  /** DuckDB twin of [[robotsDecision]] over per-row `path` joined to
+    * `rulesRel(kind, p, a)`: same LIKE translation, same
+    * (length, allow, pattern) winner key. Emits the SELECT-list
+    * expressions given the winner columns `wp`/`wa` (NULL when no
+    * rule matched). */
+  def robotsLikeSql(core: String, endsDollar: String): String =
+    s"replace(replace(replace(replace($core, '\\', '\\\\'), " +
+      s"'%', '\\%'), '_', '\\_'), '*', '%') || " +
+      s"(CASE WHEN $endsDollar THEN '' ELSE '%' END)"
+
   // ---- HTML text + outlink extraction ------------------------------
 
   /** The crawl-ingest stage BEFORE every text operator in this

@@ -267,6 +267,41 @@ object ExtensionQueries {
   private lazy val x72Rules: Seq[String] =
     graft.operators.Web.parsePslFile(x72PslFileText)
 
+  /** x74's robots.txt fixture bodies — one per host class, shared by
+    * the Spark builder and the DuckDB twin so the two parses read the
+    * same bytes. Together they cover: multi-UA headers (case-insens.),
+    * wildcard + trailing-$ patterns, same-length allow/disallow ties,
+    * empty-value rule lines (close the header, contribute no rule),
+    * star fallback, exact-group-present-but-empty (star moot), rules
+    * before any header (ignored), comments and CRLF. */
+  private val x74RobotsBodies: Seq[(Long, String)] = Seq(
+    0L -> ("# fixture body 0\r\n" +
+      "User-Agent: OtherBot\n" +
+      "Disallow: /\n" +
+      "\n" +
+      "User-agent: GraftBot\n" +
+      "Disallow: /docs\n" +
+      "Allow: /docs/public\n" +
+      "disallow : /*.zip$\n" +
+      "Allow: /t*\n" +
+      "Disallow: /ti\n" +
+      "Disallow:\n" +
+      "\n" +
+      "User-agent: *\n" +
+      "Disallow: /star\n"),
+    1L -> ("User-agent: otherbot\n" +
+      "Disallow: /\n" +
+      "\n" +
+      "User-agent: *   # fallback group\n" +
+      "Disallow: /private\n" +
+      "Allow: /private/ok\n"),
+    2L -> ("Disallow: /orphan\n" +
+      "User-agent: graftbot\n" +
+      "Disallow:\n" +
+      "\n" +
+      "User-agent: *\n" +
+      "Disallow: /\n"))
+
   /** x21/x21b shared oracle chain: language/quality filter → exact
     * fingerprint dedup → MinHash pairs → recursive reachability →
     * min-label per node. Ends at `labels(u, mv)`; `kept(doc_id, text)`
@@ -4063,6 +4098,112 @@ object ExtensionQueries {
                 .replace("\n", "\n  ")}
            |    AS reg_domain
            |FROM h ORDER BY doc_id""".stripMargin
+      }),
+
+    QuerySpec("x74_robots_txt_gate",
+      "robots.txt crawl-permission gating (RFC 9309) — the politeness " +
+        "filter every crawl pipeline runs between frontier and fetch, " +
+        "and retroactively over an acquired corpus when a robots " +
+        "snapshot arrives: group selection per §2.2.1 (consecutive " +
+        "User-agent headers form one group, blank lines do NOT split " +
+        "a header, matching groups MERGE, star groups apply only when " +
+        "no exact group exists, empty-value rule lines close the " +
+        "header but contribute no rule, pre-header rules are ignored) " +
+        "and the §2.2.2 decision (most-specific = longest pattern " +
+        "wins, Allow beats Disallow on ties, * wildcard, trailing-$ " +
+        "anchor, no-match = allowed). Scale shape: bodies parse ONCE " +
+        "on the tiny per-host robots table via one in-row aggregate " +
+        "fold (a narrow projection), the rule arrays broadcast-join " +
+        "to the URL corpus on host class (REQUIREd BroadcastHashJoin), " +
+        "and the per-URL decision is an in-row fold over ≤ dozens of " +
+        "rules using LIKE translation (*→%, escaped %/_) — no per-row " +
+        "regex compilation, page bytes never shuffle. The DuckDB twin " +
+        "takes the INDEPENDENT relational route (lines with " +
+        "ordinality, lag/running-sum block detection, bool_or group " +
+        "applicability, row_number winner), so the hash gate crosses " +
+        "two different algorithms",
+      (s, dir) => {
+        import s.implicits._
+        import graft.operators.Web
+        val robots = x74RobotsBodies.toDF("kind", "body")
+          .select(col("kind"),
+            Web.robotsGroup(col("body"), "GraftBot").as("rules"))
+        // parse audit: body0 keeps 5 rules (empty Disallow dropped),
+        // body1 falls back to the 2-rule star group, body2's exact
+        // group exists but is EMPTY (star moot)
+        val counts = robots.select(col("kind"), size(col("rules")))
+          .as[(Long, Int)].collect().toMap
+        require(counts == Map(0L -> 5, 1L -> 2, 2L -> 0),
+          s"robots parse audit failed: $counts")
+        val id = col("doc_id").cast("string")
+        val m = col("doc_id") % 8
+        val path =
+          when(m === 0, concat(lit("/docs/d"), id))
+          .when(m === 1, concat(lit("/docs/public/p"), id))
+          .when(m === 2, concat(lit("/files/f"), id, lit(".zip")))
+          .when(m === 3, concat(lit("/files/f"), id, lit(".zipx")))
+          .when(m === 4, concat(lit("/ti/x"), id))
+          .when(m === 5, concat(lit("/private/ok/o"), id))
+          .when(m === 6, concat(lit("/private/p"), id))
+          .otherwise(concat(lit("/free/f"), id))
+        val docs = t(s, dir, "documents")
+          .select(col("doc_id"), (col("doc_id") % 3).as("kind"),
+            path.as("path"))
+        val out = docs.join(broadcast(robots), Seq("kind"))
+          .select(col("doc_id"), col("kind"), col("path"),
+            Web.robotsDecision(col("path"), col("rules")).as("d"))
+          .select(col("doc_id"), col("kind"), col("path"),
+            col("d.allowed").as("allowed"),
+            col("d.win_len").as("win_len"), col("d.win_p").as("win_p"))
+          .orderBy(col("doc_id"))
+        val plan = out.queryExecution.sparkPlan.toString
+        require(plan.contains("BroadcastHashJoin"),
+          s"robots rules must broadcast-join to the corpus:\n$plan")
+        out
+      },
+      Some {
+        import graft.operators.Web
+        def sq(x: String): String = "'" + x.replace("'", "''") + "'"
+        val bodies = x74RobotsBodies
+          .map { case (k, b) => s"($k, ${sq(b)})" }.mkString(",\n    ")
+        val lk = Web.robotsLikeSql("core", "endsd")
+        s"""WITH robots(kind, body) AS (VALUES
+           |    $bodies),
+           |${Web.robotsRulesSqlCtes("robots", "GraftBot", "rr")},
+           |docs AS (
+           |  SELECT doc_id, doc_id % 3 AS kind,
+           |    CASE doc_id % 8
+           |      WHEN 0 THEN '/docs/d' || CAST(doc_id AS VARCHAR)
+           |      WHEN 1 THEN '/docs/public/p' || CAST(doc_id AS VARCHAR)
+           |      WHEN 2 THEN '/files/f' || CAST(doc_id AS VARCHAR)
+           |        || '.zip'
+           |      WHEN 3 THEN '/files/f' || CAST(doc_id AS VARCHAR)
+           |        || '.zipx'
+           |      WHEN 4 THEN '/ti/x' || CAST(doc_id AS VARCHAR)
+           |      WHEN 5 THEN '/private/ok/o' || CAST(doc_id AS VARCHAR)
+           |      WHEN 6 THEN '/private/p' || CAST(doc_id AS VARCHAR)
+           |      ELSE '/free/f' || CAST(doc_id AS VARCHAR)
+           |    END AS path
+           |  FROM documents),
+           |cand AS (
+           |  SELECT d.doc_id, d.kind, d.path, r.p, r.a,
+           |    CASE WHEN r.p LIKE '%$$' THEN substr(r.p, 1,
+           |      length(r.p) - 1) ELSE r.p END AS core,
+           |    (r.p LIKE '%$$') AS endsd
+           |  FROM docs d JOIN rr r ON d.kind = r.kind),
+           |win AS (
+           |  SELECT doc_id, p, a,
+           |    row_number() OVER (PARTITION BY doc_id
+           |      ORDER BY length(p) DESC, CAST(a AS INT) DESC, p DESC)
+           |      AS rn
+           |  FROM cand WHERE path LIKE $lk ESCAPE '\\'),
+           |best AS (SELECT doc_id, p, a FROM win WHERE rn = 1)
+           |SELECT d.doc_id, CAST(d.kind AS BIGINT) AS kind, d.path,
+           |  coalesce(b.a, true) AS allowed,
+           |  CAST(coalesce(length(b.p), -1) AS BIGINT) AS win_len,
+           |  coalesce(b.p, '') AS win_p
+           |FROM docs d LEFT JOIN best b ON d.doc_id = b.doc_id
+           |ORDER BY d.doc_id""".stripMargin
       }),
 
     QuerySpec("x67_html_extract",

@@ -339,4 +339,78 @@ class WebSpec extends SparkSpec {
       ("http://a.test/2", "bold two"),
       ("", "plain")))
   }
+
+  test("robotsGroup + robotsDecision: RFC 9309 group selection " +
+      "(multi-UA headers, merged matching groups, star fallback, " +
+      "exact-group-wins-even-if-empty, pre-header rules ignored) and " +
+      "longest-match decisions (allow wins length ties, trailing-$ " +
+      "anchor, * wildcard, empty Disallow = no restriction)") {
+    def decide(body: String, paths: Seq[String]): Seq[(String, Boolean, Long, String)] =
+      paths.toDF("path")
+        .select(col("path"),
+          Web.robotsDecision(col("path"),
+            Web.robotsGroup(lit(body), "GraftBot")).as("d"))
+        .select(col("path"), $"d.allowed", $"d.win_len", $"d.win_p")
+        .as[(String, Boolean, Long, String)].collect().toSeq
+
+    val body =
+      "Disallow: /orphan # rule before any header: ignored\r\n" +
+      "User-Agent: otherbot\n" +
+      "user-agent: graftbot\n" +        // multi-UA header, case-insens.
+      "Disallow: /docs\n" +
+      "Allow: /docs/public\n" +          // longer allow carves back in
+      "disallow : /*.zip$\n" +           // wildcard + end anchor
+      "Allow: /dup1\n" +
+      "Disallow: /dup2\n" +              // same-length pair for ties
+      "Disallow:\n" +                    // empty pattern: no restriction
+      "\n" +
+      "User-agent: graftbot\n" +         // second matching group MERGES
+      "Disallow: /extra\n" +
+      "\n" +
+      "User-agent: *\n" +
+      "Disallow: /\n"                    // star group: moot (exact exists)
+    val got = decide(body, Seq(
+      "/docs/x", "/docs/public/x", "/free", "/a/b.zip", "/a/b.zipx",
+      "/extra/1", "/orphan"))
+    assert(got == Seq(
+      ("/docs/x", false, 5L, "/docs"),
+      ("/docs/public/x", true, 12L, "/docs/public"),
+      ("/free", true, -1L, ""),           // no rule: allowed
+      ("/a/b.zip", false, 7L, "/*.zip$"),
+      ("/a/b.zipx", true, -1L, ""),       // $ anchor: .zipx survives
+      ("/extra/1", false, 6L, "/extra"),  // merged second group applies
+      ("/orphan", true, -1L, "")))        // pre-header rule ignored
+
+    // allow wins a length tie: /dup1 (allow) vs /dup2 (disallow) never
+    // match the same path; a REAL tie needs equal-length patterns that
+    // both match — seed one
+    val tie = "User-agent: graftbot\nAllow: /t*\nDisallow: /ti\n"
+    assert(decide(tie, Seq("/ti")) ==
+      Seq(("/ti", true, 3L, "/t*")))      // same len 3: allow wins
+
+    // star fallback when no exact group exists
+    val star = "User-agent: otherbot\nDisallow: /\n\n" +
+      "User-agent: *\nDisallow: /private\n"
+    assert(decide(star, Seq("/private/x", "/pub")) ==
+      Seq(("/private/x", false, 8L, "/private"), ("/pub", true, -1L, "")))
+
+    // exact group EXISTS but is empty (its only rule line has an
+    // empty value — which still CLOSES the header): star ignored,
+    // everything allowed
+    val emptyExact = "User-agent: graftbot\nDisallow:\n\n" +
+      "User-agent: *\nDisallow: /\n"
+    assert(decide(emptyExact, Seq("/anything")) ==
+      Seq(("/anything", true, -1L, "")))
+
+    // RFC 9309 grammar: a BLANK line does not split a header sequence
+    // — two ua lines separated only by a blank form ONE group
+    val blankHdr = "User-agent: graftbot\n\nUser-agent: *\n" +
+      "Disallow: /\n"
+    assert(decide(blankHdr, Seq("/x")) == Seq(("/x", false, 1L, "/")))
+
+    // literal % and _ in patterns must not act as LIKE wildcards
+    val meta = "User-agent: graftbot\nDisallow: /p%2F_x\n"
+    assert(decide(meta, Seq("/p%2F_xy", "/pQ2FZxy")) ==
+      Seq(("/p%2F_xy", false, 7L, "/p%2F_x"), ("/pQ2FZxy", true, -1L, "")))
+  }
 }
