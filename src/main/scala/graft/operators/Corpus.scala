@@ -192,4 +192,79 @@ object Corpus {
        |SELECT $idCol, $qualityCol, n_tok, cum_tok,
        |  (cum_tok <= $budgetTokens) AS keep
        |FROM w ORDER BY $idCol""".stripMargin
+
+  // ---- paragraph-level dedup (CCNet-style) --------------------------
+
+  /** CCNet-style normalization key for paragraph dedup (Wenzek et al.
+    * 2020 §3.1: lowercase, strip digits and punctuation, collapse
+    * whitespace): two boilerplate paragraphs that differ only in
+    * casing, a date, or trailing punctuation still collide. Pattern
+    * subset is portable Java-regex/RE2 (POSIX classes spelled
+    * per-dialect; see [[paraKeySql]]). */
+  def paraKey(c: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(c), "[\\p{Punct}0-9]+", ""), "\\s+", " "))
+
+  /** DuckDB twin of [[paraKey]] over SQL expression `e` — the same
+    * three rewrites with RE2's POSIX spelling of the Java classes
+    * (`[[:punct:]]` = `\p{Punct}` = the 32 ASCII marks; `\s` agrees on
+    * everything a split-on-newline paragraph can contain). */
+  def paraKeySql(e: String): String =
+    s"trim(regexp_replace(regexp_replace(lower($e), " +
+      s"'[[:punct:]0-9]+', '', 'g'), '\\s+', ' ', 'g'))"
+
+  /** Paragraph-level deduplication with document reassembly — the
+    * CCNet stage (Wenzek et al. 2020) that removes repeated
+    * boilerplate (headers, nav blocks, cookie banners, promo inserts)
+    * from INSIDE documents while keeping each document's unique prose:
+    * documents split on newline into positioned paragraphs, each
+    * paragraph keeps only its FIRST occurrence corpus-wide (first =
+    * min (id, pos) over the [[paraKey]] normalization class), and
+    * survivors reassemble in original position order. Paragraphs whose
+    * normalization key is EMPTY (blank separator lines, pure
+    * digit/punctuation rows) are never dedup candidates — collapsing
+    * all blank lines corpus-wide into one would rip every document's
+    * paragraph structure apart — so they are kept unconditionally.
+    *
+    * Scale shape: two shuffles total. The winner election groups by
+    * the md5 of the normalization key — a 32-byte fingerprint, never
+    * the paragraph text — and the `min(struct(id, pos, para))`
+    * aggregate is map-side partial, so at most one paragraph text per
+    * distinct key leaves each input partition; reassembly is one
+    * groupBy(id) whose per-document sort is in-row (`array_sort` over
+    * that document's kept paragraphs, never a global window). The
+    * empty-key rows bypass both the election shuffle's reduce side
+    * and the text movement entirely via a narrow union branch.
+    *
+    * Output: (idCol, text_dedup, n_paras, n_kept) for EVERY input
+    * document — a document whose every paragraph lost election still
+    * appears with empty text and n_kept = 0, so downstream length
+    * filters see it. */
+  def paragraphDedup(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val id = col(idCol)
+    val paras = docs.select(id,
+      posexplode(split(col(textCol), "\n", -1)).as(Seq("pos", "para")))
+    val keyed = paras.withColumn("__key", paraKey(col("para")))
+    val keepAlways = keyed.filter(col("__key") === "")
+      .select(id, col("pos"), col("para"))
+    val winners = keyed.filter(col("__key") =!= "")
+      .groupBy(md5(col("__key")).as("__fp"))
+      .agg(min(struct(id.as("id"), col("pos"), col("para"))).as("__w"))
+      .select(col("__w.id").as(idCol), col("__w.pos").as("pos"),
+        col("__w.para").as("para"))
+    val kept = winners.unionByName(keepAlways)
+    val agg = kept.groupBy(id).agg(
+      array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("para")))),
+          x => x.getField("para")),
+        "\n").as("text_dedup"),
+      count(lit(1)).cast("long").as("n_kept"))
+    docs
+      .select(id,
+        size(split(col(textCol), "\n", -1)).cast("long").as("n_paras"))
+      .join(agg, Seq(idCol), "left")
+      .select(id, coalesce(col("text_dedup"), lit("")).as("text_dedup"),
+        col("n_paras"), coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+  }
 }

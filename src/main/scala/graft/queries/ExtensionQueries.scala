@@ -11,7 +11,7 @@ import graft.catalog.Warehouse
 import graft.functions.SketchFunctions
 import graft.functions.TextFunctions._
 import graft.functions.VectorFunctions._
-import graft.operators.{Dedup, LanguageModel, Layout, Relational, Retrieval, Sampling, Similarity, TextAnalysis}
+import graft.operators.{Corpus, Dedup, LanguageModel, Layout, Relational, Retrieval, Sampling, Similarity, TextAnalysis}
 import graft.sources.Tables
 
 /** Training-data-pipeline operator catalog (driver-mandated extensions,
@@ -4205,6 +4205,176 @@ object ExtensionQueries {
            |FROM docs d LEFT JOIN best b ON d.doc_id = b.doc_id
            |ORDER BY d.doc_id""".stripMargin
       }),
+
+    QuerySpec("x75_paragraph_dedup",
+      "CCNet-style paragraph-level dedup with document reassembly " +
+        "(Wenzek et al. 2020): split on newline, keep each " +
+        "paragraph's FIRST corpus-wide occurrence under the CCNet " +
+        "normalization key (lowercase, digits+punctuation stripped, " +
+        "whitespace collapsed — so 'Promo 2024!' and 'promo' " +
+        "collide), reassemble survivors in position order; blank/" +
+        "separator paragraphs whose key normalizes to EMPTY are " +
+        "exempt (deduping them corpus-wide would rip every " +
+        "document's structure apart). The stage that removes " +
+        "headers/nav/cookie banners from INSIDE documents — " +
+        "different from x1 (whole-doc), x35 (substring spans within " +
+        "pairs): this rewrites the corpus. Scale shape: the winner " +
+        "election shuffles md5(key) fingerprints with a map-side " +
+        "partial min(struct), so at most one paragraph text per " +
+        "distinct key leaves each partition; reassembly is one " +
+        "groupBy(doc) with an IN-ROW array_sort (never a global " +
+        "window); empty-key rows bypass the election on a narrow " +
+        "union branch. Fixture wraps each document in a global " +
+        "header (survives ONCE corpus-wide), 7 promo classes " +
+        "(survive once each), a within-doc repeat (never survives), " +
+        "a blank line and a digits/punct-only row (survive " +
+        "everywhere), and 5 tail classes; builder REQUIREs those " +
+        "exact survivor counts. DuckDB twin takes the independent " +
+        "route: direct string-keyed row_number() window over the " +
+        "exploded paragraphs, no fingerprints",
+      (s, dir) => {
+        val id = col("doc_id").cast("string")
+        val promo = concat(lit("Promo block "),
+          lit("abcdefg").substr((col("doc_id") % 7 + 1).cast("int"), lit(1)))
+        val fixture = concat_ws("\n",
+          lit("Shared header boilerplate."),
+          promo,
+          concat(lit("doc "), id, lit(" "), col("text")),
+          lit(""),
+          promo,
+          lit("#42 --- 2024!!"),
+          concat(lit("Tail "),
+            lit("vwxyz").substr((col("doc_id") % 5 + 1).cast("int"), lit(1))))
+        val docs = t(s, dir, "documents")
+          .select(col("doc_id"), fixture.as("text"))
+        val out = scratch(
+          Corpus.paragraphDedup(docs, "doc_id", "text"), "x75_out")
+        // survivor audit: every fixture class lands where the
+        // first-occurrence rule says it must
+        val audit = out.select(
+          sum(when(col("text_dedup")
+            .startsWith("Shared header boilerplate."), 1L).otherwise(0L)),
+          sum(when(col("text_dedup").contains("Promo block"), 1L)
+            .otherwise(0L)),
+          sum(when(col("text_dedup").contains("Tail "), 1L).otherwise(0L)),
+          sum(when(col("text_dedup").contains("#42 --- 2024!!"), 1L)
+            .otherwise(0L)),
+          count(lit(1))).collect()(0)
+        val nDocs = audit.getLong(4)
+        require(audit.getLong(0) == 1L,
+          s"global header must survive exactly once, got ${audit.getLong(0)}")
+        require(audit.getLong(1) == math.min(7L, nDocs),
+          s"one survivor per promo class, got ${audit.getLong(1)}")
+        require(audit.getLong(2) == math.min(5L, nDocs),
+          s"one survivor per tail class, got ${audit.getLong(2)}")
+        require(audit.getLong(3) == nDocs,
+          "empty-key separator row must survive in every document")
+        out.orderBy(col("doc_id"))
+      },
+      Some {
+        val paraKey = Corpus.paraKeySql("para")
+        s"""WITH base AS (
+           |  SELECT doc_id,
+           |    'Shared header boilerplate.'
+           |    || chr(10) || 'Promo block '
+           |      || substr('abcdefg', CAST(doc_id % 7 AS INT) + 1, 1)
+           |    || chr(10) || 'doc ' || CAST(doc_id AS VARCHAR)
+           |      || ' ' || text
+           |    || chr(10) || ''
+           |    || chr(10) || 'Promo block '
+           |      || substr('abcdefg', CAST(doc_id % 7 AS INT) + 1, 1)
+           |    || chr(10) || '#42 --- 2024!!'
+           |    || chr(10) || 'Tail '
+           |      || substr('vwxyz', CAST(doc_id % 5 AS INT) + 1, 1)
+           |      AS text
+           |  FROM documents),
+           |p AS (
+           |  SELECT doc_id, unnest(range(0, len(ls))) AS pos,
+           |    unnest(ls) AS para
+           |  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls
+           |        FROM base)),
+           |k AS (
+           |  SELECT doc_id, pos, para, $paraKey AS key FROM p),
+           |w AS (
+           |  SELECT doc_id, pos, para,
+           |    row_number() OVER (PARTITION BY key
+           |      ORDER BY doc_id, pos) AS rn
+           |  FROM k WHERE key <> ''),
+           |kept AS (
+           |  SELECT doc_id, pos, para FROM w WHERE rn = 1
+           |  UNION ALL
+           |  SELECT doc_id, pos, para FROM k WHERE key = ''),
+           |agg AS (
+           |  SELECT doc_id,
+           |    string_agg(para, chr(10) ORDER BY pos) AS text_dedup,
+           |    count(*) AS n_kept
+           |  FROM kept GROUP BY doc_id),
+           |tot AS (
+           |  SELECT doc_id,
+           |    CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_paras
+           |  FROM base)
+           |SELECT t.doc_id, coalesce(a.text_dedup, '') AS text_dedup,
+           |  t.n_paras, CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept
+           |FROM tot t LEFT JOIN agg a USING (doc_id)
+           |ORDER BY t.doc_id""".stripMargin
+      }),
+
+    QuerySpec("x76_wet_roundtrip",
+      "WET (WARC conversion-record) source/sink round-trip — the " +
+        "format crawl corpora ship in (ISO 28500 / Common Crawl " +
+        ".wet): corpus rendered as version-line-framed records with " +
+        "CRLF headers, a deterministic md5 WARC-Record-ID and a " +
+        "byte-exact Content-Length, written as text part files, read " +
+        "back via the multi-byte lineSep scan (Hadoop's delimited " +
+        "reader keeps records whole across input-split boundaries, " +
+        "so a 100 TB dump parallelizes by block with zero shuffle — " +
+        "the builder REQUIREs a shuffle-free parse plan) and parsed " +
+        "by pure codegen'd projections: bounded split, per-header " +
+        "regex extracts, and a BINARY substring so the payload slice " +
+        "honors the OCTET count on non-ASCII text (the fixture " +
+        "appends unicode to every document to force bytes≠chars). " +
+        "frame_ok REQUIREd true for every record (declared length " +
+        "lands exactly on the CRLF terminator). The DuckDB twin " +
+        "never sees the file: it re-derives every parsed field " +
+        "straight from the documents table, so any corruption in " +
+        "write, framing, split, or byte-slicing diverges the hash",
+      (s, dir) => {
+        import graft.sources.Warc
+        val path = sys.props.getOrElse("graft.wet.tmp",
+          s"/tmp/graft_wet_docs_${new java.io.File(dir).getName}")
+        val id = col("doc_id").cast("string")
+        val fixture = t(s, dir, "documents").select(
+          concat(lit("https://s"), id, lit(".example.test/d")).as("uri"),
+          concat(lit("2024-01-0"), (col("doc_id") % 9 + 1).cast("string"),
+            lit("T00:00:00Z")).as("dt"),
+          concat(col("text"), lit(" — café №"), id).as("text"))
+        Warc.writeWet(fixture, path, "uri", "dt", "text")
+        val parsed = Warc.readWet(s, path)
+        val plan = parsed.queryExecution.sparkPlan.toString
+        require(!plan.contains("Exchange"),
+          s"WET parse must be a shuffle-free scan+project:\n$plan")
+        val nDocs = t(s, dir, "documents").count()
+        val audit = parsed.agg(count(lit(1)),
+          sum(when(col("frame_ok"), 0L).otherwise(1L))).collect()(0)
+        require(audit.getLong(0) == nDocs,
+          s"record count ${audit.getLong(0)} != corpus size $nDocs")
+        require(audit.getLong(1) == 0L,
+          s"${audit.getLong(1)} records failed byte framing")
+        parsed.orderBy(col("uri"))
+      },
+      Some("""WITH f AS (
+             |  SELECT
+             |    'https://s' || CAST(doc_id AS VARCHAR)
+             |      || '.example.test/d' AS uri,
+             |    '2024-01-0' || CAST(doc_id % 9 + 1 AS VARCHAR)
+             |      || 'T00:00:00Z' AS rec_date,
+             |    text || ' — café №' || CAST(doc_id AS VARCHAR) AS text
+             |  FROM documents)
+             |SELECT uri, 'conversion' AS rec_type,
+             |  '<urn:md5:' || md5(uri) || '>' AS rec_id,
+             |  rec_date, CAST(strlen(text) AS BIGINT) AS content_length,
+             |  text, TRUE AS frame_ok
+             |FROM f ORDER BY uri""".stripMargin)),
 
     QuerySpec("x67_html_extract",
       "HTML→text + outlink extraction — the crawl-ingest stage " +

@@ -117,4 +117,49 @@ class CorpusSpec extends SparkSpec {
     assert(got == Seq((1L, 40L, true), (2L, 70L, true), (3L, 100L, true),
       (4L, 110L, false), (5L, 111L, false)))
   }
+
+  test("paragraphDedup: first occurrence wins corpus-wide, within-doc " +
+      "repeats drop, empty-key separators always survive, reassembly " +
+      "preserves position order") {
+    val d = Seq(
+      (1L, "Shared Header\nunique one\n\nShared Header\nbody A"),
+      (2L, "shared header!!\nunique two\n\n123 ---\nbody B"),
+      (3L, "BODY a\nunique three")
+    ).toDF("doc_id", "text")
+    val got = Corpus.paragraphDedup(d, "doc_id", "text")
+      .orderBy($"doc_id")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    // doc 1 keeps its header (first occurrence), loses the pos-3
+    // within-doc repeat, keeps the blank separator
+    assert(got(0) == ((1L, "Shared Header\nunique one\n\nbody A", 5L, 4L)))
+    // doc 2's header normalizes to doc 1's key ("shared header!!" →
+    // "shared header") and drops; "123 ---" normalizes to EMPTY and
+    // is kept unconditionally
+    assert(got(1) == ((2L, "unique two\n\n123 ---\nbody B", 5L, 4L)))
+    // "BODY a" collides with doc 1's "body A" (case-folded) and drops
+    assert(got(2) == ((3L, "unique three", 2L, 1L)))
+  }
+
+  test("paragraphDedup: a document whose every paragraph loses still " +
+      "appears with empty text and n_kept = 0") {
+    val d = Seq((1L, "only para"), (2L, "Only Para!")).toDF("doc_id", "text")
+    val got = Corpus.paragraphDedup(d, "doc_id", "text")
+      .orderBy($"doc_id")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, "only para", 1L, 1L), (2L, "", 1L, 0L)))
+  }
+
+  test("paragraphDedup: paraKey normalization — case, digits, " +
+      "punctuation and whitespace runs are identities; distinct words " +
+      "are not collapsed") {
+    val d = Seq(
+      (1L, "Promo   Block a"), (2L, "promo block 42 a!!"),
+      (3L, "promo block b")
+    ).toDF("doc_id", "text")
+    val got = Corpus.paragraphDedup(d, "doc_id", "text")
+      .orderBy($"doc_id")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(got(0)._2 == "Promo   Block a" && got(1)._2 == ""
+      && got(2)._2 == "promo block b")
+  }
 }
