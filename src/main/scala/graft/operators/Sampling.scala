@@ -181,4 +181,159 @@ object Sampling {
       .filter(col("rk") <= k)
       .drop("__r1")
   }
+
+  // ---- DSIR: data selection via importance resampling --------------
+
+  /** DSIR (Xie et al. 2023, "Data Selection for Language Models via
+    * Importance Resampling"): select raw-corpus documents that look
+    * like a TARGET distribution under a hashed-n-gram bag-of-features
+    * model. Per document, unigram+bigram features hash (md5-derived,
+    * engine-portable) into `buckets` bins; the target (rows matching
+    * `targetPredicate`) and raw (all rows) bucket distributions are
+    * add-α smoothed; a document's importance log-weight is
+    * Σ_b n_b·ln(p̂_target(b)/p̂_raw(b)); Gumbel-top-k over
+    * logw + Gumbel(md5-uniform) draws `k` documents WITHOUT
+    * replacement from the softmax of the weights — the paper's
+    * sampler, derandomized the way everything in this object is (the
+    * noise is a hash of the id, so the draw is reproducible across
+    * runs, engines, and cluster layouts).
+    *
+    * Determinism contract: the per-document fold over bucket
+    * contributions runs in bucket order on both engines (same IEEE
+    * op order ⇒ identical bits), the Gumbel key rounds to 9 dp with
+    * id tiebreak before ranking (the [[weightedSample]] convention),
+    * and the display weight rounds to 6 dp.
+    *
+    * Scale shape: feature explosion is narrow; the only wide ops are
+    * the (id, bucket) count (map-side partial) and the two
+    * bucket-histogram aggregates whose results are `buckets`-sized —
+    * broadcast back to the per-doc counts, so corpus text never
+    * shuffles and no join side scales with the corpus except the
+    * slim (id, bucket, n) frame. Selection is orderBy(key).limit(k)
+    * — Spark's distributed top-k (per-partition heaps), never a
+    * global window.
+    *
+    * Output: the `k` selected rows as (idCol, n_feats, logw_r,
+    * gkey_r), best key first. */
+  def dsirSelect(docs: DataFrame, idCol: String, textCol: String,
+      targetPredicate: String, buckets: Int = 1024, alpha: Double = 0.5,
+      k: Int = 100,
+      materialize: DataFrame => DataFrame = identity): DataFrame = {
+    require(buckets > 0 && alpha > 0 && k > 0,
+      "buckets, alpha and k must be positive")
+    import graft.functions.TextFunctions.{adjacentBigrams, wsTokens}
+    val id = col(idCol)
+
+    def bucketed(df: DataFrame): DataFrame = df
+      .withColumn("__tk", wsTokens(col(textCol)))
+      .filter(size(col("__tk")) >= 1)
+      .select(id,
+        explode(concat(col("__tk"), adjacentBigrams(col("__tk"))))
+          .as("feat"))
+      .select(id, (md5Hash60(col("feat")) % buckets).as("bucket"))
+
+    // one tokenization pass over the corpus: the raw histogram is the
+    // bucket-marginal of the per-doc counts
+    val docBuckets = materialize(
+      bucketed(docs).groupBy(id, col("bucket"))
+        .agg(count(lit(1)).as("n")))
+    val raw = docBuckets.groupBy(col("bucket"))
+      .agg(sum(col("n")).cast("long").as("cr"))
+    val tgt = bucketed(docs.filter(expr(targetPredicate)))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("ct"))
+    val totals = raw.agg(sum(col("cr")).as("nr"))
+      .crossJoin(tgt.agg(sum(col("ct")).as("nt")))
+    val denom = alpha * buckets
+    val ratio = raw.join(tgt, Seq("bucket"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("bucket"),
+        log(((coalesce(col("ct"), lit(0L)).cast("double") + alpha) /
+          (col("nt").cast("double") + denom)) /
+          ((col("cr").cast("double") + alpha) /
+            (col("nr").cast("double") + denom))).as("lr"))
+
+    val scored = docBuckets.join(broadcast(ratio), Seq("bucket"))
+      .select(id, col("bucket"), col("n"),
+        (col("n").cast("double") * col("lr")).as("contrib"))
+      .groupBy(id)
+      .agg(sum(col("n")).cast("long").as("n_feats"),
+        aggregate(
+          transform(
+            array_sort(collect_list(struct(col("bucket"), col("contrib")))),
+            x => x.getField("contrib")),
+          lit(0.0), (acc, x) => acc + x).as("__logw"))
+    // Gumbel(0,1) from the id-hash uniform: u in (0,1) exactly as
+    // (h + 0.5) / 2^60, g = -ln(-ln(u)); "dsir:" namespaces the draw
+    // away from every other id-hash consumer (split buckets, E-S
+    // priorities) so selections stay independent
+    val u = (md5Hash60(concat(lit("dsir:"), id.cast("string")))
+      .cast("double") + lit(0.5)) / lit((1L << 60).toDouble)
+    scored
+      .select(id, col("n_feats"), round(col("__logw"), 6).as("logw_r"),
+        round(col("__logw") + -log(-log(u)), 9).as("gkey_r"))
+      .orderBy(col("gkey_r").desc, id)
+      .limit(k)
+  }
+
+  /** DuckDB twin of [[dsirSelect]] — same constants, same fold order,
+    * same rounding; the list_reduce fold mirrors the sorted in-row
+    * aggregate so both engines sum contributions in bucket order. */
+  def dsirOracleSql(table: String, idCol: String, textCol: String,
+      targetPredicate: String, buckets: Int = 1024, alpha: Double = 0.5,
+      k: Int = 100): String = {
+    val ws = s"string_split_regex(trim($textCol), '\\s+')"
+    val a = java.lang.Double.toString(alpha)
+    val d = java.lang.Double.toString(alpha * buckets)
+    val two60 = java.lang.Double.toString((1L << 60).toDouble)
+    s"""WITH tk AS (
+       |  SELECT $idCol, $ws AS toks FROM $table
+       |  WHERE len($ws) >= 1),
+       |f AS (
+       |  SELECT $idCol, unnest(toks || list_transform(
+       |      range(1, len(toks)),
+       |      i -> toks[i] || ' ' || toks[i + 1])) AS feat
+       |  FROM tk),
+       |b AS (
+       |  SELECT $idCol,
+       |    ('0x' || substr(md5(feat), 1, 15))::BIGINT % $buckets
+       |      AS bucket
+       |  FROM f),
+       |db AS (
+       |  SELECT $idCol, bucket, CAST(count(*) AS BIGINT) AS n
+       |  FROM b GROUP BY 1, 2),
+       |raw AS (
+       |  SELECT bucket, CAST(sum(n) AS BIGINT) AS cr
+       |  FROM db GROUP BY 1),
+       |tgt AS (
+       |  SELECT bucket, CAST(count(*) AS BIGINT) AS ct
+       |  FROM b JOIN $table USING ($idCol)
+       |  WHERE ($targetPredicate) GROUP BY 1),
+       |tot AS (
+       |  SELECT (SELECT CAST(sum(cr) AS BIGINT) FROM raw) AS nr,
+       |    (SELECT CAST(sum(ct) AS BIGINT) FROM tgt) AS nt),
+       |r AS (
+       |  SELECT raw.bucket,
+       |    ln(((CAST(coalesce(ct, 0) AS DOUBLE) + $a) /
+       |      (CAST(nt AS DOUBLE) + $d)) /
+       |      ((CAST(cr AS DOUBLE) + $a) /
+       |        (CAST(nr AS DOUBLE) + $d))) AS lr
+       |  FROM raw LEFT JOIN tgt USING (bucket) CROSS JOIN tot),
+       |sc AS (
+       |  SELECT $idCol, CAST(sum(n) AS BIGINT) AS n_feats,
+       |    list_reduce(
+       |      list_prepend(CAST(0.0 AS DOUBLE),
+       |        list(CAST(n AS DOUBLE) * lr ORDER BY bucket)),
+       |      (acc, x) -> acc + x) AS logw
+       |  FROM db JOIN r USING (bucket)
+       |  GROUP BY $idCol),
+       |g AS (
+       |  SELECT $idCol, n_feats, round(logw, 6) AS logw_r,
+       |    round(logw + -ln(-ln(
+       |      (CAST(('0x' || substr(md5('dsir:' ||
+       |        CAST($idCol AS VARCHAR)), 1, 15))::BIGINT AS DOUBLE)
+       |        + 0.5) / $two60)), 9) AS gkey_r
+       |  FROM sc)
+       |SELECT $idCol, n_feats, logw_r, gkey_r
+       |FROM g ORDER BY gkey_r DESC, $idCol LIMIT $k""".stripMargin
+  }
 }

@@ -4376,6 +4376,52 @@ object ExtensionQueries {
              |  text, TRUE AS frame_ok
              |FROM f ORDER BY uri""".stripMargin)),
 
+    QuerySpec("x77_dsir_selection",
+      "DSIR data selection (Xie et al. 2023): pick the k raw-corpus " +
+        "documents that look most like a TARGET distribution (here " +
+        "the English slice) under hashed unigram+bigram bag-of-" +
+        "features — importance log-weight Σ n_b·ln(p̂_tgt(b)/" +
+        "p̂_raw(b)) over 1024 md5 buckets with add-0.5 smoothing, " +
+        "then Gumbel-top-k (noise from the namespaced id hash, so " +
+        "the paper's without-replacement softmax draw is fully " +
+        "derandomized). The quality-targeting counterpart of x34's " +
+        "classifier and x38's perplexity buckets, and the standard " +
+        "cheap pretraining-data targeting method. Scale: corpus text " +
+        "never shuffles (one narrow feature explosion; only " +
+        "(id,bucket,n) frames move), both histograms are bucket-" +
+        "sized broadcasts, per-doc folds run in bucket order (bit-" +
+        "identical cross-engine), selection is the distributed " +
+        "top-k (REQUIREd TakeOrderedAndProject — never a global " +
+        "window/sort). Builder REQUIREs the selection actually " +
+        "enriches the target: the English fraction among the k " +
+        "winners must be at least the corpus base rate. Twin mirrors " +
+        "constants, fold order and 6/9-dp rounding via " +
+        "Sampling.dsirOracleSql",
+      (s, dir) => {
+        val out = Sampling.dsirSelect(t(s, dir, "documents"),
+          "doc_id", "text", "lang = 'en'",
+          materialize = df => scratch(df, "x77_db"))
+        val plan = out.queryExecution.sparkPlan.toString
+        require(plan.contains("TakeOrderedAndProject"),
+          s"top-k selection must be distributed take-ordered:\n$plan")
+        val sel = scratch(out, "x77_out")
+        val docs = t(s, dir, "documents").select(col("doc_id"), col("lang"))
+        val enFrac = (df: DataFrame) => df.agg(
+          avg(when(col("lang") === "en", 1.0).otherwise(0.0))).collect()(0)
+          .getDouble(0)
+        val selEn = enFrac(sel.join(docs, Seq("doc_id")))
+        val baseEn = enFrac(docs)
+        require(selEn >= baseEn,
+          s"DSIR selection must enrich the target: selected en-frac " +
+            s"$selEn < corpus base rate $baseEn")
+        // sel IS the k-row selection; re-sorting the scratch table is
+        // the total order, no second limit (the checker would have to
+        // distrust a limit over an unsorted scan)
+        sel.orderBy(col("gkey_r").desc, col("doc_id"))
+      },
+      Some(Sampling.dsirOracleSql(
+        "documents", "doc_id", "text", "lang = 'en'"))),
+
     QuerySpec("x67_html_extract",
       "HTML→text + outlink extraction — the crawl-ingest stage " +
         "BEFORE every text operator in this library (quality, " +

@@ -187,4 +187,44 @@ class SamplingSpec extends SparkSpec {
     assert(got == Set(("c", 1L), ("c", 2L)),
       s"expected only the two valid rows (and no 'd' row), got $got")
   }
+
+  test("dsirSelect enriches the target distribution: a bimodal corpus " +
+      "with a small science target selects science-vocab docs first") {
+    val sci = "atoms orbit nuclei while electrons form chemical bonds"
+    val chat = "lol gonna grab food later u coming or nah idk maybe"
+    val docs = (1L to 200L).map { i =>
+      // ids 1-20 are the labelled target; 21-110 science-like raw,
+      // 111-200 chat-like raw — selection should prefer 21-110
+      val (lab, txt) =
+        if (i <= 20) ("tgt", s"$sci sample $i")
+        else if (i <= 110) ("raw", s"$sci variant $i")
+        else ("raw", s"$chat variant $i")
+      (i, lab, txt)
+    }.toDF("doc_id", "lab", "text")
+    val sel = Sampling.dsirSelect(docs, "doc_id", "text",
+        "lab = 'tgt'", buckets = 256, k = 50)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(sel.size == 50)
+    val sciPicked = sel.count(i => i <= 110)
+    assert(sciPicked >= 45,
+      s"expected science-vocab docs to dominate the draw, got $sciPicked/50")
+  }
+
+  test("dsirSelect is deterministic, honors k, and returns the whole " +
+      "corpus when k exceeds it") {
+    val docs = (1L to 30L)
+      .map(i => (i, if (i % 3 == 0) "en" else "xx", s"word$i common text"))
+      .toDF("doc_id", "lang", "text")
+    val a = Sampling.dsirSelect(docs, "doc_id", "text", "lang = 'en'",
+      buckets = 64, k = 10).collect().toSeq
+    val b = Sampling.dsirSelect(docs, "doc_id", "text", "lang = 'en'",
+      buckets = 64, k = 10).collect().toSeq
+    assert(a == b && a.size == 10)
+    val all = Sampling.dsirSelect(docs, "doc_id", "text", "lang = 'en'",
+      buckets = 64, k = 1000)
+    assert(all.count() == 30)
+    // best-key-first emission: keys are non-increasing
+    val keys = all.select($"gkey_r").as[Double].collect()
+    assert(keys.zip(keys.tail).forall { case (x, y) => x >= y })
+  }
 }
