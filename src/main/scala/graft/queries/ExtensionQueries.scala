@@ -4422,6 +4422,77 @@ object ExtensionQueries {
       Some(Sampling.dsirOracleSql(
         "documents", "doc_id", "text", "lang = 'en'"))),
 
+    QuerySpec("x78_unimax_mixture",
+      "UniMax budget allocation (Chung et al., ICLR 2023): split a " +
+        "token budget across domains so every domain repeats as " +
+        "uniformly as possible under a hard epoch cap — the " +
+        "principled fix for temperature mixing's (x24b) over-" +
+        "sampling of tiny domains. Closed-form waterfill over the " +
+        "CONFIG-SCALE domain table (sorted ascending, capped prefix, " +
+        "water level fixed at the first uncapped domain — exact-" +
+        "double prefix sums since caps are n·E with E a binary " +
+        "fraction), then applied to the corpus as floor(epochs) " +
+        "repeats plus a namespaced-hash draw for the fractional " +
+        "epoch. Fixture folds the 20 sources into 5 domains with " +
+        "1/5/14/35/45% doc-id mass so BOTH branches exercise " +
+        "(REQUIREd: at least one capped and one uncapped domain, " +
+        "budget spent exactly across allocs); corpus-side apply is a " +
+        "broadcast join + narrow projection — only the domain table " +
+        "ever sorts. Twin re-derives the waterfill and the reps rule " +
+        "from the same CTE generators (Mixing.unimaxAllocSqlCtes)",
+      (s, dir) => {
+        import graft.operators.Mixing
+        val m = col("doc_id") % 100
+        val domain = when(m < 1, "d0").when(m < 6, "d1")
+          .when(m < 20, "d2").when(m < 55, "d3").otherwise("d4")
+        val docs = t(s, dir, "documents").select(col("doc_id"),
+          domain.as("domain"), wsTokenCount(col("text")).as("n_tok"))
+        val dt = docs.groupBy(col("domain"))
+          .agg(sum(col("n_tok")).cast("long").as("n_tok"))
+        val total = dt.agg(sum(col("n_tok"))).collect()(0).getLong(0)
+        val alloc = scratch(Mixing.unimaxAllocate(dt, "domain", "n_tok",
+          budgetTokens = total * 3 / 5, maxEpochs = 2.0), "x78_alloc")
+        val audit = alloc.agg(
+          sum(when(col("epochs") === 2.0, 1L).otherwise(0L)),
+          sum(when(col("epochs") < 2.0, 1L).otherwise(0L)),
+          sum(col("alloc"))).collect()(0)
+        require(audit.getLong(0) >= 1 && audit.getLong(1) >= 1,
+          s"fixture must exercise both waterfill branches: " +
+            s"${audit.getLong(0)} capped / ${audit.getLong(1)} leveled")
+        require(math.abs(audit.getDouble(2) - (total * 3 / 5)) < 1e-6,
+          s"budget must be spent exactly: ${audit.getDouble(2)} vs " +
+            s"${total * 3 / 5}")
+        Mixing.unimaxApply(docs, "doc_id", "domain", alloc)
+          .select(col("doc_id"), col("domain"), col("n_tok"),
+            round(col("epochs"), 6).as("epochs_r"), col("reps"))
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        import graft.operators.Mixing
+        val ws = "string_split_regex(trim(text), '\\s+')"
+        val budget =
+          "(SELECT CAST(sum(n_tok) AS BIGINT) FROM dt) * 3 // 5"
+        s"""WITH docs AS (
+           |  SELECT doc_id,
+           |    CASE WHEN doc_id % 100 < 1 THEN 'd0'
+           |         WHEN doc_id % 100 < 6 THEN 'd1'
+           |         WHEN doc_id % 100 < 20 THEN 'd2'
+           |         WHEN doc_id % 100 < 55 THEN 'd3'
+           |         ELSE 'd4' END AS domain,
+           |    CAST(len($ws) AS BIGINT) AS n_tok
+           |  FROM documents),
+           |dt AS (
+           |  SELECT domain, CAST(sum(n_tok) AS BIGINT) AS n_tok
+           |  FROM docs GROUP BY 1),
+           |${Mixing.unimaxAllocSqlCtes("dt", budget, 2.0, "um")}
+           |SELECT d.doc_id, d.domain, d.n_tok,
+           |  round(a.epochs, 6) AS epochs_r,
+           |  ${Mixing.unimaxRepsSql("d.doc_id", "a.epochs")
+                .replace("\n", "\n  ")} AS reps
+           |FROM docs d JOIN um_alloc a USING (domain)
+           |ORDER BY d.doc_id""".stripMargin
+      }),
+
     QuerySpec("x67_html_extract",
       "HTML→text + outlink extraction — the crawl-ingest stage " +
         "BEFORE every text operator in this library (quality, " +

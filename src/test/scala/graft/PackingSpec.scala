@@ -106,4 +106,54 @@ class PackingSpec extends SparkSpec {
       .map(b => f"$b%02x").mkString
     assert(md5s == want)
   }
+
+  test("unimaxAllocate: waterfill caps small domains at maxEpochs and " +
+      "levels the rest; budget is spent exactly when any domain is " +
+      "uncapped") {
+    import graft.operators.Mixing
+    val dt = Seq(("a", 10L), ("b", 50L), ("c", 200L), ("d", 300L))
+      .toDF("domain", "n_tok")
+    val got = Mixing.unimaxAllocate(dt, "domain", "n_tok",
+        budgetTokens = 300L, maxEpochs = 2.0)
+      .select($"domain", $"alloc", $"epochs")
+      .as[(String, Double, Double)].collect().map(r => r._1 -> r).toMap
+    // a: cap 20 <= 300/4 -> capped at 2 epochs
+    assert(got("a")._2 == 20.0 && got("a")._3 == 2.0)
+    // b: cap 100 > (300-20)/3 = 93.33 -> water level
+    val lambda = (300.0 - 20.0) / 3.0
+    assert(got("b")._2 == lambda && got("c")._2 == lambda
+      && got("d")._2 == lambda)
+    assert(math.abs(got.values.map(_._2).sum - 300.0) < 1e-9)
+    // epochs never exceed the bound
+    assert(got.values.forall(_._3 <= 2.0))
+  }
+
+  test("unimaxAllocate: a budget above the global cap leaves every " +
+      "domain capped (and the budget unspent); unimaxApply repeats " +
+      "whole epochs and samples the fractional one deterministically") {
+    import graft.operators.Mixing
+    val dt = Seq(("a", 10L), ("b", 50L)).toDF("domain", "n_tok")
+    val all = Mixing.unimaxAllocate(dt, "domain", "n_tok", 10000L, 2.0)
+      .select($"domain", $"alloc").as[(String, Double)].collect().toMap
+    assert(all == Map("a" -> 20.0, "b" -> 100.0))
+
+    val docs = (1L to 400L)
+      .map(i => (i, if (i <= 200) "full" else "frac"))
+      .toDF("doc_id", "domain")
+    val alloc = Seq(("full", 100L, 200.0, 200.0, 2.0),
+        ("frac", 100L, 200.0, 150.0, 1.5))
+      .toDF("domain", "n_tok", "cap", "alloc", "epochs")
+    val reps = Mixing.unimaxApply(docs, "doc_id", "domain", alloc)
+      .select($"doc_id", $"reps").as[(Long, Long)].collect().toMap
+    assert((1L to 200L).forall(reps(_) == 2L))
+    val fracReps = (201L to 400L).map(reps)
+    assert(fracReps.forall(r => r == 1L || r == 2L))
+    // ~half of the fractional domain gets the extra epoch
+    val extra = fracReps.count(_ == 2L)
+    assert(extra > 60 && extra < 140, s"expected ~100 extras, got $extra")
+    // deterministic re-run
+    val again = Mixing.unimaxApply(docs, "doc_id", "domain", alloc)
+      .select($"doc_id", $"reps").as[(Long, Long)].collect().toMap
+    assert(again == reps)
+  }
 }
