@@ -287,4 +287,125 @@ object Graph {
        |FROM allr JOIN stop ON allr.it = stop.it
        |ORDER BY id""".stripMargin
   }
+
+  // ---- HITS (hubs & authorities) -------------------------------------
+
+  /** One HITS half-step: fold `vals` (keyed `fromCol` -> value `v`)
+    * into per-`toCol` sums over the edge list — the same two-phase
+    * from-then-shard sorted fold as [[nextRanks]], so the reduction is
+    * order-pinned cross-engine and bounded under degree skew — then
+    * MAX-normalize: the raw per-node sums divide by their global max
+    * BEFORE the 12-dp round, keeping every score in [0,1] where the
+    * round is faithful (12 fractional digits on a degree-scale sum
+    * overflow a double's 53-bit significand and round differently per
+    * engine — measured: a 6.19e9 hub score split the engines by 1e-6).
+    * max() is the one corpus-wide reduction that IS order-independent
+    * in floating point, so the normalizer adds no determinism debt —
+    * and it is scale-safe (map-side partial max). Nodes with no
+    * incoming contribution get 0. */
+  private def foldOver(e: DataFrame, nodes: DataFrame, vals: DataFrame,
+      fromCol: String, toCol: String, shards: Int): DataFrame = {
+    val contribs = e
+      .join(vals.withColumnRenamed("id", fromCol), Seq(fromCol))
+      .select(col(toCol).as("id"), col(fromCol).as("__from"),
+        (col(fromCol) % shards).as("__shard"), col("v").as("c"))
+    val p1 = contribs.groupBy(col("id"), col("__shard"))
+      .agg(aggregate(
+        transform(array_sort(collect_list(struct(col("__from"), col("c")))),
+          x => x.getField("c")),
+        lit(0.0), (acc, x) => acc + x).as("ps"))
+    val sums = p1.groupBy(col("id"))
+      .agg(aggregate(
+        transform(array_sort(collect_list(struct(col("__shard"), col("ps")))),
+          x => x.getField("ps")),
+        lit(0.0), (acc, x) => acc + x).as("s"))
+    nodes.join(sums, Seq("id"), "left_outer")
+      .crossJoin(broadcast(sums.agg(max(col("s")).as("__m"))))
+      .select(col("id"),
+        round(coalesce(col("s"), lit(0.0)) / col("__m"), 12).as("v"))
+  }
+
+  /** Fixed-iteration HITS (Kleinberg 1999): authority(v) sums the hub
+    * scores of v's in-neighbors, hub(u) then sums the fresh authority
+    * scores of u's out-neighbors; `iters` such rounds from h_0 = 1,
+    * each half-step MAX-normalized (top score = 1.0; ranking-
+    * equivalent to Kleinberg's L2 normalization, whose norm would be
+    * a corpus-wide order-SENSITIVE floating-point sum — max is the
+    * normalizer that stays bit-deterministic at any scale, see
+    * [[foldOver]]). Same determinism contract as [[pageRank]]: every
+    * reduction a two-phase sorted fold, 12-dp per round, 6-dp
+    * published.
+    *
+    * Scale shape per round: two keyed joins + two two-phase
+    * aggregations (one per direction) + one map-side-partial max;
+    * nothing all-pairs, no global window, no task holds more than one
+    * shard of one node's edges. Returns (id, auth_r, hub_r) for every
+    * node. */
+  def hits(edges: DataFrame, iters: Int, shards: Int = 64,
+      materialize: DataFrame => DataFrame = identity): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(shards >= 1, s"shards must be >= 1, got $shards")
+    val e = materialize(
+      edges.select(col("src").cast("long"), col("dst").cast("long")))
+    val nodes = materialize(e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct())
+    var hubs = nodes.select(col("id"), lit(1.0).as("v"))
+    var auths = nodes.select(col("id"), lit(0.0).as("v"))
+    (1 to iters).foreach { _ =>
+      auths = materialize(foldOver(e, nodes, hubs, "src", "dst", shards))
+      hubs = materialize(foldOver(e, nodes, auths, "dst", "src", shards))
+    }
+    nodes
+      .join(auths.withColumnRenamed("v", "__a"), Seq("id"))
+      .join(hubs.withColumnRenamed("v", "__h"), Seq("id"))
+      .select(col("id"), round(col("__a"), 6).as("auth_r"),
+        round(col("__h"), 6).as("hub_r"))
+  }
+
+  /** DuckDB twin of [[hits]]: `iters` unrolled rounds, each direction
+    * the same two-phase from-then-shard sorted fold and rounding
+    * sequence. `edgesSql` must yield columns (src, dst). */
+  def hitsOracleSql(edgesSql: String, iters: Int,
+      shards: Int = 64): String = {
+    def fold(i: Int, out: String, from: String, to: String,
+        src: String): String =
+      s"""${out}c$i AS (
+         |  SELECT e.$to AS id, e.$from AS f, e.$from % $shards AS shard,
+         |    $src.v AS c
+         |  FROM e JOIN $src ON e.$from = $src.id),
+         |${out}p$i AS (
+         |  SELECT id, shard,
+         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list(c ORDER BY f)), (a, x) -> a + x) AS ps
+         |  FROM ${out}c$i GROUP BY id, shard),
+         |${out}s$i AS (
+         |  SELECT id,
+         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list(ps ORDER BY shard)), (a, x) -> a + x) AS s
+         |  FROM ${out}p$i GROUP BY id),
+         |${out}m$i AS (SELECT max(s) AS m FROM ${out}s$i),
+         |$out$i AS (
+         |  SELECT nodes.id,
+         |    round(coalesce(${out}s$i.s, 0.0) / ${out}m$i.m, 12) AS v
+         |  FROM nodes LEFT JOIN ${out}s$i ON nodes.id = ${out}s$i.id
+         |  CROSS JOIN ${out}m$i)""".stripMargin
+    val rounds = (1 to iters).map { i =>
+      val hPrev = if (i == 1) "h0" else s"h${i - 1}"
+      s"""${fold(i, "a", "src", "dst", hPrev)},
+         |${fold(i, "h", "dst", "src", s"a$i")}""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (
+       |  ${edgesSql.replace("\n", "\n  ")}),
+       |nodes AS (
+       |  SELECT DISTINCT src AS id FROM e
+       |  UNION SELECT DISTINCT dst FROM e),
+       |h0 AS (SELECT id, 1.0 AS v FROM nodes),
+       |$rounds,
+       |fin AS (
+       |  SELECT nodes.id AS id, round(a$iters.v, 6) AS auth_r,
+       |    round(h$iters.v, 6) AS hub_r
+       |  FROM nodes JOIN a$iters ON nodes.id = a$iters.id
+       |  JOIN h$iters ON nodes.id = h$iters.id)
+       |SELECT id, auth_r, hub_r FROM fin""".stripMargin
+  }
 }

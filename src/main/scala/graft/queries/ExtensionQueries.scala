@@ -4493,6 +4493,62 @@ object ExtensionQueries {
            |ORDER BY d.doc_id""".stripMargin
       }),
 
+    QuerySpec("x79_hits_authority",
+      "HITS hubs & authorities (Kleinberg 1999) — the second classic " +
+        "link-centrality signal beside PageRank (x55/x73) for crawl " +
+        "seed selection and frontier prioritization, where hub " +
+        "quality (directory/index pages) and authority quality " +
+        "(content pages) are distinct curation signals: 3 mutual-" +
+        "reinforcement rounds over an asymmetric directed graph " +
+        "(supplier→part edges plus back-edges for suppkey%3=0, so " +
+        "cycles exist and hub/authority structure is non-trivial). " +
+        "Each half-step MAX-normalizes (ranking-equivalent to " +
+        "Kleinberg's L2 norm, but max is the one corpus-wide FP " +
+        "reduction that is order-INdependent — and it keeps scores " +
+        "in [0,1] where the 12-dp round is faithful; unnormalized " +
+        "degree-scale sums measurably split the engines at 1e-6). " +
+        "Every reduction is the two-phase from-then-shard sorted " +
+        "fold (order-pinned cross-engine AND bounded under degree " +
+        "skew), 12 dp per round, 6 dp published. Builder REQUIREs " +
+        "truths: no-in-edge suppliers have authority exactly 0, " +
+        "back-edges give some suppliers authority and some parts " +
+        "hub mass",
+      (s, dir) => {
+        val sp = t(s, dir, "lineitem")
+          .filter(col("l_partkey") <= 2000)
+          .select(col("l_suppkey").cast("long").as("s"),
+            (col("l_partkey").cast("long") + 1000000L).as("p"))
+          .distinct()
+        val edges = sp.select(col("s").as("src"), col("p").as("dst"))
+          .unionByName(sp.filter(col("s") % 3 === 0)
+            .select(col("p").as("src"), col("s").as("dst")))
+        val out = scratch(
+          graft.operators.Graph.hits(edges, iters = 3), "x79_out")
+        val audit = out.agg(
+          sum(when(col("id") < 1000000L && col("id") % 3 =!= 0 &&
+            col("auth_r") =!= 0.0, 1L).otherwise(0L)),
+          sum(when(col("id") < 1000000L && col("auth_r") > 0.0, 1L)
+            .otherwise(0L)),
+          sum(when(col("id") >= 1000000L && col("hub_r") > 0.0, 1L)
+            .otherwise(0L))).collect()(0)
+        require(audit.getLong(0) == 0L,
+          s"${audit.getLong(0)} suppliers without in-edges got nonzero " +
+            "authority")
+        require(audit.getLong(1) > 0L && audit.getLong(2) > 0L,
+          s"back-edges must create supplier authority " +
+            s"(${audit.getLong(1)}) and part hub mass (${audit.getLong(2)})")
+        out.orderBy(col("id"))
+      },
+      Some(graft.operators.Graph.hitsOracleSql(
+        """WITH sp AS (
+          |  SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS s,
+          |    CAST(l_partkey AS BIGINT) + 1000000 AS p
+          |  FROM lineitem WHERE l_partkey <= 2000)
+          |SELECT s AS src, p AS dst FROM sp
+          |UNION ALL SELECT p AS src, s AS dst FROM sp
+          |WHERE s % 3 = 0""".stripMargin,
+        iters = 3) + "\nORDER BY id")),
+
     QuerySpec("x67_html_extract",
       "HTML→text + outlink extraction — the crawl-ingest stage " +
         "BEFORE every text operator in this library (quality, " +

@@ -106,4 +106,33 @@ class GraphSpec extends SparkSpec {
     assert(run.ranks.as[(Long, Double)].collect().toMap ==
       Map(1L -> 0.5, 2L -> 0.5))
   }
+
+  test("hits: hand-computed two-round max-normalized scores on a " +
+      "3-node graph") {
+    // 1 -> 3, 2 -> 3, 3 -> 1: h0 = 1 everywhere
+    // a1 raw (1, 0, 2) -> /2 -> (0.5, 0, 1)
+    // h1 raw (1, 1, 0.5) -> /1 -> (1, 1, 0.5)
+    // a2 raw (0.5, 0, 2) -> /2 -> (0.25, 0, 1)
+    // h2 raw (1, 1, 0.25) -> /1 -> (1, 1, 0.25)
+    val e = Seq((1L, 3L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val got = Graph.hits(e, iters = 2)
+      .as[(Long, Double, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 0.25, 1.0)))
+    assert(got(2L) == ((2L, 0.0, 1.0)))
+    assert(got(3L) == ((3L, 1.0, 0.25)))
+  }
+
+  test("hits: a pure-source node has zero authority, a pure-sink node " +
+      "zero hub score; scores are deterministic across runs") {
+    val e = Seq((1L, 10L), (2L, 10L), (1L, 11L), (11L, 2L))
+      .toDF("src", "dst")
+    val a = Graph.hits(e, iters = 3)
+      .as[(Long, Double, Double)].collect().sortBy(_._1)
+    val byId = a.map(r => r._1 -> r).toMap
+    assert(byId(1L)._2 == 0.0)  // nothing points at 1
+    assert(byId(10L)._3 == 0.0) // 10 points at nothing
+    val b = Graph.hits(e, iters = 3)
+      .as[(Long, Double, Double)].collect().sortBy(_._1)
+    assert(a.toSeq == b.toSeq)
+  }
 }
