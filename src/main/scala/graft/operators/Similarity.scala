@@ -1449,4 +1449,132 @@ object Similarity {
         s"sub_dim=$subDim)")
     (Array.tabulate(m, ksub)((s, j) => rows((s, j))), man)
   }
+
+  // ---- margin-based bitext mining ------------------------------------
+
+  /** Margin-based parallel-pair mining (Artetxe & Schwenk 2019 — the
+    * method behind CCMatrix/CCAligned-scale bitext construction):
+    * score every (src, tgt) embedding pair by the RATIO margin
+    * cos(x,y) / ((avgF(x) + avgB(y)) / 2), where avgF/avgB are each
+    * side's mean top-`k` cosine into the other side — the
+    * hubness-corrected score that raw cosine mining lacks. Each
+    * source row emits its best-margin target plus a `mutual` flag
+    * (the pair is also the target's best-margin source — the
+    * intersection strategy, the paper's highest-precision variant;
+    * callers filter on it).
+    *
+    * This form scores all pairs via a broadcast of the smaller side
+    * (exact — the gate-SF baseline); at corpus scale, swap the
+    * all-pairs `scored` frame for IVF candidates (ivfTopKWith) — the
+    * margin/mutual logic downstream is identical and stays keyed by
+    * (src id, tgt id).
+    *
+    * Determinism: cosines are the same codegen'd dot products the ANN
+    * family hash-gates; the top-k means fold in RANK order (fixed k
+    * divisor); margins round to 9 dp with id tiebreaks before any
+    * ranking (the weightedSample convention). Windows partition by
+    * one side's id only — never global.
+    *
+    * Output: (src_id, tgt_id, cos_r, margin_r, mutual), one row per
+    * source with at least one scored pair. */
+  def bitextMarginMine(src: DataFrame, tgt: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val s = src.select(col(idCol).as("sid"), col(vecCol).as("svec"),
+      l2Norm(col(vecCol)).as("sn"))
+    val t = tgt.select(col(idCol).as("tid"), col(vecCol).as("tvec"),
+      l2Norm(col(vecCol)).as("tn"))
+    val scored = t.join(broadcast(s), lit(true))
+      .select(col("sid"), col("tid"),
+        when(col("sn") * col("tn") > 0,
+          dotProduct(col("svec"), col("tvec")) / (col("sn") * col("tn")))
+          .otherwise(lit(0.0)).as("cos"))
+    val fw = Window.partitionBy(col("sid"))
+      .orderBy(col("cos").desc, col("tid"))
+    val bw = Window.partitionBy(col("tid"))
+      .orderBy(col("cos").desc, col("sid"))
+    val ranked = scored
+      .withColumn("fr", row_number().over(fw))
+      .withColumn("br", row_number().over(bw))
+    def topMean(df: DataFrame, key: String, rank: String): DataFrame = df
+      .filter(col(rank) <= k)
+      .groupBy(col(key))
+      .agg((aggregate(
+        transform(array_sort(collect_list(struct(col(rank), col("cos")))),
+          x => x.getField("cos")),
+        lit(0.0), (acc, x) => acc + x) / k.toDouble).as(s"avg_$key"))
+    val margins = ranked
+      .join(topMean(ranked, "sid", "fr"), Seq("sid"))
+      .join(topMean(ranked, "tid", "br"), Seq("tid"))
+      .select(col("sid"), col("tid"), col("cos"),
+        round(col("cos") / ((col("avg_sid") + col("avg_tid")) / 2.0), 9)
+          .as("margin_r"))
+    val fBest = Window.partitionBy(col("sid"))
+      .orderBy(col("margin_r").desc, col("tid"))
+    val bBest = Window.partitionBy(col("tid"))
+      .orderBy(col("margin_r").desc, col("sid"))
+    margins
+      .withColumn("fb", row_number().over(fBest))
+      .withColumn("bb", row_number().over(bBest))
+      .filter(col("fb") === 1)
+      .select(col("sid").as("src_id"), col("tid").as("tgt_id"),
+        round(col("cos"), 6).as("cos_r"), col("margin_r"),
+        (col("bb") === 1).as("mutual"))
+  }
+
+  /** DuckDB twin of [[bitextMarginMine]] — same cosines, rank-ordered
+    * top-k folds, 9-dp margins and mutual-best logic. `srcPred` /
+    * `tgtPred` split `table` into the two sides. */
+  def bitextMarginOracleSql(table: String, idCol: String, vecCol: String,
+      k: Int, srcPred: String, tgtPred: String): String =
+    s"""WITH s AS (
+       |  SELECT $idCol AS sid, $vecCol::DOUBLE[] AS svec
+       |  FROM $table WHERE $srcPred),
+       |t AS (
+       |  SELECT $idCol AS tid, $vecCol::DOUBLE[] AS tvec
+       |  FROM $table WHERE $tgtPred),
+       |scored AS (
+       |  SELECT sid, tid,
+       |    CASE WHEN sqrt(list_dot_product(svec, svec)) *
+       |              sqrt(list_dot_product(tvec, tvec)) > 0
+       |      THEN list_dot_product(svec, tvec) /
+       |           (sqrt(list_dot_product(svec, svec)) *
+       |            sqrt(list_dot_product(tvec, tvec)))
+       |      ELSE 0.0 END AS cos
+       |  FROM t CROSS JOIN s),
+       |ranked AS (
+       |  SELECT sid, tid, cos,
+       |    row_number() OVER (PARTITION BY sid ORDER BY cos DESC, tid)
+       |      AS fr,
+       |    row_number() OVER (PARTITION BY tid ORDER BY cos DESC, sid)
+       |      AS br
+       |  FROM scored),
+       |af AS (
+       |  SELECT sid,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list(cos ORDER BY fr)), (a, x) -> a + x) /
+       |      CAST($k AS DOUBLE) AS avg_sid
+       |  FROM ranked WHERE fr <= $k GROUP BY sid),
+       |ab AS (
+       |  SELECT tid,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list(cos ORDER BY br)), (a, x) -> a + x) /
+       |      CAST($k AS DOUBLE) AS avg_tid
+       |  FROM ranked WHERE br <= $k GROUP BY tid),
+       |margins AS (
+       |  SELECT r.sid, r.tid, r.cos,
+       |    round(r.cos / ((af.avg_sid + ab.avg_tid) / 2.0), 9)
+       |      AS margin_r
+       |  FROM ranked r JOIN af ON r.sid = af.sid
+       |  JOIN ab ON r.tid = ab.tid),
+       |best AS (
+       |  SELECT sid, tid, cos, margin_r,
+       |    row_number() OVER (PARTITION BY sid
+       |      ORDER BY margin_r DESC, tid) AS fb,
+       |    row_number() OVER (PARTITION BY tid
+       |      ORDER BY margin_r DESC, sid) AS bb
+       |  FROM margins)
+       |SELECT sid AS src_id, tid AS tgt_id, round(cos, 6) AS cos_r,
+       |  margin_r, (bb = 1) AS mutual
+       |FROM best WHERE fb = 1""".stripMargin
 }

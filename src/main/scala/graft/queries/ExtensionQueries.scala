@@ -4549,6 +4549,43 @@ object ExtensionQueries {
           |WHERE s % 3 = 0""".stripMargin,
         iters = 3) + "\nORDER BY id")),
 
+    QuerySpec("x80_bitext_margin_mining",
+      "margin-based parallel-pair mining (Artetxe & Schwenk 2019 — " +
+        "the CCMatrix/CCAligned method): for two embedding sets " +
+        "(vec_id parity as the two languages), every source row " +
+        "emits its best target by the RATIO margin cos/((avgF+avgB)" +
+        "/2) — each side's mean top-4 cosine into the other corrects " +
+        "the hubness that raw cosine mining suffers — plus a mutual " +
+        "flag (pair is also the target's best: the paper's highest-" +
+        "precision intersection strategy). Cosines are the same " +
+        "codegen'd dot products the ANN family gates; top-k means " +
+        "fold in rank order, margins round to 9 dp with id tiebreaks " +
+        "before ranking; windows partition per side id, never " +
+        "global. The all-pairs scoring here is the exact gate-SF " +
+        "baseline — at corpus scale the scored frame swaps for IVF " +
+        "candidates (x6d machinery) with identical downstream " +
+        "margin/mutual logic. Builder REQUIREs one row per source " +
+        "and a non-trivial mutual intersection",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val out = scratch(Similarity.bitextMarginMine(
+          emb.filter(col("vec_id") % 2 === 0),
+          emb.filter(col("vec_id") % 2 === 1),
+          "vec_id", "embedding", k = 4), "x80_out")
+        val nSrc = emb.filter(col("vec_id") % 2 === 0).count()
+        val audit = out.agg(count(lit(1)),
+          sum(when(col("mutual"), 1L).otherwise(0L))).collect()(0)
+        require(audit.getLong(0) == nSrc,
+          s"one mined row per source: ${audit.getLong(0)} vs $nSrc")
+        require(audit.getLong(1) >= 1 && audit.getLong(1) < nSrc,
+          s"mutual intersection must be non-trivial and non-total: " +
+            s"${audit.getLong(1)} of $nSrc")
+        out.orderBy(col("src_id"))
+      },
+      Some(Similarity.bitextMarginOracleSql("embeddings", "vec_id",
+        "embedding", 4, "vec_id % 2 = 0", "vec_id % 2 = 1") +
+        "\nORDER BY src_id")),
+
     QuerySpec("x67_html_extract",
       "HTML→text + outlink extraction — the crawl-ingest stage " +
         "BEFORE every text operator in this library (quality, " +

@@ -549,4 +549,29 @@ class SimilaritySpec extends SparkSpec {
     assert(jab > jac + 0.2, "near pair must stay separated from the " +
       s"independent pair in JL space: $jab vs $jac")
   }
+
+  test("bitextMarginMine: true translations pair up mutually; the " +
+      "margin demotes the hub vector that raw cosine would over-mine") {
+    import spark.implicits._
+    // axis-aligned 4-d toy: src 1/2/3 translate to tgt 11/12/13; tgt 14
+    // is a deliberate HUB (diagonal — moderately close to EVERYTHING)
+    def v(a: Double, b: Double, c: Double, d: Double) =
+      Array(a.toFloat, b.toFloat, c.toFloat, d.toFloat)
+    val src = Seq(
+      (1L, v(1, 0.1, 0, 0)), (2L, v(0, 1, 0.1, 0)), (3L, v(0, 0, 1, 0.1))
+    ).toDF("vec_id", "embedding")
+    val tgt = Seq(
+      (11L, v(1, 0, 0.1, 0)), (12L, v(0.1, 1, 0, 0)),
+      (13L, v(0, 0.1, 1, 0)), (14L, v(0.6, 0.6, 0.6, 0.6))
+    ).toDF("vec_id", "embedding")
+    val got = graft.operators.Similarity
+      .bitextMarginMine(src, tgt, "vec_id", "embedding", k = 2)
+      .select($"src_id", $"tgt_id", $"mutual")
+      .as[(Long, Long, Boolean)].collect().map(r => r._1 -> r).toMap
+    assert(got.size == 3)
+    // every source mines its true translation, mutually — never the hub
+    assert(got(1L) == ((1L, 11L, true)))
+    assert(got(2L) == ((2L, 12L, true)))
+    assert(got(3L) == ((3L, 13L, true)))
+  }
 }
