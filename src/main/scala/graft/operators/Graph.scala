@@ -314,11 +314,17 @@ object Graph {
         transform(array_sort(collect_list(struct(col("__from"), col("c")))),
           x => x.getField("c")),
         lit(0.0), (acc, x) => acc + x).as("ps"))
-    val sums = p1.groupBy(col("id"))
+    // sums feeds TWO consumers (the normalizer max and the node join):
+    // un-truncated, each half-step's whole predecessor DAG evaluates
+    // twice and the doubling compounds across 2·iters half-steps —
+    // measured 22-27 s vs 6-7 s truncated on the x79 graph. Always
+    // materialize; this is the pageRankConverged double-consumption
+    // rule, not an option.
+    val sums = Dedup.defaultMaterialize(p1.groupBy(col("id"))
       .agg(aggregate(
         transform(array_sort(collect_list(struct(col("__shard"), col("ps")))),
           x => x.getField("ps")),
-        lit(0.0), (acc, x) => acc + x).as("s"))
+        lit(0.0), (acc, x) => acc + x).as("s")))
     nodes.join(sums, Seq("id"), "left_outer")
       .crossJoin(broadcast(sums.agg(max(col("s")).as("__m"))))
       .select(col("id"),
