@@ -4586,6 +4586,55 @@ object ExtensionQueries {
         "embedding", 4, "vec_id % 2 = 0", "vec_id % 2 = 1") +
         "\nORDER BY src_id")),
 
+    QuerySpec("x81_streaming_wet_ingest",
+      "STREAMING WET ingest — the crawl-delivery shape: new .wet " +
+        "part files land in a directory and ingest incrementally " +
+        "(file streaming source with the multi-byte lineSep scan, " +
+        "maxFilesPerTrigger=2 over an 8-part dump, so the " +
+        "availableNow run genuinely spans multiple micro-batches — " +
+        "REQUIREd via the checkpoint's commit log). The parse is the " +
+        "SAME codegen projection chain batch x76 gates (stateless, " +
+        "so exactly-once falls out of the file source + checkpoint " +
+        "alone — no state store), and the result must equal the " +
+        "batch derivation: the DuckDB twin never sees the files OR " +
+        "the stream, re-deriving every field from documents",
+      (s, dir) => {
+        import graft.sources.Warc
+        val path = sys.props.getOrElse("graft.wet.stream.tmp",
+          s"/tmp/graft_wet_stream_${new java.io.File(dir).getName}")
+        val id = col("doc_id").cast("string")
+        val fixture = t(s, dir, "documents").select(
+          concat(lit("https://s"), id, lit(".example.test/d")).as("uri"),
+          concat(lit("2024-01-0"), (col("doc_id") % 9 + 1).cast("string"),
+            lit("T00:00:00Z")).as("dt"),
+          concat(col("text"), lit(" — café №"), id).as("text"))
+        Warc.writeWet(fixture.repartition(8), path, "uri", "dt", "text")
+        val parsed = Warc
+          .readWetStream(s, path, maxFilesPerTrigger = Some(2))
+          .select(col("uri"), col("content_length"),
+            md5(col("text")).as("text_md5"), col("frame_ok"))
+        val out = graft.streaming.Streams.runAvailableNowToDir(
+          s, parsed, "x81_out", statePartitions = Some(8))
+        val commits = java.nio.file.Paths.get("target", "stream_gate",
+          "x81_out", "ckpt", "commits")
+        val nBatches = java.nio.file.Files.list(commits)
+          .filter(p => !p.getFileName.toString.startsWith("."))
+          .count()
+        require(nBatches >= 3,
+          s"rate limit must split the run into micro-batches, got " +
+            s"$nBatches commits")
+        out.orderBy(col("uri"))
+      },
+      Some("""WITH f AS (
+             |  SELECT
+             |    'https://s' || CAST(doc_id AS VARCHAR)
+             |      || '.example.test/d' AS uri,
+             |    text || ' — café №' || CAST(doc_id AS VARCHAR) AS text
+             |  FROM documents)
+             |SELECT uri, CAST(strlen(text) AS BIGINT) AS content_length,
+             |  md5(text) AS text_md5, TRUE AS frame_ok
+             |FROM f ORDER BY uri""".stripMargin)),
+
     QuerySpec("x67_html_extract",
       "HTML→text + outlink extraction — the crawl-ingest stage " +
         "BEFORE every text operator in this library (quality, " +

@@ -55,11 +55,27 @@ object Warc {
     * substring would misframe any non-ASCII record); `frame_ok` is
     * false when the declared length does not land on the record's
     * CRLF terminator. */
-  def readWet(spark: SparkSession, path: String): DataFrame = {
+  def readWet(spark: SparkSession, path: String): DataFrame =
+    parseChunks(spark.read.option("lineSep", RecordSep).text(path))
+
+  /** Streaming [[readWet]]: the same multi-byte-lineSep scan and
+    * codegen parse over Spark's file streaming source — new WET part
+    * files ingest incrementally as they land (the crawl-delivery
+    * shape), `maxFilesPerTrigger` bounding each micro-batch. The
+    * parse is stateless, so exactly-once falls out of the file
+    * source + checkpoint alone. */
+  def readWetStream(spark: SparkSession, path: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val base = spark.readStream.option("lineSep", RecordSep)
+    val withRate = maxFilesPerTrigger
+      .fold(base)(n => base.option("maxFilesPerTrigger", n))
+    parseChunks(withRate.text(path))
+  }
+
+  private def parseChunks(raw: DataFrame): DataFrame = {
     // Spark's one-arg trim strips SPACES only — strip the whole
     // whitespace family explicitly or blank preamble chunks survive
-    val chunks = spark.read.option("lineSep", RecordSep).text(path)
-      .filter(length(trim(col("value"), " \r\n\t")) > 0)
+    val chunks = raw.filter(length(trim(col("value"), " \r\n\t")) > 0)
     val parts = split(col("value"), "\\r\\n\\r\\n", 2)
     val hdr = element_at(parts, 1)
     // a degenerate record with no blank line has no payload — null,

@@ -94,6 +94,26 @@ class WarcSpec extends SparkSpec {
       back(1).getLong(1) == 1L && back(1).getBoolean(2))
   }
 
+  test("readWetStream over multiple part files equals the batch read, " +
+      "with the rate limit splitting micro-batches") {
+    val dir = java.nio.file.Files.createTempDirectory("wetstream").toString
+    val docs = (1L to 40L).map(i => (i, s"body of record $i"))
+      .toDF("id", "text")
+      .select(concat(lit("https://r"), col("id"), lit(".example.test/"))
+        .as("uri"), lit("2024-03-03T00:00:00Z").as("dt"), col("text"))
+    Warc.writeWet(docs.repartition(4), dir, "uri", "dt", "text")
+    val streamed = graft.streaming.Streams.runAvailableNowToDir(spark,
+        Warc.readWetStream(spark, dir, maxFilesPerTrigger = Some(1)),
+        "warc_spec_stream")
+      .select("uri", "content_length", "text", "frame_ok")
+      .as[(String, Long, String, Boolean)].collect().sortBy(_._1)
+    val batch = Warc.readWet(spark, dir)
+      .select("uri", "content_length", "text", "frame_ok")
+      .as[(String, Long, String, Boolean)].collect().sortBy(_._1)
+    assert(streamed.length == 40 && streamed.toSeq == batch.toSeq)
+    assert(streamed.forall(_._4))
+  }
+
   test("readWet parses the deterministic md5 record id written by " +
       "wetRecord") {
     val dir = java.nio.file.Files.createTempDirectory("wetid").toString
