@@ -4635,6 +4635,149 @@ object ExtensionQueries {
              |  md5(text) AS text_md5, TRUE AS frame_ok
              |FROM f ORDER BY uri""".stripMargin)),
 
+    QuerySpec("x82_frontier_assembly",
+      "composed crawl-frontier assembly — the end-to-end pipeline a " +
+        "crawler runs between URL discovery and fetch, every stage " +
+        "one of this library's individually-gated operators: " +
+        "canonicalize (x56/x67 machinery: case/port/www/tracking-" +
+        "param normalization), registered-domain via the PRODUCTION " +
+        "PSL broadcast-join (x72's withRegisteredDomain over a " +
+        "parsePslFile fixture; BroadcastHashJoin REQUIREd), robots " +
+        "permission gate (x74's bodies, broadcast-joined per domain " +
+        "class), then per-registered-domain POLITENESS WAVES: allowed " +
+        "URLs rank into fetch rounds so no domain is hit twice in a " +
+        "wave — the frontier scheduling shape; the window partitions " +
+        "by registered domain only, never global. The DuckDB twin is " +
+        "cross-ALGORITHM on two stages: registered domain re-derives " +
+        "through the per-rule CASE expression semantics (not a join) " +
+        "and robots through the independent relational route. " +
+        "Builder REQUIREs exactly 3 registered domains, a non-empty " +
+        "deny set, and gap-free waves (max wave + 1 == allowed count " +
+        "in EVERY domain)",
+      (s, dir) => {
+        import s.implicits._
+        import graft.operators.Web
+        val rules = Web.parsePslFile(
+          "// frontier fixture suffixes\ntest\nexample.test\n")
+        val robots = x74RobotsBodies.toDF("kind", "body")
+          .select(col("kind"),
+            Web.robotsGroup(col("body"), "GraftBot").as("rules"))
+        val id = col("doc_id").cast("string")
+        val m = col("doc_id") % 8
+        val path =
+          when(m === 0, concat(lit("/docs/d"), id))
+          .when(m === 1, concat(lit("/docs/public/p"), id))
+          .when(m === 2, concat(lit("/files/f"), id, lit(".zip")))
+          .when(m === 3, concat(lit("/files/f"), id, lit(".zipx")))
+          .when(m === 4, concat(lit("/ti/x"), id))
+          .when(m === 5, concat(lit("/private/ok/o"), id))
+          .when(m === 6, concat(lit("/private/p"), id))
+          .otherwise(concat(lit("/free/f"), id))
+        val url = concat(lit("https://www.s"),
+          (col("doc_id") % 40).cast("string"),
+          lit(".shop"), (col("doc_id") % 3).cast("string"),
+          lit(".example.test:443"), path,
+          lit("?utm_source=x&id="), id)
+        val base = t(s, dir, "documents").select(col("doc_id"),
+            (col("doc_id") % 3).as("kind"), path.as("path"),
+            Web.canonicalUrl(url).as("url_canon"),
+            Web.canonicalHost(url).as("host"))
+        val withRd = Web.withRegisteredDomain(base, "host", rules,
+          "reg_domain")
+        val gated = withRd.join(broadcast(robots), Seq("kind"))
+          .select(col("doc_id"), col("url_canon"), col("reg_domain"),
+            Web.robotsDecision(col("path"), col("rules"))
+              .getField("allowed").as("allowed"))
+        val plan = gated.queryExecution.sparkPlan.toString
+        require(plan.contains("BroadcastHashJoin"),
+          s"PSL rule match and robots must broadcast-join:\n$plan")
+        val w = Window.partitionBy(col("reg_domain"), col("allowed"))
+          .orderBy(col("doc_id"))
+        val out = scratch(gated.withColumn("wave",
+          when(col("allowed"), row_number().over(w).cast("long") - 1)
+            .otherwise(lit(-1L))), "x82_out")
+        val domAudit = out.filter(col("allowed"))
+          .groupBy(col("reg_domain"))
+          .agg((max(col("wave")) + 1 === count(lit(1))).as("ok"))
+        require(domAudit.count() == 3 &&
+          domAudit.filter(!col("ok")).count() == 0,
+          "waves must be gap-free across exactly 3 registered domains")
+        val denied = out.filter(!col("allowed")).count()
+        require(denied > 0, "the robots gate must deny something")
+        out.orderBy(col("doc_id"))
+      },
+      Some {
+        import graft.operators.Web
+        def sq(x: String): String = "'" + x.replace("'", "''") + "'"
+        val bodies = x74RobotsBodies
+          .map { case (k, b) => s"($k, ${sq(b)})" }.mkString(",\n    ")
+        val lk = Web.robotsLikeSql("core", "endsd")
+        val rd = Web.registeredDomainSql("host",
+          Seq("test", "example.test")).replace("\n", "\n  ")
+        s"""WITH robots(kind, body) AS (VALUES
+           |    $bodies),
+           |${Web.robotsRulesSqlCtes("robots", "GraftBot", "rr")},
+           |docs AS (
+           |  SELECT doc_id, doc_id % 3 AS kind,
+           |    CASE doc_id % 8
+           |      WHEN 0 THEN '/docs/d' || CAST(doc_id AS VARCHAR)
+           |      WHEN 1 THEN '/docs/public/p' || CAST(doc_id AS VARCHAR)
+           |      WHEN 2 THEN '/files/f' || CAST(doc_id AS VARCHAR)
+           |        || '.zip'
+           |      WHEN 3 THEN '/files/f' || CAST(doc_id AS VARCHAR)
+           |        || '.zipx'
+           |      WHEN 4 THEN '/ti/x' || CAST(doc_id AS VARCHAR)
+           |      WHEN 5 THEN '/private/ok/o' || CAST(doc_id AS VARCHAR)
+           |      WHEN 6 THEN '/private/p' || CAST(doc_id AS VARCHAR)
+           |      ELSE '/free/f' || CAST(doc_id AS VARCHAR)
+           |    END AS path
+           |  FROM documents),
+           |u AS (
+           |  SELECT doc_id, kind, path,
+           |    'https://www.s' || CAST(doc_id % 40 AS VARCHAR)
+           |      || '.shop' || CAST(doc_id % 3 AS VARCHAR)
+           |      || '.example.test:443' || path
+           |      || '?utm_source=x&id=' || CAST(doc_id AS VARCHAR)
+           |      AS url
+           |  FROM docs),
+           |c AS (
+           |  SELECT doc_id, kind, path,
+           |    ${Web.canonicalUrlSql("url").replace("\n", "\n    ")}
+           |      AS url_canon,
+           |    ${Web.canonicalHostSql("url").replace("\n", "\n    ")}
+           |      AS host
+           |  FROM u),
+           |r AS (
+           |  SELECT doc_id, kind, path, url_canon,
+           |    $rd AS reg_domain
+           |  FROM c),
+           |cand AS (
+           |  SELECT d.doc_id, d.path, r2.p, r2.a,
+           |    CASE WHEN r2.p LIKE '%$$' THEN substr(r2.p, 1,
+           |      length(r2.p) - 1) ELSE r2.p END AS core,
+           |    (r2.p LIKE '%$$') AS endsd
+           |  FROM r d JOIN rr r2 ON d.kind = r2.kind),
+           |win AS (
+           |  SELECT doc_id, p, a,
+           |    row_number() OVER (PARTITION BY doc_id
+           |      ORDER BY length(p) DESC, CAST(a AS INT) DESC, p DESC)
+           |      AS rn
+           |  FROM cand WHERE path LIKE $lk ESCAPE '\\'),
+           |best AS (SELECT doc_id, a FROM win WHERE rn = 1),
+           |gated AS (
+           |  SELECT r.doc_id, r.url_canon, r.reg_domain,
+           |    coalesce(b.a, TRUE) AS allowed
+           |  FROM r LEFT JOIN best b ON r.doc_id = b.doc_id),
+           |wv AS (
+           |  SELECT doc_id, url_canon, reg_domain, allowed,
+           |    CAST(CASE WHEN allowed THEN row_number() OVER (
+           |      PARTITION BY reg_domain, allowed ORDER BY doc_id) - 1
+           |      ELSE -1 END AS BIGINT) AS wave
+           |  FROM gated)
+           |SELECT doc_id, url_canon, reg_domain, allowed, wave
+           |FROM wv ORDER BY doc_id""".stripMargin
+      }),
+
     QuerySpec("x67_html_extract",
       "HTML→text + outlink extraction — the crawl-ingest stage " +
         "BEFORE every text operator in this library (quality, " +
