@@ -131,6 +131,52 @@ object Corpus {
       s"regexp_replace($acc, '$pat', '$tok', 'g')"
     }
 
+  /** Invisible / control character classes, each a regex with
+    * identical Java-regex/RE2 semantics (literal class of codepoint
+    * ranges, `\x{...}` escapes — source stays pure ASCII):
+    *  - `controls`: C0 controls except \t \n \r, plus DEL — never
+    *    legitimate in prose, frequent in binary-contaminated crawl
+    *    text;
+    *  - `c1`: the C1 block (0080-009F), the classic mojibake residue;
+    *  - `zerowidth`: ZWSP/ZWNJ/ZWJ, BOM-as-ZWNBSP, soft hyphen —
+    *    invisible joints that split tokens and poison dedup keys;
+    *  - `bidi`: directional embeddings/overrides/isolates — the
+    *    "Trojan Source" class that renders code differently than it
+    *    parses; scrubbing them from training text is a supply-chain
+    *    guard, not just hygiene. */
+  val invisiblePatterns: Seq[(String, String)] = Seq(
+    ("controls", "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]"),
+    ("c1", "[\\x{0080}-\\x{009F}]"),
+    ("zerowidth", "[\\x{200B}-\\x{200D}\\x{FEFF}\\x{00AD}]"),
+    ("bidi", "[\\x{202A}-\\x{202E}\\x{2066}-\\x{2069}]"))
+
+  /** Strip every invisible/control class from `c` — a chain of
+    * codegen'd regexp_replace projections, zero shuffle. */
+  def scrubInvisible(c: Column): Column =
+    invisiblePatterns.foldLeft(c) { case (acc, (_, pat)) =>
+      regexp_replace(acc, pat, "")
+    }
+
+  /** Per-class occurrence counts of the invisible classes, as
+    * `n_<class>` columns — the audit columns a cleaning report keeps
+    * so scrub volume is a measured fact. */
+  def invisibleCounts(c: Column): Seq[Column] =
+    invisiblePatterns.map { case (name, pat) =>
+      regexp_count(c, lit(pat)).cast("long").as(s"n_$name")
+    }
+
+  /** DuckDB twins of [[scrubInvisible]] / [[invisibleCounts]] over
+    * SQL expression `e`, generated from the SAME pattern table. */
+  def scrubInvisibleSql(e: String): String =
+    invisiblePatterns.foldLeft(e) { case (acc, (_, pat)) =>
+      s"regexp_replace($acc, '$pat', '', 'g')"
+    }
+
+  def invisibleCountsSql(e: String): Seq[String] =
+    invisiblePatterns.map { case (name, pat) =>
+      s"CAST(len(regexp_extract_all($e, '$pat')) AS BIGINT) AS n_$name"
+    }
+
   /** Token-budget data selection: keep the highest-quality documents
     * until the token budget is spent — the greedy fill every "train
     * on the best N tokens of this corpus" curation step runs (the

@@ -142,4 +142,89 @@ object Packing {
     assigned.groupBy(col("pack_id"))
       .agg(count(lit(1)).as("n_docs"), sum(col(nTokCol)).as("n_tokens"),
         min(col(idCol)).as("first_id"), max(col(idCol)).as("last_id"))
+
+  /** Fill-in-the-middle transformation (Bavarian et al. 2022): split
+    * each document at two deterministic cut points and reorder as
+    * PSM `<PRE>prefix<SUF>suffix<MID>middle` or SPM `<SUF>suffix
+    * <PRE>prefix<MID>middle` — the data-side op that teaches a causal
+    * LM to infill; applied to ~50% of code/text corpora at
+    * pretraining time. Cuts and the PSM/SPM choice are namespaced id
+    * hashes (never rand()): a document's FIM form is stable across
+    * runs, engines and re-shards. Documents shorter than `minChars`
+    * pass through unsplit with mode 'none' (cut arithmetic on
+    * degenerate lengths yields empty spans that teach nothing).
+    *
+    * A pure narrow projection — the text never shuffles. Character
+    * indexing is codepoint-based in BOTH engines only for BMP text;
+    * run after the hygiene stages (x58/x60/x83) as a real pipeline
+    * would.
+    *
+    * Output: (idCol, mode, c1, c2, fim_text). */
+  def fimTransform(docs: DataFrame, idCol: String, textCol: String,
+      minChars: Int = 16): DataFrame = {
+    import graft.functions.HashFunctions.md5Hash60
+    require(minChars >= 3, s"minChars must be >= 3, got $minChars")
+    val id = col(idCol)
+    val txt = col(textCol)
+    val len = length(txt)
+    def h(tag: String) =
+      md5Hash60(concat(lit(s"fim$tag:"), id.cast("string")))
+    // cuts in [1, L-1]: prefix and suffix are never the whole doc
+    // greatest(...,1): a 0/1-char doc must not divide by zero computing
+    // cuts it will discard as 'none' anyway
+    val a = (h("1") % greatest(len - 1, lit(1)) + 1).cast("int")
+    val b = (h("2") % greatest(len - 1, lit(1)) + 1).cast("int")
+    val c1 = least(a, b)
+    val c2 = greatest(a, b)
+    val pre = substring(txt, lit(1), c1)
+    val mid = substring(txt, c1 + 1, c2 - c1)
+    val suf = substring(txt, c2 + 1, len - c2)
+    val spm = h("m") % 2 === 0
+    val short = len < minChars
+    docs.select(id,
+      when(short, "none").when(spm, "spm").otherwise("psm").as("mode"),
+      when(short, lit(-1L)).otherwise(c1.cast("long")).as("c1"),
+      when(short, lit(-1L)).otherwise(c2.cast("long")).as("c2"),
+      when(short, txt)
+        .when(spm, concat(lit("<SUF>"), suf, lit("<PRE>"), pre,
+          lit("<MID>"), mid))
+        .otherwise(concat(lit("<PRE>"), pre, lit("<SUF>"), suf,
+          lit("<MID>"), mid)).as("fim_text"))
+  }
+
+  /** DuckDB twin of [[fimTransform]] — same hashes, cuts, formats. */
+  def fimTransformSql(table: String, idCol: String, textCol: String,
+      minChars: Int = 16): String = {
+    def h(tag: String) =
+      s"('0x' || substr(md5('fim$tag:' || CAST($idCol AS VARCHAR)), " +
+        s"1, 15))::BIGINT"
+    s"""WITH b AS (
+       |  SELECT $idCol, $textCol AS txt, length($textCol) AS L,
+       |    ${h("1")} % greatest(length($textCol) - 1, 1) + 1 AS a,
+       |    ${h("2")} % greatest(length($textCol) - 1, 1) + 1 AS bb,
+       |    (${h("m")} % 2 = 0) AS spm
+       |  FROM $table),
+       |c AS (
+       |  SELECT $idCol, txt, L, spm,
+       |    least(a, bb) AS c1, greatest(a, bb) AS c2,
+       |    (L < $minChars) AS short
+       |  FROM b),
+       |p AS (
+       |  SELECT $idCol, spm, short, c1, c2,
+       |    substr(txt, 1, c1) AS pre,
+       |    substr(txt, c1 + 1, c2 - c1) AS mid,
+       |    substr(txt, c2 + 1, L - c2) AS suf, txt
+       |  FROM c)
+       |SELECT $idCol,
+       |  CASE WHEN short THEN 'none' WHEN spm THEN 'spm'
+       |    ELSE 'psm' END AS mode,
+       |  CAST(CASE WHEN short THEN -1 ELSE c1 END AS BIGINT) AS c1,
+       |  CAST(CASE WHEN short THEN -1 ELSE c2 END AS BIGINT) AS c2,
+       |  CASE WHEN short THEN txt
+       |    WHEN spm THEN '<SUF>' || suf || '<PRE>' || pre
+       |      || '<MID>' || mid
+       |    ELSE '<PRE>' || pre || '<SUF>' || suf || '<MID>' || mid
+       |  END AS fim_text
+       |FROM p""".stripMargin
+  }
 }

@@ -4778,6 +4778,130 @@ object ExtensionQueries {
            |FROM wv ORDER BY doc_id""".stripMargin
       }),
 
+    QuerySpec("x83_invisible_scrub",
+      "invisible/control-character scrub — the hygiene stage between " +
+        "mojibake repair (x58) and NFC (x60): C0 controls + DEL " +
+        "(binary contamination), the C1 block (mojibake residue), " +
+        "zero-width joints (ZWSP/ZWNJ/ZWJ/BOM/soft-hyphen — they " +
+        "split tokens and poison dedup keys invisibly), and bidi " +
+        "embeddings/overrides/isolates (the Trojan-Source class: " +
+        "text that renders differently than it parses — scrubbing " +
+        "training data is a supply-chain guard). One shared pattern " +
+        "table drives the Spark chain, the DuckDB twin, and the " +
+        "audit counts, so the classes cannot drift; the scrub is a " +
+        "pure codegen'd regexp projection, zero shuffle. Fixture " +
+        "injects each class on a doc_id%4 rotation (source stays " +
+        "ASCII: Scala unicode escapes / DuckDB chr()); builder " +
+        "REQUIREs every class detected in exactly its rotation's " +
+        "docs and the scrubbed text free of ALL classes",
+      (s, dir) => {
+        val m = col("doc_id") % 4
+        // unicode ESCAPES, not raw bytes: the source file must stay
+        // ASCII-greppable (the x58/TopBigramFraction lesson)
+        val inj = when(m === 0, lit("\u0001ctl\u007F"))
+          .when(m === 1, lit("\u0085cone\u009C"))
+          .when(m === 2, lit("\u200Bzw\uFEFF\u00AD"))
+          .otherwise(lit("\u202Ebidi\u2066"))
+        val dirty = t(s, dir, "documents")
+          .select(col("doc_id"), concat(col("text"), inj).as("text"))
+        val out = scratch(dirty.select(
+          (col("doc_id") +: (graft.operators.Corpus
+            .invisibleCounts(col("text")) :+
+            graft.operators.Corpus.scrubInvisible(col("text"))
+              .as("text_clean"))): _*), "x83_out")
+        val audit = out.agg(
+          sum(col("n_controls")), sum(col("n_c1")),
+          sum(col("n_zerowidth")), sum(col("n_bidi")),
+          count(lit(1)),
+          sum(when(col("doc_id") % 4 === 0 &&
+            col("n_controls") =!= 2, 1L).otherwise(0L))).collect()(0)
+        val n = audit.getLong(4)
+        val per = Seq(0L, 1L, 2L, 3L).map(r =>
+          (n + 3 - r) / 4) // docs with doc_id % 4 == r for ids 0..n-1
+        require(audit.getLong(0) == 2 * per(0) &&
+          audit.getLong(1) == 2 * per(1) &&
+          audit.getLong(2) == 3 * per(2) &&
+          audit.getLong(3) == 2 * per(3),
+          s"class counts must match the injection rotation: $audit")
+        require(audit.getLong(5) == 0,
+          "every %4==0 doc must count exactly its injected controls")
+        val residue = out.filter(
+          graft.operators.Corpus.invisibleCounts(col("text_clean"))
+            .map(_ > 0L).reduce(_ || _)).count()
+        require(residue == 0, s"$residue docs kept invisible chars")
+        out.orderBy(col("doc_id"))
+      },
+      Some {
+        import graft.operators.Corpus
+        val counts = Corpus.invisibleCountsSql("text")
+          .mkString(",\n  ")
+        s"""WITH dirty AS (
+           |  SELECT doc_id, text ||
+           |    CASE CAST(doc_id % 4 AS INT)
+           |      WHEN 0 THEN chr(1) || 'ctl' || chr(127)
+           |      WHEN 1 THEN chr(133) || 'cone' || chr(156)
+           |      WHEN 2 THEN chr(8203) || 'zw' || chr(65279)
+           |        || chr(173)
+           |      ELSE chr(8238) || 'bidi' || chr(8294)
+           |    END AS text
+           |  FROM documents)
+           |SELECT doc_id,
+           |  $counts,
+           |  ${Corpus.scrubInvisibleSql("text")} AS text_clean
+           |FROM dirty ORDER BY doc_id""".stripMargin
+      }),
+
+    QuerySpec("x84_fim_transform",
+      "fill-in-the-middle transformation (Bavarian et al. 2022): " +
+        "each document splits at two namespaced-id-hash cut points " +
+        "and reorders as PSM <PRE>p<SUF>s<MID>m or SPM (hash-chosen " +
+        "~50/50) — the data-side op that teaches a causal LM to " +
+        "infill, applied to ~half of code corpora at pretraining " +
+        "time; sub-minChars documents pass through as mode 'none'. " +
+        "Derandomized like every draw in this library (cuts stable " +
+        "across runs/engines/re-shards); a pure narrow projection — " +
+        "text never shuffles. Builder REQUIREs all three modes " +
+        "present, cut sanity (1 <= c1 <= c2 < len), and LOSSLESSNESS: " +
+        "re-parsing every emitted fim_text through the sentinel " +
+        "regex and reassembling pre+mid+suf must reproduce the " +
+        "original text exactly",
+      (s, dir) => {
+        import graft.operators.Packing
+        val fixture = t(s, dir, "documents").select(col("doc_id"),
+          when(col("doc_id") % 97 === 5, "tiny doc")
+            .otherwise(col("text")).as("text"))
+        val out = scratch(
+          Packing.fimTransform(fixture, "doc_id", "text"), "x84_out")
+        val modes = out.groupBy(col("mode")).count().collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        require(Set("psm", "spm", "none").subsetOf(modes.keySet),
+          s"all three modes must appear, got $modes")
+        // losslessness: reassemble from the emitted string alone
+        val re = "(?s)^<PRE>(.*)<SUF>(.*)<MID>(.*)$"
+        val reSpm = "(?s)^<SUF>(.*)<PRE>(.*)<MID>(.*)$"
+        val rebuilt = when(col("mode") === "psm",
+          concat(regexp_extract(col("fim_text"), re, 1),
+            regexp_extract(col("fim_text"), re, 3),
+            regexp_extract(col("fim_text"), re, 2)))
+          .when(col("mode") === "spm",
+            concat(regexp_extract(col("fim_text"), reSpm, 2),
+              regexp_extract(col("fim_text"), reSpm, 3),
+              regexp_extract(col("fim_text"), reSpm, 1)))
+          .otherwise(col("fim_text"))
+        val bad = out.join(fixture, Seq("doc_id"))
+          .filter(rebuilt =!= col("text") ||
+            (col("mode") =!= "none" &&
+              !(col("c1") >= 1 && col("c1") <= col("c2") &&
+                col("c2") < length(col("text")))))
+          .count()
+        require(bad == 0, s"$bad rows failed FIM losslessness/cut sanity")
+        out.orderBy(col("doc_id"))
+      },
+      Some(graft.operators.Packing.fimTransformSql(
+        "documents", "doc_id",
+        "CASE WHEN doc_id % 97 = 5 THEN 'tiny doc' ELSE text END") +
+        "\nORDER BY doc_id")),
+
     QuerySpec("x67_html_extract",
       "HTML→text + outlink extraction — the crawl-ingest stage " +
         "BEFORE every text operator in this library (quality, " +

@@ -149,6 +149,29 @@ class CorpusSpec extends SparkSpec {
     assert(got == Seq((1L, "only para", 1L, 1L), (2L, "", 1L, 0L)))
   }
 
+  test("scrubInvisible removes every class — C0+DEL, C1, zero-width, " +
+      "bidi — counts them per class, and is idempotent") {
+    // escapes, not raw bytes: test source stays ASCII-greppable
+    val dirty = "a\u0001b\u007Fc \u0085d\u009Ce " +
+      "f\u200Bg\u200Dh\uFEFFi\u00ADj k\u202El\u2066m"
+    val d = Seq((1L, dirty), (2L, "clean text only")).toDF("doc_id", "t")
+    val got = d.select(col("doc_id"),
+        Corpus.scrubInvisible(col("t")).as("c"),
+        struct(Corpus.invisibleCounts(col("t")): _*).as("n"))
+      .orderBy($"doc_id").collect()
+    assert(got(0).getString(1) == "abc de fghij klm")
+    val n = got(0).getStruct(2)
+    assert((n.getLong(0), n.getLong(1), n.getLong(2), n.getLong(3)) ==
+      ((2L, 2L, 4L, 2L)))
+    assert(got(1).getString(1) == "clean text only")
+    assert(got(1).getStruct(2).toSeq == Seq(0L, 0L, 0L, 0L))
+    // idempotent: scrubbing clean output changes nothing
+    val again = d.select(Corpus.scrubInvisible(
+      Corpus.scrubInvisible(col("t"))).as("c2")).orderBy($"c2")
+    assert(again.as[String].collect().toSet ==
+      Set("abc de fghij klm", "clean text only"))
+  }
+
   test("paragraphDedup: paraKey normalization — case, digits, " +
       "punctuation and whitespace runs are identities; distinct words " +
       "are not collapsed") {

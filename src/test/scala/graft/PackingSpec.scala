@@ -107,6 +107,37 @@ class PackingSpec extends SparkSpec {
     assert(md5s == want)
   }
 
+  test("fimTransform: lossless split at stable cuts, both formats " +
+      "appear over many docs, short docs pass through as 'none'") {
+    import graft.operators.Packing
+    val docs = (1L to 50L)
+      .map(i => (i, if (i == 7) "tiny" else s"document number $i with " +
+        s"enough characters to split meaningfully ${i * 31}"))
+      .toDF("doc_id", "text")
+    val got = Packing.fimTransform(docs, "doc_id", "text")
+      .join(docs, Seq("doc_id"))
+      .as[(Long, String, Long, Long, String, String)].collect()
+    val modes = got.map(_._2).toSet
+    assert(modes == Set("psm", "spm", "none"))
+    got.foreach { case (id, mode, c1, c2, fim, orig) =>
+      if (mode == "none") {
+        assert(id == 7L && fim == "tiny" && c1 == -1L && c2 == -1L)
+      } else {
+        assert(c1 >= 1 && c1 <= c2 && c2 < orig.length)
+        val (pre, mid, suf) = (orig.substring(0, c1.toInt),
+          orig.substring(c1.toInt, c2.toInt), orig.substring(c2.toInt))
+        val want = if (mode == "psm") s"<PRE>$pre<SUF>$suf<MID>$mid"
+          else s"<SUF>$suf<PRE>$pre<MID>$mid"
+        assert(fim == want, s"doc $id: $fim != $want")
+      }
+    }
+    // deterministic
+    val again = Packing.fimTransform(docs, "doc_id", "text")
+      .orderBy($"doc_id").collect().toSeq
+    assert(again == Packing.fimTransform(docs, "doc_id", "text")
+      .orderBy($"doc_id").collect().toSeq)
+  }
+
   test("unimaxAllocate: waterfill caps small domains at maxEpochs and " +
       "levels the rest; budget is spent exactly when any domain is " +
       "uncapped") {
