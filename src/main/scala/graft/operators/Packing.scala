@@ -192,6 +192,86 @@ object Packing {
           lit("<MID>"), mid)).as("fim_text"))
   }
 
+  /** T5-style span corruption (Raffel et al. 2020): tokens partition
+    * into fixed blocks of `blockTokens`; each block corrupts with
+    * probability `corruptPct`% under a namespaced id+block hash
+    * (derandomized — a document's corruption is stable across runs,
+    * engines and re-shards). The model INPUT replaces each corrupted
+    * block with a consecutive `<extra_id_K>` sentinel; the TARGET is
+    * the sentinels with their original spans — the denoising
+    * objective's data builder. Everything is one in-row HOF chain
+    * over the token array (narrow, zero shuffle); token counts obey
+    * tokens(input) + tokens(target) = tokens(doc) + 2·n_corr, which
+    * callers audit.
+    *
+    * Output: (idCol, n_blocks, n_corr, input, target). */
+  def spanCorrupt(docs: DataFrame, idCol: String, textCol: String,
+      blockTokens: Int = 6, corruptPct: Int = 15): DataFrame = {
+    require(blockTokens >= 1, s"blockTokens must be >= 1")
+    require(corruptPct >= 0 && corruptPct <= 100, "corruptPct in [0,100]")
+    val bt = blockTokens
+    val hashPick =
+      "CAST(conv(substring(md5(concat('span:', CAST(" + idCol +
+        " AS STRING), ':', CAST(b AS STRING))), 1, 15), 16, 10) " +
+        s"AS BIGINT) % 100 < $corruptPct"
+    docs
+      .select(col(idCol),
+        graft.functions.TextFunctions.wsTokens(col(textCol)).as("__tk"))
+      .withColumn("__nb",
+        expr(s"CAST(ceil(size(__tk) / $bt.0) AS INT)"))
+      .withColumn("__corr",
+        expr(s"filter(sequence(0, __nb - 1), b -> $hashPick)"))
+      .select(col(idCol),
+        col("__nb").cast("long").as("n_blocks"),
+        expr("CAST(size(__corr) AS BIGINT)").as("n_corr"),
+        expr(
+          s"""array_join(transform(sequence(0, __nb - 1), b ->
+             |  CASE WHEN array_contains(__corr, b)
+             |    THEN concat('<extra_id_',
+             |      CAST(array_position(__corr, b) - 1 AS STRING), '>')
+             |    ELSE array_join(slice(__tk, b * $bt + 1, $bt), ' ')
+             |  END), ' ')""".stripMargin).as("input"),
+        expr(
+          s"""array_join(transform(__corr, b ->
+             |  concat('<extra_id_',
+             |    CAST(array_position(__corr, b) - 1 AS STRING), '> ',
+             |    array_join(slice(__tk, b * $bt + 1, $bt), ' '))),
+             |  ' ')""".stripMargin).as("target"))
+  }
+
+  /** DuckDB twin of [[spanCorrupt]] — same hash, blocks, sentinels. */
+  def spanCorruptSql(table: String, idCol: String, textCol: String,
+      blockTokens: Int = 6, corruptPct: Int = 15): String = {
+    val bt = blockTokens
+    val ws = s"string_split_regex(trim($textCol), '\\s+')"
+    val pick =
+      s"('0x' || substr(md5('span:' || CAST($idCol AS VARCHAR) || ':' " +
+        s"|| CAST(b AS VARCHAR)), 1, 15))::BIGINT % 100 < $corruptPct"
+    s"""WITH tk AS (
+       |  SELECT $idCol, $ws AS toks,
+       |    CAST(ceil(len($ws) / $bt.0) AS INT) AS nb
+       |  FROM $table),
+       |c AS (
+       |  SELECT $idCol, toks, nb,
+       |    list_filter(range(0, nb), b -> $pick) AS corr
+       |  FROM tk)
+       |SELECT $idCol, CAST(nb AS BIGINT) AS n_blocks,
+       |  CAST(len(corr) AS BIGINT) AS n_corr,
+       |  array_to_string(list_transform(range(0, nb), b ->
+       |    CASE WHEN list_contains(corr, b)
+       |      THEN '<extra_id_' ||
+       |        CAST(list_position(corr, b) - 1 AS VARCHAR) || '>'
+       |      ELSE array_to_string(
+       |        toks[b * $bt + 1 : b * $bt + $bt], ' ')
+       |    END), ' ') AS input,
+       |  coalesce(array_to_string(list_transform(corr, b ->
+       |    '<extra_id_' || CAST(list_position(corr, b) - 1 AS VARCHAR)
+       |      || '> ' ||
+       |      array_to_string(toks[b * $bt + 1 : b * $bt + $bt], ' ')),
+       |    ' '), '') AS target
+       |FROM c""".stripMargin
+  }
+
   /** DuckDB twin of [[fimTransform]] — same hashes, cuts, formats. */
   def fimTransformSql(table: String, idCol: String, textCol: String,
       minChars: Int = 16): String = {

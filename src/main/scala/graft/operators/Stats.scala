@@ -130,4 +130,61 @@ object Stats {
        |  CAST(max(n) AS BIGINT) AS n_rows
        |FROM c GROUP BY $groupCol ORDER BY $groupCol""".stripMargin
   }
+
+  // ---- classifier calibration ---------------------------------------
+
+  /** Reliability-diagram bins for a [0,1] score against a boolean
+    * label — the calibration audit run before a quality classifier's
+    * threshold is trusted (Guo et al. 2017 popularized ECE; the bins
+    * here are its terms). Per equal-width bin: row count, positive
+    * count, mean CONFIDENCE and empirical ACCURACY, and their gap.
+    *
+    * Determinism + scale: the only floating sum is the per-bin mean
+    * score, computed as an exact DECIMAL(18,6) sum of the 6-dp-rounded
+    * scores (order-independent, map-side partial, no collect_list —
+    * a bin holding millions of rows folds as decimal partials) and
+    * cast to DOUBLE only at the boundary — the catalog's money-column
+    * convention applied to probabilities. Accuracy is an integer
+    * ratio. Output has NO decimal columns.
+    *
+    * Output: (bin, n, n_pos, conf_r, acc_r, gap_r), one row per
+    * populated bin. */
+  def calibrationBins(df: DataFrame, scoreCol: String, labelCol: String,
+      nBins: Int = 10): DataFrame = {
+    require(nBins >= 2, s"nBins must be >= 2, got $nBins")
+    val p = col(scoreCol)
+    val b = least(floor(p * nBins), lit(nBins - 1)).cast("long")
+    val conf = col("__sum").cast("double") / col("n")
+    val acc = col("n_pos").cast("double") / col("n")
+    df.groupBy(b.as("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col(labelCol), 1L).otherwise(0L)).as("n_pos"),
+        sum(round(p, 6).cast(org.apache.spark.sql.types
+          .DecimalType(18, 6))).as("__sum"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        round(conf, 6).as("conf_r"), round(acc, 6).as("acc_r"),
+        round(abs(acc - conf), 6).as("gap_r"))
+  }
+
+  /** DuckDB twin of [[calibrationBins]]: `src` must provide (p BOUND
+    * score expression `pExpr`, boolean `labelExpr`); same decimal
+    * sum, same divisions, same rounding. */
+  def calibrationBinsOracleSql(src: String, pExpr: String,
+      labelExpr: String, nBins: Int = 10): String =
+    s"""SELECT bin, CAST(count(*) AS BIGINT) AS n,
+       |  CAST(sum(CASE WHEN lab THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+       |  round(CAST(sum(CAST(round(p, 6) AS DECIMAL(18, 6))) AS DOUBLE)
+       |    / count(*), 6) AS conf_r,
+       |  round(CAST(sum(CASE WHEN lab THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / count(*), 6) AS acc_r,
+       |  round(abs(CAST(sum(CASE WHEN lab THEN 1 ELSE 0 END) AS DOUBLE)
+       |      / count(*) -
+       |    CAST(sum(CAST(round(p, 6) AS DECIMAL(18, 6))) AS DOUBLE)
+       |      / count(*)), 6) AS gap_r
+       |FROM (
+       |  SELECT CAST(least(floor(($pExpr) * $nBins), $nBins - 1)
+       |      AS BIGINT) AS bin,
+       |    ($pExpr) AS p, ($labelExpr) AS lab
+       |  FROM $src)
+       |GROUP BY bin""".stripMargin
 }

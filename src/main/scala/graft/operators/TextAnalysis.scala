@@ -146,6 +146,28 @@ object TextAnalysis {
   def meanTokenLen(textCol: Column): Column =
     meanTokenLenFromTokens(wsTokens(textCol))
 
+  /** Sentence segmentation (array of sentences): a terminator
+    * ([.!?]) followed by whitespace ends a sentence; the trailing
+    * fragment (no terminator) is a sentence too. Deliberately the
+    * RE2-portable heuristic — no lookbehind (RE2 has none), no
+    * abbreviation dictionary: a terminator+space inside "Dr. Smith"
+    * splits, which sentence-level dedup and chunking tolerate and the
+    * doc says out loud. Mechanism: rewrite boundaries to a US control
+    * marker (U+001F — never in cleaned text; run AFTER the x83
+    * scrub), split on the marker, drop empties. A pure in-row
+    * projection chain, zero shuffle. */
+  def splitSentences(c: Column): Column =
+    filter(
+      split(regexp_replace(c, "([.!?])\\s+", "$1\u001F"), "\u001F"),
+      s => s =!= "")
+
+  /** DuckDB twin of [[splitSentences]] over SQL expression `e` —
+    * same rewrite (RE2 replacement spells the backreference `\\1`),
+    * same marker, same empty drop. */
+  def splitSentencesSql(e: String): String =
+    s"list_filter(string_split(regexp_replace($e, " +
+      """'([.!?])\s+', '\1' || chr(31), 'g'), chr(31)), s -> s <> '')"""
+
   /** Composite quality score in [0, ~1]: rewards stopword presence,
     * alphabetic density and mid-length tokens — the standard cheap
     * pre-filter for web-scraped training text. Exact arithmetic:

@@ -4902,6 +4902,159 @@ object ExtensionQueries {
         "CASE WHEN doc_id % 97 = 5 THEN 'tiny doc' ELSE text END") +
         "\nORDER BY doc_id")),
 
+    QuerySpec("x85_calibration_bins",
+      "reliability-diagram calibration bins (the terms of Guo et al. " +
+        "2017's ECE) for a classifier-spread blend of the x9 quality " +
+        "score (the fixture's scores concentrate in two deciles; a " +
+        "namespaced-hash blend restores a realistic distribution) " +
+        "against an 'is English' label — the audit run before a " +
+        "quality filter's threshold " +
+        "is trusted: per equal-width bin, count, positives, mean " +
+        "CONFIDENCE vs empirical ACCURACY, and their gap. The only " +
+        "floating sum (per-bin mean score) goes through an exact " +
+        "DECIMAL(18,6) sum of 6-dp-rounded scores — order-" +
+        "independent, map-side partial, a million-row bin folds as " +
+        "decimal partials, NO collect_list — cast to DOUBLE only at " +
+        "the boundary (the catalog's money convention applied to " +
+        "probabilities); accuracy is an integer ratio. Builder " +
+        "REQUIREs bin totals reconciling with the corpus, bins in " +
+        "range, and a sane weighted gap (the ECE) in [0,1]",
+      (s, dir) => {
+        import graft.functions.HashFunctions.md5Hash60
+        // the word-soup fixture's x9 scores concentrate in two
+        // deciles; blend in a namespaced-hash spread so the bins
+        // behave like a real classifier's score distribution (the
+        // calibration MECHANISM is what the gate verifies)
+        val scored = t(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("text"),
+            wsTokens(col("text")).as("toks"))
+          .select(col("doc_id"),
+            (TextAnalysis.qualityScoreFromTokens(col("text"), col("toks"))
+              * 0.5 +
+              (md5Hash60(concat(lit("cal:"), col("doc_id").cast("string")))
+                % 1000).cast("double") / 1999.0).as("p"),
+            (col("lang") === "en").as("lab"))
+        val out = scratch(
+          graft.operators.Stats.calibrationBins(scored, "p", "lab"),
+          "x85_out")
+        val nDocs = t(s, dir, "documents").count()
+        val audit = out.agg(sum(col("n")), min(col("bin")),
+          max(col("bin")), count(lit(1)),
+          (sum(col("gap_r") * col("n")) / sum(col("n"))).as("ece"))
+          .collect()(0)
+        require(audit.getLong(0) == nDocs,
+          s"bin totals ${audit.getLong(0)} != corpus $nDocs")
+        require(audit.getLong(1) >= 0 && audit.getLong(2) <= 9,
+          s"bins out of range: ${audit.getLong(1)}..${audit.getLong(2)}")
+        require(audit.getLong(3) >= 3,
+          s"fixture must populate >= 3 bins, got ${audit.getLong(3)}")
+        val ece = audit.getDouble(4)
+        require(ece >= 0 && ece <= 1, s"ECE out of [0,1]: $ece")
+        out.orderBy(col("bin"))
+      },
+      Some(graft.operators.Stats.calibrationBinsOracleSql(
+        "documents",
+        s"($duckQuality) * 0.5 + CAST(('0x' || substr(md5('cal:' || " +
+          "CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000 AS DOUBLE)" +
+          " / 1999.0",
+        "lang = 'en'") + "\nORDER BY bin")),
+
+    QuerySpec("x86_sentence_segmentation",
+      "sentence segmentation — the splitter under sentence-level " +
+        "dedup and context chunking: terminator [.!?] + whitespace " +
+        "ends a sentence, trailing fragment included; deliberately " +
+        "the RE2-portable heuristic (no lookbehind — RE2 has none; " +
+        "no abbreviation dictionary, and the doc says so) via a " +
+        "boundary rewrite to a U+001F marker + split + empty-drop — " +
+        "a pure in-row projection chain, zero shuffle before the " +
+        "explode. Fixture wraps each document in three terminated " +
+        "sentences plus the word-soup tail; builder REQUIREs exactly " +
+        "4 sentences per document and terminators retained at " +
+        "sentence ends",
+      (s, dir) => {
+        val id = col("doc_id").cast("string")
+        val fixture = t(s, dir, "documents").select(col("doc_id"),
+          concat(lit("First fact about doc "), id,
+            lit(". Second claim stands here! Is it really doc "), id,
+            lit("? Tail fragment "), col("text")).as("t"))
+        val out = scratch(fixture
+          .select(col("doc_id"),
+            posexplode(TextAnalysis.splitSentences(col("t")))
+              .as(Seq("sent_id", "sentence")))
+          .select(col("doc_id"), col("sent_id").cast("long").as("sent_id"),
+            col("sentence"),
+            length(col("sentence")).cast("long").as("n_chars")),
+          "x86_out")
+        val audit = out.groupBy(col("doc_id")).agg(
+          count(lit(1)).as("ns"),
+          sum(when(col("sent_id") === 0 &&
+            col("sentence").endsWith("."), 1L).otherwise(0L)).as("dot"),
+          sum(when(col("sent_id") === 1 &&
+            col("sentence").endsWith("!"), 1L).otherwise(0L)).as("bang"))
+          .agg(sum(when(col("ns") =!= 4, 1L).otherwise(0L)),
+            sum(col("dot")), sum(col("bang")), count(lit(1))).collect()(0)
+        require(audit.getLong(0) == 0,
+          s"${audit.getLong(0)} docs did not split into 4 sentences")
+        require(audit.getLong(1) == audit.getLong(3) &&
+          audit.getLong(2) == audit.getLong(3),
+          "terminators must be retained at sentence ends")
+        out.orderBy(col("doc_id"), col("sent_id"))
+      },
+      Some {
+        val sents = TextAnalysis.splitSentencesSql("t")
+        s"""WITH f AS (
+           |  SELECT doc_id,
+           |    'First fact about doc ' || CAST(doc_id AS VARCHAR)
+           |    || '. Second claim stands here! Is it really doc '
+           |    || CAST(doc_id AS VARCHAR) || '? Tail fragment ' || text
+           |      AS t
+           |  FROM documents),
+           |ls AS (SELECT doc_id, $sents AS ss FROM f),
+           |p AS (
+           |  SELECT doc_id, unnest(range(0, len(ss))) AS sent_id,
+           |    unnest(ss) AS sentence
+           |  FROM ls)
+           |SELECT doc_id, CAST(sent_id AS BIGINT) AS sent_id, sentence,
+           |  CAST(length(sentence) AS BIGINT) AS n_chars
+           |FROM p ORDER BY doc_id, sent_id""".stripMargin
+      }),
+
+    QuerySpec("x87_span_corruption",
+      "T5-style span corruption (Raffel et al. 2020) — the denoising-" +
+        "objective data builder: tokens partition into 6-token " +
+        "blocks, each corrupts at 15% under a namespaced id+block " +
+        "hash (derandomized: a document's corruption is identical " +
+        "across runs/engines/re-shards), the INPUT replaces corrupted " +
+        "blocks with consecutive <extra_id_K> sentinels and the " +
+        "TARGET pairs each sentinel with its span. One in-row HOF " +
+        "chain over the token array — narrow, zero shuffle. Builder " +
+        "REQUIREs exact token conservation (tokens(input) + " +
+        "tokens(target) == tokens(doc) + 2·n_corr, summed corpus-" +
+        "wide) and the global corruption rate inside [5%, 25%]",
+      (s, dir) => {
+        import graft.operators.Packing
+        val out = scratch(
+          Packing.spanCorrupt(t(s, dir, "documents"), "doc_id", "text"),
+          "x87_out")
+        val docs = t(s, dir, "documents")
+          .select(col("doc_id"), wsTokenCount(col("text")).as("n_tok"))
+        val audit = out.join(docs, Seq("doc_id")).agg(
+          sum(wsTokenCount(col("input")) +
+            when(col("target") === "", 0L)
+              .otherwise(wsTokenCount(col("target")))).as("lhs"),
+          sum(col("n_tok") + col("n_corr") * 2).as("rhs"),
+          sum(col("n_corr")), sum(col("n_blocks"))).collect()(0)
+        require(audit.getLong(0) == audit.getLong(1),
+          s"token conservation failed: ${audit.getLong(0)} vs " +
+            s"${audit.getLong(1)}")
+        val rate = audit.getLong(2).toDouble / audit.getLong(3)
+        require(rate > 0.05 && rate < 0.25,
+          s"corruption rate $rate outside the sane band")
+        out.orderBy(col("doc_id"))
+      },
+      Some(graft.operators.Packing.spanCorruptSql(
+        "documents", "doc_id", "text") + "\nORDER BY doc_id")),
+
     QuerySpec("x67_html_extract",
       "HTML→text + outlink extraction — the crawl-ingest stage " +
         "BEFORE every text operator in this library (quality, " +

@@ -138,6 +138,45 @@ class PackingSpec extends SparkSpec {
       .orderBy($"doc_id").collect().toSeq)
   }
 
+  test("spanCorrupt: consecutive sentinels, token conservation, " +
+      "high/zero corruption rates behave, deterministic") {
+    import graft.operators.Packing
+    val docs = (1L to 30L)
+      .map(i => (i, (1 to 25).map(t => s"w${i}t$t").mkString(" ")))
+      .toDF("doc_id", "text")
+    // corruptPct=100: every block corrupted — input is ONLY sentinels,
+    // numbered consecutively; target carries every token
+    val all = Packing.spanCorrupt(docs, "doc_id", "text",
+        blockTokens = 6, corruptPct = 100)
+      .as[(Long, Long, Long, String, String)].collect()
+    all.foreach { case (_, nb, nc, input, target) =>
+      assert(nb == 5 && nc == 5) // ceil(25/6) = 5 blocks
+      assert(input == (0 until 5).map(k => s"<extra_id_$k>").mkString(" "))
+      assert(target.split(" ").count(_.startsWith("<extra_id_")) == 5)
+      assert(target.split(" ").length == 5 + 25)
+    }
+    // corruptPct=0: identity input, empty target
+    val none = Packing.spanCorrupt(docs, "doc_id", "text",
+        blockTokens = 6, corruptPct = 0)
+      .as[(Long, Long, Long, String, String)].collect()
+    none.foreach { case (id, _, nc, input, target) =>
+      assert(nc == 0 && target == "")
+      assert(input == (1 to 25).map(t => s"w${id}t$t").mkString(" "))
+    }
+    // default 15%: conservation per doc + determinism
+    val a = Packing.spanCorrupt(docs, "doc_id", "text")
+      .orderBy($"doc_id")
+      .as[(Long, Long, Long, String, String)].collect().toSeq
+    a.foreach { case (_, _, nc, input, target) =>
+      val tgtToks = if (target.isEmpty) 0 else target.split(" ").length
+      assert(input.split(" ").length + tgtToks == 25 + 2 * nc)
+    }
+    val b = Packing.spanCorrupt(docs, "doc_id", "text")
+      .orderBy($"doc_id")
+      .as[(Long, Long, Long, String, String)].collect().toSeq
+    assert(a == b)
+  }
+
   test("unimaxAllocate: waterfill caps small domains at maxEpochs and " +
       "levels the rest; budget is spent exactly when any domain is " +
       "uncapped") {

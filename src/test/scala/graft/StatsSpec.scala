@@ -49,4 +49,39 @@ class StatsSpec extends SparkSpec {
       ((global._1, global._2, global._3, global._4)),
       "two-level prefix decomposition must equal the windowed form")
   }
+
+  test("calibrationBins: hand-checked bins — perfectly calibrated " +
+      "slices show zero gap, a confident-but-wrong slice shows it") {
+    import graft.operators.Stats
+    // bin 8 (p=0.85): 4 rows, 3 positive -> conf 0.85, acc 0.75
+    // bin 2 (p=0.25): 4 rows, 1 positive -> conf 0.25, acc 0.25 (gap 0)
+    // p=1.0 lands in the LAST bin (9), not a phantom bin 10
+    val rows = (1 to 4).map(i => (0.85, i <= 3)) ++
+      (1 to 4).map(i => (0.25, i == 1)) ++ Seq((1.0, true))
+    val got = Stats.calibrationBins(
+        rows.toDF("p", "lab"), "p", "lab")
+      .orderBy($"bin")
+      .as[(Long, Long, Long, Double, Double, Double)].collect().toSeq
+    assert(got == Seq(
+      (2L, 4L, 1L, 0.25, 0.25, 0.0),
+      (8L, 4L, 3L, 0.85, 0.75, 0.1),
+      (9L, 1L, 1L, 1.0, 1.0, 0.0)))
+  }
+
+  test("splitSentences: terminators end sentences and are retained, " +
+      "trailing fragment kept, runs of whitespace tolerated, " +
+      "no-terminator text is one sentence") {
+    import graft.operators.TextAnalysis.splitSentences
+    val got = Seq(
+      (1L, "One two. Three four!  Five six? tail bit"),
+      (2L, "no terminators at all"),
+      (3L, "Ends exactly. ")
+    ).toDF("id", "t")
+      .select($"id", splitSentences($"t").as("s"))
+      .as[(Long, Seq[String])].collect().map(r => r._1 -> r._2).toMap
+    assert(got(1L) == Seq("One two.", "Three four!", "Five six?",
+      "tail bit"))
+    assert(got(2L) == Seq("no terminators at all"))
+    assert(got(3L) == Seq("Ends exactly."))
+  }
 }
