@@ -144,4 +144,48 @@ class EmptyInputSpec extends SparkSpec {
       .agg(graft.functions.SketchFunctions.kllAgg(
         col("doc_id").cast("double"), 16)).count() == 0)
   }
+
+  test("round-14 operators tolerate empty and degenerate inputs") {
+    import graft.operators.{Corpus, Graph, Mixing, Packing, Sampling,
+      Similarity, Stats}
+    // paragraph dedup: empty frame; single empty-text doc keeps its row
+    assert(Corpus.paragraphDedup(emptyDocs, "doc_id", "text").count() == 0)
+    val oneEmpty = Seq((1L, "")).toDF("doc_id", "text")
+    assert(Corpus.paragraphDedup(oneEmpty, "doc_id", "text")
+      .as[(Long, String, Long, Long)].head() == ((1L, "", 1L, 1L)))
+    // invisible scrub / sentence split on empty strings and frames
+    assert(oneEmpty.select(Corpus.scrubInvisible(col("text")))
+      .as[String].head() == "")
+    assert(emptyDocs.select(
+      graft.operators.TextAnalysis.splitSentences(col("text")))
+      .count() == 0)
+    // DSIR on an empty corpus is empty (no features, no histograms)
+    assert(Sampling.dsirSelect(emptyDocs, "doc_id", "text", "1 = 1",
+      buckets = 16, k = 5).count() == 0)
+    // UniMax over zero domains / apply over an empty corpus
+    val emptyDom = emptyDocs.select(col("text").as("domain"),
+      col("doc_id").as("n_tok"))
+    val alloc = Mixing.unimaxAllocate(emptyDom, "domain", "n_tok", 100L, 2.0)
+    assert(alloc.count() == 0)
+    assert(Mixing.unimaxApply(
+      emptyDocs.withColumnRenamed("text", "domain"), "doc_id", "domain",
+      alloc).count() == 0)
+    // HITS on an empty edge list: no nodes, no rows
+    val emptyEdges = emptyDocs.select(col("doc_id").as("src"),
+      col("doc_id").as("dst"))
+    assert(Graph.hits(emptyEdges, iters = 2).count() == 0)
+    // bitext mining with an empty side
+    assert(Similarity.bitextMarginMine(emptyVecs, emptyVecs,
+      "vec_id", "embedding", k = 2).count() == 0)
+    // FIM / span corruption: empty frames; 1-char doc is mode 'none'
+    assert(Packing.fimTransform(emptyDocs, "doc_id", "text").count() == 0)
+    assert(Packing.fimTransform(Seq((1L, "x")).toDF("doc_id", "text"),
+      "doc_id", "text").as[(Long, String, Long, Long, String)].head()
+      == ((1L, "none", -1L, -1L, "x")))
+    assert(Packing.spanCorrupt(emptyDocs, "doc_id", "text").count() == 0)
+    // calibration of an empty score frame: zero bins
+    assert(Stats.calibrationBins(
+      emptyDocs.select(col("doc_id").cast("double").as("p"),
+        lit(true).as("lab")), "p", "lab").count() == 0)
+  }
 }
