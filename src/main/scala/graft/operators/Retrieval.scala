@@ -208,4 +208,106 @@ object Retrieval {
       .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= k)
   }
+
+  // ---- ranking evaluation (MRR / nDCG) ------------------------------
+
+  /** Per-query MRR@k and nDCG@k for a ranked run against graded
+    * relevance labels — the eval loop every retrieval stage (x36/
+    * x36b, the ANN family) is tuned by. Gains are exponential
+    * `2^rel - 1` (the standard graded form) computed EXACTLY via an
+    * integer shift; discounts use the natural log — any log base
+    * cancels in the nDCG ratio, and ln is the one log both engines'
+    * fold entries already agree on (the x44 contract). DCG and ideal
+    * DCG both fold in rank order (sorted in-row folds of at most k
+    * terms — never a corpus-scale list); the ideal ranking takes the
+    * top-k labels by (rel desc, doc id) per query via a
+    * query-partitioned window. MRR is a single exact division.
+    *
+    * `ranked` provides (qidCol, didCol, rankCol: 1-based within
+    * query); `rels` provides (qidCol, didCol, relCol >= 0, graded);
+    * pairs absent from `rels` count rel 0.
+    *
+    * Output: (qidCol, n_ranked, n_rel_hit, first_rel_rank (-1 when
+    * the run finds nothing relevant), mrr_r, ndcg_r). */
+  def rankingEval(ranked: DataFrame, rels: DataFrame, qidCol: String,
+      didCol: String, rankCol: String, relCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val qid = col(qidCol)
+    def gain(rankC: Column): Column =
+      (expr(s"shiftleft(1, CAST($relCol AS INT))").cast("double") - 1.0) /
+        log(rankC.cast("double") + 1.0)
+    def fold(rankC: String): Column =
+      aggregate(
+        transform(array_sort(collect_list(struct(col(rankC).as("r"),
+          col("__g")))), x => x.getField("__g")),
+        lit(0.0), (a, x) => a + x)
+    val hits = ranked.filter(col(rankCol) <= k)
+      .join(rels, Seq(qidCol, didCol), "left")
+      .withColumn(relCol, coalesce(col(relCol), lit(0)).cast("int"))
+      .withColumn("__g", gain(col(rankCol)))
+    val perq = hits.groupBy(qid).agg(
+      count(lit(1)).as("n_ranked"),
+      sum(when(col(relCol) > 0, 1L).otherwise(0L)).as("n_rel_hit"),
+      min(when(col(relCol) > 0, col(rankCol))).as("__fr"),
+      fold(rankCol).as("__dcg"))
+    val iw = Window.partitionBy(qid).orderBy(col(relCol).desc, col(didCol))
+    val ideal = rels.filter(col(relCol) > 0)
+      .withColumn("__ir", row_number().over(iw))
+      .filter(col("__ir") <= k)
+      .withColumn("__g", gain(col("__ir")))
+      .groupBy(qid).agg(fold("__ir").as("__idcg"))
+    perq.join(ideal, Seq(qidCol), "left")
+      .select(qid, col("n_ranked"), col("n_rel_hit"),
+        coalesce(col("__fr"), lit(-1)).cast("long").as("first_rel_rank"),
+        round(when(col("__fr").isNotNull,
+          lit(1.0) / col("__fr").cast("double")).otherwise(0.0), 6)
+          .as("mrr_r"),
+        round(when(col("__idcg").isNotNull && col("__idcg") > 0,
+          col("__dcg") / col("__idcg")).otherwise(0.0), 6).as("ndcg_r"))
+  }
+
+  /** DuckDB twin of [[rankingEval]]: `ranked`/`rels` are prior CTE
+    * names with the same columns; emits a final SELECT (same gains,
+    * ln discounts, rank-ordered folds, divisions and rounding). */
+  def rankingEvalSql(ranked: String, rels: String, qidCol: String,
+      didCol: String, rankCol: String, relCol: String, k: Int): String =
+    s"""hits AS (
+       |  SELECT r.$qidCol, r.$didCol, r.$rankCol,
+       |    CAST(coalesce(l.$relCol, 0) AS INT) AS rel,
+       |    (CAST((1 << CAST(coalesce(l.$relCol, 0) AS INT)) AS DOUBLE)
+       |      - 1.0) / ln(CAST(r.$rankCol AS DOUBLE) + 1.0) AS g
+       |  FROM $ranked r LEFT JOIN $rels l
+       |    ON r.$qidCol = l.$qidCol AND r.$didCol = l.$didCol
+       |  WHERE r.$rankCol <= $k),
+       |perq AS (
+       |  SELECT $qidCol, CAST(count(*) AS BIGINT) AS n_ranked,
+       |    CAST(sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_rel_hit,
+       |    min(CASE WHEN rel > 0 THEN $rankCol END) AS fr,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list(g ORDER BY $rankCol)), (a, x) -> a + x) AS dcg
+       |  FROM hits GROUP BY $qidCol),
+       |irk AS (
+       |  SELECT $qidCol, $relCol,
+       |    row_number() OVER (PARTITION BY $qidCol
+       |      ORDER BY $relCol DESC, $didCol) AS ir
+       |  FROM $rels WHERE $relCol > 0),
+       |ideal AS (
+       |  SELECT $qidCol,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list((CAST((1 << CAST($relCol AS INT)) AS DOUBLE) - 1.0)
+       |        / ln(CAST(ir AS DOUBLE) + 1.0) ORDER BY ir)),
+       |      (a, x) -> a + x) AS idcg
+       |  FROM irk WHERE ir <= $k GROUP BY $qidCol),
+       |fin AS (
+       |  SELECT p.$qidCol AS $qidCol, p.n_ranked, p.n_rel_hit,
+       |    CAST(coalesce(p.fr, -1) AS BIGINT) AS first_rel_rank,
+       |    round(CASE WHEN p.fr IS NOT NULL
+       |      THEN 1.0 / CAST(p.fr AS DOUBLE) ELSE 0.0 END, 6) AS mrr_r,
+       |    round(CASE WHEN i.idcg IS NOT NULL AND i.idcg > 0
+       |      THEN p.dcg / i.idcg ELSE 0.0 END, 6) AS ndcg_r
+       |  FROM perq p LEFT JOIN ideal i ON p.$qidCol = i.$qidCol)
+       |SELECT $qidCol, n_ranked, n_rel_hit, first_rel_rank, mrr_r,
+       |  ndcg_r
+       |FROM fin""".stripMargin
 }

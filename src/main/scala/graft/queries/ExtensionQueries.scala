@@ -5055,6 +5055,84 @@ object ExtensionQueries {
       Some(graft.operators.Packing.spanCorruptSql(
         "documents", "doc_id", "text") + "\nORDER BY doc_id")),
 
+    QuerySpec("x88_retrieval_eval",
+      "per-query MRR@10 and nDCG@10 (Järvelin & Kekäläinen 2002) for " +
+        "two BM25 runs against graded term-containment relevance " +
+        "labels — the eval loop every retrieval stage (x36/x36b, the " +
+        "ANN family) is tuned by, as a first-class gated operator. " +
+        "Gains are exponential 2^rel−1 computed EXACTLY by integer " +
+        "shift; discounts use ln — any log base cancels in the nDCG " +
+        "ratio and ln is the one log the fold entries already agree " +
+        "on (the x44 contract); DCG and ideal DCG fold in rank order " +
+        "over at most k terms (never a corpus-scale list), the ideal " +
+        "ranking is a query-partitioned window, MRR a single exact " +
+        "division. Builder REQUIREs both queries present with full " +
+        "rank lists and metrics in (0, 1]",
+      (s, dir) => {
+        val queries = Seq(
+          ("q1", Seq("spark", "window", "merge")),
+          ("q2", Seq("customer", "table", "join")))
+        val docs = t(s, dir, "documents")
+        val ranked = queries.map { case (q, terms) =>
+          Retrieval.bm25TopK(docs, "doc_id", "text", terms, k = 20)
+            .withColumn("qid", lit(q))
+            .withColumn("rank", row_number().over(Window
+              .partitionBy(col("qid"))
+              .orderBy(col("score_r").desc, col("doc_id"))).cast("long"))
+            .select(col("qid"), col("doc_id"), col("rank"))
+        }.reduce(_.unionByName(_))
+        val rels = queries.map { case (q, terms) =>
+          docs.select(lit(q).as("qid"), col("doc_id"),
+            terms.map(term =>
+              when(col("text").contains(term), 1).otherwise(0))
+              .reduce(_ + _).as("rel"))
+        }.reduce(_.unionByName(_)).filter(col("rel") > 0)
+        val out = scratch(Retrieval.rankingEval(ranked, rels,
+          "qid", "doc_id", "rank", "rel", k = 10), "x88_out")
+        val audit = out.agg(count(lit(1)),
+          sum(when(col("n_ranked") =!= 10, 1L).otherwise(0L)),
+          min(col("mrr_r")), max(col("mrr_r")),
+          min(col("ndcg_r")), max(col("ndcg_r"))).collect()(0)
+        require(audit.getLong(0) == 2 && audit.getLong(1) == 0,
+          s"two full-rank-list queries expected: $audit")
+        require(audit.getDouble(2) > 0 && audit.getDouble(3) <= 1.0 &&
+          audit.getDouble(4) > 0 && audit.getDouble(5) <= 1.0 + 1e-9,
+          s"metrics out of (0,1]: $audit")
+        out.orderBy(col("qid"))
+      },
+      Some {
+        def leg(q: String, terms: Seq[String]): String = {
+          val inner = Retrieval.bm25OracleSql("documents", "doc_id",
+            "text", terms, k = 20).replace("\n", "\n  ")
+          s"""${q}_raw AS (
+             |  $inner),
+             |${q}_rk AS (
+             |  SELECT '$q' AS qid, doc_id,
+             |    CAST(row_number() OVER (ORDER BY score_r DESC, doc_id)
+             |      AS BIGINT) AS rank
+             |  FROM ${q}_raw)""".stripMargin
+        }
+        def relLeg(q: String, terms: Seq[String]): String = {
+          val relExpr = terms.map(term =>
+            s"CASE WHEN contains(text, '$term') THEN 1 ELSE 0 END")
+            .mkString(" + ")
+          s"SELECT '$q' AS qid, doc_id, $relExpr AS rel FROM documents"
+        }
+        s"""WITH ${leg("q1", Seq("spark", "window", "merge"))},
+           |${leg("q2", Seq("customer", "table", "join"))},
+           |ranked AS (
+           |  SELECT * FROM q1_rk UNION ALL SELECT * FROM q2_rk),
+           |rels AS (
+           |  SELECT * FROM (
+           |    ${relLeg("q1", Seq("spark", "window", "merge"))}
+           |    UNION ALL
+           |    ${relLeg("q2", Seq("customer", "table", "join"))})
+           |  WHERE rel > 0),
+           |${Retrieval.rankingEvalSql("ranked", "rels", "qid", "doc_id",
+              "rank", "rel", k = 10)}
+           |ORDER BY qid""".stripMargin
+      }),
+
     QuerySpec("x67_html_extract",
       "HTML→text + outlink extraction — the crawl-ingest stage " +
         "BEFORE every text operator in this library (quality, " +

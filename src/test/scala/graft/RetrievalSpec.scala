@@ -131,4 +131,29 @@ class RetrievalSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Retrieval.rrfFuse(Seq("a" -> l), 0, 5) }
   }
+
+  test("rankingEval: hand-computed graded nDCG with an unretrieved " +
+      "high-rel doc, exact MRR, zero-relevance and unlabeled queries") {
+    val ranked = Seq(
+      ("qA", 1L, 1L), ("qA", 2L, 2L), ("qA", 3L, 3L),
+      ("qB", 1L, 1L), ("qB", 2L, 2L),   // nothing relevant retrieved
+      ("qC", 5L, 1L)                    // query absent from rels
+    ).toDF("qid", "doc_id", "rank")
+    val rels = Seq(
+      ("qA", 2L, 2), ("qA", 3L, 1), ("qA", 9L, 3), // d9 missed by the run
+      ("qB", 7L, 2)
+    ).toDF("qid", "doc_id", "rel")
+    val got = Retrieval.rankingEval(ranked, rels, "qid", "doc_id",
+        "rank", "rel", k = 3)
+      .orderBy($"qid")
+      .as[(String, Long, Long, Long, Double, Double)].collect().toSeq
+    val dcg = 3.0 / math.log(3.0) + 1.0 / math.log(4.0)
+    val idcg = 7.0 / math.log(2.0) + 3.0 / math.log(3.0) +
+      1.0 / math.log(4.0)
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(0) == (("qA", 3L, 2L, 2L, 0.5, r6(dcg / idcg))))
+    assert(got(1) == (("qB", 2L, 0L, -1L, 0.0, 0.0)))
+    assert(got(2) == (("qC", 1L, 0L, -1L, 0.0, 0.0)))
+  }
 }
