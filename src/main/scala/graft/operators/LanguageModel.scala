@@ -584,4 +584,79 @@ object LanguageModel {
        |       ELSE 'tail' END AS bucket
        |FROM bucketed ORDER BY $idCol""".stripMargin
   }
+
+  // ---- corpus-shift quantification (token-level KL) -----------------
+
+  /** Per-token Kullback-Leibler contributions between a SLICE of the
+    * corpus (rows matching `srcPredicate`) and the REST — the drift /
+    * domain-shift quantifier a curation pipeline runs when a new
+    * source lands or a crawl refreshes: KL(p‖q) = Σ_t p(t)·ln(p/q)
+    * over add-α smoothed unigram distributions on the UNION
+    * vocabulary (so both distributions normalize to exactly 1 and no
+    * token divides by zero). The output is the PER-TOKEN table —
+    * token, both counts, both probabilities, and the signed
+    * contribution — because that is what an engineer reads (which
+    * tokens drive the shift); the scalar KL is one ungrouped sum away
+    * and stays in the caller's hands (a corpus-wide float fold is the
+    * one thing this library never hashes).
+    *
+    * Scale shape: ONE tokenize+explode pass with a per-row slice flag,
+    * one token-keyed count aggregate (map-side partial), and a 1-row
+    * totals broadcast; every probability/contribution is a per-row
+    * projection of exact integer counts — bit-identical cross-engine.
+    */
+  def tokenKlContributions(docs: DataFrame, textCol: String,
+      srcPredicate: String, alpha: Double = 0.5): DataFrame = {
+    require(alpha > 0, s"alpha must be positive, got $alpha")
+    val toks = docs
+      .select(expr(srcPredicate).as("__in"),
+        explode(wsTokens(col(textCol))).as("token"))
+    val counts = toks.groupBy(col("token")).agg(
+      sum(when(col("__in"), 1L).otherwise(0L)).as("ca"),
+      sum(when(col("__in"), 0L).otherwise(1L)).as("cb"))
+    val totals = counts.agg(sum(col("ca")).as("na"),
+      sum(col("cb")).as("nb"), count(lit(1)).as("v"))
+    val p = (col("ca").cast("double") + alpha) /
+      (col("na").cast("double") + lit(alpha) * col("v").cast("double"))
+    val q = (col("cb").cast("double") + alpha) /
+      (col("nb").cast("double") + lit(alpha) * col("v").cast("double"))
+    counts.crossJoin(broadcast(totals))
+      .select(col("token"), col("ca"), col("cb"),
+        round(p, 9).as("p_r"), round(q, 9).as("q_r"),
+        round(p * log(p / q), 9).as("contrib_r"))
+  }
+
+  /** DuckDB twin of [[tokenKlContributions]] — same smoothing,
+    * divisions and rounding over table `table`. */
+  def tokenKlOracleSql(table: String, textCol: String,
+      srcPredicate: String, alpha: Double = 0.5): String = {
+    val ws = s"string_split_regex(trim($textCol), '\\s+')"
+    val a = java.lang.Double.toString(alpha)
+    s"""WITH toks AS (
+       |  SELECT ($srcPredicate) AS f, unnest($ws) AS token
+       |  FROM $table),
+       |counts AS (
+       |  SELECT token,
+       |    CAST(sum(CASE WHEN f THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+       |    CAST(sum(CASE WHEN f THEN 0 ELSE 1 END) AS BIGINT) AS cb
+       |  FROM toks GROUP BY token),
+       |tot AS (
+       |  SELECT CAST(sum(ca) AS BIGINT) AS na,
+       |    CAST(sum(cb) AS BIGINT) AS nb,
+       |    CAST(count(*) AS BIGINT) AS v
+       |  FROM counts)
+       |SELECT token, ca, cb,
+       |  round((CAST(ca AS DOUBLE) + $a) /
+       |    (CAST(na AS DOUBLE) + $a * CAST(v AS DOUBLE)), 9) AS p_r,
+       |  round((CAST(cb AS DOUBLE) + $a) /
+       |    (CAST(nb AS DOUBLE) + $a * CAST(v AS DOUBLE)), 9) AS q_r,
+       |  round(((CAST(ca AS DOUBLE) + $a) /
+       |      (CAST(na AS DOUBLE) + $a * CAST(v AS DOUBLE))) *
+       |    ln(((CAST(ca AS DOUBLE) + $a) /
+       |      (CAST(na AS DOUBLE) + $a * CAST(v AS DOUBLE))) /
+       |      ((CAST(cb AS DOUBLE) + $a) /
+       |      (CAST(nb AS DOUBLE) + $a * CAST(v AS DOUBLE)))), 9)
+       |    AS contrib_r
+       |FROM counts CROSS JOIN tot""".stripMargin
+  }
 }

@@ -5133,6 +5133,38 @@ object ExtensionQueries {
            |ORDER BY qid""".stripMargin
       }),
 
+    QuerySpec("x89_token_kl_shift",
+      "token-level KL divergence between a corpus slice and the rest " +
+        "— the drift / domain-shift quantifier run when a new source " +
+        "lands or a crawl refreshes (and the distribution half of " +
+        "DSIR's importance ratio, x77, read as a diagnostic): add-0.5 " +
+        "smoothed unigram distributions on the UNION vocabulary (both " +
+        "normalize to exactly 1; no zero division), output the PER-" +
+        "TOKEN contribution table — the artifact an engineer reads " +
+        "for WHICH tokens drive the shift; the scalar KL is one sum " +
+        "away and deliberately stays out of the hashed output (a " +
+        "corpus-wide float fold is the one thing this catalog never " +
+        "hashes). One tokenize pass + one token-keyed count aggregate " +
+        "+ a 1-row totals broadcast; probabilities are per-row " +
+        "projections of exact integer counts. Builder REQUIREs both " +
+        "distributions to sum to 1 (1e-9) and KL >= 0 (Gibbs), " +
+        "computed as audits",
+      (s, dir) => {
+        val out = scratch(LanguageModel.tokenKlContributions(
+          t(s, dir, "documents"), "text", "lang = 'zh'"), "x89_out")
+        val audit = out.agg(sum(col("p_r")), sum(col("q_r")),
+          sum(col("contrib_r")), count(lit(1))).collect()(0)
+        require(math.abs(audit.getDouble(0) - 1.0) < 1e-6 &&
+          math.abs(audit.getDouble(1) - 1.0) < 1e-6,
+          s"smoothed distributions must normalize: $audit")
+        require(audit.getDouble(2) >= -1e-9,
+          s"KL must be non-negative (Gibbs): ${audit.getDouble(2)}")
+        require(audit.getLong(3) > 10, "union vocabulary too small")
+        out.orderBy(col("token"))
+      },
+      Some(LanguageModel.tokenKlOracleSql(
+        "documents", "text", "lang = 'zh'") + "\nORDER BY token")),
+
     QuerySpec("x67_html_extract",
       "HTML→text + outlink extraction — the crawl-ingest stage " +
         "BEFORE every text operator in this library (quality, " +

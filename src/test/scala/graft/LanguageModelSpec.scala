@@ -159,4 +159,28 @@ class LanguageModelSpec extends SparkSpec {
       "the hook must see the distinct-pair count table")
     hooked.get.unpersist(false)
   }
+
+  test("tokenKlContributions: hand-computed smoothed probabilities " +
+      "and contributions; distributions normalize; KL non-negative " +
+      "and zero for identical slices") {
+    val docs = Seq((1L, "a a b", true), (2L, "a b b b", false))
+      .toDF("doc_id", "text", "f")
+    val got = LanguageModel.tokenKlContributions(docs, "text", "f")
+      .orderBy($"token")
+      .as[(String, Long, Long, Double, Double, Double)].collect().toSeq
+    def r9(x: Double) = BigDecimal(x)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // a: ca 2, cb 1 -> p 2.5/4, q 1.5/5; b: ca 1, cb 3 -> p 1.5/4, q 3.5/5
+    assert(got(0) == (("a", 2L, 1L, 0.625, 0.3,
+      r9(0.625 * math.log(0.625 / 0.3)))))
+    assert(got(1) == (("b", 1L, 3L, 0.375, 0.7,
+      r9(0.375 * math.log(0.375 / 0.7)))))
+    assert(got.map(_._6).sum > 0) // genuinely shifted slices
+    // identical slices: every contribution is exactly 0
+    val same = Seq((1L, "x y z", true), (2L, "x y z", false))
+      .toDF("doc_id", "text", "f")
+    val zero = LanguageModel.tokenKlContributions(same, "text", "f")
+      .select($"contrib_r").as[Double].collect()
+    assert(zero.length == 3 && zero.forall(_ == 0.0))
+  }
 }
