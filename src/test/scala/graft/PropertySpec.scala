@@ -449,4 +449,49 @@ class PropertySpec extends SparkSpec {
           s"t=$t: missed ${(truth -- cands).size} true pairs")
     }
   }
+
+  test("paragraphDedup invariants on random corpora: idempotent, " +
+      "doc-count preserving, kept text is a subsequence of the " +
+      "original, first occurrence always survives") {
+    import graft.operators.Corpus
+    val para: Gen[String] = Gen.oneOf(
+      Gen.const(""),                               // blank separator
+      Gen.const("123 !!"),                         // empty-key row
+      Gen.choose(1, 5).flatMap(n =>                // word paragraphs
+        Gen.listOfN(n, word).map(_.mkString(" "))))
+    val doc: Gen[String] =
+      Gen.choose(1, 6).flatMap(n => Gen.listOfN(n, para).map(_.mkString("\n")))
+    val corpus: Gen[List[String]] = Gen.choose(2, 8)
+      .flatMap(n => Gen.listOfN(n, doc))
+    forAll(corpus, minSuccessful(8)) { (docsList: List[String]) =>
+      val df = docsList.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val once = Corpus.paragraphDedup(df, "doc_id", "text")
+      val rows = once.orderBy($"doc_id")
+        .as[(Long, String, Long, Long)].collect()
+      // every doc survives; n_kept <= n_paras
+      assert(rows.length == docsList.length)
+      rows.foreach { case (id, kept, np, nk) =>
+        assert(nk <= np)
+        // kept paragraphs are a subsequence of the original's
+        val orig = docsList(id.toInt).split("\n", -1)
+        val keptPs = if (kept.isEmpty && nk == 0) Array.empty[String]
+          else kept.split("\n", -1)
+        var j = 0
+        keptPs.foreach { p =>
+          val found = orig.indexOf(p, j)
+          assert(found >= 0, s"'$p' not in order in doc $id")
+          j = found + 1
+        }
+      }
+      // idempotence: re-deduping the output changes nothing
+      val again = Corpus.paragraphDedup(
+          once.select($"doc_id", $"text_dedup".as("text")),
+          "doc_id", "text")
+        .orderBy($"doc_id").as[(Long, String, Long, Long)].collect()
+      rows.zip(again).foreach { case ((id, t1, _, k1), (_, t2, _, k2)) =>
+        assert(t1 == t2 && k1 == k2, s"doc $id not idempotent")
+      }
+    }
+  }
 }
