@@ -186,12 +186,20 @@ object Corpus {
     * order — stays within `budgetTokens`.
     *
     * The cumulative sum is NOT a corpus-wide window (single task at
-    * 100 TB): same histogram-rank decomposition as x38's terciles —
-    * per-quality-value token masses are prefix-summed over the tiny
-    * histogram, and each doc adds its within-group running sum
-    * (window keyed by the quality value, which distributes). Output
-    * is bit-identical to the one-line window formulation, which the
-    * oracle keeps.
+    * 100 TB), and — unlike the histogram-rank decomposition this
+    * operator used through r14 — its scale safety does not rest on
+    * any caller-side precondition about quality-value cardinality
+    * (raw float classifier margins are near-unique, so a
+    * per-quality-value histogram is corpus-sized): the running sum is
+    * the same RANGE-BUCKETED two-level prefix sum as
+    * `Packing.exclusiveRunningSum`, keyed on (quality DESC, id) —
+    * an in-bucket windowed cumsum plus an exclusive prefix over the
+    * ≤`buckets` per-bucket totals (the only global window, broadcast
+    * back). Integer token masses make the regrouping exact, so the
+    * output is bit-identical to the one-line window formulation,
+    * which the oracle keeps; bucket boundaries come from sampled
+    * range partitioning, which associativity makes irrelevant to the
+    * result.
     *
     * Output: (id, quality, n_tok, cum_tok, keep) for every document —
     * callers filter `keep`; emitting the losers with their cum_tok
@@ -202,21 +210,30 @@ object Corpus {
     val id = col(idCol)
     val q = col(qualityCol)
     import org.apache.spark.sql.expressions.Window
-    val hist = docs.groupBy(q.as("__q"))
-      .agg(sum(col(tokCol)).cast("long").as("__mass"))
-    val histW = Window.orderBy(col("__q").desc)
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val cum = hist.withColumn("__before",
-      coalesce(sum(col("__mass")).over(histW), lit(0L)))
-    val inGroupW = Window.partitionBy(q).orderBy(id)
+    val sc = docs.sparkSession.sparkContext
+    val buckets = math.min(1024,
+      math.max(1, sc.defaultParallelism * 4))
+    val bucketed = docs
+      .select(id, q, col(tokCol).cast("long").as("n_tok"))
+      .repartitionByRange(buckets, q.desc, id)
+      .withColumn("__b", spark_partition_id().cast("long"))
+    val inBucket = Window.partitionBy(col("__b"))
+      .orderBy(q.desc, id)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    docs
-      .join(cum.select(col("__q").as(qualityCol), col("__before")),
-        Seq(qualityCol))
-      .withColumn("cum_tok",
-        col("__before") + sum(col(tokCol)).over(inGroupW).cast("long"))
-      .select(id, q, col(tokCol).cast("long").as("n_tok"),
-        col("cum_tok"), (col("cum_tok") <= budgetTokens).as("keep"))
+    val withCum = bucketed
+      .withColumn("__cum_in", sum(col("n_tok")).over(inBucket))
+    val bucketTotals = withCum.groupBy(col("__b"))
+      .agg(sum(col("n_tok")).as("__tot"))
+    val overBuckets = Window.orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offsets = bucketTotals
+      .withColumn("__off",
+        sum(col("__tot")).over(overBuckets) - col("__tot"))
+      .select(col("__b"), col("__off"))
+    withCum.join(broadcast(offsets), Seq("__b"))
+      .select(id, q, col("n_tok"),
+        (col("__cum_in") + col("__off")).cast("long").as("cum_tok"))
+      .withColumn("keep", col("cum_tok") <= budgetTokens)
       .orderBy(id)
   }
 

@@ -219,13 +219,21 @@ object Packing {
         graft.functions.TextFunctions.wsTokens(col(textCol)).as("__tk"))
       .withColumn("__nb",
         expr(s"CAST(ceil(size(__tk) / $bt.0) AS INT)"))
+      // Spark's sequence(0, -1) is the DESCENDING [0, -1], while the
+      // twin's range(0, 0) is empty — guard the __nb = 0 case so the
+      // engines agree unconditionally (wsTokens never returns an
+      // empty array today, but a tokenizer change or null text must
+      // not silently split the engines)
+      .withColumn("__blk",
+        expr("CASE WHEN __nb > 0 THEN sequence(0, __nb - 1) " +
+          "ELSE CAST(array() AS ARRAY<INT>) END"))
       .withColumn("__corr",
-        expr(s"filter(sequence(0, __nb - 1), b -> $hashPick)"))
+        expr(s"filter(__blk, b -> $hashPick)"))
       .select(col(idCol),
         col("__nb").cast("long").as("n_blocks"),
         expr("CAST(size(__corr) AS BIGINT)").as("n_corr"),
         expr(
-          s"""array_join(transform(sequence(0, __nb - 1), b ->
+          s"""array_join(transform(__blk, b ->
              |  CASE WHEN array_contains(__corr, b)
              |    THEN concat('<extra_id_',
              |      CAST(array_position(__corr, b) - 1 AS STRING), '>')

@@ -373,41 +373,44 @@ object Similarity {
     * [[minePairsOracleSql]]. */
   private def ivfScoredCte(table: String, idCol: String, vecCol: String,
       centroids: Array[Array[Double]], nProbes: Int,
-      queryPred: String, perCellCap: Option[Int] = None): String = {
+      queryPred: String, perCellCap: Option[Int] = None,
+      prefix: String = "", corpusPred: Option[String] = None): String = {
     val structs = (v: String) => cellStructsSql(v, centroids)
+    val p = prefix
+    val cWhere = corpusPred.map(pr => s" WHERE $pr").getOrElse("")
     // optional per-cell cap, mirroring ivfTopKWithCapped's
     // deterministic md5-order keep (the cellBalancedSample ordering)
     val cCte = perCellCap match {
       case None =>
-        s"""c AS (SELECT did, dvec, sqrt(list_dot_product(dvec, dvec)) AS dn,
+        s"""${p}c AS (SELECT did, dvec, sqrt(list_dot_product(dvec, dvec)) AS dn,
            |             list_sort(${structs("dvec")}, 'DESC')[1].i AS cell
-           |      FROM c0),""".stripMargin
+           |      FROM ${p}c0),""".stripMargin
       case Some(cap) =>
-        s"""c1 AS (SELECT did, dvec, sqrt(list_dot_product(dvec, dvec)) AS dn,
+        s"""${p}c1 AS (SELECT did, dvec, sqrt(list_dot_product(dvec, dvec)) AS dn,
            |              list_sort(${structs("dvec")}, 'DESC')[1].i AS cell
-           |       FROM c0),
-           |cr AS (SELECT did, dvec, dn, cell, row_number() OVER (
+           |       FROM ${p}c0),
+           |${p}cr AS (SELECT did, dvec, dn, cell, row_number() OVER (
            |         PARTITION BY cell
            |         ORDER BY ${cellCapOrderSql("did")}) AS ccr
-           |       FROM c1),
-           |c AS (SELECT did, dvec, dn, cell FROM cr WHERE ccr <= $cap),"""
+           |       FROM ${p}c1),
+           |${p}c AS (SELECT did, dvec, dn, cell FROM ${p}cr WHERE ccr <= $cap),"""
           .stripMargin
     }
-    s"""q0 AS (SELECT $idCol AS qid, $vecCol::DOUBLE[] AS qvec
+    s"""${p}q0 AS (SELECT $idCol AS qid, $vecCol::DOUBLE[] AS qvec
        |           FROM $table WHERE $queryPred),
-       |c0 AS (SELECT $idCol AS did, $vecCol::DOUBLE[] AS dvec FROM $table),
+       |${p}c0 AS (SELECT $idCol AS did, $vecCol::DOUBLE[] AS dvec FROM $table$cWhere),
        |$cCte
-       |q1 AS (SELECT qid, qvec, sqrt(list_dot_product(qvec, qvec)) AS qn,
+       |${p}q1 AS (SELECT qid, qvec, sqrt(list_dot_product(qvec, qvec)) AS qn,
        |              unnest(list_sort(${structs("qvec")}, 'DESC')[1:$nProbes])
        |                AS probe
-       |       FROM q0),
-       |q AS (SELECT qid, qvec, qn, probe.i AS cell FROM q1),
-       |scored AS (
+       |       FROM ${p}q0),
+       |${p}q AS (SELECT qid, qvec, qn, probe.i AS cell FROM ${p}q1),
+       |${p}scored AS (
        |  SELECT qid, did,
        |    CASE WHEN qn * dn > 0
        |      THEN list_dot_product(qvec, dvec) / (qn * dn)
        |      ELSE 0.0 END AS cos
-       |  FROM c JOIN q USING (cell) WHERE qid <> did)""".stripMargin
+       |  FROM ${p}c JOIN ${p}q USING (cell) WHERE qid <> did)""".stripMargin
   }
 
   def ivfOracleSql(table: String, idCol: String, vecCol: String, k: Int,
@@ -1470,10 +1473,13 @@ object Similarity {
     * (src id, tgt id).
     *
     * Determinism: cosines are the same codegen'd dot products the ANN
-    * family hash-gates; the top-k means fold in RANK order (fixed k
-    * divisor); margins round to 9 dp with id tiebreaks before any
-    * ranking (the weightedSample convention). Windows partition by
-    * one side's id only — never global.
+    * family hash-gates; the top-k means fold in RANK order and divide
+    * by the ACTUAL neighbor count least(k, |candidates|) — Artetxe &
+    * Schwenk's mean over the realized k-NN list, not a fixed-k
+    * divisor that would deflate averages when a side is smaller than
+    * k; margins round to 9 dp with id tiebreaks before any ranking
+    * (the weightedSample convention). Windows partition by one side's
+    * id only — never global.
     *
     * Output: (src_id, tgt_id, cos_r, margin_r, mutual), one row per
     * source with at least one scored pair. */
@@ -1489,6 +1495,17 @@ object Similarity {
         when(col("sn") * col("tn") > 0,
           dotProduct(col("svec"), col("tvec")) / (col("sn") * col("tn")))
           .otherwise(lit(0.0)).as("cos"))
+    marginMineTail(scored, k)
+  }
+
+  /** The margin/mutual tail shared by [[bitextMarginMine]] (exact
+    * all-pairs scoring) and [[bitextMarginMineWith]] (IVF-candidate
+    * scoring): rank a `scored(sid, tid, cos)` pair frame both
+    * directions, fold each side's top-`k` cosines in rank order into
+    * avgF/avgB (divided by the ACTUAL neighbor count — least(k, n)),
+    * 9-dp ratio margins, then each source's best-margin target with
+    * the mutual-best flag. All windows partition by one side's id. */
+  private def marginMineTail(scored: DataFrame, k: Int): DataFrame = {
     val fw = Window.partitionBy(col("sid"))
       .orderBy(col("cos").desc, col("tid"))
     val bw = Window.partitionBy(col("tid"))
@@ -1502,7 +1519,8 @@ object Similarity {
       .agg((aggregate(
         transform(array_sort(collect_list(struct(col(rank), col("cos")))),
           x => x.getField("cos")),
-        lit(0.0), (acc, x) => acc + x) / k.toDouble).as(s"avg_$key"))
+        lit(0.0), (acc, x) => acc + x) /
+        count(lit(1)).cast("double")).as(s"avg_$key"))
     val margins = ranked
       .join(topMean(ranked, "sid", "fr"), Seq("sid"))
       .join(topMean(ranked, "tid", "br"), Seq("tid"))
@@ -1520,6 +1538,44 @@ object Similarity {
       .select(col("sid").as("src_id"), col("tid").as("tgt_id"),
         round(col("cos"), 6).as("cos_r"), col("margin_r"),
         (col("bb") === 1).as("mutual"))
+  }
+
+  /** The AT-SCALE composed form of [[bitextMarginMine]] — the
+    * CCMatrix-scale shape the exact operator's doc promises: instead
+    * of scoring all pairs, take the two DIRECTIONAL IVF candidate
+    * frames an [[ivfTopKWith]] / [[ivfTopKWithCapped]] run produces
+    * (`fwd`: src rows querying the tgt corpus, `bwd`: tgt rows
+    * querying the src corpus — both `(qid, did, cos, ...)`), union
+    * them into one deduplicated `(sid, tid, cos)` candidate pair set,
+    * and run the IDENTICAL margin/mutual tail. Margins and best-pair
+    * election are over the CANDIDATE set (the paper's practical form:
+    * avgF/avgB are means over each side's retrieved k-NN list); the
+    * union makes each side's neighbor list the better of the two
+    * retrievals, so the approximation is symmetric.
+    *
+    * Scale shape: candidate volume is bounded by the upstream
+    * retrieval (≤ nProbes × perCellCap per query with the capped
+    * server — never |src|×|tgt|); the union dedup is one
+    * groupBy(sid, tid) on pair keys (cosines for a duplicated pair
+    * are the same codegen'd expression on identical inputs, hence
+    * bitwise equal — max() is a tie-pick, not an average); the tail's
+    * windows/joins are per-side-id keyed exactly as in the exact
+    * form. Rows whose source never entered a candidate pair simply
+    * don't appear — the retrieval's recall contract (x42-family)
+    * governs that, not this operator.
+    *
+    * NOTE: upstream [[ivfServe]] drops qid = did pairs (ANN
+    * self-match hygiene), so src and tgt must not share ids — true
+    * for any real bilingual corpus and for the x80b parity fixture. */
+  def bitextMarginMineWith(fwd: DataFrame, bwd: DataFrame,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val pairs = fwd.select(col("qid").as("sid"), col("did").as("tid"),
+        col("cos"))
+      .unionByName(bwd.select(col("did").as("sid"), col("qid").as("tid"),
+        col("cos")))
+      .groupBy(col("sid"), col("tid")).agg(max(col("cos")).as("cos"))
+    marginMineTail(pairs, k)
   }
 
   /** DuckDB twin of [[bitextMarginMine]] — same cosines, rank-ordered
@@ -1542,7 +1598,16 @@ object Similarity {
        |            sqrt(list_dot_product(tvec, tvec)))
        |      ELSE 0.0 END AS cos
        |  FROM t CROSS JOIN s),
-       |ranked AS (
+       |${marginTailSql(k)}""".stripMargin
+
+  /** DuckDB twin of [[marginMineTail]] over a preceding
+    * `scored(sid, tid, cos)` CTE — rank-ordered top-k folds divided
+    * by the ACTUAL per-side neighbor count, 9-dp margins, mutual-best
+    * pick. Shared by [[bitextMarginOracleSql]] (exact all-pairs
+    * scored) and [[bitextMarginMineWithOracleSql]] (IVF-candidate
+    * scored). */
+  private def marginTailSql(k: Int): String =
+    s"""ranked AS (
        |  SELECT sid, tid, cos,
        |    row_number() OVER (PARTITION BY sid ORDER BY cos DESC, tid)
        |      AS fr,
@@ -1553,13 +1618,13 @@ object Similarity {
        |  SELECT sid,
        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
        |      list(cos ORDER BY fr)), (a, x) -> a + x) /
-       |      CAST($k AS DOUBLE) AS avg_sid
+       |      CAST(count(*) AS DOUBLE) AS avg_sid
        |  FROM ranked WHERE fr <= $k GROUP BY sid),
        |ab AS (
        |  SELECT tid,
        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
        |      list(cos ORDER BY br)), (a, x) -> a + x) /
-       |      CAST($k AS DOUBLE) AS avg_tid
+       |      CAST(count(*) AS DOUBLE) AS avg_tid
        |  FROM ranked WHERE br <= $k GROUP BY tid),
        |margins AS (
        |  SELECT r.sid, r.tid, r.cos,
@@ -1577,4 +1642,42 @@ object Similarity {
        |SELECT sid AS src_id, tid AS tgt_id, round(cos, 6) AS cos_r,
        |  margin_r, (bb = 1) AS mutual
        |FROM best WHERE fb = 1""".stripMargin
+
+  /** DuckDB twin of [[bitextMarginMineWith]] composed with its two
+    * [[ivfTopKWithCapped]] retrievals: BOTH directional candidate
+    * sets are re-derived inside the SQL from the embedded trained
+    * centroids (forward: `srcPred` rows querying the `tgtPred` corpus
+    * under `tgtCentroids`; backward: the reverse under
+    * `srcCentroids`), rank-filtered to each query's top-`kCand`,
+    * unioned and deduplicated on the pair key, then the same
+    * margin/mutual tail as the exact twin. The twin therefore gates
+    * the RETRIEVAL composition, not just the tail. */
+  def bitextMarginMineWithOracleSql(table: String, idCol: String,
+      vecCol: String, k: Int, kCand: Int,
+      srcPred: String, tgtPred: String,
+      srcCentroids: Array[Array[Double]],
+      tgtCentroids: Array[Array[Double]],
+      nProbes: Int, perCellCap: Int): String = {
+    def cand(prefix: String, queryPred: String, corpusPred: String,
+        cents: Array[Array[Double]]): String =
+      s"""${ivfScoredCte(table, idCol, vecCol, cents, nProbes,
+           queryPred, Some(perCellCap), prefix = prefix,
+           corpusPred = Some(corpusPred))},
+         |${prefix}ranked AS (
+         |  SELECT qid, did, cos, row_number() OVER
+         |    (PARTITION BY qid ORDER BY cos DESC, did) AS rn
+         |  FROM ${prefix}scored),
+         |${prefix}cand AS (
+         |  SELECT qid, did, cos FROM ${prefix}ranked
+         |  WHERE rn <= $kCand)""".stripMargin
+    s"""WITH ${cand("f", srcPred, tgtPred, tgtCentroids)},
+       |${cand("b", tgtPred, srcPred, srcCentroids)},
+       |scored AS (
+       |  SELECT sid, tid, max(cos) AS cos FROM (
+       |    SELECT qid AS sid, did AS tid, cos FROM fcand
+       |    UNION ALL
+       |    SELECT did AS sid, qid AS tid, cos FROM bcand)
+       |  GROUP BY sid, tid),
+       |${marginTailSql(k)}""".stripMargin
+  }
 }

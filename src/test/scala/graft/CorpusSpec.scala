@@ -118,6 +118,46 @@ class CorpusSpec extends SparkSpec {
       (4L, 110L, false), (5L, 111L, false)))
   }
 
+  test("budgetSelect with NEAR-UNIQUE float quality: matches the " +
+      "single-window model and plans no corpus-wide window — the only " +
+      "unpartitioned windows run over the per-bucket totals frame") {
+    val n = 5000
+    // deterministic near-unique doubles (sin is injective enough here:
+    // n distinct qualities), the raw-classifier-margin shape that made
+    // the r14 histogram decomposition corpus-sized
+    val d = spark.range(n.toLong).select(
+      col("id"),
+      sin(col("id").cast("double")).as("q"),
+      (col("id") % 7 + 1L).as("n_tok"))
+    val budget = 3L * n / 2
+    val got = Corpus.budgetSelect(d, "id", "q", "n_tok", budget)
+    // plan contract: any window with an EMPTY partition spec must sit
+    // over the per-bucket totals aggregate (≤ buckets rows), never
+    // over the corpus-derived frame
+    val globals = got.queryExecution.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty => w
+    }
+    assert(globals.nonEmpty, "expected the offsets window in the plan")
+    globals.foreach { w =>
+      assert(w.child.toString.contains("__tot"),
+        s"unpartitioned window not over bucket totals:\n$w")
+    }
+    val rows = got.select($"id", $"cum_tok", $"keep")
+      .as[(Long, Long, Boolean)].collect()
+    assert(rows.length == n)
+    // model: running sum in (q desc, id) order
+    val qv = (0 until n).map(i => (i.toLong, math.sin(i.toDouble),
+      i % 7 + 1L))
+    var acc = 0L
+    val model = qv.sortBy { case (id, q, _) => (-q, id) }.map {
+      case (id, _, t) => acc += t; (id, acc, acc <= budget) }
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    rows.foreach { case (id, cum, keep) =>
+      assert(model(id) == ((cum, keep)), s"id=$id")
+    }
+  }
+
   test("paragraphDedup: first occurrence wins corpus-wide, within-doc " +
       "repeats drop, empty-key separators always survive, reassembly " +
       "preserves position order") {
