@@ -368,11 +368,17 @@ object Graph {
         round(col("__h"), 6).as("hub_r"))
   }
 
-  /** DuckDB twin of [[hits]]: `iters` unrolled rounds, each direction
-    * the same two-phase from-then-shard sorted fold and rounding
-    * sequence. `edgesSql` must yield columns (src, dst). */
-  def hitsOracleSql(edgesSql: String, iters: Int,
-      shards: Int = 64): String = {
+  /** Shared CTE scaffolding for the HITS twins: base tables plus
+    * `iters` unrolled rounds, each direction the same two-phase
+    * from-then-shard sorted fold, max-normalization and rounding
+    * sequence as [[foldOver]]. Every `a$i`/`h$i` round CTE is
+    * referenced more than once (the other half-step, the final pick
+    * — and in the converged twin the delta re-derivation), so they
+    * are MATERIALIZED: DuckDB inlines plain CTEs recursively, which
+    * is exponential in rounds for double-referenced chains (values
+    * unchanged — a planner directive only, the pageRankCtes rule). */
+  private def hitsCtes(edgesSql: String, iters: Int,
+      shards: Int): String = {
     def fold(i: Int, out: String, from: String, to: String,
         src: String): String =
       s"""${out}c$i AS (
@@ -390,7 +396,7 @@ object Graph {
          |      list(ps ORDER BY shard)), (a, x) -> a + x) AS s
          |  FROM ${out}p$i GROUP BY id),
          |${out}m$i AS (SELECT max(s) AS m FROM ${out}s$i),
-         |$out$i AS (
+         |$out$i AS MATERIALIZED (
          |  SELECT nodes.id,
          |    round(coalesce(${out}s$i.s, 0.0) / ${out}m$i.m, 12) AS v
          |  FROM nodes LEFT JOIN ${out}s$i ON nodes.id = ${out}s$i.id
@@ -400,18 +406,157 @@ object Graph {
       s"""${fold(i, "a", "src", "dst", hPrev)},
          |${fold(i, "h", "dst", "src", s"a$i")}""".stripMargin
     }.mkString(",\n")
-    s"""WITH e AS (
+    s"""e AS (
        |  ${edgesSql.replace("\n", "\n  ")}),
        |nodes AS (
        |  SELECT DISTINCT src AS id FROM e
        |  UNION SELECT DISTINCT dst FROM e),
        |h0 AS (SELECT id, 1.0 AS v FROM nodes),
-       |$rounds,
+       |a0 AS (SELECT id, 0.0 AS v FROM nodes),
+       |$rounds""".stripMargin
+  }
+
+  /** DuckDB twin of [[hits]]: `iters` unrolled rounds, each direction
+    * the same two-phase from-then-shard sorted fold and rounding
+    * sequence. `edgesSql` must yield columns (src, dst). */
+  def hitsOracleSql(edgesSql: String, iters: Int,
+      shards: Int = 64): String =
+    s"""WITH ${hitsCtes(edgesSql, iters, shards)},
        |fin AS (
        |  SELECT nodes.id AS id, round(a$iters.v, 6) AS auth_r,
        |    round(h$iters.v, 6) AS hub_r
        |  FROM nodes JOIN a$iters ON nodes.id = a$iters.id
        |  JOIN h$iters ON nodes.id = h$iters.id)
        |SELECT id, auth_r, hub_r FROM fin""".stripMargin
+
+  /** One [[hitsConverged]] run's outcome. */
+  final case class HitsRun(scores: DataFrame, iters: Int,
+      l1Delta: Double)
+
+  /** HITS with an L1-delta convergence probe instead of a fixed
+    * iteration count — the same closure [[pageRankConverged]] gave
+    * [[pageRank]]: iterates full rounds (authority half-step, then
+    * hub half-step) until
+    * `sum |a_i - a_{i-1}| + sum |h_i - h_{i-1}| <= tol` or
+    * `maxIters`, whichever first. The delta metric rides the SAME
+    * materialization job via `observe()` + one noop-sink write (no
+    * second pass); each round's score vectors are LINEAGE-TRUNCATED
+    * (`Dedup.defaultMaterialize` — both vectors feed the next round
+    * twice: the opposite half-step and the delta join; an
+    * un-truncated plan doubles per round), and the persisted previous
+    * round is released as its successor lands, so steady state holds
+    * two (auth, hub) vector pairs. Max-normalization keeps every
+    * score in [0,1], so the delta is a sum of ≤1 terms — `tol`
+    * scales with |nodes| like pageRankConverged's.
+    *
+    * Same ULP caveat as [[pageRankConvergedOracleSql]]: the delta
+    * fold is unordered on both engines, so pick `tol` with a margin
+    * to the nearest achievable round delta that dwarfs ~1e-15
+    * relative noise. Returns final (id, auth_r, hub_r) at 6 dp,
+    * rounds run, and the last observed delta. */
+  def hitsConverged(edges: DataFrame, maxIters: Int, tol: Double,
+      shards: Int = 64,
+      materialize: DataFrame => DataFrame = identity): HitsRun = {
+    require(maxIters >= 1, s"maxIters must be >= 1, got $maxIters")
+    require(tol > 0, s"tol must be positive, got $tol")
+    require(shards >= 1, s"shards must be >= 1, got $shards")
+    // the pageRankConverged cluster guard: per-round truncation is
+    // non-negotiable at deep budgets, and defaultMaterialize silently
+    // degrades to persist (which does NOT truncate) without a
+    // checkpoint dir
+    val sc = edges.sparkSession.sparkContext
+    val truncatable = sc.isLocal || sc.getCheckpointDir.isDefined
+    if (!truncatable && maxIters > 10)
+      throw new IllegalArgumentException(
+        "hitsConverged needs lineage truncation every round at " +
+          s"maxIters=$maxIters; on a cluster set a checkpoint dir " +
+          "(sparkContext.setCheckpointDir) first — without one the " +
+          "per-round plan doubles (each vector feeds the next round " +
+          "twice) and analysis OOMs by ~30 rounds")
+    else if (!truncatable)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"hitsConverged: no checkpoint dir — plan truncation " +
+          s"degrades to persist; fine for maxIters=$maxIters, set " +
+          "sparkContext.setCheckpointDir before raising the budget")
+    val e = materialize(
+      edges.select(col("src").cast("long"), col("dst").cast("long")))
+    val nodes = materialize(e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct())
+    var hubs = nodes.select(col("id"), lit(1.0).as("v"))
+    var auths = nodes.select(col("id"), lit(0.0).as("v"))
+    var itersRun = 0
+    var delta = Double.MaxValue
+    while (itersRun < maxIters && delta > tol) {
+      // the fresh authority vector feeds BOTH the hub half-step and
+      // the delta join — truncate before fanning out
+      val a1 = Dedup.defaultMaterialize(
+        foldOver(e, nodes, hubs, "src", "dst", shards))
+      val h1 = foldOver(e, nodes, a1, "dst", "src", shards)
+      val stepped = a1.select(col("id"), col("v").as("a"))
+        .join(h1.select(col("id"), col("v").as("h")), Seq("id"))
+        .join(auths.select(col("id"), col("v").as("__pa")), Seq("id"))
+        .join(hubs.select(col("id"), col("v").as("__ph")), Seq("id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      val obs = new org.apache.spark.sql.Observation()
+      stepped.observe(obs, sum(abs(col("a") - col("__pa")) +
+          abs(col("h") - col("__ph"))).as("l1"))
+        .write.format("noop").mode("overwrite").save()
+      delta = obs.get.get("l1") match {
+        case Some(v: java.lang.Double) => v.doubleValue()
+        case _ => 0.0
+      }
+      auths = Dedup.defaultMaterialize(
+        stepped.select(col("id"), col("a").as("v")))
+      hubs = Dedup.defaultMaterialize(
+        stepped.select(col("id"), col("h").as("v")))
+      stepped.unpersist()
+      itersRun += 1
+    }
+    val scores = nodes
+      .join(auths.withColumnRenamed("v", "__a"), Seq("id"))
+      .join(hubs.withColumnRenamed("v", "__h"), Seq("id"))
+      .select(col("id"), round(col("__a"), 6).as("auth_r"),
+        round(col("__h"), 6).as("hub_r"))
+    HitsRun(scores, itersRun, delta)
+  }
+
+  /** DuckDB twin of [[hitsConverged]]: unrolls `maxIters` rounds,
+    * RE-DERIVES each round's L1 delta
+    * `sum |a_i - a_{i-1}| + sum |h_i - h_{i-1}|` (round 1 against the
+    * h_0 = 1 / a_0 = 0 start vectors, exactly as the Spark loop), and
+    * picks the FIRST round whose delta is <= tol (else maxIters) — a
+    * wrong Spark-side stop round diverges the hash both through the
+    * emitted `iters_run` and through the scores. Round CTEs are
+    * MATERIALIZED ([[hitsCtes]]) so the multi-referenced unroll stays
+    * linear in rounds. Same tol-margin caveat as
+    * [[pageRankConvergedOracleSql]]. */
+  def hitsConvergedOracleSql(edgesSql: String, maxIters: Int,
+      tol: Double, shards: Int = 64): String = {
+    val t = java.lang.Double.toString(tol)
+    val deltas = (1 to maxIters).map { i =>
+      s"""  SELECT $i AS it,
+         |    (SELECT sum(abs(a.v - pa.v))
+         |     FROM a$i a JOIN a${i - 1} pa ON a.id = pa.id) +
+         |    (SELECT sum(abs(h.v - ph.v))
+         |     FROM h$i h JOIN h${i - 1} ph ON h.id = ph.id) AS dlt"""
+        .stripMargin
+    }.mkString("\n  UNION ALL\n")
+    val allAh = (1 to maxIters).map { i =>
+      s"""  SELECT $i AS it, a$i.id, a$i.v AS av, h$i.v AS hv
+         |  FROM a$i JOIN h$i ON a$i.id = h$i.id""".stripMargin
+    }.mkString("\n  UNION ALL\n")
+    s"""WITH ${hitsCtes(edgesSql, maxIters, shards)},
+       |deltas AS (
+       |$deltas),
+       |stop AS (
+       |  SELECT coalesce(min(it), $maxIters) AS it FROM deltas
+       |  WHERE dlt <= CAST($t AS DOUBLE)),
+       |allah AS (
+       |$allAh)
+       |SELECT allah.id, round(allah.av, 6) AS auth_r,
+       |  round(allah.hv, 6) AS hub_r,
+       |  CAST(stop.it AS BIGINT) AS iters_run
+       |FROM allah JOIN stop ON allah.it = stop.it
+       |ORDER BY id""".stripMargin
   }
 }

@@ -4549,6 +4549,56 @@ object ExtensionQueries {
           |WHERE s % 3 = 0""".stripMargin,
         iters = 3) + "\nORDER BY id")),
 
+    QuerySpec("x79b_hits_converged",
+      "HITS with the PRODUCTION stopping rule — the same closure x73 " +
+        "gave PageRank: full rounds (authority half-step, then hub " +
+        "half-step) iterate until the combined L1 delta " +
+        "sum|a_i-a_(i-1)| + sum|h_i-h_(i-1)| drops under tol, not a " +
+        "fixed count (x79). The delta rides each round's " +
+        "materialization via observe() + one noop write (no second " +
+        "pass); both score vectors are lineage-truncated per round " +
+        "(each feeds the next round twice). The oracle re-derives " +
+        "the stop round independently: it unrolls maxIters rounds in " +
+        "DuckDB (round CTEs MATERIALIZED — plain CTE inlining is " +
+        "exponential in double-referenced rounds), recomputes every " +
+        "round's delta against the h0=1/a0=0 start vectors, and " +
+        "picks the first round under tol — a wrong Spark-side stop " +
+        "diverges the hash through BOTH iters_run and the scores. " +
+        "Measured round deltas on this fixture: sf0.01 runs " +
+        "553.8, 266.8, 195.8, 25.4, 9.1, ... — tol 30 stops at " +
+        "round 4 with margins 165.8 above / 4.6 below (sf0.001 " +
+        "stops at 6, sf0.1 at 4, all inside the 7-round budget), " +
+        "dwarfing the ~1e-12 ULP noise of the unordered delta sums",
+      (s, dir) => {
+        val sp = t(s, dir, "lineitem")
+          .filter(col("l_partkey") <= 600)
+          .select(col("l_suppkey").cast("long").as("s"),
+            (col("l_partkey").cast("long") + 1000000L).as("p"))
+          .distinct()
+        val edges = sp.select(col("s").as("src"), col("p").as("dst"))
+          .unionByName(sp.filter(col("s") % 3 === 0)
+            .select(col("p").as("src"), col("s").as("dst")))
+        val run = graft.operators.Graph.hitsConverged(edges,
+          maxIters = 7, tol = 30.0)
+        require(run.iters >= 1 && run.iters < 7,
+          s"the L1 stopping rule must fire BEFORE the iteration budget " +
+            s"(converged=${run.iters}, budget=7) — hitting the cap " +
+            "means the entry no longer exercises convergence")
+        require(run.l1Delta <= 30.0,
+          s"converged run must end under tol, got ${run.l1Delta}")
+        run.scores.withColumn("iters_run", lit(run.iters.toLong))
+          .orderBy(col("id"))
+      },
+      Some(graft.operators.Graph.hitsConvergedOracleSql(
+        """WITH sp AS (
+          |  SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS s,
+          |    CAST(l_partkey AS BIGINT) + 1000000 AS p
+          |  FROM lineitem WHERE l_partkey <= 600)
+          |SELECT s AS src, p AS dst FROM sp
+          |UNION ALL SELECT p AS src, s AS dst FROM sp
+          |WHERE s % 3 = 0""".stripMargin,
+        maxIters = 7, tol = 30.0))),
+
     QuerySpec("x80_bitext_margin_mining",
       "margin-based parallel-pair mining (Artetxe & Schwenk 2019 — " +
         "the CCMatrix/CCAligned method): for two embedding sets " +
@@ -4585,6 +4635,72 @@ object ExtensionQueries {
       Some(Similarity.bitextMarginOracleSql("embeddings", "vec_id",
         "embedding", 4, "vec_id % 2 = 0", "vec_id % 2 = 1") +
         "\nORDER BY src_id")),
+
+    QuerySpec("x80b_bitext_margin_mining_ivf",
+      "the AT-SCALE composed form of x80 — CCMatrix-scale bitext " +
+        "mining over IVF CANDIDATES instead of all pairs: each " +
+        "direction retrieves top-8 candidates through the capped IVF " +
+        "server (per-side trained centroids, nProbes=2, " +
+        "perCellCap=64 — candidates/query ≤ nProbes×cap by " +
+        "construction, never |src|×|tgt|), the two directional " +
+        "candidate sets union/dedup on the pair key, and the " +
+        "IDENTICAL margin/mutual tail runs downstream. The oracle " +
+        "re-derives BOTH retrievals inside DuckDB from the embedded " +
+        "trained centroids (rank-filtered per query, capped cells, " +
+        "probe equi-join) — gating the retrieval composition, not " +
+        "just the tail. Builder REQUIREs: no nested-loop/cartesian " +
+        "join anywhere in the plan (the all-pairs shape this form " +
+        "exists to avoid), per-query candidate bound audited, " +
+        "non-empty mining output",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val srcSide = emb.filter(col("vec_id") % 2 === 0)
+        val tgtSide = emb.filter(col("vec_id") % 2 === 1)
+        val srcCents = trainOnce(dir, "ivf-cents-bitext-src-4-2") {
+          Similarity.ivfTrain(srcSide, "vec_id", "embedding",
+            nCells = 4, iters = 2, tag = "bitext-src")
+        }
+        val tgtCents = trainOnce(dir, "ivf-cents-bitext-tgt-4-2") {
+          Similarity.ivfTrain(tgtSide, "vec_id", "embedding",
+            nCells = 4, iters = 2, tag = "bitext-tgt")
+        }
+        val fwd = Similarity.ivfTopKWithCapped(tgtSide, srcSide,
+          "vec_id", "embedding", k = 8, tgtCents, nProbes = 2,
+          perCellCap = 64)
+        val bwd = Similarity.ivfTopKWithCapped(srcSide, tgtSide,
+          "vec_id", "embedding", k = 8, srcCents, nProbes = 2,
+          perCellCap = 64)
+        val mined = Similarity.bitextMarginMineWith(fwd, bwd, k = 4)
+          .orderBy(col("src_id"))
+        // plan contract: candidate retrieval + tail must be pure
+        // hash/sort-merge joins — the composed form may never fall
+        // back to the exact form's nested-loop all-pairs scoring
+        val plan = mined.queryExecution.sparkPlan.toString
+        require(!plan.contains("BroadcastNestedLoopJoin") &&
+          !plan.contains("CartesianProduct"),
+          s"composed bitext mining must not plan an all-pairs join:\n" +
+            plan.linesIterator.take(40).mkString("\n"))
+        val out = scratch(mined, "x80b_out")
+        // the serving bound the rehearsal measures at 1M×1M, audited
+        // here at gate SF: candidates per query ≤ nProbes × perCellCap
+        val maxCand = fwd.groupBy(col("qid")).count()
+          .unionByName(bwd.groupBy(col("qid")).count())
+          .agg(max(col("count"))).collect()(0).getLong(0)
+        require(maxCand <= 2L * 64L,
+          s"candidates/query must be ≤ nProbes×perCellCap, got $maxCand")
+        val n = out.count()
+        require(n >= 1, "composed mining must emit at least one pair")
+        out.orderBy(col("src_id"))
+      },
+      None,
+      oracleGen = () => for {
+        srcCents <- Similarity.trainedCentroids.get((4, 2, "bitext-src"))
+        tgtCents <- Similarity.trainedCentroids.get((4, 2, "bitext-tgt"))
+      } yield Similarity.bitextMarginMineWithOracleSql("embeddings",
+        "vec_id", "embedding", k = 4, kCand = 8,
+        "vec_id % 2 = 0", "vec_id % 2 = 1",
+        srcCents, tgtCents, nProbes = 2, perCellCap = 64) +
+        "\nORDER BY src_id"),
 
     QuerySpec("x81_streaming_wet_ingest",
       "STREAMING WET ingest — the crawl-delivery shape: new .wet " +
@@ -5164,6 +5280,206 @@ object ExtensionQueries {
       },
       Some(LanguageModel.tokenKlOracleSql(
         "documents", "text", "lang = 'zh'") + "\nORDER BY token")),
+
+    QuerySpec("x90_corpus_build_pipeline",
+      "composed corpus-build pipeline — the end-to-end text-side " +
+        "flagship, the x82 treatment for curation: ONE entry chains " +
+        "WET ingest (x76 framing) → invisible-char scrub (x83) → " +
+        "corpus-wide paragraph dedup (x75) → classifier quality " +
+        "scoring (x34/x43) → token-budget selection at half the " +
+        "post-dedup corpus (x43) → fixed-budget sequence packing " +
+        "(x23), with every stage's counts REQUIREd to reconcile: " +
+        "records in == docs out at ingest with frame_ok everywhere, " +
+        "injected invisibles present before the scrub and zero " +
+        "after, the shared cookie banner surviving exactly once " +
+        "corpus-wide, kept+dropped == total at selection with the " +
+        "kept prefix inside budget and the first loser outside. The " +
+        "DuckDB twin re-derives all six stages from the documents " +
+        "table (it never sees the WET files), taking the " +
+        "CROSS-ALGORITHM route for dedup (string-keyed row_number, " +
+        "not fingerprint election) and the one-line window " +
+        "formulations for selection/packing (vs Spark's distributed " +
+        "two-phase prefix sums) — composition-level hash gating, " +
+        "not same-shape twinning",
+      (s, dir) => {
+        import graft.sources.Warc
+        import graft.operators.Packing
+        val path = sys.props.getOrElse("graft.x90.wet.tmp",
+          s"/tmp/graft_x90_wet_${new java.io.File(dir).getName}")
+        val id = col("doc_id").cast("string")
+        // boilerplate carrying invisible chars (zero-width space,
+        // soft hyphen, BOM) that scrub must remove BEFORE dedup keys
+        // are computed; the banner is corpus-global, the promo line
+        // has 7 classes (x75's shapes), the body line is per-doc
+        val banner = lit("Cookie\u200B Notice: this site\u00AD uses cookies")
+        val promo = concat(lit("Promo\uFEFF block "),
+          lit("abcdefg").substr((col("doc_id") % 7 + 1).cast("int"),
+            lit(1)))
+        val raw = concat_ws("\n", banner,
+          concat(lit("doc "), id, lit(" "), col("text")), promo)
+        val fixture = t(s, dir, "documents").select(
+          concat(lit("https://d"), id, lit(".example.test/p")).as("uri"),
+          concat(lit("2024-02-0"), (col("doc_id") % 9 + 1).cast("string"),
+            lit("T00:00:00Z")).as("dt"),
+          raw.as("text"))
+        val nDocs = t(s, dir, "documents").count()
+        Warc.writeWet(fixture.repartition(4), path, "uri", "dt", "text")
+        // stage 1: WET ingest — framing must be byte-exact
+        val wet = scratch(Warc.readWet(s, path)
+          .select(col("uri"), col("text"), col("frame_ok")), "x90_wet")
+        val wetAudit = wet.agg(count(lit(1)),
+          sum(when(col("frame_ok"), 1L).otherwise(0L)),
+          sum(regexp_count(col("text"), lit("[\u200B\u00AD\uFEFF]")))
+            .cast("long")).collect()(0)
+        require(wetAudit.getLong(0) == nDocs &&
+          wetAudit.getLong(1) == nDocs,
+          s"ingest must frame all $nDocs records: $wetAudit")
+        require(wetAudit.getLong(2) >= 3 * nDocs,
+          s"fixture must carry invisibles into the scrub: $wetAudit")
+        // stage 2: scrub
+        val scrubbed = scratch(wet.select(
+          regexp_extract(col("uri"), "https://d([0-9]+)\\.", 1)
+            .cast("long").as("doc_id"),
+          Corpus.scrubInvisible(col("text")).as("text")), "x90_scrub")
+        val remInv = scrubbed.agg(
+          sum(regexp_count(col("text"), lit("[\u200B\u00AD\uFEFF]")))
+            .cast("long")).collect()(0).getLong(0)
+        require(remInv == 0L, s"scrub must remove every invisible: $remInv")
+        // stage 3: corpus-wide paragraph dedup
+        val dedup = scratch(
+          Corpus.paragraphDedup(scrubbed, "doc_id", "text"), "x90_dedup")
+        val dAudit = dedup.agg(count(lit(1)),
+          sum(when(col("text_dedup")
+            .startsWith("Cookie Notice"), 1L).otherwise(0L)),
+          sum(col("n_kept")), sum(col("n_paras"))).collect()(0)
+        require(dAudit.getLong(0) == nDocs,
+          "dedup must emit every document")
+        require(dAudit.getLong(1) == 1L,
+          s"scrubbed banner must survive exactly once, got " +
+            s"${dAudit.getLong(1)}")
+        require(dAudit.getLong(2) < dAudit.getLong(3),
+          "dedup must drop at least one paragraph corpus-wide")
+        // stages 4+5: quality scoring and budget selection at half
+        // the post-dedup token mass (scale-relative, so the boundary
+        // is non-trivial at every SF)
+        val scored = dedup.select(col("doc_id"),
+            col("text_dedup").as("text"))
+          .select(col("doc_id"), wsTokens(col("text")).as("__tk"),
+            col("text"))
+          .select(col("doc_id"),
+            round(TextAnalysis.classifierMargin(col("text"), col("__tk")),
+              6).as("margin_r"),
+            size(col("__tk")).cast("long").as("n_tok"))
+        val totTok = scored.agg(sum(col("n_tok")).cast("long"))
+          .collect()(0).getLong(0)
+        val budget = totTok / 2
+        val sel = scratch(Corpus.budgetSelect(scored, "doc_id",
+          "margin_r", "n_tok", budget), "x90_sel")
+        val sAudit = sel.agg(count(lit(1)),
+          sum(when(col("keep"), 1L).otherwise(0L)),
+          max(when(col("keep"), col("cum_tok"))),
+          min(when(!col("keep"), col("cum_tok")))).collect()(0)
+        require(sAudit.getLong(0) == nDocs,
+          "selection must emit every document (losers auditable)")
+        require(sAudit.getLong(1) >= 1 && sAudit.getLong(1) < nDocs,
+          s"half-mass budget must keep a strict subset: $sAudit")
+        require(sAudit.getLong(2) <= budget,
+          s"kept prefix must fit the budget: ${sAudit.getLong(2)} > $budget")
+        require(sAudit.getLong(3) > budget,
+          s"first loser must sit past the budget: ${sAudit.getLong(3)}")
+        // stage 6: pack the kept docs into 512-token shards
+        val packs = Packing.assignPacks(
+          sel.filter(col("keep")).select(col("doc_id"), col("n_tok")),
+          "doc_id", "n_tok", budget = 512L)
+        sel
+          .join(dedup.select(col("doc_id"), col("n_paras"),
+            col("n_kept")), Seq("doc_id"))
+          .join(packs.select(col("doc_id"), col("pack_id")),
+            Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_paras"), col("n_kept"),
+            col("margin_r"), col("n_tok"), col("cum_tok"), col("keep"),
+            coalesce(col("pack_id"), lit(-1L)).as("pack_id"))
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        val margin =
+          s"-1.2 + (CAST($duckSwCount AS DOUBLE) / $duckNTok) * 2.0 + " +
+            s"($duckAlpha) * 1.5 + " +
+            s"(CASE WHEN $duckMeanLen >= 3 AND $duckMeanLen <= 10 " +
+            "THEN 0.8 ELSE 0.0 END) + " +
+            s"CAST(least($duckNTok, 400) AS DOUBLE) / 400.0 * 0.5"
+        // \u escapes only reliably process in single-quoted literals \u2014
+        // hoist the invisible-char fragments out of the template
+        val bannerSql =
+          "'Cookie\u200B Notice: this site\u00AD uses cookies'"
+        val promoSql = "'Promo\uFEFF block '"
+        s"""WITH f AS (
+           |  SELECT doc_id,
+           |    $bannerSql
+           |    || chr(10) || 'doc ' || CAST(doc_id AS VARCHAR)
+           |      || ' ' || text
+           |    || chr(10) || $promoSql
+           |      || substr('abcdefg', CAST(doc_id % 7 AS INT) + 1, 1)
+           |      AS raw
+           |  FROM documents),
+           |sc AS (
+           |  SELECT doc_id, ${Corpus.scrubInvisibleSql("raw")} AS clean
+           |  FROM f),
+           |p AS (
+           |  SELECT doc_id, unnest(range(0, len(ls))) AS pos,
+           |    unnest(ls) AS para
+           |  FROM (SELECT doc_id, string_split(clean, chr(10)) AS ls
+           |        FROM sc)),
+           |k AS (
+           |  SELECT doc_id, pos, para, ${Corpus.paraKeySql("para")} AS key
+           |  FROM p),
+           |w AS (
+           |  SELECT doc_id, pos, para,
+           |    row_number() OVER (PARTITION BY key
+           |      ORDER BY doc_id, pos) AS rn
+           |  FROM k WHERE key <> ''),
+           |kept AS (
+           |  SELECT doc_id, pos, para FROM w WHERE rn = 1
+           |  UNION ALL
+           |  SELECT doc_id, pos, para FROM k WHERE key = ''),
+           |agg AS (
+           |  SELECT doc_id,
+           |    string_agg(para, chr(10) ORDER BY pos) AS text_dedup,
+           |    count(*) AS n_kept
+           |  FROM kept GROUP BY doc_id),
+           |tot AS (
+           |  SELECT doc_id,
+           |    CAST(len(string_split(clean, chr(10))) AS BIGINT) AS n_paras
+           |  FROM sc),
+           |d0 AS (
+           |  SELECT t.doc_id, coalesce(a.text_dedup, '') AS text,
+           |    t.n_paras, CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept
+           |  FROM tot t LEFT JOIN agg a USING (doc_id)),
+           |q AS (
+           |  SELECT doc_id, n_paras, n_kept, round($margin, 6) AS margin_r,
+           |    $duckNTok AS n_tok
+           |  FROM d0),
+           |b AS (SELECT CAST(sum(n_tok) AS BIGINT) // 2 AS budget FROM q),
+           |s1 AS (
+           |  SELECT q.*,
+           |    CAST(sum(n_tok) OVER (ORDER BY margin_r DESC, doc_id
+           |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tok
+           |  FROM q),
+           |s2 AS (
+           |  SELECT s1.*, (cum_tok <= b.budget) AS keep
+           |  FROM s1 CROSS JOIN b),
+           |pk AS (
+           |  SELECT doc_id,
+           |    (CAST(sum(n_tok) OVER (ORDER BY doc_id
+           |      ROWS UNBOUNDED PRECEDING) AS BIGINT) - n_tok) // 512
+           |      AS pack_id
+           |  FROM s2 WHERE keep)
+           |SELECT s2.doc_id, s2.n_paras, s2.n_kept, s2.margin_r,
+           |  s2.n_tok, s2.cum_tok, s2.keep,
+           |  coalesce(pk.pack_id, -1) AS pack_id
+           |FROM s2 LEFT JOIN pk USING (doc_id)
+           |ORDER BY s2.doc_id""".stripMargin
+      }),
 
     QuerySpec("x67_html_extract",
       "HTML→text + outlink extraction — the crawl-ingest stage " +

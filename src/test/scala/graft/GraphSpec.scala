@@ -122,6 +122,33 @@ class GraphSpec extends SparkSpec {
     assert(got(3L) == ((3L, 1.0, 0.25)))
   }
 
+  test("hitsConverged stops at tolerance with the combined L1 probe " +
+      "and equals fixed-iteration hits at the rounds it ran") {
+    // 1 -> 3, 2 -> 3, 3 -> 1: deltas halve per round (0.5, 0.25, ...)
+    val e = Seq((1L, 3L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val run = Graph.hitsConverged(e, maxIters = 30, tol = 1e-3)
+    assert(run.iters < 30,
+      s"expected convergence well before the cap, ran ${run.iters}")
+    assert(run.l1Delta <= 1e-3, s"returned delta ${run.l1Delta} > tol")
+    val got = run.scores.as[(Long, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    val fixed = Graph.hits(e, iters = run.iters)
+      .as[(Long, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got == fixed,
+      s"converged scores must equal hits at iters=${run.iters}")
+    // a looser tolerance stops earlier on this halving contraction
+    val loose = Graph.hitsConverged(e, maxIters = 30, tol = 0.3)
+    assert(loose.iters < run.iters,
+      s"tol=0.3 ran ${loose.iters}, tol=1e-3 ran ${run.iters}")
+    intercept[IllegalArgumentException] {
+      Graph.hitsConverged(e, maxIters = 0, tol = 1e-3)
+    }
+    intercept[IllegalArgumentException] {
+      Graph.hitsConverged(e, maxIters = 5, tol = 0.0)
+    }
+  }
+
   test("hits: a pure-source node has zero authority, a pure-sink node " +
       "zero hub score; scores are deterministic across runs") {
     val e = Seq((1L, 10L), (2L, 10L), (1L, 11L), (11L, 2L))

@@ -574,4 +574,38 @@ class SimilaritySpec extends SparkSpec {
     assert(got(2L) == ((2L, 12L, true)))
     assert(got(3L) == ((3L, 13L, true)))
   }
+
+  test("bitextMarginMineWith over COMPLETE candidate sets equals the " +
+      "exact all-pairs miner, and the candidate union deduplicates " +
+      "pairs retrieved from both directions") {
+    import spark.implicits._
+    def v(a: Double, b: Double, c: Double, d: Double) =
+      Array(a.toFloat, b.toFloat, c.toFloat, d.toFloat)
+    val src = Seq(
+      (1L, v(1, 0.1, 0, 0)), (2L, v(0, 1, 0.1, 0)), (3L, v(0, 0, 1, 0.1))
+    ).toDF("vec_id", "embedding")
+    val tgt = Seq(
+      (11L, v(1, 0, 0.1, 0)), (12L, v(0.1, 1, 0, 0)),
+      (13L, v(0, 0.1, 1, 0)), (14L, v(0.6, 0.6, 0.6, 0.6))
+    ).toDF("vec_id", "embedding")
+    // one cell, one probe: IVF retrieval degenerates to brute force,
+    // so candidates are complete in both directions (and every pair
+    // arrives TWICE — once per direction — exercising the dedup)
+    val oneCell = Array(Array(0.0, 0.0, 0.0, 0.0))
+    val fwd = graft.operators.Similarity.ivfTopKWith(
+      tgt, src, "vec_id", "embedding", k = 4, oneCell, nProbes = 1)
+    val bwd = graft.operators.Similarity.ivfTopKWith(
+      src, tgt, "vec_id", "embedding", k = 3, oneCell, nProbes = 1)
+    val composed = graft.operators.Similarity
+      .bitextMarginMineWith(fwd, bwd, k = 2)
+      .orderBy($"src_id")
+      .as[(Long, Long, Double, Double, Boolean)].collect().toSeq
+    val exact = graft.operators.Similarity
+      .bitextMarginMine(src, tgt, "vec_id", "embedding", k = 2)
+      .orderBy($"src_id")
+      .as[(Long, Long, Double, Double, Boolean)].collect().toSeq
+    assert(composed == exact,
+      s"complete candidates must reproduce the exact miner:\n" +
+        s"composed=$composed\nexact=$exact")
+  }
 }
