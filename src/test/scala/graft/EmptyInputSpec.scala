@@ -188,4 +188,32 @@ class EmptyInputSpec extends SparkSpec {
       emptyDocs.select(col("doc_id").cast("double").as("p"),
         lit(true).as("lab")), "p", "lab").count() == 0)
   }
+
+  test("round-15 operators tolerate empty and degenerate inputs") {
+    import graft.operators.{Corpus, Graph, Similarity}
+    // converged HITS on an empty edge list: zero rows, zero rounds of
+    // delta (the Observation on an empty frame reads null -> 0.0, so
+    // the loop stops after one round with delta 0)
+    val emptyEdges = emptyDocs.select(col("doc_id").as("src"),
+      col("doc_id").as("dst"))
+    val run = Graph.hitsConverged(emptyEdges, maxIters = 3, tol = 1e-6)
+    assert(run.scores.count() == 0 && run.l1Delta == 0.0)
+    // composed bitext mining with empty candidate frames (the shape
+    // an empty retrieval produces: qid/did/cos columns, no rows)
+    val emptyCand = emptyDocs.select(col("doc_id").as("qid"),
+      col("doc_id").as("did"), col("doc_id").cast("double").as("cos"))
+    assert(Similarity.bitextMarginMineWith(emptyCand, emptyCand, k = 2)
+      .count() == 0)
+    // budgetSelect (post-r15 two-phase prefix sum): empty corpus and
+    // zero budget both behave — zero budget keeps nothing but still
+    // emits every doc with its cum_tok
+    assert(Corpus.budgetSelect(
+      emptyDocs.select(col("doc_id"), col("doc_id").cast("double")
+        .as("q"), col("doc_id").as("n_tok")),
+      "doc_id", "q", "n_tok", 100L).count() == 0)
+    val two = Seq((1L, 0.5, 3L), (2L, 0.9, 4L)).toDF("doc_id", "q", "n_tok")
+    val zeroBudget = Corpus.budgetSelect(two, "doc_id", "q", "n_tok", 0L)
+      .as[(Long, Double, Long, Long, Boolean)].collect()
+    assert(zeroBudget.length == 2 && zeroBudget.forall(!_._5))
+  }
 }
