@@ -505,10 +505,14 @@ object Graph {
         case Some(v: java.lang.Double) => v.doubleValue()
         case _ => 0.0
       }
-      auths = Dedup.defaultMaterialize(
-        stepped.select(col("id"), col("a").as("v")))
-      hubs = Dedup.defaultMaterialize(
-        stepped.select(col("id"), col("h").as("v")))
+      // ONE truncation for both vectors (narrow projections of the
+      // checkpointed pair frame stay truncated) — half the checkpoint
+      // jobs and half the cached-vector storage of truncating each
+      // side separately
+      val next = Dedup.defaultMaterialize(
+        stepped.select(col("id"), col("a"), col("h")))
+      auths = next.select(col("id"), col("a").as("v"))
+      hubs = next.select(col("id"), col("h").as("v"))
       stepped.unpersist()
       itersRun += 1
     }
