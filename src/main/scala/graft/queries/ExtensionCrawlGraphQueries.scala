@@ -872,8 +872,10 @@ private[queries] object ExtensionCrawlGraphQueries {
         "probe equi-join) — gating the retrieval composition, not " +
         "just the tail. Builder REQUIREs: no nested-loop/cartesian " +
         "join anywhere in the plan (the all-pairs shape this form " +
-        "exists to avoid), per-query candidate bound audited, " +
-        "non-empty mining output",
+        "exists to avoid), the per-query retrieval contract (≤ kCand " +
+        "rows each direction) audited — the pre-rank scored bound is " +
+        "structural and measured by BitextRehearse — and non-empty " +
+        "mining output",
       (s, dir) => {
         val emb = t(s, dir, "embeddings")
         val srcSide = emb.filter(col("vec_id") % 2 === 0)
@@ -903,13 +905,19 @@ private[queries] object ExtensionCrawlGraphQueries {
           s"composed bitext mining must not plan an all-pairs join:\n" +
             plan.linesIterator.take(40).mkString("\n"))
         val out = scratch(mined, "x80b_out")
-        // the serving bound the rehearsal measures at 1M×1M, audited
-        // here at gate SF: candidates per query ≤ nProbes × perCellCap
+        // what an in-entry audit can honestly check is the RETRIEVAL
+        // contract: ≤ kCand rows per query per direction (the frames
+        // are already rank-filtered, so testing them against
+        // nProbes×perCellCap would be vacuous). The pre-rank SCORED
+        // bound — candidates/query ≤ nProbes×perCellCap — is
+        // structural in ivfTopKWithCapped (cap applied before the
+        // probe join) and is MEASURED against raw cell occupancy by
+        // BitextRehearse at 1M×1M (SCALE.md: ≤64 vs 455k uncapped)
         val maxCand = fwd.groupBy(col("qid")).count()
           .unionByName(bwd.groupBy(col("qid")).count())
           .agg(max(col("count"))).collect()(0).getLong(0)
-        require(maxCand <= 2L * 64L,
-          s"candidates/query must be ≤ nProbes×perCellCap, got $maxCand")
+        require(maxCand <= 8L,
+          s"retrieval must return at most kCand=8 rows/query, got $maxCand")
         val n = out.count()
         require(n >= 1, "composed mining must emit at least one pair")
         out.orderBy(col("src_id"))
