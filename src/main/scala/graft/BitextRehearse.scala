@@ -45,15 +45,21 @@ object BitextRehearse {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // deterministic synthetic side: latent direction id%8 plus id-keyed
-    // residual — enough cluster structure that cells are meaningful
+    // deterministic synthetic side: 8 latent directions (vec_id % 8)
+    // plus a vec_id-keyed residual. Dims derive from the POST-OFFSET
+    // vec_id, so the two sides are genuinely distinct corpora (an
+    // id-keyed construction would make tgt a bit-identical twin of
+    // src and the mutual-fraction sanity signal degenerate) while
+    // still sharing the latent directions — cross-side neighbors
+    // exist, exact duplicates don't
     def side(offset: Long): DataFrame = {
+      val vid = col("id") + offset
       val dims = (0 until dim).map { d =>
-        (cos(lit(d.toDouble / 3.0) + (col("id") % 8).cast("double")) +
-          sin(col("id").cast("double") * lit(0.7154 + d * 0.013)) * 0.35)
+        (cos(lit(d.toDouble / 3.0) + (vid % 8).cast("double")) +
+          sin(vid.cast("double") * lit(0.7154 + d * 0.013)) * 0.35)
           .cast("float")
       }
-      spark.range(n).select((col("id") + offset).as("vec_id"),
+      spark.range(n).select(vid.as("vec_id"),
         array(dims: _*).as("embedding"))
     }
     val src = side(0L).persist()

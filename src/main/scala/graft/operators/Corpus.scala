@@ -190,12 +190,11 @@ object Corpus {
     * operator used through r14 — its scale safety does not rest on
     * any caller-side precondition about quality-value cardinality
     * (raw float classifier margins are near-unique, so a
-    * per-quality-value histogram is corpus-sized): the running sum is
-    * the same RANGE-BUCKETED two-level prefix sum as
-    * `Packing.exclusiveRunningSum`, keyed on (quality DESC, id) —
-    * an in-bucket windowed cumsum plus an exclusive prefix over the
-    * ≤`buckets` per-bucket totals (the only global window, broadcast
-    * back). Integer token masses make the regrouping exact, so the
+    * per-quality-value histogram is corpus-sized): the running sum IS
+    * `Packing.inclusiveRunningSum` — the range-bucketed two-level
+    * prefix sum behind pack assignment — keyed on
+    * (quality DESC, id). Integer token masses make the regrouping
+    * exact, so the
     * output is bit-identical to the one-line window formulation,
     * which the oracle keeps; bucket boundaries come from sampled
     * range partitioning, which associativity makes irrelevant to the
@@ -209,30 +208,11 @@ object Corpus {
     require(budgetTokens >= 0, s"budget must be >= 0, got $budgetTokens")
     val id = col(idCol)
     val q = col(qualityCol)
-    import org.apache.spark.sql.expressions.Window
-    val sc = docs.sparkSession.sparkContext
-    val buckets = math.min(1024,
-      math.max(1, sc.defaultParallelism * 4))
-    val bucketed = docs
-      .select(id, q, col(tokCol).cast("long").as("n_tok"))
-      .repartitionByRange(buckets, q.desc, id)
-      .withColumn("__b", spark_partition_id().cast("long"))
-    val inBucket = Window.partitionBy(col("__b"))
-      .orderBy(q.desc, id)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val withCum = bucketed
-      .withColumn("__cum_in", sum(col("n_tok")).over(inBucket))
-    val bucketTotals = withCum.groupBy(col("__b"))
-      .agg(sum(col("n_tok")).as("__tot"))
-    val overBuckets = Window.orderBy(col("__b"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val offsets = bucketTotals
-      .withColumn("__off",
-        sum(col("__tot")).over(overBuckets) - col("__tot"))
-      .select(col("__b"), col("__off"))
-    withCum.join(broadcast(offsets), Seq("__b"))
+    Packing.inclusiveRunningSum(
+        docs.select(id, q, col(tokCol).cast("long").as("n_tok")),
+        Seq(q.desc, id), "n_tok")
       .select(id, q, col("n_tok"),
-        (col("__cum_in") + col("__off")).cast("long").as("cum_tok"))
+        col("__incl").cast("long").as("cum_tok"))
       .withColumn("keep", col("cum_tok") <= budgetTokens)
       .orderBy(id)
   }

@@ -443,11 +443,18 @@ object Graph {
     * second pass); each round's score vectors are LINEAGE-TRUNCATED
     * (`Dedup.defaultMaterialize` — both vectors feed the next round
     * twice: the opposite half-step and the delta join; an
-    * un-truncated plan doubles per round), and the persisted previous
-    * round is released as its successor lands, so steady state holds
-    * two (auth, hub) vector pairs. Max-normalization keeps every
-    * score in [0,1], so the delta is a sum of ≤1 terms — `tol`
-    * scales with |nodes| like pageRankConverged's.
+    * un-truncated plan doubles per round), and the round's explicit
+    * persist (`stepped`) is released as its successor lands. The
+    * truncated predecessors themselves are local-checkpoint RDDs
+    * reclaimed by Spark's ContextCleaner once unreferenced (lazily,
+    * at GC) — so live state is the current pair plus
+    * cleanup-pending rounds, not the whole history; on the
+    * cluster-without-checkpoint-dir fallback, where truncation
+    * degrades to persist, caches DO accumulate for the session
+    * (one more reason that path warns and caps the budget).
+    * Max-normalization keeps every score in [0,1], so the delta is a
+    * sum of ≤1 terms — `tol` scales with |nodes| like
+    * pageRankConverged's.
     *
     * Same ULP caveat as [[pageRankConvergedOracleSql]]: the delta
     * fold is unordered on both engines, so pick `tol` with a margin
@@ -537,12 +544,17 @@ object Graph {
   def hitsConvergedOracleSql(edgesSql: String, maxIters: Int,
       tol: Double, shards: Int = 64): String = {
     val t = java.lang.Double.toString(tol)
+    // ONE fold over per-node (|Δa| + |Δh|) terms — the same
+    // structural form as the Spark side's single Observation sum
+    // (two separate sums added afterward would round differently in
+    // FP, a second noise source on top of the documented unordered-
+    // fold ULP caveat)
     val deltas = (1 to maxIters).map { i =>
       s"""  SELECT $i AS it,
-         |    (SELECT sum(abs(a.v - pa.v))
-         |     FROM a$i a JOIN a${i - 1} pa ON a.id = pa.id) +
-         |    (SELECT sum(abs(h.v - ph.v))
-         |     FROM h$i h JOIN h${i - 1} ph ON h.id = ph.id) AS dlt"""
+         |    (SELECT sum(abs(a.v - pa.v) + abs(h.v - ph.v))
+         |     FROM a$i a JOIN a${i - 1} pa ON a.id = pa.id
+         |     JOIN h$i h ON a.id = h.id
+         |     JOIN h${i - 1} ph ON a.id = ph.id) AS dlt"""
         .stripMargin
     }.mkString("\n  UNION ALL\n")
     val allAh = (1 to maxIters).map { i =>

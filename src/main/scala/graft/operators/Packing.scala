@@ -59,23 +59,32 @@ object Packing {
         expr(s"CAST(__excl DIV $budget AS BIGINT)").as("pack_id"))
   }
 
-  /** The distributed global EXCLUSIVE running sum of `valueCol` over
-    * rows ordered by (unique) `idCol`, as column `__excl` — the
-    * two-level prefix-sum primitive behind pack assignment and
-    * weighted corpus mixing. See [[assignPacks]] for the bucketing
-    * rationale and the uniqueness precondition. */
-  def exclusiveRunningSum(docs: DataFrame, idCol: String,
+  /** The distributed global INCLUSIVE running sum of `valueCol` over
+    * rows in `orderCols` order (which must be a TOTAL order), as
+    * column `__incl`, all input columns carried through — THE
+    * two-level prefix-sum primitive: an in-bucket windowed cumsum
+    * (buckets from sampled `repartitionByRange` over the ordering,
+    * so no window ever sees more than one bucket) plus an exclusive
+    * prefix over the ≤`buckets` per-bucket totals — the only global
+    * window — broadcast back. Integer values make the regrouping
+    * exact, so the result is bit-identical to the textbook
+    * single-window formulation for ANY bucketing; see [[assignPacks]]
+    * for the bucket-count policy. Behind pack assignment, weighted
+    * corpus mixing, and `Corpus.budgetSelect`'s (quality DESC, id)
+    * greedy fill. */
+  def inclusiveRunningSum(docs: DataFrame, orderCols: Seq[Column],
       valueCol: String, nBuckets: Int = 0): DataFrame = {
     require(nBuckets >= 0, "nBuckets must be >= 0 (0 = adaptive)")
+    require(orderCols.nonEmpty, "orderCols must be non-empty")
     val buckets =
       if (nBuckets > 0) nBuckets
       else math.min(1024, math.max(1,
         docs.sparkSession.sparkContext.defaultParallelism * 4))
-    val bucketed = docs.select(col(idCol), col(valueCol))
-      .repartitionByRange(buckets, col(idCol))
+    val bucketed = docs
+      .repartitionByRange(buckets, orderCols: _*)
       .withColumn("__b", spark_partition_id().cast("long"))
     val inBucket = Window.partitionBy(col("__b"))
-      .orderBy(col(idCol))
+      .orderBy(orderCols: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val withCum = bucketed
       .withColumn("__cum_in", sum(col(valueCol)).over(inBucket))
@@ -89,9 +98,21 @@ object Packing {
       .withColumn("__off", sum(col("__tot")).over(overBuckets) - col("__tot"))
       .select(col("__b"), col("__off"))
     withCum.join(broadcast(offsets), Seq("__b"))
-      .withColumn("__excl", col("__cum_in") + col("__off") - col(valueCol))
-      .select(col(idCol), col(valueCol), col("__excl"))
+      .withColumn("__incl", col("__cum_in") + col("__off"))
+      .drop("__b", "__cum_in")
   }
+
+  /** The EXCLUSIVE running sum of `valueCol` over rows ordered by
+    * (unique) `idCol`, as column `__excl` — [[inclusiveRunningSum]]
+    * minus the row's own value (exact for the integer values this
+    * operates on). See [[assignPacks]] for the bucketing rationale
+    * and the uniqueness precondition. */
+  def exclusiveRunningSum(docs: DataFrame, idCol: String,
+      valueCol: String, nBuckets: Int = 0): DataFrame =
+    inclusiveRunningSum(docs.select(col(idCol), col(valueCol)),
+        Seq(col(idCol)), valueCol, nBuckets)
+      .withColumn("__excl", col("__incl") - col(valueCol))
+      .select(col(idCol), col(valueCol), col("__excl"))
 
   /** Sliding-window chunking: split each document into
     * `chunkSize`-token chunks whose starts advance by

@@ -888,39 +888,49 @@ private[queries] object ExtensionCrawlGraphQueries {
           Similarity.ivfTrain(tgtSide, "vec_id", "embedding",
             nCells = 4, iters = 2, tag = "bitext-tgt")
         }
+        // candidate frames feed TWO consumers (the mining plan and
+        // the retrieval-contract audit) — persist so the retrieval
+        // executes once; the audit below runs first and populates
+        // the cache the scratch write then reads
         val fwd = Similarity.ivfTopKWithCapped(tgtSide, srcSide,
           "vec_id", "embedding", k = 8, tgtCents, nProbes = 2,
           perCellCap = 64)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val bwd = Similarity.ivfTopKWithCapped(srcSide, tgtSide,
           "vec_id", "embedding", k = 8, srcCents, nProbes = 2,
           perCellCap = 64)
-        val mined = Similarity.bitextMarginMineWith(fwd, bwd, k = 4)
-          .orderBy(col("src_id"))
-        // plan contract: candidate retrieval + tail must be pure
-        // hash/sort-merge joins — the composed form may never fall
-        // back to the exact form's nested-loop all-pairs scoring
-        val plan = mined.queryExecution.sparkPlan.toString
-        require(!plan.contains("BroadcastNestedLoopJoin") &&
-          !plan.contains("CartesianProduct"),
-          s"composed bitext mining must not plan an all-pairs join:\n" +
-            plan.linesIterator.take(40).mkString("\n"))
-        val out = scratch(mined, "x80b_out")
-        // what an in-entry audit can honestly check is the RETRIEVAL
-        // contract: ≤ kCand rows per query per direction (the frames
-        // are already rank-filtered, so testing them against
-        // nProbes×perCellCap would be vacuous). The pre-rank SCORED
-        // bound — candidates/query ≤ nProbes×perCellCap — is
-        // structural in ivfTopKWithCapped (cap applied before the
-        // probe join) and is MEASURED against raw cell occupancy by
-        // BitextRehearse at 1M×1M (SCALE.md: ≤64 vs 455k uncapped)
-        val maxCand = fwd.groupBy(col("qid")).count()
-          .unionByName(bwd.groupBy(col("qid")).count())
-          .agg(max(col("count"))).collect()(0).getLong(0)
-        require(maxCand <= 8L,
-          s"retrieval must return at most kCand=8 rows/query, got $maxCand")
-        val n = out.count()
-        require(n >= 1, "composed mining must emit at least one pair")
-        out.orderBy(col("src_id"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val mined = Similarity.bitextMarginMineWith(fwd, bwd, k = 4)
+            .orderBy(col("src_id"))
+          // plan contract: candidate retrieval + tail must be pure
+          // hash/sort-merge joins — the composed form may never fall
+          // back to the exact form's nested-loop all-pairs scoring
+          val plan = mined.queryExecution.sparkPlan.toString
+          require(!plan.contains("BroadcastNestedLoopJoin") &&
+            !plan.contains("CartesianProduct"),
+            s"composed bitext mining must not plan an all-pairs join:\n" +
+              plan.linesIterator.take(40).mkString("\n"))
+          // what an in-entry audit can honestly check is the RETRIEVAL
+          // contract: ≤ kCand rows per query per direction (the frames
+          // are already rank-filtered, so testing them against
+          // nProbes×perCellCap would be vacuous). The pre-rank SCORED
+          // bound — candidates/query ≤ nProbes×perCellCap — is
+          // structural in ivfTopKWithCapped (cap applied before the
+          // probe join) and is MEASURED against raw cell occupancy by
+          // BitextRehearse at 1M×1M (SCALE.md: ≤64 vs 455k uncapped)
+          val maxCand = fwd.groupBy(col("qid")).count()
+            .unionByName(bwd.groupBy(col("qid")).count())
+            .agg(max(col("count"))).collect()(0).getLong(0)
+          require(maxCand <= 8L,
+            s"retrieval must return at most kCand=8 rows/query, got $maxCand")
+          val out = scratch(mined, "x80b_out")
+          val n = out.count()
+          require(n >= 1, "composed mining must emit at least one pair")
+          out.orderBy(col("src_id"))
+        } finally {
+          fwd.unpersist(); bwd.unpersist()
+        }
       },
       None,
       oracleGen = () => for {

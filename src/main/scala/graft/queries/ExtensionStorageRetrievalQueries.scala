@@ -884,10 +884,13 @@ private[queries] object ExtensionStorageRetrievalQueries {
       "token-budget data selection: keep the highest-margin documents " +
         "(x34's classifier) until a 10k-token budget is spent — the " +
         "greedy 'train on the best N tokens' curation fill; the " +
-        "cumulative sum uses x38's histogram-rank decomposition (no " +
-        "corpus-wide window task), bit-identical to the one-line " +
-        "running-window oracle; losers are emitted with their " +
-        "cum_tok so the budget boundary is auditable",
+        "cumulative sum is the r15 range-bucketed two-level prefix " +
+        "sum keyed on (quality desc, id) — safe even for near-unique " +
+        "raw float margins, no corpus-wide window task and no " +
+        "quality-cardinality precondition — bit-identical to the " +
+        "one-line running-window oracle (integer masses, associative " +
+        "regrouping); losers are emitted with their cum_tok so the " +
+        "budget boundary is auditable",
       (s, dir) => {
         val d = t(s, dir, "documents")
           .select(col("doc_id"), col("text"),

@@ -27,6 +27,11 @@ def main(argv):
     a, b = load(argv[1]), load(argv[2])
     qa, qb = a["queries"], b["queries"]
     names = sorted(set(qa) & set(qb))
+    # a query present in only one run (or errored -> null) is itself a
+    # finding, never silently dropped by the intersection
+    missing = sorted(set(qa) ^ set(qb)) \
+        + sorted(n for n in names if qa[n] is None or qb[n] is None)
+    names = [n for n in names if qa[n] is not None and qb[n] is not None]
     flagged = []
     for n in names:
         x, y = qa[n], qb[n]
@@ -34,6 +39,8 @@ def main(argv):
             flagged.append((n, x, y))
     print(f"run1 total={a['value']}s run2 total={b['value']}s "
           f"queries={len(names)}")
+    for n in missing:
+        print(f"  MISSING/ERRORED {n}: run1={qa.get(n)} run2={qb.get(n)}")
     for n, x, y in flagged:
         print(f"  PAIR-DISAGREE {n}: {x} vs {y}")
     regs = []
@@ -41,14 +48,22 @@ def main(argv):
         prev = load(argv[3])["queries"]
         for n in names:
             best = min(qa[n], qb[n])
-            if n in prev and min(prev[n], best) > 1.0 \
+            # bar on the NEW best, not min(prev, best): a 0.5 s -> 5 s
+            # regression must flag even though its baseline is
+            # sub-second; requiring BOTH fresh-JVM runs over the bar
+            # keeps single stall windows from false-flagging
+            if n in prev and prev[n] is not None and best > 1.0 \
                     and best > 1.5 * prev[n]:
                 regs.append((n, prev[n], best))
         for n, p, c in regs:
             print(f"  REGRESSION {n}: prev={p} now={c}")
-    print(f"{len(flagged)} pair disagreements, {len(regs)} regressions "
-          f"(bar: >1.5x at min >1 s)")
-    return len(flagged) + len(regs)
+    print(f"{len(flagged)} pair disagreements, {len(regs)} regressions, "
+          f"{len(missing)} missing/errored "
+          f"(bars: pair >1.5x at min >1 s; regression best-of-pair "
+          f">1.5x prev at >1 s)")
+    # cap: a shell exit status is mod 256 — 256 findings must not
+    # read as success
+    return min(100, len(flagged) + len(regs) + len(missing))
 
 
 if __name__ == "__main__":
