@@ -501,4 +501,93 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("WET in-payload WARC/1.0 markers quarantine as frame_ok=false " +
+      "without corrupting well-framed neighbors") {
+    import graft.sources.Warc
+    // Warc.scala's framing caveat, proven rather than design-argued:
+    // the lineSep scan TEARS a record whose payload contains the
+    // version line, and the claim is that every torn fragment
+    // surfaces frame_ok=false (Content-Length can no longer land on
+    // CRLF padding) while every well-framed record in the same file
+    // parses exactly as if the torn one were absent. Generator
+    // plants the marker in prose positions — start / middle / end,
+    // bare or CRLF-wrapped (the worst case: the marker then looks
+    // byte-identical to a real record boundary). Out of scope by
+    // design: a payload embedding a COMPLETE well-formed record
+    // (version line + headers + matching Content-Length) is
+    // indistinguishable from a real record without length-honoring
+    // framing — Warc.scala documents that escape hatch.
+    def rec(uri: String, text: String): String = {
+      val n = text.getBytes(java.nio.charset.StandardCharsets.UTF_8).length
+      "WARC/1.0\r\n" +
+        "WARC-Type: conversion\r\n" +
+        "WARC-Date: 2024-01-01T00:00:00Z\r\n" +
+        s"WARC-Target-URI: $uri\r\n" +
+        s"Content-Length: $n\r\n" +
+        "\r\n" + text + "\r\n\r\n"
+    }
+    val line: Gen[String] = Gen.choose(1, 4)
+      .flatMap(n => Gen.listOfN(n, word).map(_.mkString(" ")))
+    val cleanText: Gen[String] = for {
+      ls <- Gen.choose(1, 3).flatMap(n => Gen.listOfN(n, line))
+      sep <- Gen.oneOf("\n", "\r\n")
+    } yield ls.mkString(sep)
+    val marker: Gen[String] = Gen.oneOf(
+      "\r\nWARC/1.0\r\n", " WARC/1.0 ", "WARC/1.0",
+      "\r\nWARC/1.0", "WARC/1.0\r\n")
+    val markedText: Gen[String] = for {
+      base <- cleanText
+      m <- marker
+      pos <- Gen.oneOf(0, 1, 2) // start / middle / end
+    } yield pos match {
+      case 0 => m + base
+      case 1 =>
+        val cut = base.length / 2
+        base.substring(0, cut) + m + base.substring(cut)
+      case 2 => base + m
+    }
+    val docs: Gen[List[(String, Boolean)]] = for {
+      n <- Gen.choose(3, 8)
+      flags <- Gen.listOfN(n, Gen.oneOf(true, false, false))
+      texts <- Gen.sequence[List[String], String](
+        flags.map(m => if (m) markedText else cleanText))
+    } yield texts.zip(flags)
+    forAll(docs, minSuccessful(8)) { (ds: List[(String, Boolean)]) =>
+      val dir = java.nio.file.Files.createTempDirectory("wetmark").toString
+      // hand-concatenated records (the WarcSpec idiom): Content-Length
+      // is the FULL payload's byte count, marker included — exactly
+      // what a writer that never inspects payloads would emit
+      val recs = ds.zipWithIndex.map { case ((text, _), i) =>
+        rec(s"https://m$i.example.test/", text)
+      }
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(dir, "part-0.warc.wet"), recs.mkString)
+      val back = Warc.readWet(spark, dir)
+        .select("uri", "text", "frame_ok")
+        .as[(Option[String], Option[String], Boolean)].collect()
+      val okByUri = back.collect { case (Some(u), t, ok) => u -> (t, ok) }
+        .groupBy(_._1)
+      ds.zipWithIndex.foreach { case ((text, marked), i) =>
+        val uri = s"https://m$i.example.test/"
+        val rows = okByUri.getOrElse(uri, Array.empty).map(_._2)
+        assert(rows.length == 1, s"uri $uri must surface exactly once")
+        val (got, ok) = rows.head
+        if (marked)
+          assert(!ok, s"torn record $uri must be frame_ok=false " +
+            s"(payload='$text', parsed='$got')")
+        else {
+          assert(ok, s"clean neighbor $uri must stay frame_ok=true")
+          assert(got.contains(text), s"clean neighbor $uri text drifted")
+        }
+      }
+      // every extra chunk the tear produced (headerless payload
+      // remainders) must ALSO be quarantined — nothing frame_ok=true
+      // beyond the clean records
+      val nTrue = back.count(_._3)
+      val nClean = ds.count(!_._2)
+      assert(nTrue == nClean,
+        s"frame_ok=true rows ($nTrue) must equal clean records ($nClean)")
+    }
+  }
 }
