@@ -964,7 +964,9 @@ private[queries] object ExtensionCrawlGraphQueries {
           concat(lit("2024-01-0"), (col("doc_id") % 9 + 1).cast("string"),
             lit("T00:00:00Z")).as("dt"),
           concat(col("text"), lit(" — café №"), id).as("text"))
-        Warc.writeWet(fixture.repartition(8), path, "uri", "dt", "text")
+        wetFixtureOnce(path) {
+          Warc.writeWet(fixture.repartition(8), path, "uri", "dt", "text")
+        }
         val parsed = Warc
           .readWetStream(s, path, maxFilesPerTrigger = Some(2))
           .select(col("uri"), col("content_length"),
@@ -1563,7 +1565,9 @@ private[queries] object ExtensionCrawlGraphQueries {
             lit("T00:00:00Z")).as("dt"),
           raw.as("text"))
         val nDocs = t(s, dir, "documents").count()
-        Warc.writeWet(fixture.repartition(4), path, "uri", "dt", "text")
+        wetFixtureOnce(path) {
+          Warc.writeWet(fixture.repartition(4), path, "uri", "dt", "text")
+        }
         // stage 1: WET ingest — framing must be byte-exact
         val wet = scratch(Warc.readWet(s, path)
           .select(col("uri"), col("text"), col("frame_ok")), "x90_wet")
