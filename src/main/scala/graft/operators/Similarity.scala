@@ -1500,44 +1500,72 @@ object Similarity {
 
   /** The margin/mutual tail shared by [[bitextMarginMine]] (exact
     * all-pairs scoring) and [[bitextMarginMineWith]] (IVF-candidate
-    * scoring): rank a `scored(sid, tid, cos)` pair frame both
-    * directions, fold each side's top-`k` cosines in rank order into
-    * avgF/avgB (divided by the ACTUAL neighbor count — least(k, n)),
-    * 9-dp ratio margins, then each source's best-margin target with
-    * the mutual-best flag. All windows partition by one side's id. */
-  private def marginMineTail(scored: DataFrame, k: Int): DataFrame = {
-    val fw = Window.partitionBy(col("sid"))
-      .orderBy(col("cos").desc, col("tid"))
-    val bw = Window.partitionBy(col("tid"))
-      .orderBy(col("cos").desc, col("sid"))
-    val ranked = scored
-      .withColumn("fr", row_number().over(fw))
-      .withColumn("br", row_number().over(bw))
-    def topMean(df: DataFrame, key: String, rank: String): DataFrame = df
-      .filter(col(rank) <= k)
+    * scoring): rank a `scored(sid, tid, cos)` pair frame (UNIQUE pair
+    * keys — both callers guarantee it) both directions, fold each
+    * side's top-`k` cosines in rank order into avgF/avgB (divided by
+    * the ACTUAL neighbor count — least(k, n)), 9-dp ratio margins,
+    * then each source's best-margin target with the mutual-best flag.
+    *
+    * Every per-side computation runs through the bounded-heap
+    * aggregate ([[graft.plans.TopKPairs]]), not a per-side window:
+    * values and tie-breaks are identical (the heap's score-DESC,
+    * id-ASC ordering IS the window idiom's, and the top-k fold sums
+    * in the same best-first order), but the aggregate participates
+    * in map-side partial aggregation — so a HUB id (one target
+    * retrieved into a large fraction of all sources' candidate
+    * lists, the skew the capped retrieval cannot bound because its
+    * cap is per QUERY) costs a k-element heap merge per task instead
+    * of funneling |sources| rows into one window-sort task. Measured
+    * by [[graft.HubSkewRehearse]] at 1M×1M with a universal hub.
+    *
+    * `materialize` hook: `scored` feeds three consumers (both
+    * topMeans and the margins join) and `margins` two (both
+    * elections) — a caller that wants each computed once passes a
+    * scratch/persist hook (the entry-level lifecycle answer;
+    * identity recomputes, which tiny exact-form inputs don't mind). */
+  private def marginMineTail(scored0: DataFrame, k: Int,
+      materialize: DataFrame => DataFrame = identity): DataFrame = {
+    val scored = materialize(scored0)
+    import org.apache.spark.sql.GraftBridge
+    def topK(other: String, score: Column, kk: Int): Column =
+      GraftBridge.column(graft.plans.TopKPairs(
+        GraftBridge.expression(score),
+        GraftBridge.expression(col(other)), kk).toAggregateExpression())
+    // mean of each side's top-k cosines, summed best-first (rank
+    // order — the exact FP order of the verified window formulation)
+    // over the ACTUAL neighbor count
+    def topMean(key: String, other: String): DataFrame = scored
       .groupBy(col(key))
-      .agg((aggregate(
-        transform(array_sort(collect_list(struct(col(rank), col("cos")))),
-          x => x.getField("cos")),
-        lit(0.0), (acc, x) => acc + x) /
-        count(lit(1)).cast("double")).as(s"avg_$key"))
-    val margins = ranked
-      .join(topMean(ranked, "sid", "fr"), Seq("sid"))
-      .join(topMean(ranked, "tid", "br"), Seq("tid"))
+      .agg(topK(other, col("cos"), k).as("__top"))
+      .select(col(key),
+        (aggregate(transform(col("__top"), x => x.getField("score")),
+          lit(0.0), (acc, x) => acc + x) /
+          size(col("__top")).cast("double")).as(s"avg_$key"))
+    val margins = materialize(scored
+      .join(topMean("sid", "tid"), Seq("sid"))
+      .join(topMean("tid", "sid"), Seq("tid"))
       .select(col("sid"), col("tid"), col("cos"),
         round(col("cos") / ((col("avg_sid") + col("avg_tid")) / 2.0), 9)
-          .as("margin_r"))
-    val fBest = Window.partitionBy(col("sid"))
-      .orderBy(col("margin_r").desc, col("tid"))
-    val bBest = Window.partitionBy(col("tid"))
-      .orderBy(col("margin_r").desc, col("sid"))
-    margins
-      .withColumn("fb", row_number().over(fBest))
-      .withColumn("bb", row_number().over(bBest))
-      .filter(col("fb") === 1)
+          .as("margin_r")))
+    // per-side best-pair elections via max_by over the composite
+    // ordering key (margin DESC, id ASC — ids are non-negative, so
+    // max of -id is min id): row_number()==1 under the same ordering,
+    // but a codegen'd declarative aggregate with map-side partials.
+    // The elected struct carries its own cosine, so no join-back —
+    // margins feeds exactly two consumers
+    val fBest = margins.groupBy(col("sid"))
+      .agg(max_by(struct(col("tid"), col("cos"), col("margin_r")),
+        struct(col("margin_r"), -col("tid"))).as("__b"))
+      .select(col("sid"), col("__b.tid").as("tid"),
+        col("__b.cos").as("cos"), col("__b.margin_r").as("margin_r"))
+    val bBest = margins.groupBy(col("tid"))
+      .agg(max_by(col("sid"),
+        struct(col("margin_r"), -col("sid"))).as("__bsid"))
+    fBest
+      .join(bBest, Seq("tid"))
       .select(col("sid").as("src_id"), col("tid").as("tgt_id"),
         round(col("cos"), 6).as("cos_r"), col("margin_r"),
-        (col("bb") === 1).as("mutual"))
+        (col("__bsid") === col("sid")).as("mutual"))
   }
 
   /** The AT-SCALE composed form of [[bitextMarginMine]] — the
@@ -1567,15 +1595,15 @@ object Similarity {
     * NOTE: upstream [[ivfServe]] drops qid = did pairs (ANN
     * self-match hygiene), so src and tgt must not share ids — true
     * for any real bilingual corpus and for the x80b parity fixture. */
-  def bitextMarginMineWith(fwd: DataFrame, bwd: DataFrame,
-      k: Int): DataFrame = {
+  def bitextMarginMineWith(fwd: DataFrame, bwd: DataFrame, k: Int,
+      materialize: DataFrame => DataFrame = identity): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     val pairs = fwd.select(col("qid").as("sid"), col("did").as("tid"),
         col("cos"))
       .unionByName(bwd.select(col("did").as("sid"), col("qid").as("tid"),
         col("cos")))
       .groupBy(col("sid"), col("tid")).agg(max(col("cos")).as("cos"))
-    marginMineTail(pairs, k)
+    marginMineTail(pairs, k, materialize)
   }
 
   /** DuckDB twin of [[bitextMarginMine]] — same cosines, rank-ordered

@@ -901,7 +901,12 @@ private[queries] object ExtensionCrawlGraphQueries {
           perCellCap = 64)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
-          val mined = Similarity.bitextMarginMineWith(fwd, bwd, k = 4)
+          // scratch hook: the tail's candidate-pair and margins
+          // frames each feed 2-3 consumers (topMeans, margin join,
+          // both elections) — materialized once, served from parquet
+          var i = 0
+          val mined = Similarity.bitextMarginMineWith(fwd, bwd, k = 4,
+              materialize = df => { i += 1; scratch(df, s"x80b_t$i") })
             .orderBy(col("src_id"))
           // plan contract: candidate retrieval + tail must be pure
           // hash/sort-merge joins — the composed form may never fall
