@@ -122,20 +122,27 @@ object Graph {
     while (itersRun < maxIters && delta > tol) {
       val stepped = nextRanks(e, deg, nodes, n, ranks, damping, shards)
         .join(ranks.select(col("id"), col("r").as("__prev")), Seq("id"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
       val obs = new org.apache.spark.sql.Observation()
-      stepped.observe(obs, sum(abs(col("r") - col("__prev"))).as("l1"))
-        .write.format("noop").mode("overwrite").save()
-      // null metric = zero observed rows = an empty graph; converged
-      delta = obs.get.get("l1") match {
-        case Some(v: java.lang.Double) => v.doubleValue()
-        case _ => 0.0
-      }
-      // truncation reads the cache populated by the noop write and
-      // stores its own blocks, so the round's cache can go right away
+      // ONE action per round: the delta probe rides the truncation
+      // job itself (observe under the projection the checkpoint
+      // materializes — CollectMetrics completes with the checkpoint's
+      // internal action), replacing the former persist + separate
+      // noop-sink pass + unpersist (hitsConverged's shape; measured
+      // ~13% on the x79b solo A/B, same win here)
       ranks = Dedup.defaultMaterialize(
-        stepped.select(col("id"), col("r")))
-      stepped.unpersist()
+        stepped.observe(obs, sum(abs(col("r") - col("__prev"))).as("l1"))
+          .select(col("id"), col("r")))
+      delta = {
+        val m = org.apache.spark.sql.GraftBridge.observedOrEmpty(obs)
+        if (m.isEmpty) throw new IllegalStateException(
+          "pageRankConverged: L1 delta metric did not materialize " +
+            "with the round's truncation job")
+        m.get("l1") match {
+          case Some(v: java.lang.Double) => v.doubleValue()
+          // null metric = zero observed rows = an empty graph; converged
+          case _ => 0.0
+        }
+      }
       itersRun += 1
     }
     PageRankRun(ranks.select(col("id"), round(col("r"), 6).as("rank_r")),
@@ -503,24 +510,35 @@ object Graph {
         .join(h1.select(col("id"), col("v").as("h")), Seq("id"))
         .join(auths.select(col("id"), col("v").as("__pa")), Seq("id"))
         .join(hubs.select(col("id"), col("v").as("__ph")), Seq("id"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
       val obs = new org.apache.spark.sql.Observation()
-      stepped.observe(obs, sum(abs(col("a") - col("__pa")) +
-          abs(col("h") - col("__ph"))).as("l1"))
-        .write.format("noop").mode("overwrite").save()
-      delta = obs.get.get("l1") match {
-        case Some(v: java.lang.Double) => v.doubleValue()
-        case _ => 0.0
-      }
-      // ONE truncation for both vectors (narrow projections of the
-      // checkpointed pair frame stay truncated) — half the checkpoint
-      // jobs and half the cached-vector storage of truncating each
-      // side separately
+      // ONE action per round past the half-steps: the L1 delta probe
+      // rides the TRUNCATION job itself (observe under the projection
+      // the checkpoint materializes — CollectMetrics completes with
+      // the checkpoint's internal action), replacing the former
+      // persist + separate noop-sink pass + unpersist. ONE truncation
+      // for both vectors (narrow projections of the checkpointed pair
+      // frame stay truncated) — half the checkpoint jobs and half the
+      // cached-vector storage of truncating each side separately
       val next = Dedup.defaultMaterialize(
-        stepped.select(col("id"), col("a"), col("h")))
+        stepped.observe(obs, sum(abs(col("a") - col("__pa")) +
+            abs(col("h") - col("__ph"))).as("l1"))
+          .select(col("id"), col("a"), col("h")))
+      delta = {
+        val m = org.apache.spark.sql.GraftBridge.observedOrEmpty(obs)
+        // loud, not a silent 0.0: an empty metric map means the
+        // truncation's action did not complete the observed metrics
+        // (e.g. a future hook that stops running a real query
+        // execution) — continuing would mis-stop the loop
+        if (m.isEmpty) throw new IllegalStateException(
+          "hitsConverged: L1 delta metric did not materialize with " +
+            "the round's truncation job")
+        m.get("l1") match {
+          case Some(v: java.lang.Double) => v.doubleValue()
+          case _ => 0.0 // null sum: empty node set, nothing to move
+        }
+      }
       auths = next.select(col("id"), col("a").as("v"))
       hubs = next.select(col("id"), col("h").as("v"))
-      stepped.unpersist()
       itersRun += 1
     }
     val scores = nodes

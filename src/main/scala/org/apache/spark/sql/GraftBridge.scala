@@ -23,6 +23,15 @@ object GraftBridge {
   def expression(c: Column): Expression =
     org.apache.spark.sql.classic.ExpressionUtils.expression(c)
 
+  /** Non-blocking read of an Observation's metrics (`private[sql]`
+    * `getOrEmpty`, which bounds its wait instead of parking forever
+    * like the public `get`) — used by iterative loops that ride their
+    * convergence probe on a materialization job and must FAIL LOUDLY
+    * if that job ever stops completing the observed metrics, rather
+    * than hang. */
+  def observedOrEmpty(obs: Observation): Map[String, Any] =
+    obs.getOrEmpty
+
   /** Wrap an analyzed logical plan as a DataFrame — used by the
     * catalog's total-order checker to re-execute the PRE-limit input
     * of a top-k entry's Sort (a non-total key above a LIMIT picks
