@@ -29,6 +29,25 @@ import graft.operators.Similarity
   * Usage: GRAFT_BITEXT_N=1000000 runMain graft.BitextRehearse
   */
 object BitextRehearse {
+
+  /** Deterministic synthetic corpus side (shared with
+    * [[BitextRecallRehearse]]): `nCells`-ish latent directions
+    * (vec_id % 8) plus a vec_id-keyed residual; dims derive from the
+    * POST-OFFSET vec_id so two sides are genuinely distinct corpora
+    * that still share latent directions — cross-side neighbors
+    * exist, exact duplicates don't. */
+  def side(spark: SparkSession, n: Long, dim: Int,
+      offset: Long): DataFrame = {
+    val vid = col("id") + offset
+    val dims = (0 until dim).map { d =>
+      (cos(lit(d.toDouble / 3.0) + (vid % 8).cast("double")) +
+        sin(vid.cast("double") * lit(0.7154 + d * 0.013)) * 0.35)
+        .cast("float")
+    }
+    spark.range(n).select(vid.as("vec_id"),
+      array(dims: _*).as("embedding"))
+  }
+
   def main(args: Array[String]): Unit = {
     val n = sys.env.getOrElse("GRAFT_BITEXT_N", "1000000").toLong
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -45,25 +64,8 @@ object BitextRehearse {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // deterministic synthetic side: 8 latent directions (vec_id % 8)
-    // plus a vec_id-keyed residual. Dims derive from the POST-OFFSET
-    // vec_id, so the two sides are genuinely distinct corpora (an
-    // id-keyed construction would make tgt a bit-identical twin of
-    // src and the mutual-fraction sanity signal degenerate) while
-    // still sharing the latent directions — cross-side neighbors
-    // exist, exact duplicates don't
-    def side(offset: Long): DataFrame = {
-      val vid = col("id") + offset
-      val dims = (0 until dim).map { d =>
-        (cos(lit(d.toDouble / 3.0) + (vid % 8).cast("double")) +
-          sin(vid.cast("double") * lit(0.7154 + d * 0.013)) * 0.35)
-          .cast("float")
-      }
-      spark.range(n).select(vid.as("vec_id"),
-        array(dims: _*).as("embedding"))
-    }
-    val src = side(0L).persist()
-    val tgt = side(2L * n).persist()
+    val src = side(spark, n, dim, 0L).persist()
+    val tgt = side(spark, n, dim, 2L * n).persist()
     println(s"[bitext-rehearse] n=$n/side dim=$dim nCells=$nCells " +
       s"nProbes=$nProbes cap=$perCellCap kCand=$kCand")
 

@@ -947,6 +947,94 @@ private[queries] object ExtensionCrawlGraphQueries {
         srcCents, tgtCents, nProbes = 2, perCellCap = 64) +
         "\nORDER BY src_id"),
 
+    QuerySpec("x80c_bitext_miner_recall",
+      "RECALL gate for the composed miner — the answer to \"what does " +
+        "the cap cost?\": runs x80's exact all-pairs miner as ground " +
+        "truth and x80b's composed IVF form under a retrieval that " +
+        "GENUINELY BINDS at every SF (nProbes=1 of 4 cells, " +
+        "perCellCap=8 — unlike x80b's near-complete fixture " +
+        "retrieval), and emits one row per source: the exact best " +
+        "pair, the composed best pair (-1 when the source never " +
+        "entered a candidate), the hit flag, and both mutual flags. " +
+        "Every per-source hit/miss is pinned by the DuckDB twin, " +
+        "which re-derives BOTH miners — the exact cross join and the " +
+        "full centroid/probe/cap retrieval composition — so this " +
+        "hash-gates one measured point of the recall-vs-cap curve " +
+        "(the sweep lives in BitextRecallRehearse/SCALE.md). " +
+        "Centroids are the x80b memoized trains (same tags); builder " +
+        "REQUIREs a non-empty hit set and at least one miss recorded " +
+        "structurally (hit or comp_tgt=-1 accounting reconciles)",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val srcSide = emb.filter(col("vec_id") % 2 === 0)
+        val tgtSide = emb.filter(col("vec_id") % 2 === 1)
+        val srcCents = trainOnce(dir, "ivf-cents-bitext-src-4-2") {
+          Similarity.ivfTrain(srcSide, "vec_id", "embedding",
+            nCells = 4, iters = 2, tag = "bitext-src")
+        }
+        val tgtCents = trainOnce(dir, "ivf-cents-bitext-tgt-4-2") {
+          Similarity.ivfTrain(tgtSide, "vec_id", "embedding",
+            nCells = 4, iters = 2, tag = "bitext-tgt")
+        }
+        val fwd = Similarity.ivfTopKWithCapped(tgtSide, srcSide,
+          "vec_id", "embedding", k = 8, tgtCents, nProbes = 1,
+          perCellCap = 8)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val bwd = Similarity.ivfTopKWithCapped(srcSide, tgtSide,
+          "vec_id", "embedding", k = 8, srcCents, nProbes = 1,
+          perCellCap = 8)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          var i = 0
+          val comp = Similarity.bitextMarginMineWith(fwd, bwd, k = 4,
+              materialize = df => { i += 1; scratch(df, s"x80c_t$i") })
+            .select(col("src_id"), col("tgt_id").as("comp_tgt"),
+              col("mutual").as("comp_mutual"))
+          val exact = Similarity.bitextMarginMine(srcSide, tgtSide,
+              "vec_id", "embedding", k = 4)
+            .select(col("src_id"), col("tgt_id").as("exact_tgt"),
+              col("mutual").as("exact_mutual"))
+          val out = scratch(exact.join(comp, Seq("src_id"), "left")
+            .select(col("src_id"), col("exact_tgt"),
+              coalesce(col("comp_tgt"), lit(-1L)).as("comp_tgt"),
+              coalesce(col("comp_tgt") === col("exact_tgt"), lit(false))
+                .as("hit"),
+              col("exact_mutual"),
+              coalesce(col("comp_mutual"), lit(false)).as("comp_mutual")),
+            "x80c_out")
+          val a = out.agg(count(lit(1)),
+            sum(when(col("hit"), 1L).otherwise(0L))).collect()(0)
+          require(a.getLong(0) >= 1 && a.getLong(1) >= 1,
+            s"recall gate needs ground truth and at least one hit: $a")
+          out.orderBy(col("src_id"))
+        } finally {
+          fwd.unpersist(); bwd.unpersist()
+        }
+      },
+      None,
+      oracleGen = () => for {
+        srcCents <- Similarity.trainedCentroids.get((4, 2, "bitext-src"))
+        tgtCents <- Similarity.trainedCentroids.get((4, 2, "bitext-tgt"))
+      } yield {
+        val exactSql = Similarity.bitextMarginOracleSql("embeddings",
+          "vec_id", "embedding", 4, "vec_id % 2 = 0", "vec_id % 2 = 1")
+        val compSql = Similarity.bitextMarginMineWithOracleSql(
+          "embeddings", "vec_id", "embedding", k = 4, kCand = 8,
+          "vec_id % 2 = 0", "vec_id % 2 = 1",
+          srcCents, tgtCents, nProbes = 1, perCellCap = 8)
+        s"""SELECT e.src_id, e.tgt_id AS exact_tgt,
+           |  coalesce(c.tgt_id, -1) AS comp_tgt,
+           |  coalesce(c.tgt_id = e.tgt_id, FALSE) AS hit,
+           |  e.mutual AS exact_mutual,
+           |  coalesce(c.mutual, FALSE) AS comp_mutual
+           |FROM (
+           |${exactSql}
+           |) e LEFT JOIN (
+           |${compSql}
+           |) c ON e.src_id = c.src_id
+           |ORDER BY e.src_id""".stripMargin
+      }),
+
     QuerySpec("x81_streaming_wet_ingest",
       "STREAMING WET ingest — the crawl-delivery shape: new .wet " +
         "part files land in a directory and ingest incrementally " +
