@@ -326,16 +326,33 @@ object Graph {
     // twice and the doubling compounds across 2·iters half-steps —
     // measured 22-27 s vs 6-7 s truncated on the x79 graph. Always
     // materialize; this is the pageRankConverged double-consumption
-    // rule, not an option.
+    // rule, not an option. The normalizer max RIDES the truncation
+    // job via observe() (max is the one order-INdependent corpus-wide
+    // FP reduction, so the observed scalar is bit-equal to the former
+    // broadcast-subquery form) and lands in the plan as a literal —
+    // one job per half-step instead of two.
+    val obs = new org.apache.spark.sql.Observation()
     val sums = Dedup.defaultMaterialize(p1.groupBy(col("id"))
       .agg(aggregate(
         transform(array_sort(collect_list(struct(col("__shard"), col("ps")))),
           x => x.getField("ps")),
-        lit(0.0), (acc, x) => acc + x).as("s")))
+        lit(0.0), (acc, x) => acc + x).as("s"))
+      .observe(obs, max(col("s")).as("m")))
+    val m = {
+      val metrics = org.apache.spark.sql.GraftBridge.observedOrEmpty(obs)
+      if (metrics.isEmpty) throw new IllegalStateException(
+        "foldOver: normalizer max did not materialize with the " +
+          "half-step's truncation job")
+      metrics.get("m") match {
+        case Some(v: java.lang.Double) => lit(v.doubleValue())
+        // null max = empty score frame (empty edge set): keep the
+        // former broadcast form's null-division semantics
+        case _ => lit(null).cast("double")
+      }
+    }
     nodes.join(sums, Seq("id"), "left_outer")
-      .crossJoin(broadcast(sums.agg(max(col("s")).as("__m"))))
       .select(col("id"),
-        round(coalesce(col("s"), lit(0.0)) / col("__m"), 12).as("v"))
+        round(coalesce(col("s"), lit(0.0)) / m, 12).as("v"))
   }
 
   /** Fixed-iteration HITS (Kleinberg 1999): authority(v) sums the hub
