@@ -1594,7 +1594,17 @@ object Similarity {
     *
     * NOTE: upstream [[ivfServe]] drops qid = did pairs (ANN
     * self-match hygiene), so src and tgt must not share ids — true
-    * for any real bilingual corpus and for the x80b parity fixture. */
+    * for any real bilingual corpus and for the x80b parity fixture.
+    *
+    * RECALL vs the retrieval's parameters is MEASURED, not assumed
+    * (graft.BitextRecallRehearse; table in SCALE.md; one point
+    * hash-gated as x80c): mined-pair recall tracks
+    * perCellCap / cell-occupancy — the cap is a hash election, so the
+    * true neighbor survives with probability ≈ cap/|cell| regardless
+    * of nProbes (0.03 → 0.81 as that ratio goes 0.03 → 1.6 on the
+    * rehearsal geometry). Size the cap as a multiple of
+    * corpus/nCells and raise nCells — not the cap — when recall
+    * matters; the cap exists to bound pathological cells. */
   def bitextMarginMineWith(fwd: DataFrame, bwd: DataFrame, k: Int,
       materialize: DataFrame => DataFrame = identity): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
