@@ -76,14 +76,19 @@ object Corpus {
     * member (ties → lowest id) instead of its lowest id — what a real
     * ingest wants: near-dups usually differ by boilerplate or
     * truncation, and min-id keeps whichever arrived first, not the
-    * best copy. The rank window is per-cluster (clusters are tiny), so
-    * no global window appears at any scale. */
+    * best copy. The representative election is a map-side-partial
+    * `min(struct(-quality, id, row))` aggregate, not a per-cluster
+    * rank window: clusters are USUALLY tiny, but connected components
+    * chain transitively — a templated page family can fuse into one
+    * multi-million-doc cluster, and a window would pull it through a
+    * single task where the struct-min reduces it map-side (the
+    * marginMineTail rule; negating the quality turns min into
+    * "max quality, then lowest id", exact for finite doubles). */
   def cleanKeepBest(docs: DataFrame, idCol: String, textCol: String,
       minQuality: Double, langs: Seq[String],
       p: Dedup.MinHashParams = Dedup.MinHashParams(),
       minEst: Double = 0.75,
       materialize: DataFrame => DataFrame = Dedup.defaultMaterialize): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val (exactKept, clusters) = hygieneClusters(
       docs, idCol, textCol, minQuality, langs, p, minEst, materialize)
     // materialize tokens before the ratio lambdas (HOF recompute trap)
@@ -93,11 +98,11 @@ object Corpus {
         TextAnalysis.qualityScoreFromTokens(col(textCol), col("__tk")))
       .drop("__tk")
       .join(clusters, Seq(idCol))
-    val w = Window.partitionBy(col("cluster_id"))
-      .orderBy(col("__q").desc, col(idCol))
-    scored.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .select(col(idCol), col(textCol))
+    scored.groupBy(col("cluster_id"))
+      .agg(min(struct(negate(col("__q")).as("__nq"),
+        col(idCol).as("__id"), col(textCol).as("__t"))).as("__w"))
+      .select(col("__w").getField("__id").as(idCol),
+        col("__w").getField("__t").as(textCol))
   }
 
   // ---- PII scrubbing -----------------------------------------------

@@ -20,13 +20,24 @@ import graft.functions.TextFunctions._
 object Dedup {
 
   /** Exact dedup: keep the lowest-id row per identical key. One shuffle
-    * on the (hashed) key. */
+    * on the (hashed) key.
+    *
+    * Election is a single map-side-partial `min(struct(id, row))`
+    * aggregate, NOT a per-key window: a viral exact duplicate (blank
+    * page, boilerplate template — millions of rows with one
+    * fingerprint) would pull its whole group through a single
+    * WindowExec task, while the struct-min aggregate reduces it
+    * map-side before the shuffle (the marginMineTail rule). Ties
+    * beyond the id (only possible if ids are not unique, against the
+    * contract) break on the remaining columns in schema order, so the
+    * result is deterministic for any input. */
   def exactKeepFirst(df: DataFrame, keyCol: Column, idCol: Column): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(keyCol)
-    df.withColumn("__keep", min(idCol).over(w))
-      .filter(idCol === col("__keep"))
-      .drop("__keep")
+    val cols = df.columns.toSeq
+    df.groupBy(keyCol.as("__k"))
+      .agg(min(struct(idCol.as("__ord"),
+        struct(cols.map(col): _*).as("__row"))).as("__w"))
+      .select(cols.map(c =>
+        col("__w").getField("__row").getField(c).as(c)): _*)
   }
 
   // ---- MinHash + LSH ------------------------------------------------
@@ -651,6 +662,31 @@ object Dedup {
     else defaultPersist(df)
   }
 
+  /** [[defaultMaterialize]] whose result is guaranteed to have been
+    * MATERIALIZED BY AN ACTION before this returns — required by
+    * every site that rides an `observe()` metric on the
+    * materialization job (the Graph.scala convergence probes and
+    * max-normalizer): an Observation only completes when a query
+    * execution actually RUNS over the observed plan. The local and
+    * checkpoint-dir paths already run one (eager localCheckpoint /
+    * reliable checkpoint); the cluster-without-checkpoint-dir
+    * fallback was a LAZY persist, which runs no job — the observed
+    * metric would never materialize and the caller's loud
+    * empty-metric guard would throw on every call in that
+    * environment. Here that fallback persists and then drains the
+    * plan through one noop-sink write (touches every partition, so
+    * the cache is fully populated AND the observation completes),
+    * keeping lineage exactly as [[defaultPersist]] does. */
+  val defaultMaterializeActioned: DataFrame => DataFrame = df => {
+    val sc = df.sparkSession.sparkContext
+    if (sc.isLocal || sc.getCheckpointDir.isDefined) defaultMaterialize(df)
+    else {
+      val p = defaultPersist(df)
+      p.write.format("noop").mode("overwrite").save()
+      p
+    }
+  }
+
   // ---- SimHash ------------------------------------------------------
 
   /** SimHash banding parameters: a 64-bit signature split into `bands`
@@ -1025,7 +1061,6 @@ object Dedup {
       l: Int = 8, materialize: DataFrame => DataFrame = identity)
       : DataFrame = {
     require(l >= 2, s"window length must be >= 2, got $l")
-    import org.apache.spark.sql.expressions.Window
 
     // (id, tokens, n) — feeds window extraction AND reassembly.
     val base = materialize(docs
@@ -1043,15 +1078,21 @@ object Dedup {
       .select(col(idCol), (col("__p0") + 1).cast("int").as("pos"),
         col("win_h"))
 
-    // One shuffle on win_h: occurrences beyond the globally first of
-    // a >1-occurrence window are removals. Both window functions
-    // share the partition spec, so this is a single exchange.
-    val byHash = Window.partitionBy(col("win_h"))
-    val ordered = byHash.orderBy(col(idCol), col("pos"))
-    val removals = wins
-      .withColumn("__cnt", count(lit(1)).over(byHash))
-      .withColumn("__rn", row_number().over(ordered))
-      .filter(col("__cnt") > 1 && col("__rn") > 1)
+    // Occurrences beyond the globally first of a >1-occurrence window
+    // are removals. The per-hash count and first-occurrence election
+    // are ONE map-side-partial aggregate joined back on win_h — NOT a
+    // pair of hash-keyed window functions: a viral L-token window
+    // (license boilerplate in hundreds of millions of docs) would pull
+    // every occurrence through a single WindowExec task, while the
+    // aggregate reduces it map-side and the join-back is
+    // AQE-skew-splittable (the class doc's "AQE handles the skew"
+    // holds for joins; it never held for windows).
+    val stats = wins.groupBy(col("win_h"))
+      .agg(count(lit(1)).as("__cnt"),
+        min(struct(col(idCol), col("pos"))).as("__first"))
+    val removals = wins.join(stats, Seq("win_h"))
+      .filter(col("__cnt") > 1 &&
+        struct(col(idCol), col("pos")) =!= col("__first"))
       .select(col(idCol), col("pos"))
 
     // Per-doc covered token positions (distinct union of the removed
@@ -1116,13 +1157,18 @@ object Dedup {
     // removal policy's view (globally-first occurrence not a dup);
     // false is the audit view (EVERY occurrence of a duplicated
     // window is part of a duplicated span, including the original).
-    val byHash = Window.partitionBy(col("win_h"))
-    val ordered = byHash.orderBy(col(idCol), col("pos"))
-    val seeds0 = wins.withColumn("__cnt", count(lit(1)).over(byHash))
+    // Same skew-safe shape as [[exactSubstringDedup]]'s removal
+    // election: one map-side-partial aggregate per hash, joined back
+    // (AQE-splittable) instead of hash-keyed window functions that
+    // would funnel a viral window's occurrences through one task.
+    val stats = wins.groupBy(col("win_h"))
+      .agg(count(lit(1)).as("__cnt"),
+        min(struct(col(idCol), col("pos"))).as("__first"))
+    val joined = wins.join(stats, Seq("win_h"))
     val seeds = (if (firstOnly)
-        seeds0.withColumn("__rn", row_number().over(ordered))
-          .filter(col("__cnt") > 1 && col("__rn") > 1)
-      else seeds0.filter(col("__cnt") > 1))
+        joined.filter(col("__cnt") > 1 &&
+          struct(col(idCol), col("pos")) =!= col("__first"))
+      else joined.filter(col("__cnt") > 1))
       .select(col(idCol), col("pos"))
 
     // pass 2: gaps-and-islands per document. A seed at p covers

@@ -128,8 +128,11 @@ object Graph {
       // materializes — CollectMetrics completes with the checkpoint's
       // internal action), replacing the former persist + separate
       // noop-sink pass + unpersist (hitsConverged's shape; measured
-      // ~13% on the x79b solo A/B, same win here)
-      ranks = Dedup.defaultMaterialize(
+      // ~13% on the x79b solo A/B, same win here). The ACTIONED
+      // materializer, because the probe needs a completed job even on
+      // the persist fallback (plain persist is lazy — no job, no
+      // metric, spurious empty-metric throw).
+      ranks = Dedup.defaultMaterializeActioned(
         stepped.observe(obs, sum(abs(col("r") - col("__prev"))).as("l1"))
           .select(col("id"), col("r")))
       delta = {
@@ -330,9 +333,12 @@ object Graph {
     // job via observe() (max is the one order-INdependent corpus-wide
     // FP reduction, so the observed scalar is bit-equal to the former
     // broadcast-subquery form) and lands in the plan as a literal —
-    // one job per half-step instead of two.
+    // one job per half-step instead of two. Actioned materializer:
+    // the observed max needs a completed job even where truncation
+    // degrades to persist (lazy — no job would ever complete the
+    // metric and EVERY hits() call on such a cluster would throw).
     val obs = new org.apache.spark.sql.Observation()
-    val sums = Dedup.defaultMaterialize(p1.groupBy(col("id"))
+    val sums = Dedup.defaultMaterializeActioned(p1.groupBy(col("id"))
       .agg(aggregate(
         transform(array_sort(collect_list(struct(col("__shard"), col("ps")))),
           x => x.getField("ps")),
@@ -375,6 +381,16 @@ object Graph {
       materialize: DataFrame => DataFrame = identity): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(shards >= 1, s"shards must be >= 1, got $shards")
+    // the pageRankConverged cluster guard, extended here: each
+    // half-step's sums frame is lineage-truncated inside foldOver,
+    // and on a cluster without a checkpoint dir that truncation
+    // degrades to persist (plans nest round over round)
+    val sc0 = edges.sparkSession.sparkContext
+    if (!(sc0.isLocal || sc0.getCheckpointDir.isDefined) && iters > 10)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"hits: no checkpoint dir — per-half-step plan truncation " +
+          s"degrades to persist at iters=$iters; set " +
+          "sparkContext.setCheckpointDir before raising the budget")
     val e = materialize(
       edges.select(col("src").cast("long"), col("dst").cast("long")))
     val nodes = materialize(e.select(col("src").as("id"))
@@ -535,8 +551,10 @@ object Graph {
       // persist + separate noop-sink pass + unpersist. ONE truncation
       // for both vectors (narrow projections of the checkpointed pair
       // frame stay truncated) — half the checkpoint jobs and half the
-      // cached-vector storage of truncating each side separately
-      val next = Dedup.defaultMaterialize(
+      // cached-vector storage of truncating each side separately.
+      // Actioned: the probe needs a completed job on the persist
+      // fallback too (see defaultMaterializeActioned).
+      val next = Dedup.defaultMaterializeActioned(
         stepped.observe(obs, sum(abs(col("a") - col("__pa")) +
             abs(col("h") - col("__ph"))).as("l1"))
           .select(col("id"), col("a"), col("h")))

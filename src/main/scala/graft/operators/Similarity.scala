@@ -487,8 +487,8 @@ object Similarity {
     * literal centroids (zero shuffle); the only wide ops are the
     * cell-keyed self-join and a per-id max. Within-cell pair volume
     * is HARD-bounded, not assumed: each cell is capped at its
-    * `maxCell` lowest ids (ranked by the same window key the join
-    * shuffles on, so the cap adds no extra exchange) and only capped
+    * `maxCell` lowest ids (a two-phase sharded rank, so a skewed cell
+    * never funnels through one window task) and only capped
     * rows enter the pair join — ≤ maxCell²/2 pairs per cell no matter
     * how skewed the embedding distribution. Rows beyond the cap get
     * no verdict (kept=true, max_lower_cos_r=-1.0) — the same
@@ -506,9 +506,25 @@ object Similarity {
     val c = corpus.select(col(idCol).as("__id"), col(vecCol).as("__v"),
       l2Norm(col(vecCol)).as("__n"),
       cellExpr(col(vecCol), centroids).as("cell"))
+    // Two-phase sharded cap (the perCellHashKeep shape, same id
+    // ordering as the one-phase window it replaces): the cap binds
+    // exactly when ONE cell holds most of the corpus, and a plain
+    // cell-keyed window would pull that whole cell through a single
+    // task. Phase 1 ranks within (cell, id-hash shard) and keeps
+    // ≤ maxCell per shard — lossless: a row with maxCell lower-id
+    // rows in its OWN shard cannot be in the cell's overall lowest
+    // maxCell — phase 2 ranks the ≤ shards×maxCell survivors.
+    val capShards = 64
+    val w1 = Window.partitionBy(col("cell"),
+        graft.functions.HashFunctions.md5Hash60b(col("__id").cast("string"))
+          % capShards)
+      .orderBy(col("__id"))
     val capW = Window.partitionBy(col("cell")).orderBy(col("__id"))
-    val capped = c.withColumn("__rn", row_number().over(capW))
+    val capped = c.withColumn("__k1", row_number().over(w1))
+      .filter(col("__k1") <= maxCell)
+      .withColumn("__rn", row_number().over(capW))
       .filter(col("__rn") <= maxCell)
+      .drop("__k1")
     val lo = capped.select(col("cell"), col("__id").as("id_a"),
       col("__v").as("va"), col("__n").as("na"))
     val hi = capped.select(col("cell"), col("__id").as("id_b"),

@@ -127,14 +127,36 @@ private[queries] object ExtensionSupport {
     * call per path writes (mode=overwrite, so a stale cross-JVM dump
     * at the same /tmp path is still replaced exactly as before);
     * subsequent calls in the same JVM reuse the bytes on disk.
-    * computeIfAbsent, not a check-then-act set, so a concurrent
-    * duplicate caller blocks until the write completes instead of
-    * reading a half-written dump. */
-  private val wetFixtureMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+    *
+    * The memo is a per-path future claimed with putIfAbsent — NOT a
+    * computeIfAbsent whose mapping function runs the Spark write:
+    * computeIfAbsent holds the map's bin lock for the write's whole
+    * duration, so a concurrent call on a DIFFERENT path hashing to
+    * the same bin would block behind a multi-second job, and any
+    * re-entrant call from inside the write closure would deadlock.
+    * Here the winner runs the write OUTSIDE any map lock and
+    * completes the future; duplicates await it (same
+    * one-write/visibility contract, no long-held bin locks). A
+    * FAILED write retracts its claim so a later call can retry
+    * instead of memoizing the failure. */
+  private val wetFixtureMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.CompletableFuture[java.lang.Boolean]]()
 
-  def wetFixtureOnce(path: String)(write: => Unit): Unit =
-    wetFixtureMemo.computeIfAbsent(path, _ => { write; true })
+  def wetFixtureOnce(path: String)(write: => Unit): Unit = {
+    val mine = new java.util.concurrent.CompletableFuture[java.lang.Boolean]()
+    val prev = wetFixtureMemo.putIfAbsent(path, mine)
+    if (prev == null) {
+      try {
+        write
+        mine.complete(true)
+      } catch {
+        case t: Throwable =>
+          wetFixtureMemo.remove(path, mine)
+          mine.completeExceptionally(t)
+          throw t
+      }
+    } else prev.join()
+  }
 
   /** Session-scoped memo of trained ANN artifacts shared across the
     * recall/eval family (x6b/x6c, x39, x42/x42b/x42d, x45/x46, plus

@@ -23,14 +23,31 @@ object GraftBridge {
   def expression(c: Column): Expression =
     org.apache.spark.sql.classic.ExpressionUtils.expression(c)
 
-  /** Non-blocking read of an Observation's metrics (`private[sql]`
-    * `getOrEmpty`, which bounds its wait instead of parking forever
-    * like the public `get`) — used by iterative loops that ride their
-    * convergence probe on a materialization job and must FAIL LOUDLY
-    * if that job ever stops completing the observed metrics, rather
-    * than hang. */
-  def observedOrEmpty(obs: Observation): Map[String, Any] =
-    obs.getOrEmpty
+  /** Bounded-wait read of an Observation's metrics — used by
+    * iterative loops that ride their convergence probe on a
+    * materialization job and must FAIL LOUDLY if that job ever stops
+    * completing the observed metrics, rather than park forever like
+    * the public `get`.
+    *
+    * `private[sql]` `getOrEmpty` alone waits only 100 ms, and an
+    * Observation is completed by a QueryExecutionListener on the
+    * ASYNC ExecutionListenerBus — the SQLExecutionEnd event can
+    * legitimately land later than that under listener-bus backlog or
+    * a GC pause, even though the materializing action already
+    * succeeded. So poll it in a bounded retry loop (default 10 s,
+    * two orders of magnitude past observed listener latencies but
+    * still a loud, finite failure if the metric genuinely never
+    * completes) instead of treating one 100 ms miss as "empty". */
+  def observedOrEmpty(obs: Observation,
+      timeoutMs: Long = 10000L): Map[String, Any] = {
+    val deadline = System.nanoTime() + timeoutMs * 1000000L
+    var m = obs.getOrEmpty
+    while (m.isEmpty && System.nanoTime() < deadline) {
+      Thread.sleep(50L)
+      m = obs.getOrEmpty
+    }
+    m
+  }
 
   /** Wrap an analyzed logical plan as a DataFrame — used by the
     * catalog's total-order checker to re-execute the PRE-limit input

@@ -554,7 +554,9 @@ class PropertySpec extends SparkSpec {
         flags.map(m => if (m) markedText else cleanText))
     } yield texts.zip(flags)
     forAll(docs, minSuccessful(8)) { (ds: List[(String, Boolean)]) =>
-      val dir = java.nio.file.Files.createTempDirectory("wetmark").toString
+      val dirPath = java.nio.file.Files.createTempDirectory("wetmark")
+      val dir = dirPath.toString
+      try {
       // hand-concatenated records (the WarcSpec idiom): Content-Length
       // is the FULL payload's byte count, marker included — exactly
       // what a writer that never inspects payloads would emit
@@ -588,6 +590,14 @@ class PropertySpec extends SparkSpec {
       val nClean = ds.count(!_._2)
       assert(nTrue == nClean,
         s"frame_ok=true rows ($nTrue) must equal clean records ($nClean)")
+      } finally {
+        // per-iteration fixture dir — delete it (deepest-first) or the
+        // suite leaks a temp tree on every forAll iteration
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(dirPath).iterator().asScala.toSeq
+          .sortBy(-_.getNameCount)
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
     }
   }
 }

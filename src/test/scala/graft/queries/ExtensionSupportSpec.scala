@@ -26,9 +26,8 @@ class ExtensionSupportSpec extends AnyFunSuite {
           Thread.sleep(100) // widen the window a naive race would hit
           completed = true
         }
-        // computeIfAbsent blocks duplicate callers until the mapping
-        // function returns — so by the time ANY caller gets here the
-        // write must be complete
+        // duplicate callers await the winner's per-path future — so
+        // by the time ANY caller gets here the write must be complete
         assert(completed, "caller proceeded before the write finished")
       }
     }
@@ -41,5 +40,23 @@ class ExtensionSupportSpec extends AnyFunSuite {
     var other = 0
     ExtensionSupport.wetFixtureOnce(path + "-b") { other += 1 }
     assert(other == 1)
+  }
+
+  test("wetFixtureOnce: a failed write retracts its claim — the next " +
+      "caller retries instead of memoizing the failure") {
+    val path = s"memo-fail-${System.nanoTime()}"
+    val writes = new AtomicInteger(0)
+    val boom = intercept[RuntimeException] {
+      ExtensionSupport.wetFixtureOnce(path) {
+        writes.incrementAndGet()
+        throw new RuntimeException("disk full")
+      }
+    }
+    assert(boom.getMessage == "disk full")
+    ExtensionSupport.wetFixtureOnce(path) { writes.incrementAndGet() }
+    assert(writes.get() == 2, "second caller must re-run the write")
+    // and the successful retry is memoized as usual
+    ExtensionSupport.wetFixtureOnce(path) { writes.incrementAndGet() }
+    assert(writes.get() == 2)
   }
 }
