@@ -102,6 +102,60 @@ object Packing {
       .drop("__b", "__cum_in")
   }
 
+  /** PER-GROUP inclusive running sum — [[inclusiveRunningSum]]'s
+    * two-level decomposition with every level additionally keyed by
+    * `groupCol`: the in-bucket cumsum windows on (group, bucket), the
+    * per-(group, bucket) totals get their exclusive prefix from a
+    * window keyed by group over AT MOST `buckets` rows per group, and
+    * the offsets join back on (group, bucket). Exists because the
+    * plain per-group window (`partitionBy(group).orderBy(order)`)
+    * degenerates to ONE task for a group whose ordered rows are
+    * corpus-sized — a continuous-valued histogram group
+    * (distinct ≈ rows) is exactly that shape — while here the
+    * range partitioning on (group, orderCols) spreads that group
+    * across buckets and no window ever sees more than one bucket's
+    * slice of it. Range partitioning keeps each group's buckets
+    * contiguous, so the offsets frame holds ≤ #groups + buckets rows
+    * (each bucket boundary splits at most one group); the join back
+    * is a plain equi-join on (group, bucket) — skew-splittable,
+    * unlike a window. Bit-identical to the single-window form for
+    * integer values (associative regrouping), same as the global
+    * primitive. `orderCols` must totally order rows WITHIN each
+    * group. */
+  def groupedInclusiveRunningSum(df: DataFrame, groupCol: String,
+      orderCols: Seq[Column], valueCol: String,
+      nBuckets: Int = 0): DataFrame = {
+    require(nBuckets >= 0, "nBuckets must be >= 0 (0 = adaptive)")
+    require(orderCols.nonEmpty, "orderCols must be non-empty")
+    val buckets =
+      if (nBuckets > 0) nBuckets
+      else math.min(1024, math.max(1,
+        df.sparkSession.sparkContext.defaultParallelism * 4))
+    val bucketed = df
+      .repartitionByRange(buckets, (col(groupCol) +: orderCols): _*)
+      .withColumn("__b", spark_partition_id().cast("long"))
+    val inBucket = Window.partitionBy(col(groupCol), col("__b"))
+      .orderBy(orderCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withCum = bucketed
+      .withColumn("__cum_in", sum(col(valueCol)).over(inBucket))
+    val bucketTotals = withCum.groupBy(col(groupCol), col("__b"))
+      .agg(sum(col(valueCol)).as("__tot"))
+    // ≤ buckets rows per group under this window, whatever the skew
+    val overBuckets = Window.partitionBy(col(groupCol))
+      .orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offsets = bucketTotals
+      .withColumn("__off",
+        sum(col("__tot")).over(overBuckets) - col("__tot"))
+      .select(col(groupCol), col("__b"), col("__off"))
+    // offsets is (#groups + buckets)-sized, not broadcast-bounded —
+    // a high-cardinality group column must stay a shuffle join
+    withCum.join(offsets, Seq(groupCol, "__b"))
+      .withColumn("__incl", col("__cum_in") + col("__off"))
+      .drop("__b", "__cum_in")
+  }
+
   /** The EXCLUSIVE running sum of `valueCol` over rows ordered by
     * (unique) `idCol`, as column `__excl` — [[inclusiveRunningSum]]
     * minus the row's own value (exact for the integer values this

@@ -33,24 +33,36 @@ object Stats {
 
   /** Per-group exact discrete quantiles of `valCol` at the given
     * integer percentages, plus the group's row count. Output:
-    * (groupCol, p<pct>..., n_rows) — one row per group. */
+    * (groupCol, p<pct>..., n_rows) — one row per group.
+    *
+    * The per-group cumulative count runs through
+    * [[Packing.groupedInclusiveRunningSum]]'s two-level prefix sum
+    * over the (group, value) histogram — NOT a per-group window: a
+    * group with continuous values (doc scores: distinct ≈ rows) makes
+    * the histogram group corpus-sized, and a
+    * `partitionBy(group).orderBy(value)` window would pull all of it
+    * through one task, while the two-level form spreads it across
+    * range buckets (same decomposition [[globalExactQuantiles]] has
+    * always used for the one-giant-group case, values bit-identical).
+    * Group totals join back per group — an equi-join AQE can
+    * skew-split, unlike a window. */
   def exactQuantiles(df: DataFrame, groupCol: String, valCol: String,
       pcts: Seq[Int]): DataFrame = {
     require(pcts.nonEmpty && pcts.forall(p => p >= 1 && p <= 100),
       s"percentages must be in [1,100], got $pcts")
     val h = df.groupBy(col(groupCol), col(valCol))
       .agg(count(lit(1)).as("__cnt"))
-    val cumW = Window.partitionBy(col(groupCol)).orderBy(col(valCol))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val totW = Window.partitionBy(col(groupCol))
-    val cum = h
-      .withColumn("__cum", sum(col("__cnt")).over(cumW))
-      .withColumn("__n", sum(col("__cnt")).over(totW))
+    val cum = Packing
+      .groupedInclusiveRunningSum(h, groupCol, Seq(col(valCol)), "__cnt")
+      .withColumn("__cum", col("__incl").cast("long"))
+    val totals = h.groupBy(col(groupCol))
+      .agg(sum(col("__cnt")).cast("long").as("__n"))
     val aggs = pcts.map { p =>
       val k = ldiv(col("__n") * p + 99, lit(100L))
       min(when(col("__cum") >= k, col(valCol))).as(s"p$p")
     } :+ max(col("__n")).cast("long").as("n_rows")
-    cum.groupBy(col(groupCol))
+    cum.join(totals, Seq(groupCol))
+      .groupBy(col(groupCol))
       .agg(aggs.head, aggs.tail: _*)
       .orderBy(col(groupCol))
   }

@@ -963,11 +963,26 @@ private[queries] object ExtensionCrawlGraphQueries {
         "(the sweep lives in BitextRecallRehearse/SCALE.md). " +
         "Centroids are the x80b memoized trains (same tags); builder " +
         "REQUIREs a non-empty hit set and at least one miss recorded " +
-        "structurally (hit or comp_tgt=-1 accounting reconciles)",
+        "structurally (hit or comp_tgt=-1 accounting reconciles). " +
+        "The exact ground-truth side is BOUNDED to a deterministic " +
+        "md5-ordered sample of 200 sources (REQUIREd) so the gate " +
+        "entry stays LINEAR in SF — unsampled, the exact cross join " +
+        "is quadratic and a sf10 sweep would pay 10^8 scored pairs " +
+        "for one gate point; the composed miner still runs over the " +
+        "FULL source side, and the per-source hit/miss join " +
+        "restricts to the sampled ground truth",
       (s, dir) => {
         val emb = t(s, dir, "embeddings")
         val srcSide = emb.filter(col("vec_id") % 2 === 0)
         val tgtSide = emb.filter(col("vec_id") % 2 === 1)
+        // deterministic, engine-reproducible sample: top-200 sources
+        // by (60-bit md5 of the id, id) — the perCellHashKeep ordering
+        // convention, TakeOrderedAndProject at any scale
+        val nSample = 200
+        val srcSample = srcSide
+          .orderBy(graft.functions.HashFunctions
+            .md5Hash60(col("vec_id").cast("string")), col("vec_id"))
+          .limit(nSample)
         val srcCents = trainOnce(dir, "ivf-cents-bitext-src-4-2") {
           Similarity.ivfTrain(srcSide, "vec_id", "embedding",
             nCells = 4, iters = 2, tag = "bitext-src")
@@ -990,7 +1005,11 @@ private[queries] object ExtensionCrawlGraphQueries {
               materialize = df => { i += 1; scratch(df, s"x80c_t$i") })
             .select(col("src_id"), col("tgt_id").as("comp_tgt"),
               col("mutual").as("comp_mutual"))
-          val exact = Similarity.bitextMarginMine(srcSide, tgtSide,
+          val nS = srcSample.count()
+          require(nS == math.min(nSample.toLong, srcSide.count()),
+            s"ground-truth sample must hold min($nSample, |src|) " +
+              s"rows, got $nS")
+          val exact = Similarity.bitextMarginMine(srcSample, tgtSide,
               "vec_id", "embedding", k = 4)
             .select(col("src_id"), col("tgt_id").as("exact_tgt"),
               col("mutual").as("exact_mutual"))
@@ -1016,8 +1035,14 @@ private[queries] object ExtensionCrawlGraphQueries {
         srcCents <- Similarity.trainedCentroids.get((4, 2, "bitext-src"))
         tgtCents <- Similarity.trainedCentroids.get((4, 2, "bitext-tgt"))
       } yield {
+        // twin of the Spark-side deterministic md5-ordered source
+        // sample (cellCapOrderSql's 60-bit ordering convention)
+        val srcSamplePred = "vec_id % 2 = 0 AND vec_id IN (" +
+          "SELECT vec_id FROM embeddings WHERE vec_id % 2 = 0 " +
+          "ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, " +
+          "15))::BIGINT, vec_id LIMIT 200)"
         val exactSql = Similarity.bitextMarginOracleSql("embeddings",
-          "vec_id", "embedding", 4, "vec_id % 2 = 0", "vec_id % 2 = 1")
+          "vec_id", "embedding", 4, srcSamplePred, "vec_id % 2 = 1")
         val compSql = Similarity.bitextMarginMineWithOracleSql(
           "embeddings", "vec_id", "embedding", k = 4, kCand = 8,
           "vec_id % 2 = 0", "vec_id % 2 = 1",

@@ -537,9 +537,11 @@ object ParityQueries {
         "g5's percentile()/quantile_cont holds every group value in " +
         "memory (OOM at fact-table group sizes); this computes the " +
         "same-rank type-1 quantiles from the per-group (value, count) " +
-        "histogram — one map-combined shuffle + a window over " +
-        "histogram rows only, integer-exact so no interpolation ULPs; " +
-        "the oracle mirrors the histogram formulation",
+        "histogram — one map-combined shuffle + the grouped two-level " +
+        "prefix sum (no window ever holds a whole group, even one " +
+        "with distinct ≈ rows values), integer-exact so no " +
+        "interpolation ULPs; the oracle mirrors the histogram " +
+        "formulation with a plain window (same values)",
       (s, dir) => graft.operators.Stats.exactQuantiles(
         t(s, dir, "lineitem"), "l_returnflag", "l_quantity",
         Seq(25, 50, 75)),

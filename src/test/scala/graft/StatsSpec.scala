@@ -50,6 +50,37 @@ class StatsSpec extends SparkSpec {
       "two-level prefix decomposition must equal the windowed form")
   }
 
+  test("exactQuantiles: a continuous-valued group (distinct = rows) " +
+      "and bucket-count invariance of the grouped two-level form") {
+    // the degenerate shape the grouped two-level prefix sum exists
+    // for: one group whose histogram is corpus-sized (every value
+    // distinct) next to tiny groups — values must not depend on how
+    // many range buckets the decomposition used
+    val big = (1 to 500).map(i => ("big", i.toDouble))
+    val df = (big ++ Seq(("one", 42.0), ("two", 1.0), ("two", 1.0)))
+      .toDF("g", "v")
+    val got = Stats.exactQuantiles(df, "g", "v", Seq(1, 50, 100))
+      .as[(String, Double, Double, Double, Long)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got("big") == (("big", 5.0, 250.0, 500.0, 500L)))
+    assert(got("one") == (("one", 42.0, 42.0, 42.0, 1L)))
+    // all-equal-value group: one histogram row carrying all the mass
+    assert(got("two") == (("two", 1.0, 1.0, 1.0, 2L)))
+    // bucket invariance of the underlying grouped prefix sum
+    import org.apache.spark.sql.functions.col
+    val h = df.groupBy(col("g"), col("v"))
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("__cnt"))
+    val at3 = graft.operators.Packing
+      .groupedInclusiveRunningSum(h, "g", Seq(col("v")), "__cnt", 3)
+      .select("g", "v", "__incl").as[(String, Double, Long)]
+      .collect().toSet
+    val at64 = graft.operators.Packing
+      .groupedInclusiveRunningSum(h, "g", Seq(col("v")), "__cnt", 64)
+      .select("g", "v", "__incl").as[(String, Double, Long)]
+      .collect().toSet
+    assert(at3 == at64, "grouped prefix sum must be bucket-invariant")
+  }
+
   test("calibrationBins: hand-checked bins — perfectly calibrated " +
       "slices show zero gap, a confident-but-wrong slice shows it") {
     import graft.operators.Stats
