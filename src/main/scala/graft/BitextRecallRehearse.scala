@@ -108,6 +108,53 @@ object BitextRecallRehearse {
       println(f"| $nProbes | $cap | ${agg.getLong(0).toDouble / n}%.3f " +
         f"| $mr%.3f | ${agg.getLong(2)} | $wall%.1f |")
     }
+
+    // the nCells axis (r16 verdict item #2): the operating rule for
+    // real mining runs — "raise nCells, not the cap" — predicts recall
+    // tracks cap/occupancy (mean occupancy = n/nCells), so at FIXED
+    // (nProbes=2, cap=64) the sweep 64 → 256 → 1024 cells should walk
+    // cap/occupancy 0.4 → 1.6 → 6.6 and recall toward ~1.0. Measured
+    // here instead of extrapolated from the survival model.
+    println("| nCells | nProbes | cap | cap/occ | pair recall | " +
+      "mutual-core recall | no-cand sources | wall s |")
+    println("|---|---|---|---|---|---|---|---|")
+    for (nc <- Seq(64, 256, 1024)) {
+      val t0 = System.nanoTime()
+      val (sc2, tc2) =
+        if (nc == nCells) (srcCents, tgtCents)
+        else (
+          Similarity.ivfTrain(src, "vec_id", "embedding", nc, iters = 2,
+            tag = s"recall-src-$nc"),
+          Similarity.ivfTrain(tgt, "vec_id", "embedding", nc, iters = 2,
+            tag = s"recall-tgt-$nc"))
+      val nProbes = 2
+      val cap = 64
+      val fwd = Similarity.ivfTopKWithCapped(tgt, src, "vec_id",
+        "embedding", kCand, tc2, nProbes, cap).persist()
+      val bwd = Similarity.ivfTopKWithCapped(src, tgt, "vec_id",
+        "embedding", kCand, sc2, nProbes, cap).persist()
+      val comp = Similarity.bitextMarginMineWith(fwd, bwd, k)
+        .select(col("src_id"), col("tgt_id").as("comp_tgt"),
+          col("mutual").as("comp_mutual"))
+      val agg = exact.join(comp, Seq("src_id"), "left")
+        .agg(
+          sum(when(col("comp_tgt") === col("exact_tgt"), 1L)
+            .otherwise(0L)).as("hits"),
+          sum(when(col("exact_mutual") &&
+            col("comp_tgt") === col("exact_tgt") &&
+            col("comp_mutual"), 1L).otherwise(0L)).as("mhits"),
+          sum(when(col("comp_tgt").isNull, 1L).otherwise(0L))
+            .as("nocand"))
+        .collect()(0)
+      fwd.unpersist(); bwd.unpersist()
+      val wall = (System.nanoTime() - t0) / 1e9
+      val mr = if (nMutual > 0) agg.getLong(1).toDouble / nMutual
+        else Double.NaN
+      val capOverOcc = cap.toDouble * nc / n
+      println(f"| $nc | $nProbes | $cap | $capOverOcc%.1f " +
+        f"| ${agg.getLong(0).toDouble / n}%.3f | $mr%.3f " +
+        f"| ${agg.getLong(2)} | $wall%.1f |")
+    }
     spark.stop()
   }
 }

@@ -1613,14 +1613,22 @@ object Similarity {
     * for any real bilingual corpus and for the x80b parity fixture.
     *
     * RECALL vs the retrieval's parameters is MEASURED, not assumed
-    * (graft.BitextRecallRehearse; table in SCALE.md; one point
+    * (graft.BitextRecallRehearse; tables in SCALE.md; one point
     * hash-gated as x80c): mined-pair recall tracks
     * perCellCap / cell-occupancy — the cap is a hash election, so the
     * true neighbor survives with probability ≈ cap/|cell| regardless
     * of nProbes (0.03 → 0.81 as that ratio goes 0.03 → 1.6 on the
-    * rehearsal geometry). Size the cap as a multiple of
-    * corpus/nCells and raise nCells — not the cap — when recall
-    * matters; the cap exists to bound pathological cells. */
+    * rehearsal geometry). The nCells axis is ALSO measured (r17):
+    * raising nCells at fixed (nProbes, cap) recovers recall only
+    * until occupancy ≈ cap (64 → 256 cells on the 10k geometry:
+    * 0.39 → 0.73); past that the cap stops binding and recall falls
+    * to the PROBE-coverage bound instead (1024 cells, still
+    * nProbes=2: 0.51) — smaller cells mean the probed fraction of
+    * the space shrinks. Operating rule, measured form: grow nCells
+    * until cap/occupancy reaches ~1-2, then grow nProbes with any
+    * further nCells growth (serving cost stays ≤ nProbes × cap per
+    * query either way); the cap exists to bound pathological
+    * cells. */
   def bitextMarginMineWith(fwd: DataFrame, bwd: DataFrame, k: Int,
       materialize: DataFrame => DataFrame = identity): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
