@@ -1106,10 +1106,16 @@ object Dedup {
         transform(sequence(lit(1), col("__n") - (l - 1)),
           i => md5Hash60(array_join(slice(col("__tk"), i, lit(l)), " "))))
       .otherwise(array().cast("array<bigint>"))
-    val wins = base
+    // wins feeds TWO consumers since the r17 de-windowing (the
+    // per-hash stats aggregate and the join-back), so it goes through
+    // `materialize` like base — identity by default (recompute keeps
+    // full lineage; the work is embarrassingly parallel map-side
+    // tokenize+hash), persist via the hook where the double compute
+    // dominates.
+    val wins = materialize(base
       .select(col(idCol), posexplode(winArr).as(Seq("__p0", "win_h")))
       .select(col(idCol), (col("__p0") + 1).cast("int").as("pos"),
-        col("win_h"))
+        col("win_h")))
 
     // Occurrences beyond the globally first of a >1-occurrence window
     // are removals. The per-hash count and first-occurrence election
@@ -1170,7 +1176,8 @@ object Dedup {
     * positions 1-based inclusive, n_windows = seed windows merged
     * into the span. */
   def duplicateSpans(docs: DataFrame, idCol: String, textCol: String,
-      l: Int = 8, firstOnly: Boolean = false): DataFrame = {
+      l: Int = 8, firstOnly: Boolean = false,
+      materialize: DataFrame => DataFrame = identity): DataFrame = {
     require(l >= 2, s"window length must be >= 2, got $l")
     import org.apache.spark.sql.expressions.Window
 
@@ -1181,10 +1188,12 @@ object Dedup {
         transform(sequence(lit(1), col("__n") - (l - 1)),
           i => md5Hash60(array_join(slice(col("__tk"), i, lit(l)), " "))))
       .otherwise(array().cast("array<bigint>"))
-    val wins = base
+    // two consumers since the r17 de-windowing (stats + join-back) —
+    // see exactSubstringDedup's wins note
+    val wins = materialize(base
       .select(col(idCol), posexplode(winArr).as(Seq("__p0", "win_h")))
       .select(col(idCol), (col("__p0") + 1).cast("int").as("pos"),
-        col("win_h"))
+        col("win_h")))
 
     // pass 1: duplicated seed windows. firstOnly=true reproduces the
     // removal policy's view (globally-first occurrence not a dup);

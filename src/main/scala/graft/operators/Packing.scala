@@ -73,16 +73,23 @@ object Packing {
     * corpus mixing, and `Corpus.budgetSelect`'s (quality DESC, id)
     * greedy fill. */
   def inclusiveRunningSum(docs: DataFrame, orderCols: Seq[Column],
-      valueCol: String, nBuckets: Int = 0): DataFrame = {
+      valueCol: String, nBuckets: Int = 0,
+      materialize: DataFrame => DataFrame = identity): DataFrame = {
     require(nBuckets >= 0, "nBuckets must be >= 0 (0 = adaptive)")
     require(orderCols.nonEmpty, "orderCols must be non-empty")
     val buckets =
       if (nBuckets > 0) nBuckets
       else math.min(1024, math.max(1,
         docs.sparkSession.sparkContext.defaultParallelism * 4))
-    val bucketed = docs
+    // the bucketed frame feeds TWO arms (in-bucket cumsum and the
+    // per-bucket totals), so its subtree — the caller's input plus
+    // the range exchange — computes twice under the identity default
+    // (recompute keeps full lineage; both arms are linear map/agg
+    // work). Callers for whom that input is expensive pass a persist
+    // hook here.
+    val bucketed = materialize(docs
       .repartitionByRange(buckets, orderCols: _*)
-      .withColumn("__b", spark_partition_id().cast("long"))
+      .withColumn("__b", spark_partition_id().cast("long")))
     val inBucket = Window.partitionBy(col("__b"))
       .orderBy(orderCols: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -121,19 +128,29 @@ object Packing {
     * unlike a window. Bit-identical to the single-window form for
     * integer values (associative regrouping), same as the global
     * primitive. `orderCols` must totally order rows WITHIN each
-    * group. */
+    * group.
+    *
+    * `withGroupTotal = true` additionally emits `__gtot`, the GROUP's
+    * total of `valueCol`, on every row — computed with one more
+    * window over the same tiny per-bucket-totals frame and delivered
+    * by the join that was already happening, so a caller needing
+    * per-group totals (the quantile thresholds) pays ZERO extra
+    * passes over the data (a separate totals aggregate would re-scan
+    * the whole input). */
   def groupedInclusiveRunningSum(df: DataFrame, groupCol: String,
       orderCols: Seq[Column], valueCol: String,
-      nBuckets: Int = 0): DataFrame = {
+      nBuckets: Int = 0, withGroupTotal: Boolean = false,
+      materialize: DataFrame => DataFrame = identity): DataFrame = {
     require(nBuckets >= 0, "nBuckets must be >= 0 (0 = adaptive)")
     require(orderCols.nonEmpty, "orderCols must be non-empty")
     val buckets =
       if (nBuckets > 0) nBuckets
       else math.min(1024, math.max(1,
         df.sparkSession.sparkContext.defaultParallelism * 4))
-    val bucketed = df
+    // two-consumer bucketed frame — see inclusiveRunningSum's note
+    val bucketed = materialize(df
       .repartitionByRange(buckets, (col(groupCol) +: orderCols): _*)
-      .withColumn("__b", spark_partition_id().cast("long"))
+      .withColumn("__b", spark_partition_id().cast("long")))
     val inBucket = Window.partitionBy(col(groupCol), col("__b"))
       .orderBy(orderCols: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -145,10 +162,16 @@ object Packing {
     val overBuckets = Window.partitionBy(col(groupCol))
       .orderBy(col("__b"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offCols =
+      if (withGroupTotal)
+        Seq(col(groupCol), col("__b"), col("__off"),
+          sum(col("__tot")).over(Window.partitionBy(col(groupCol)))
+            .as("__gtot"))
+      else Seq(col(groupCol), col("__b"), col("__off"))
     val offsets = bucketTotals
       .withColumn("__off",
         sum(col("__tot")).over(overBuckets) - col("__tot"))
-      .select(col(groupCol), col("__b"), col("__off"))
+      .select(offCols: _*)
     // offsets is (#groups + buckets)-sized, not broadcast-bounded —
     // a high-cardinality group column must stay a shuffle join
     withCum.join(offsets, Seq(groupCol, "__b"))

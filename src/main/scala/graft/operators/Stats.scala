@@ -52,17 +52,19 @@ object Stats {
       s"percentages must be in [1,100], got $pcts")
     val h = df.groupBy(col(groupCol), col(valCol))
       .agg(count(lit(1)).as("__cnt"))
+    // the group total rides the prefix sum's own offsets join
+    // (withGroupTotal) — a separate totals aggregate would re-scan
+    // and re-build the histogram a second time
     val cum = Packing
-      .groupedInclusiveRunningSum(h, groupCol, Seq(col(valCol)), "__cnt")
+      .groupedInclusiveRunningSum(h, groupCol, Seq(col(valCol)), "__cnt",
+        withGroupTotal = true)
       .withColumn("__cum", col("__incl").cast("long"))
-    val totals = h.groupBy(col(groupCol))
-      .agg(sum(col("__cnt")).cast("long").as("__n"))
+      .withColumn("__n", col("__gtot").cast("long"))
     val aggs = pcts.map { p =>
       val k = ldiv(col("__n") * p + 99, lit(100L))
       min(when(col("__cum") >= k, col(valCol))).as(s"p$p")
     } :+ max(col("__n")).cast("long").as("n_rows")
-    cum.join(totals, Seq(groupCol))
-      .groupBy(col(groupCol))
+    cum.groupBy(col(groupCol))
       .agg(aggs.head, aggs.tail: _*)
       .orderBy(col(groupCol))
   }
