@@ -30,6 +30,53 @@ class PropertySpec extends SparkSpec {
   private val word: Gen[String] = Gen.choose(1, 8)
     .flatMap(n => Gen.listOfN(n, Gen.alphaLowerChar).map(_.mkString))
 
+  test("exactKeepFirst's aggregate election equals the window model " +
+      "on random skewed key distributions") {
+    // the r17 de-windowing's semantics contract: for unique ids, the
+    // min-struct aggregate must keep EXACTLY the rows the removed
+    // min(id)-over-key window kept — checked on corpora where a few
+    // hot keys absorb most rows (the distribution the rewrite exists
+    // for)
+    val rows: Gen[List[(Long, String)]] = for {
+      n <- Gen.choose(5, 60)
+      nKeys <- Gen.choose(1, 5)
+      keys <- Gen.listOfN(n, Gen.choose(0, nKeys - 1).map(k => s"key$k"))
+    } yield keys.zipWithIndex.map { case (k, i) => (i.toLong, k) }
+    forAll(rows, minSuccessful(10)) { (rs: List[(Long, String)]) =>
+      val df = rs.toDF("doc_id", "text")
+      val got = graft.operators.Dedup
+        .exactKeepFirst(df, col("text"), col("doc_id"))
+        .as[(Long, String)].collect().toSet
+      val expect = rs.groupBy(_._2).values.map(_.minBy(_._1)).toSet
+      assert(got == expect)
+    }
+  }
+
+  test("cleanKeepBest's min-struct election equals the " +
+      "(quality desc, id asc) rank-1 window model") {
+    // the election in isolation (the full pipeline is gate-covered):
+    // min(struct(-q, id)) over random clusters with duplicate quality
+    // values must pick the row the removed row_number window picked
+    val rows: Gen[List[(Long, Long, Double)]] = for {
+      n <- Gen.choose(4, 50)
+      cl <- Gen.listOfN(n, Gen.choose(0L, 2L))
+      qs <- Gen.listOfN(n, Gen.choose(0, 5).map(_ / 5.0))
+    } yield cl.zip(qs).zipWithIndex.map { case ((c, q), i) =>
+      (i.toLong, c, q)
+    }
+    forAll(rows, minSuccessful(10)) { (rs: List[(Long, Long, Double)]) =>
+      val df = rs.toDF("id", "cluster_id", "__q")
+      val got = df.groupBy(col("cluster_id"))
+        .agg(min(struct(negate(col("__q")).as("__nq"),
+          col("id").as("__id"))).as("__w"))
+        .select(col("__w").getField("__id").as("id"))
+        .as[Long].collect().toSet
+      val expect = rs.groupBy(_._2).values
+        .map(_.minBy(r => (-r._3, r._1))).map(_._1).toSet
+      assert(got == expect)
+    }
+  }
+
   test("surrogate keys are contiguous 1..n over any distinct value set") {
     forAll(Gen.nonEmptyListOf(word), minSuccessful(10)) { (xs: List[String]) =>
       val df = xs.distinct.toDF("v")
