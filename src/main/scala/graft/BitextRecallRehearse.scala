@@ -118,16 +118,19 @@ object BitextRecallRehearse {
     println("| nCells | nProbes | cap | cap/occ | pair recall | " +
       "mutual-core recall | no-cand sources | wall s |")
     println("|---|---|---|---|---|---|---|---|")
-    for (nc <- Seq(64, 256, 1024)) {
+    // the final (1024, 8) point tests the amended rule's second
+    // clause: past the cap-bound regime, recall lost to probe
+    // coverage comes back by scaling nProbes WITH nCells (8/1024
+    // probes the same corpus fraction as 2/256)
+    val centCache = scala.collection.mutable.Map(
+      nCells -> (srcCents, tgtCents))
+    for ((nc, nProbes) <- Seq((64, 2), (256, 2), (1024, 2), (1024, 8))) {
       val t0 = System.nanoTime()
-      val (sc2, tc2) =
-        if (nc == nCells) (srcCents, tgtCents)
-        else (
-          Similarity.ivfTrain(src, "vec_id", "embedding", nc, iters = 2,
-            tag = s"recall-src-$nc"),
-          Similarity.ivfTrain(tgt, "vec_id", "embedding", nc, iters = 2,
-            tag = s"recall-tgt-$nc"))
-      val nProbes = 2
+      val (sc2, tc2) = centCache.getOrElseUpdate(nc, (
+        Similarity.ivfTrain(src, "vec_id", "embedding", nc, iters = 2,
+          tag = s"recall-src-$nc"),
+        Similarity.ivfTrain(tgt, "vec_id", "embedding", nc, iters = 2,
+          tag = s"recall-tgt-$nc")))
       val cap = 64
       val fwd = Similarity.ivfTopKWithCapped(tgt, src, "vec_id",
         "embedding", kCand, tc2, nProbes, cap).persist()

@@ -192,7 +192,17 @@ object Dedup {
     * keys ranked within their (band, band_key) bucket, keeping each
     * bucket's `maxBucket` lowest ids — ONE definition of the cap/key
     * shape so [[minHashNearDupPairs]] and [[lshCandidatePairs]] (and
-    * through them the x1d/x2b gates) can never drift apart. */
+    * through them the x1d/x2b gates) can never drift apart.
+    *
+    * Two-phase sharded rank (the r17 election rule, same shape as
+    * semanticDedup's cap): the cap binds exactly when one bucket is
+    * viral — a templated-doc family sharing band signatures — and a
+    * plain bucket-keyed window would pull that whole bucket through
+    * one task. Phase 1 ranks within (band, band_key, id-hash shard)
+    * and keeps ≤ maxBucket per shard (lossless: a row with maxBucket
+    * lower-id rows in its OWN shard cannot be in the bucket's overall
+    * lowest maxBucket); phase 2 ranks the ≤ 64×maxBucket survivors
+    * on the same (band, band_key) key the pair join shuffles on. */
   private def cappedBands(docs: DataFrame, idCol: String, textCol: String,
       p: MinHashParams, maxBucket: Int, carrySig: Boolean,
       preDeduped: Boolean = false): DataFrame = {
@@ -200,10 +210,15 @@ object Dedup {
     val bands = bandKeys(
       minHashArraySigs(docs, idCol, textCol, p, preDeduped), idCol, p,
       carrySig)
+    val shard = md5Hash60b(col(idCol).cast("string")) % 64
+    val w1 = Window.partitionBy(col("band"), col("band_key"), shard)
+      .orderBy(col(idCol))
     val capW = Window.partitionBy(col("band"), col("band_key"))
       .orderBy(col(idCol))
-    bands.withColumn("__rn", row_number().over(capW))
-      .filter(col("__rn") <= maxBucket).drop("__rn")
+    bands.withColumn("__k1", row_number().over(w1))
+      .filter(col("__k1") <= maxBucket)
+      .withColumn("__rn", row_number().over(capW))
+      .filter(col("__rn") <= maxBucket).drop("__k1", "__rn")
   }
 
   /** Matching-slot count between two k-length signature arrays,
@@ -779,10 +794,11 @@ object Dedup {
     * equi-join on (band, band key) — never all-pairs — and recall for
     * Hamming ≤ p.maxHamming is exact by pigeonhole (SimHashParams).
     * Signatures ride the join (no re-join), and each bucket is capped
-    * at its `p.maxBucket` lowest ids by a ranked window on the SAME
-    * (band, bkey) key the join shuffles on, so the cap adds no extra
-    * exchange — mirroring minHashNearDupPairs. Overflow is not
-    * silent: run [[simHashBucketOverflow]] alongside. */
+    * at its `p.maxBucket` lowest ids by the two-phase sharded rank
+    * (see [[cappedBands]] — a viral bucket never funnels through one
+    * window task; phase 2 ranks on the SAME (band, bkey) key the
+    * join shuffles on) — mirroring minHashNearDupPairs. Overflow is
+    * not silent: run [[simHashBucketOverflow]] alongside. */
   def simHashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
       p: SimHashParams = SimHashParams()): DataFrame =
     simHashNearDupPairsFromBands(simHashBandKeys(docs, idCol, textCol, p),
@@ -795,11 +811,16 @@ object Dedup {
   def simHashNearDupPairsFromBands(bands: DataFrame, idCol: String,
       p: SimHashParams = SimHashParams()): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val shard = md5Hash60b(col(idCol).cast("string")) % 64
+    val w1 = Window.partitionBy(col("band"), col("bkey"), shard)
+      .orderBy(col(idCol))
     val capW = Window.partitionBy(col("band"), col("bkey"))
       .orderBy(col(idCol))
     val capped = bands
+      .withColumn("__k1", row_number().over(w1))
+      .filter(col("__k1") <= p.maxBucket)
       .withColumn("__rn", row_number().over(capW))
-      .filter(col("__rn") <= p.maxBucket).drop("__rn")
+      .filter(col("__rn") <= p.maxBucket).drop("__k1", "__rn")
     val cand = capped.as("x").join(capped.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
           col(s"x.$idCol") < col(s"y.$idCol"))

@@ -1621,14 +1621,15 @@ object Similarity {
     * rehearsal geometry). The nCells axis is ALSO measured (r17):
     * raising nCells at fixed (nProbes, cap) recovers recall only
     * until occupancy ≈ cap (64 → 256 cells on the 10k geometry:
-    * 0.39 → 0.73); past that the cap stops binding and recall falls
-    * to the PROBE-coverage bound instead (1024 cells, still
-    * nProbes=2: 0.51) — smaller cells mean the probed fraction of
-    * the space shrinks. Operating rule, measured form: grow nCells
-    * until cap/occupancy reaches ~1-2, then grow nProbes with any
-    * further nCells growth (serving cost stays ≤ nProbes × cap per
-    * query either way); the cap exists to bound pathological
-    * cells. */
+    * 0.39 → 0.73); past that the cap stops binding and recall FALLS
+    * (1024 cells, nProbes=2: 0.51) — and probe-proportional scaling
+    * does NOT win it back: 8/1024 probes the same corpus fraction as
+    * 2/256 yet measures 0.53 vs 0.73, so the loss is quantization/
+    * boundary error from over-partitioning (cells ≈ k points), not
+    * probe coverage. Operating rule, measured form: grow nCells
+    * until cap/occupancy reaches ~1-2 and STOP — past that point
+    * more cells cost recall at any probe budget; the cap exists to
+    * bound pathological cells. */
   def bitextMarginMineWith(fwd: DataFrame, bwd: DataFrame, k: Int,
       materialize: DataFrame => DataFrame = identity): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
