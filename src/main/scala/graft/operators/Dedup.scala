@@ -95,10 +95,11 @@ object Dedup {
     *  - an EXACT-dedup prefilter (one groupBy on the text) collapses
     *    identical documents to their lowest id before any hashing —
     *    exact duplicates are x1's job, not LSH's;
-    *  - each bucket is capped at its `maxBucket` lowest ids (ranked
-    *    window on the same (band, band_key) key the join shuffles on,
-    *    so the cap adds no extra exchange). Overflow is NOT silent:
-    *    [[minHashBucketOverflow]] reports capped buckets.
+    *  - each bucket is capped at its `maxBucket` lowest ids via the
+    *    two-phase sharded rank ([[cappedBands]] — a viral bucket
+    *    never funnels through one window task; the final rank keys on
+    *    the same (band, band_key) the join shuffles on). Overflow is
+    *    NOT silent: [[minHashBucketOverflow]] reports capped buckets.
     *
     * No caching and no re-joins: the signature ARRAY rides along
     * through the band unpivot and the bucket self-join, so joined rows

@@ -56,7 +56,17 @@ object Sessionize {
     * both the batch and streaming session_window paths by
     * `SessionizeSpec`'s exact-gap test, since the two forms must
     * stay interchangeable). A new session requires a gap STRICTLY
-    * longer than `gapSeconds`. */
+    * longer than `gapSeconds`.
+    *
+    * Scale note: the lag/cumsum pass is per-user windows — inherent
+    * to gap sessionization (the split depends on each consecutive
+    * pair in one user's timeline; Spark's native session_window holds
+    * the same per-key state), so one task buffers ONE user's events.
+    * That is the right bound for human-scale users; a bot-grade key
+    * with a corpus-share event history is a data-quality problem to
+    * filter upstream, not a shape this window can shard (unlike the
+    * r17 election rewrites, the per-pair dependency is not an
+    * associative aggregate). */
   def batchSessions(events: DataFrame, gapSeconds: Long): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     val prev = lag(col("ts"), 1).over(w)
