@@ -22,7 +22,14 @@ import org.apache.spark.sql.functions._
   *   - viral L-token window: one win_h occurring in 900k docs
   *     (license boilerplate) — exactSubstringDedup/duplicateSpans'
   *     groupBy(win_h)+join-back seed election vs the old
-  *     count+row_number window pair.
+  *     count+row_number window pair;
+  *   - bot-key sessionization: 90% of events on ONE user —
+  *     `Sessionize.batchSessionsSharded`'s segmented seam pass
+  *     (per-task bound: one (user, hour) slice) vs the plain
+  *     per-user window form;
+  *   - hot-key as-of join: 90% of BOTH sides on ONE key —
+  *     `Temporal.asOfJoinLeftSharded`'s segmented carry vs the
+  *     plain per-key carry-forward window.
   *
   * Frames are synthesized at the REWRITTEN STAGE's input contract
   * (fingerprinted rows / clustered scores / cell assignments / window
@@ -147,6 +154,59 @@ object ElectionSkewRehearse {
         .withColumn("__rn", row_number().over(ordered))
         .filter(col("__cnt") > 1 && col("__rn") > 1)
         .select(col("id"), col("pos")), "id")
+    }
+
+    // ---- 5. bot-key sessionization: 90% of events on ONE user -------
+    // events contract: (event_id, ts, user_id, value); the bot's
+    // timeline spans years at ~5s spacing, with a 120s silence every
+    // 1000 events (> gap=60s), so sessions actually split (~n/1000
+    // bot sessions — the checksum proves both forms split the same
+    // way, not just count the same). The sharded form holds at most
+    // one (user, hour) slice per task; the plain form funnels the
+    // bot's whole history through one.
+    def sessSig(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)),
+        sum(col("sess_id") * col("n_events"))).collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }
+    val botEvents = spark.range(n).select(col("id").as("event_id"),
+      timestamp_micros(col("id") * 5000000L +
+        expr("(id div 1000) * 120000000")).as("ts"),
+      when(col("id") % 10 < 9, lit(0L)).otherwise(col("id")).as("user_id"),
+      lit(1.0).as("value"))
+    timed("sessionize SHARDED (bot user)") {
+      sessSig(graft.streaming.Sessionize
+        .batchSessionsSharded(botEvents, gapSeconds = 60L,
+          bucketSeconds = 3600L))
+    }
+    timed("sessionize WINDOW (plain form)") {
+      sessSig(graft.streaming.Sessionize
+        .batchSessions(botEvents, gapSeconds = 60L))
+    }
+
+    // ---- 6. hot-key as-of join: 90% of BOTH sides on ONE key --------
+    // the plain form funnels the hot key's merged left+right timeline
+    // through one WindowExec task; the sharded carry holds one
+    // (key, hour) slice. Checksum = count + sum(asof_rid), so both
+    // forms must MATCH the same right rows, not just count the same.
+    def asofSig(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)), sum(col("asof_rid"))).collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }
+    val asofLeft = spark.range(n).select(col("id").as("event_id"),
+      timestamp_micros(col("id") * 3000000L).as("ts"),
+      when(col("id") % 10 < 9, lit(0L)).otherwise(col("id")).as("user_id"))
+    val asofRight = spark.range(n / 20).select(col("id").as("rid"),
+      timestamp_micros(col("id") * 60000000L + 1000000L).as("ts"),
+      when(col("id") % 10 < 9, lit(0L)).otherwise(col("id")).as("user_id"))
+    timed("asOfJoin SHARDED (hot key)") {
+      asofSig(graft.operators.Temporal.asOfJoinLeftSharded(
+        asofLeft, asofRight, "user_id", "ts", "rid", Seq("rid"),
+        bucketSeconds = 3600L))
+    }
+    timed("asOfJoin WINDOW (plain form)") {
+      asofSig(graft.operators.Temporal.asOfJoinLeft(
+        asofLeft, asofRight, "user_id", "ts", "rid", Seq("rid")))
     }
     }
 

@@ -581,6 +581,32 @@ private[queries] object ExtensionDedupAnnQueries {
              |  ON e.user_id = s.user_id AND e.ts >= s.ts
              |ORDER BY e.event_id""".stripMargin)),
 
+    QuerySpec("x15b_asof_join_sharded",
+      "as-of join via the SEGMENTED carry (in-bucket last-non-null + " +
+        "per-key seam pass over hourly bucket summaries + " +
+        "AQE-splittable join-back) — bit-identical to x15 but no task " +
+        "holds more than one (key, hour) slice of the merged " +
+        "timeline; DuckDB's native ASOF LEFT JOIN cross-derives it",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val left = ev.select(col("event_id"), col("ts"), col("user_id"),
+          col("value"))
+        val signups = ev.filter(col("event_type") === "signup")
+          .select(col("user_id"), col("ts"), col("event_id"))
+        graft.operators.Temporal.asOfJoinLeftSharded(left, signups,
+            keyCol = "user_id", tsCol = "ts", rightOrder = "event_id",
+            payload = Seq("event_id", "ts"), bucketSeconds = 3600L)
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH signups AS (
+             |  SELECT user_id, ts, event_id FROM events
+             |  WHERE event_type = 'signup')
+             |SELECT e.event_id, e.ts, e.user_id, e.value,
+             |       s.event_id AS asof_event_id, s.ts AS asof_ts
+             |FROM events e ASOF LEFT JOIN signups s
+             |  ON e.user_id = s.user_id AND e.ts >= s.ts
+             |ORDER BY e.event_id""".stripMargin)),
+
     QuerySpec("x16_range_join",
       "bounded range self-join (grid-bucketed equi-join composition) vs " +
         "DuckDB's native interval theta-join: same-user event pairs " +
@@ -601,6 +627,39 @@ private[queries] object ExtensionDedupAnnQueries {
         "flatMapGroupsWithState streaming operator)",
       (s, dir) => graft.streaming.Sessionize
         .batchSessions(t(s, dir, "events"), 1800L)
+        .orderBy(col("user_id"), col("sess_id"))
+        .select(col("user_id"), col("sess_id"), col("session_start"),
+          col("session_end"), col("n_events"), col("sum_value")),
+      Some("""WITH flagged AS (
+             |  SELECT user_id, event_id, ts, value,
+             |    CASE WHEN lag(ts) OVER w IS NULL
+             |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+             |         THEN 1 ELSE 0 END AS is_new
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |sess AS (
+             |  SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id
+             |    ORDER BY ts, event_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             |    AS sess_id
+             |  FROM flagged)
+             |SELECT user_id, sess_id, min(ts) AS session_start,
+             |       max(ts) AS session_end, count(*) AS n_events,
+             |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+             |FROM sess GROUP BY user_id, sess_id
+             |ORDER BY user_id, sess_id""".stripMargin)),
+
+    QuerySpec("x14c_sessionize_sharded",
+      "gap sessionization via the SEGMENTED two-level form " +
+        "(in-bucket lag + per-user seam pass over hourly bucket " +
+        "summaries + AQE-splittable join-back) — bit-identical to " +
+        "x14 but no task holds more than one (user, hour) slice; " +
+        "the DuckDB twin re-derives it through the plain per-user " +
+        "window, so the seam decomposition is cross-checked, not " +
+        "self-twinned",
+      (s, dir) => graft.streaming.Sessionize
+        .batchSessionsSharded(t(s, dir, "events"), 1800L,
+          bucketSeconds = 3600L)
         .orderBy(col("user_id"), col("sess_id"))
         .select(col("user_id"), col("sess_id"), col("session_start"),
           col("session_end"), col("n_events"), col("sum_value")),

@@ -306,6 +306,42 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("batchSessionsSharded equals batchSessions for random event " +
+      "streams, microsecond offsets, and random bucket widths") {
+    // the segmented form's contract: whatever (gap, bucket) pair the
+    // generator draws — including buckets much smaller than the gap,
+    // which maximizes seam decisions and empty-bucket skips — the
+    // two-level seam pass must reproduce the per-user window form
+    // bit-for-bit. Micro offsets make exact-gap seam pairs and tied
+    // timestamps reachable.
+    import graft.streaming.Sessionize
+    val row = Gen.zip(Gen.choose(1L, 3L), Gen.choose(0L, 400L))
+    val cases = for {
+      rs <- Gen.nonEmptyListOf(row).map(_.take(24))
+      bucketSecs <- Gen.oneOf(1L, 2L, 7L, 30L, 86400L)
+    } yield (rs, bucketSecs)
+    forAll(cases, minSuccessful(10)) {
+      case (rs: List[(Long, Long)], bucketSecs: Long) =>
+        val rows = rs.zipWithIndex.map { case ((k, halfSecs), i) =>
+          val us = 1700000000000000L + halfSecs * 500000L
+          val t = new java.sql.Timestamp(us / 1000L)
+          t.setNanos(((us % 1000000L) * 1000L).toInt)
+          (i.toLong, t, k, i * 0.25)
+        }
+        val df = rows.toDF("event_id", "ts", "user_id", "value")
+        def canon(d: org.apache.spark.sql.DataFrame) =
+          d.select($"user_id", $"sess_id", $"session_start",
+              $"session_end", $"n_events", $"sum_value")
+            .as[(Long, Long, java.sql.Timestamp, java.sql.Timestamp,
+              Long, Double)].collect().toSeq.sorted
+        val plain = canon(Sessionize.batchSessions(df, gapSeconds = 7))
+        val sharded = canon(
+          Sessionize.batchSessionsSharded(df, gapSeconds = 7, bucketSecs))
+        assert(sharded == plain,
+          s"bucketSeconds=$bucketSecs rows=$rows\nsharded=$sharded\nplain=$plain")
+    }
+  }
+
   test("asOfJoinLeft matches the naive per-left-row model: latest " +
       "right at-or-before, ties toward largest order, NULL payload " +
       "fields survive verbatim") {
@@ -341,6 +377,48 @@ class PropertySpec extends SparkSpec {
           }
         }.sortBy(_._3)
         assert(got == model, s"right=$rs left=$lsTagged")
+    }
+  }
+
+  test("asOfJoinLeftSharded equals asOfJoinLeft for random frames, " +
+      "micro-timed ties, NULL payload fields, and random bucket widths") {
+    import graft.operators.Temporal
+    // same collision-heavy domains as the naive-model case above, but
+    // with real timestamps (the sharded form buckets on unix_micros)
+    // at half-second steps so exact-edge and tied-ts seams occur
+    val rightRow = Gen.zip(Gen.choose(1L, 3L), Gen.choose(0L, 40L),
+      Gen.choose(0L, 3L), Gen.option(Gen.choose(0, 9)),
+      Gen.option(Gen.oneOf("p", "q")))
+    val leftRow = Gen.zip(Gen.choose(1L, 3L), Gen.choose(0L, 40L))
+    val frames = for {
+      rs <- Gen.listOfN(8, rightRow).map(
+        _.distinctBy { case (k, t, o, _, _) => (k, t, o) })
+      ls <- Gen.nonEmptyListOf(leftRow).map(_.take(8))
+      bucketSecs <- Gen.oneOf(1L, 2L, 5L, 30L, 86400L)
+    } yield (rs, ls, bucketSecs)
+    def mkTs(halfSecs: Long): java.sql.Timestamp = {
+      val us = 1700000000000000L + halfSecs * 500000L
+      val t = new java.sql.Timestamp(us / 1000L)
+      t.setNanos(((us % 1000000L) * 1000L).toInt)
+      t
+    }
+    forAll(frames, minSuccessful(10)) {
+      case (rs: List[(Long, Long, Long, Option[Int], Option[String])],
+            ls: List[(Long, Long)], bucketSecs: Long) =>
+        val right = rs.map { case (k, t, o, v, w) => (k, mkTs(t), o, v, w) }
+          .toDF("k", "ts", "ord", "v", "w")
+        val left = ls.zipWithIndex
+          .map { case ((k, t), i) => (k, mkTs(t), s"L$i") }
+          .toDF("k", "ts", "tag")
+        def canon(df: org.apache.spark.sql.DataFrame) =
+          df.as[(Long, java.sql.Timestamp, String, Option[Int],
+            Option[String])].collect().toSeq.sortBy(_._3)
+        val plain = canon(Temporal
+          .asOfJoinLeft(left, right, "k", "ts", "ord", Seq("v", "w")))
+        val sharded = canon(Temporal.asOfJoinLeftSharded(left, right,
+          "k", "ts", "ord", Seq("v", "w"), bucketSeconds = bucketSecs))
+        assert(sharded == plain,
+          s"bucketSeconds=$bucketSecs right=$rs left=$ls")
     }
   }
 
