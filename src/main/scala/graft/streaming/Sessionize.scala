@@ -185,7 +185,18 @@ object Sessionize {
   }
 
   /** Streaming sessionization over a watermarked Event stream. Emits a
-    * session when the user's event-time timeout (gap) fires. */
+    * session when the user's event-time timeout (gap) fires.
+    *
+    * Scale note: cross-trigger state per active user is O(1) (the
+    * current session aggregate only), but WITHIN a micro-batch one
+    * user's events are buffered and sorted in the task
+    * (`batch.toSeq.sortBy` — flatMapGroupsWithState hands an unsorted
+    * iterator, and the gap split needs time order). The per-task
+    * bound is therefore one key's PER-TRIGGER volume, the streaming
+    * analogue of [[batchSessionsSharded]]'s per-bucket bound: a
+    * bot-grade key is capped by trigger interval, not by history.
+    * For replay/backfill of a bot-heavy archive, run the batch
+    * sharded form instead of replaying years through the stream. */
   def streamingSessions(events: Dataset[Event], gapSeconds: Long): Dataset[SessionAgg] = {
     import events.sparkSession.implicits._
     events
