@@ -123,18 +123,13 @@ object Temporal {
       keyCol: String, tsCol: String, rightOrder: String,
       payload: Seq[String], bucketSeconds: Long = 86400L,
       materialize: DataFrame => DataFrame = identity): DataFrame = {
-    require(bucketSeconds > 0, s"bucketSeconds must be > 0: $bucketSeconds")
-    val bucketUs = bucketSeconds * 1000000L
     val (union, leftCols) =
       asOfUnion(left, right, keyCol, tsCol, rightOrder, payload)
-    // exact floor division via pmod — equal timestamps share a
-    // bucket, so per-bucket (ts, tag, ord) order concatenated by
-    // bucket equals the plain form's per-key order
-    val bucketed = union
-      .withColumn("__us", unix_micros(col(tsCol)))
-      .withColumn("__pm", pmod(col("__us"), lit(bucketUs)))
-      .withColumn("__bkt", expr(s"(__us - __pm) div ${bucketUs}L"))
-      .drop("__pm", "__us")
+    // equal timestamps share a bucket, so per-bucket (ts, tag, ord)
+    // order concatenated by bucket equals the plain form's per-key
+    // order
+    val bucketed = union.withColumn("__bkt",
+      graft.functions.TimeFunctions.timeBucketUs(col(tsCol), bucketSeconds))
     val wIn = Window.partitionBy(col(keyCol), col("__bkt"))
       .orderBy(col(tsCol), col("__tag"), col("__ord"))
     val carried = materialize(bucketed

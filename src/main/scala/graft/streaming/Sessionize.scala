@@ -139,17 +139,13 @@ object Sessionize {
   def batchSessionsSharded(events: DataFrame, gapSeconds: Long,
       bucketSeconds: Long = 86400L,
       materialize: DataFrame => DataFrame = identity): DataFrame = {
-    require(bucketSeconds > 0, s"bucketSeconds must be > 0: $bucketSeconds")
     val gapUs = gapSeconds * 1000000L
-    val bucketUs = bucketSeconds * 1000000L
+    val bucketUs = Math.multiplyExact(bucketSeconds, 1000000L)
 
-    // exact floor division via pmod — no double rounding at bucket
-    // edges, pre-epoch micros land in the right (negative) bucket
     val ev = events
       .withColumn("__us", unix_micros(col("ts")))
-      .withColumn("__pm", pmod(col("__us"), lit(bucketUs)))
-      .withColumn("__bkt", expr(s"(__us - __pm) div ${bucketUs}L"))
-      .drop("__pm")
+      .withColumn("__bkt",
+        graft.functions.TimeFunctions.floorDivLong(col("__us"), bucketUs))
 
     // 1. in-bucket: flags for every consecutive pair INSIDE a bucket;
     //    a bucket's first event is flagged at the seam pass instead

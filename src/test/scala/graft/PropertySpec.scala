@@ -30,6 +30,16 @@ class PropertySpec extends SparkSpec {
   private val word: Gen[String] = Gen.choose(1, 8)
     .flatMap(n => Gen.listOfN(n, Gen.alphaLowerChar).map(_.mkString))
 
+  /** Micro-precision timestamp at `halfSecs` half-second steps past a
+    * fixed epoch — shared by the sharded-equals-plain properties so
+    * exact-gap seams and tied timestamps stay reachable. */
+  private def halfSecTs(halfSecs: Long): java.sql.Timestamp = {
+    val us = 1700000000000000L + halfSecs * 500000L
+    val t = new java.sql.Timestamp(us / 1000L)
+    t.setNanos(((us % 1000000L) * 1000L).toInt)
+    t
+  }
+
   test("exactKeepFirst's aggregate election equals the window model " +
       "on random skewed key distributions") {
     // the r17 de-windowing's semantics contract: for unique ids, the
@@ -323,10 +333,7 @@ class PropertySpec extends SparkSpec {
     forAll(cases, minSuccessful(10)) {
       case (rs: List[(Long, Long)], bucketSecs: Long) =>
         val rows = rs.zipWithIndex.map { case ((k, halfSecs), i) =>
-          val us = 1700000000000000L + halfSecs * 500000L
-          val t = new java.sql.Timestamp(us / 1000L)
-          t.setNanos(((us % 1000000L) * 1000L).toInt)
-          (i.toLong, t, k, i * 0.25)
+          (i.toLong, halfSecTs(halfSecs), k, i * 0.25)
         }
         val df = rows.toDF("event_id", "ts", "user_id", "value")
         def canon(d: org.apache.spark.sql.DataFrame) =
@@ -396,19 +403,14 @@ class PropertySpec extends SparkSpec {
       ls <- Gen.nonEmptyListOf(leftRow).map(_.take(8))
       bucketSecs <- Gen.oneOf(1L, 2L, 5L, 30L, 86400L)
     } yield (rs, ls, bucketSecs)
-    def mkTs(halfSecs: Long): java.sql.Timestamp = {
-      val us = 1700000000000000L + halfSecs * 500000L
-      val t = new java.sql.Timestamp(us / 1000L)
-      t.setNanos(((us % 1000000L) * 1000L).toInt)
-      t
-    }
     forAll(frames, minSuccessful(10)) {
       case (rs: List[(Long, Long, Long, Option[Int], Option[String])],
             ls: List[(Long, Long)], bucketSecs: Long) =>
-        val right = rs.map { case (k, t, o, v, w) => (k, mkTs(t), o, v, w) }
+        val right = rs.map { case (k, t, o, v, w) =>
+            (k, halfSecTs(t), o, v, w) }
           .toDF("k", "ts", "ord", "v", "w")
         val left = ls.zipWithIndex
-          .map { case ((k, t), i) => (k, mkTs(t), s"L$i") }
+          .map { case ((k, t), i) => (k, halfSecTs(t), s"L$i") }
           .toDF("k", "ts", "tag")
         def canon(df: org.apache.spark.sql.DataFrame) =
           df.as[(Long, java.sql.Timestamp, String, Option[Int],
