@@ -83,7 +83,13 @@ object Corpus {
     * multi-million-doc cluster, and a window would pull it through a
     * single task where the struct-min reduces it map-side (the
     * marginMineTail rule; negating the quality turns min into
-    * "max quality, then lowest id", exact for finite doubles). */
+    * "max quality, then lowest id", exact for finite doubles). A NaN
+    * quality (reachable when a kept doc tokenizes to zero tokens —
+    * the ratio features divide by the token count) maps to -inf
+    * before negation so it ranks HIGHEST, matching both the removed
+    * `q DESC` rank window and a SQL ORDER BY q DESC (NaN sorts above
+    * +inf in Spark and DuckDB alike); the score itself is bounded, so
+    * -inf collides with nothing. */
   def cleanKeepBest(docs: DataFrame, idCol: String, textCol: String,
       minQuality: Double, langs: Seq[String],
       p: Dedup.MinHashParams = Dedup.MinHashParams(),
@@ -99,7 +105,9 @@ object Corpus {
       .drop("__tk")
       .join(clusters, Seq(idCol))
     scored.groupBy(col("cluster_id"))
-      .agg(min(struct(negate(col("__q")).as("__nq"),
+      .agg(min(struct(
+        when(isnan(col("__q")), lit(Double.NegativeInfinity))
+          .otherwise(negate(col("__q"))).as("__nq"),
         col(idCol).as("__id"), col(textCol).as("__t"))).as("__w"))
       .select(col("__w").getField("__id").as(idCol),
         col("__w").getField("__t").as(textCol))

@@ -22,22 +22,24 @@ object Dedup {
   /** Exact dedup: keep the lowest-id row per identical key. One shuffle
     * on the (hashed) key.
     *
-    * Election is a single map-side-partial `min(struct(id, row))`
+    * Election is a single map-side-partial `min_by(row, id)`
     * aggregate, NOT a per-key window: a viral exact duplicate (blank
     * page, boilerplate template — millions of rows with one
     * fingerprint) would pull its whole group through a single
-    * WindowExec task, while the struct-min aggregate reduces it
-    * map-side before the shuffle (the marginMineTail rule). Ties
-    * beyond the id (only possible if ids are not unique, against the
-    * contract) break on the remaining columns in schema order, so the
-    * result is deterministic for any input. */
+    * WindowExec task, while the aggregate reduces it map-side before
+    * the shuffle (the marginMineTail rule). min_by (not min-of-struct)
+    * so only the ID needs to be orderable — payload columns may be
+    * maps or other unorderable types, exactly as the removed
+    * min(id)-over-key window allowed. NULL-id rows are skipped and an
+    * all-NULL-id group drops entirely, matching the removed window's
+    * `id === min(id)` filter; rows with duplicate ids (against the
+    * contract) elect nondeterministically. */
   def exactKeepFirst(df: DataFrame, keyCol: Column, idCol: Column): DataFrame = {
     val cols = df.columns.toSeq
     df.groupBy(keyCol.as("__k"))
-      .agg(min(struct(idCol.as("__ord"),
-        struct(cols.map(col): _*).as("__row"))).as("__w"))
-      .select(cols.map(c =>
-        col("__w").getField("__row").getField(c).as(c)): _*)
+      .agg(min_by(struct(cols.map(col): _*), idCol).as("__row"))
+      .filter(col("__row").isNotNull)
+      .select(cols.map(c => col("__row").getField(c).as(c)): _*)
   }
 
   // ---- MinHash + LSH ------------------------------------------------
@@ -206,21 +208,12 @@ object Dedup {
     * on the same (band, band_key) key the pair join shuffles on. */
   private def cappedBands(docs: DataFrame, idCol: String, textCol: String,
       p: MinHashParams, maxBucket: Int, carrySig: Boolean,
-      preDeduped: Boolean = false): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val bands = bandKeys(
-      minHashArraySigs(docs, idCol, textCol, p, preDeduped), idCol, p,
-      carrySig)
-    val shard = md5Hash60b(col(idCol).cast("string")) % 64
-    val w1 = Window.partitionBy(col("band"), col("band_key"), shard)
-      .orderBy(col(idCol))
-    val capW = Window.partitionBy(col("band"), col("band_key"))
-      .orderBy(col(idCol))
-    bands.withColumn("__k1", row_number().over(w1))
-      .filter(col("__k1") <= maxBucket)
-      .withColumn("__rn", row_number().over(capW))
-      .filter(col("__rn") <= maxBucket).drop("__k1", "__rn")
-  }
+      preDeduped: Boolean = false): DataFrame =
+    Caps.twoPhaseRank(
+      bandKeys(minHashArraySigs(docs, idCol, textCol, p, preDeduped),
+        idCol, p, carrySig),
+      Seq(col("band"), col("band_key")), Seq(col(idCol)),
+      md5Hash60b(col(idCol).cast("string")), maxBucket)
 
   /** Matching-slot count between two k-length signature arrays,
     * unrolled into k element_at comparisons: stays inside whole-stage
@@ -616,6 +609,12 @@ object Dedup {
       val base = labels.join(nbrMin, Seq("u"), "left")
         .select(col("u"), col("label").as("__prev"),
           least(col("label"), coalesce(col("nbr"), col("label"))).as("label"))
+      // the intermediate the shortcut path materializes; freed only
+      // AFTER the round's noop-sink action — on a cluster without a
+      // checkpoint dir the materialize hook degrades to a LAZY
+      // persist, so an eager unpersist here would re-introduce the
+      // double evaluation of `base` the intermediate exists to prevent
+      var roundScratch: Option[DataFrame] = None
       val stepped = if (!shortcut) materialize(base) else {
         // pointer halving: label ← min(label, label-of-label). Labels
         // are always ids of same-component nodes, so the lookup side
@@ -630,7 +629,7 @@ object Dedup {
           .select(col("u"), col("__prev"),
             least(col("label"), coalesce(col("__l2"), col("label")))
               .as("label")))
-        b.unpersist()
+        roundScratch = Some(b)
         halved
       }
       // The materializing action must touch EVERY partition: a take(1)
@@ -648,6 +647,7 @@ object Dedup {
       // null metric = zero rows observed = nothing left to change
       done = obs.get.get("changed")
         .forall(v => v == null || v.asInstanceOf[Long] == 0L)
+      roundScratch.foreach(_.unpersist())
       prevRound.unpersist()
       prevRound = stepped
       // Build the next round directly on the persisted frame: the
@@ -811,17 +811,9 @@ object Dedup {
     * (the dominant cost) runs once per dedup pass, not twice. */
   def simHashNearDupPairsFromBands(bands: DataFrame, idCol: String,
       p: SimHashParams = SimHashParams()): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val shard = md5Hash60b(col(idCol).cast("string")) % 64
-    val w1 = Window.partitionBy(col("band"), col("bkey"), shard)
-      .orderBy(col(idCol))
-    val capW = Window.partitionBy(col("band"), col("bkey"))
-      .orderBy(col(idCol))
-    val capped = bands
-      .withColumn("__k1", row_number().over(w1))
-      .filter(col("__k1") <= p.maxBucket)
-      .withColumn("__rn", row_number().over(capW))
-      .filter(col("__rn") <= p.maxBucket).drop("__k1", "__rn")
+    val capped = Caps.twoPhaseRank(bands,
+      Seq(col("band"), col("bkey")), Seq(col(idCol)),
+      md5Hash60b(col(idCol).cast("string")), p.maxBucket)
     val cand = capped.as("x").join(capped.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
           col(s"x.$idCol") < col(s"y.$idCol"))

@@ -173,10 +173,16 @@ object Packing {
         sum(col("__tot")).over(overBuckets) - col("__tot"))
       .select(offCols: _*)
     // offsets is (#groups + buckets)-sized, not broadcast-bounded —
-    // a high-cardinality group column must stay a shuffle join
-    withCum.join(offsets, Seq(groupCol, "__b"))
+    // a high-cardinality group column must stay a shuffle join.
+    // NULL-SAFE on the group key: the window form this replaces
+    // treated a NULL group as a normal partition, and a plain
+    // equi-join would silently drop every NULL-group row.
+    val offsetsR = offsets.withColumnRenamed(groupCol, "__og")
+      .withColumnRenamed("__b", "__ob")
+    withCum.join(offsetsR,
+        col(groupCol) <=> col("__og") && col("__b") === col("__ob"))
       .withColumn("__incl", col("__cum_in") + col("__off"))
-      .drop("__b", "__cum_in")
+      .drop("__og", "__ob", "__b", "__cum_in")
   }
 
   /** The EXCLUSIVE running sum of `valueCol` over rows ordered by

@@ -514,17 +514,9 @@ object Similarity {
     // ≤ maxCell per shard — lossless: a row with maxCell lower-id
     // rows in its OWN shard cannot be in the cell's overall lowest
     // maxCell — phase 2 ranks the ≤ shards×maxCell survivors.
-    val capShards = 64
-    val w1 = Window.partitionBy(col("cell"),
-        graft.functions.HashFunctions.md5Hash60b(col("__id").cast("string"))
-          % capShards)
-      .orderBy(col("__id"))
-    val capW = Window.partitionBy(col("cell")).orderBy(col("__id"))
-    val capped = c.withColumn("__k1", row_number().over(w1))
-      .filter(col("__k1") <= maxCell)
-      .withColumn("__rn", row_number().over(capW))
-      .filter(col("__rn") <= maxCell)
-      .drop("__k1")
+    val capped = Caps.twoPhaseRank(c, Seq(col("cell")), Seq(col("__id")),
+      graft.functions.HashFunctions.md5Hash60b(col("__id").cast("string")),
+      maxCell)
     val lo = capped.select(col("cell"), col("__id").as("id_a"),
       col("__v").as("va"), col("__n").as("na"))
     val hi = capped.select(col("cell"), col("__id").as("id_b"),
@@ -976,17 +968,9 @@ object Similarity {
       cellCol: String, cap: Int, shards: Int = 64): DataFrame = {
     val id = col(idCol)
     val hash = graft.functions.HashFunctions.md5Hash60(id.cast("string"))
-    val w1 = Window
-      .partitionBy(col(cellCol),
-        graft.functions.HashFunctions.md5Hash60b(id.cast("string"))
-          % shards)
-      .orderBy(hash, id)
-    val w2 = Window.partitionBy(col(cellCol)).orderBy(hash, id)
-    df.withColumn("__k1", row_number().over(w1))
-      .filter(col("__k1") <= cap)
-      .withColumn("rk", row_number().over(w2).cast("long"))
-      .filter(col("rk") <= cap)
-      .drop("__k1")
+    Caps.twoPhaseRank(df, Seq(col(cellCol)), Seq(hash, id),
+      graft.functions.HashFunctions.md5Hash60b(id.cast("string")),
+      cap, shards, rankCol = Some("rk"))
   }
 
   /** DuckDB twin of [[perCellHashKeep]]'s ordering key (the one-phase

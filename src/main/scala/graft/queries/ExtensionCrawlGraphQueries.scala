@@ -970,7 +970,16 @@ private[queries] object ExtensionCrawlGraphQueries {
         "is quadratic and a sf10 sweep would pay 10^8 scored pairs " +
         "for one gate point; the composed miner still runs over the " +
         "FULL source side, and the per-source hit/miss join " +
-        "restricts to the sampled ground truth",
+        "restricts to the sampled ground truth. Honesty note on what " +
+        "the sampled truth IS: the exact ALGORITHM over the " +
+        "(sample x targets) pair set — a target's backward top-k " +
+        "mean (the margin denominator) sees only sampled sources, so " +
+        "elections can differ from the full-corpus exact answer " +
+        "restricted to the sample (sampling does not commute with " +
+        "margin normalization). That is the standard sampled-truth " +
+        "trade; the DuckDB twin re-derives the IDENTICAL quantity, " +
+        "so the gate pins it exactly, and the UNSAMPLED truth is " +
+        "still hash-gated by the sibling x80 at every gate SF",
       (s, dir) => {
         val emb = t(s, dir, "embeddings")
         val srcSide = emb.filter(col("vec_id") % 2 === 0)

@@ -155,7 +155,16 @@ private[queries] object ExtensionSupport {
           mine.completeExceptionally(t)
           throw t
       }
-    } else prev.join()
+    } else {
+      // rethrow the winner's ORIGINAL failure, not the
+      // CompletionException join() wraps it in — losers and the
+      // winner must surface the same exception type
+      try prev.join()
+      catch {
+        case e: java.util.concurrent.CompletionException
+            if e.getCause != null => throw e.getCause
+      }
+    }
   }
 
   /** Session-scoped memo of trained ANN artifacts shared across the

@@ -22,6 +22,27 @@ class DedupSpec extends SparkSpec {
     assert(kept.toSeq == Seq(1L, 3L, 4L, 5L))
   }
 
+  test("exactKeepFirst carries unorderable payload columns and skips " +
+      "NULL ids, like the removed min(id)-over-key window did") {
+    // map payload: min(struct(all cols)) would throw AnalysisException
+    // (maps are unorderable); min_by only orders on the id
+    val withMap = docs.withColumn("meta",
+      map(lit("k"), col("doc_id").cast("string")))
+    val kept = Dedup.exactKeepFirst(withMap, col("text"), col("doc_id"))
+    assert(kept.columns.toSeq == Seq("doc_id", "text", "meta"))
+    assert(kept.select("doc_id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 3L, 4L, 5L))
+    // NULL ids: skipped within a group; an all-NULL-id group drops
+    // entirely (the window form's id === min(id) filter did both)
+    val nullIds = Seq(
+      (Some(7L), "a"), (None, "a"),  // NULL loses to 7
+      (None, "b")                    // all-NULL group drops
+    ).toDF("doc_id", "text")
+    val keptIds = Dedup.exactKeepFirst(nullIds, col("text"), col("doc_id"))
+      .select("doc_id", "text").as[(Option[Long], String)].collect().toSet
+    assert(keptIds == Set((Some(7L), "a")))
+  }
+
   test("minhash signatures are equal for identical docs") {
     val p = Dedup.MinHashParams()
     val sigs = Dedup.minHashSignatures(docs, "doc_id", "text", p)

@@ -719,11 +719,14 @@ class PropertySpec extends SparkSpec {
         s"frame_ok=true rows ($nTrue) must equal clean records ($nClean)")
       } finally {
         // per-iteration fixture dir — delete it (deepest-first) or the
-        // suite leaks a temp tree on every forAll iteration
+        // suite leaks a temp tree on every forAll iteration; the walk
+        // stream itself must close or it leaks directory handles
         import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(dirPath).iterator().asScala.toSeq
+        val walk = java.nio.file.Files.walk(dirPath)
+        try walk.iterator().asScala.toSeq
           .sortBy(-_.getNameCount)
           .foreach(java.nio.file.Files.deleteIfExists(_))
+        finally walk.close()
       }
     }
   }

@@ -27,6 +27,21 @@ class StatsSpec extends SparkSpec {
     assert(got("c") == (("c", 7.0, 7.0, 7.0, 7.0, 1L)))
   }
 
+  test("exactQuantiles keeps a NULL group as a normal group (the " +
+      "grouped prefix sum's join-back is null-safe on the group key)") {
+    val df = Seq(
+      (Some("a"), 1.0), (Some("a"), 3.0),
+      (Option.empty[String], 2.0), (Option.empty[String], 4.0)
+    ).toDF("g", "v")
+    val got = Stats.exactQuantiles(df, "g", "v", Seq(50, 100))
+      .as[(Option[String], Double, Double, Long)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got(Some("a")) == ((Some("a"), 1.0, 3.0, 2L)))
+    // the window form this replaced emitted a NULL-group row; an
+    // equi-join would have silently dropped it
+    assert(got(None) == ((None, 2.0, 4.0, 2L)))
+  }
+
   test("exactQuantiles median agrees with sort-based rank on a " +
       "larger frame") {
     val df = (1 to 101).map(i => ("g", i.toDouble)).toDF("g", "v")
