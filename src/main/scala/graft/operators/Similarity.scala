@@ -205,17 +205,23 @@ object Similarity {
   def trainedCentroids: Map[(Int, Int, String), Array[Array[Double]]] =
     centroidStash.get()
 
-  /** Nearest-centroid cell id as a pure projection: argmax dot product
-    * against literal centroid arrays (greatest over (score, idx)
-    * structs — field-order comparison gives the argmax). */
+  /** Nearest-centroid cell id as a pure projection: a single
+    * [[graft.plans.ArgmaxDot]] node carrying the centroid matrix as a
+    * reference object — bit-identical to the former unrolled
+    * greatest-over-(score, idx)-structs tree (same sequential dots,
+    * same larger-index tie-break; the coalesce reproduces that tree's
+    * NULL-vector → last-index result), but O(1) plan size instead of
+    * O(nCells·dim) literal nodes: the unrolled form's 100 KB+ plans
+    * were pure driver analysis/codegen cost re-paid per job
+    * (guide §7.3), and the serve/train family pays it per Lloyd
+    * iteration. */
   def cellExpr(vecCol: Column, centroids: Array[Array[Double]]): Column = {
-    val scored = centroids.zipWithIndex.map { case (c, i) =>
-      struct(dotProduct(vecCol, array(c.map(lit): _*)).as("s"),
-        lit(i).as("i"))
-    }
-    // greatest requires >= 2 args; a single cell is trivially cell 0
-    if (scored.length == 1) lit(0)
-    else greatest(scored.toSeq: _*).getField("i")
+    import org.apache.spark.sql.GraftBridge
+    if (centroids.length == 1) lit(0)
+    else coalesce(GraftBridge.column(graft.plans.ArgmaxDot(
+        GraftBridge.expression(vecCol), centroids,
+        new Array[Double](centroids.length), 0, Int.MaxValue)),
+      lit(centroids.length - 1))
   }
 
   /** IVF ANN: corpus rows live in their nearest-centroid cell; each
@@ -605,13 +611,18 @@ object Similarity {
     * [[cellExpr]] and its list_sort DESC mirror). */
   def subCellExpr(vecCol: Column, sub: Int, codewords: Array[Array[Double]],
       subDim: Int): Column = {
-    val sv = slice(vecCol, sub * subDim + 1, subDim)
-    val scored = codewords.zipWithIndex.map { case (cw, j) =>
-      struct((dotProduct(sv, array(cw.map(lit): _*)) - lit(halfNormSq(cw)))
-        .as("s"), lit(j).as("i"))
-    }
-    if (scored.length == 1) lit(0)
-    else greatest(scored.toSeq: _*).getField("i")
+    // one ArgmaxDot node per subspace (codebook as a reference
+    // object) instead of ksub unrolled dot+literal subtrees — same
+    // plan-size/driver-time rationale as [[cellExpr]], bit-identical
+    // (sequential dots over the same slice window, same half-norm
+    // subtraction, same larger-index tie-break, same NULL-vector →
+    // last-index result via the coalesce)
+    import org.apache.spark.sql.GraftBridge
+    if (codewords.length == 1) lit(0)
+    else coalesce(GraftBridge.column(graft.plans.ArgmaxDot(
+        GraftBridge.expression(vecCol), codewords,
+        codewords.map(halfNormSq), sub * subDim, subDim)),
+      lit(codewords.length - 1))
   }
 
   /** Deterministic product-quantization trainer (Jégou, Douze, Schmid,
