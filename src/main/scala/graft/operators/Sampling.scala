@@ -239,8 +239,18 @@ object Sampling {
         .agg(count(lit(1)).as("n")))
     val raw = docBuckets.groupBy(col("bucket"))
       .agg(sum(col("n")).cast("long").as("cr"))
-    val tgt = bucketed(docs.filter(expr(targetPredicate)))
-      .groupBy(col("bucket")).agg(count(lit(1)).as("ct"))
+    // target histogram = the bucket-marginal of docBuckets restricted
+    // to target ids — a narrow semi-join against the (materialized)
+    // per-doc counts instead of a SECOND tokenize+explode pass over
+    // the target slice (guide §1.2 step 1 / §2.3: don't recompute the
+    // corpus-wide feature explosion when its aggregate already holds
+    // the answer). Identical values: sum of per-(id,bucket) counts
+    // over target ids == count of the target slice's exploded
+    // features (ids are keys throughout this operator).
+    val tgt = docBuckets
+      .join(docs.filter(expr(targetPredicate)).select(id), Seq(idCol),
+        "left_semi")
+      .groupBy(col("bucket")).agg(sum(col("n")).cast("long").as("ct"))
     val totals = raw.agg(sum(col("cr")).as("nr"))
       .crossJoin(tgt.agg(sum(col("ct")).as("nt")))
     val denom = alpha * buckets

@@ -210,6 +210,35 @@ class SamplingSpec extends SparkSpec {
       s"expected science-vocab docs to dominate the draw, got $sciPicked/50")
   }
 
+  test("dsirSelect target histogram: the r17-opt semi-join derivation " +
+      "equals re-tokenizing the target slice (the removed second pass)") {
+    import graft.functions.TextFunctions.{adjacentBigrams, wsTokens}
+    import graft.functions.HashFunctions.md5Hash60
+    val docs = (1L to 60L)
+      .map(i => (i, if (i % 4 == 0) "en" else "xx",
+        s"tok$i shared words ${"x " * (i % 5).toInt}tail"))
+      .toDF("doc_id", "lang", "text")
+    val buckets = 64
+    def slice(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("__tk", wsTokens($"text"))
+      .filter(size($"__tk") >= 1)
+      .select($"doc_id",
+        explode(concat($"__tk", adjacentBigrams($"__tk"))).as("feat"))
+      .select($"doc_id", (md5Hash60($"feat") % buckets).as("bucket"))
+    // the removed form: tokenize the target slice directly
+    val direct = slice(docs.filter($"lang" === "en"))
+      .groupBy($"bucket").agg(count(lit(1)).as("ct"))
+    // the shipped form: per-doc counts semi-joined to target ids
+    val derived = slice(docs).groupBy($"doc_id", $"bucket")
+      .agg(count(lit(1)).as("n"))
+      .join(docs.filter($"lang" === "en").select($"doc_id"),
+        Seq("doc_id"), "left_semi")
+      .groupBy($"bucket").agg(sum($"n").cast("long").as("ct"))
+    val d1 = direct.orderBy($"bucket").as[(Long, Long)].collect().toSeq
+    val d2 = derived.orderBy($"bucket").as[(Long, Long)].collect().toSeq
+    assert(d1 == d2, s"direct $d1 != derived $d2")
+  }
+
   test("dsirSelect is deterministic, honors k, and returns the whole " +
       "corpus when k exceeds it") {
     val docs = (1L to 30L)
