@@ -1712,40 +1712,51 @@ private[queries] object ExtensionCrawlGraphQueries {
         wetFixtureOnce(path) {
           Warc.writeWet(fixture.repartition(4), path, "uri", "dt", "text")
         }
-        // stage 1: WET ingest — framing must be byte-exact
+        // stage 1: WET ingest — framing must be byte-exact. Each
+        // stage's audit scalars ride the stage's scratch write via
+        // observe() — one job per stage instead of write + a separate
+        // collect pass (guide §1.2; the x19/x73 observe pattern
+        // applied to entry audits).
+        val wetObs = new org.apache.spark.sql.Observation()
         val wet = scratch(Warc.readWet(s, path)
-          .select(col("uri"), col("text"), col("frame_ok")), "x90_wet")
-        val wetAudit = wet.agg(count(lit(1)),
-          sum(when(col("frame_ok"), 1L).otherwise(0L)),
-          sum(regexp_count(col("text"), lit("[\u200B\u00AD\uFEFF]")))
-            .cast("long")).collect()(0)
-        require(wetAudit.getLong(0) == nDocs &&
-          wetAudit.getLong(1) == nDocs,
-          s"ingest must frame all $nDocs records: $wetAudit")
-        require(wetAudit.getLong(2) >= 3 * nDocs,
-          s"fixture must carry invisibles into the scrub: $wetAudit")
+          .select(col("uri"), col("text"), col("frame_ok"))
+          .observe(wetObs, count(lit(1)).as("n"),
+            sum(when(col("frame_ok"), 1L).otherwise(0L)).as("ok"),
+            sum(regexp_count(col("text"), lit("[\u200B\u00AD\uFEFF]")))
+              .cast("long").as("inv")), "x90_wet")
+        val Seq(wetN, wetOk, wetInv) =
+          observedLongs(wetObs, "n", "ok", "inv")
+        require(wetN == nDocs && wetOk == nDocs,
+          s"ingest must frame all $nDocs records: $wetN framed, $wetOk ok")
+        require(wetInv >= 3 * nDocs,
+          s"fixture must carry invisibles into the scrub: $wetInv")
         // stage 2: scrub
+        val scrubObs = new org.apache.spark.sql.Observation()
         val scrubbed = scratch(wet.select(
           regexp_extract(col("uri"), "https://d([0-9]+)\\.", 1)
             .cast("long").as("doc_id"),
-          Corpus.scrubInvisible(col("text")).as("text")), "x90_scrub")
-        val remInv = scrubbed.agg(
-          sum(regexp_count(col("text"), lit("[\u200B\u00AD\uFEFF]")))
-            .cast("long")).collect()(0).getLong(0)
+          Corpus.scrubInvisible(col("text")).as("text"))
+          .observe(scrubObs,
+            sum(regexp_count(col("text"), lit("[\u200B\u00AD\uFEFF]")))
+              .cast("long").as("inv")), "x90_scrub")
+        val Seq(remInv) = observedLongs(scrubObs, "inv")
         require(remInv == 0L, s"scrub must remove every invisible: $remInv")
         // stage 3: corpus-wide paragraph dedup
+        val dObs = new org.apache.spark.sql.Observation()
         val dedup = scratch(
-          Corpus.paragraphDedup(scrubbed, "doc_id", "text"), "x90_dedup")
-        val dAudit = dedup.agg(count(lit(1)),
-          sum(when(col("text_dedup")
-            .startsWith("Cookie Notice"), 1L).otherwise(0L)),
-          sum(col("n_kept")), sum(col("n_paras"))).collect()(0)
-        require(dAudit.getLong(0) == nDocs,
+          Corpus.paragraphDedup(scrubbed, "doc_id", "text")
+            .observe(dObs, count(lit(1)).as("n"),
+              sum(when(col("text_dedup")
+                .startsWith("Cookie Notice"), 1L).otherwise(0L)).as("ban"),
+              sum(col("n_kept")).as("kept"),
+              sum(col("n_paras")).as("paras")), "x90_dedup")
+        val Seq(dN, dBan, dKept, dParas) =
+          observedLongs(dObs, "n", "ban", "kept", "paras")
+        require(dN == nDocs,
           "dedup must emit every document")
-        require(dAudit.getLong(1) == 1L,
-          s"scrubbed banner must survive exactly once, got " +
-            s"${dAudit.getLong(1)}")
-        require(dAudit.getLong(2) < dAudit.getLong(3),
+        require(dBan == 1L,
+          s"scrubbed banner must survive exactly once, got $dBan")
+        require(dKept < dParas,
           "dedup must drop at least one paragraph corpus-wide")
         // stages 4+5: quality scoring and budget selection at half
         // the post-dedup token mass (scale-relative, so the boundary
@@ -1761,20 +1772,24 @@ private[queries] object ExtensionCrawlGraphQueries {
         val totTok = scored.agg(sum(col("n_tok")).cast("long"))
           .collect()(0).getLong(0)
         val budget = totTok / 2
+        val selObs = new org.apache.spark.sql.Observation()
         val sel = scratch(Corpus.budgetSelect(scored, "doc_id",
-          "margin_r", "n_tok", budget), "x90_sel")
-        val sAudit = sel.agg(count(lit(1)),
-          sum(when(col("keep"), 1L).otherwise(0L)),
-          max(when(col("keep"), col("cum_tok"))),
-          min(when(!col("keep"), col("cum_tok")))).collect()(0)
-        require(sAudit.getLong(0) == nDocs,
+          "margin_r", "n_tok", budget)
+          .observe(selObs, count(lit(1)).as("n"),
+            sum(when(col("keep"), 1L).otherwise(0L)).as("kept"),
+            max(when(col("keep"), col("cum_tok"))).as("keptMax"),
+            min(when(!col("keep"), col("cum_tok"))).as("loserMin")),
+          "x90_sel")
+        val Seq(sN, sKept, sKeptMax, sLoserMin) =
+          observedLongs(selObs, "n", "kept", "keptMax", "loserMin")
+        require(sN == nDocs,
           "selection must emit every document (losers auditable)")
-        require(sAudit.getLong(1) >= 1 && sAudit.getLong(1) < nDocs,
-          s"half-mass budget must keep a strict subset: $sAudit")
-        require(sAudit.getLong(2) <= budget,
-          s"kept prefix must fit the budget: ${sAudit.getLong(2)} > $budget")
-        require(sAudit.getLong(3) > budget,
-          s"first loser must sit past the budget: ${sAudit.getLong(3)}")
+        require(sKept >= 1 && sKept < nDocs,
+          s"half-mass budget must keep a strict subset: $sKept of $sN")
+        require(sKeptMax <= budget,
+          s"kept prefix must fit the budget: $sKeptMax > $budget")
+        require(sLoserMin > budget,
+          s"first loser must sit past the budget: $sLoserMin")
         // stage 6: pack the kept docs into 512-token shards
         val packs = Packing.assignPacks(
           sel.filter(col("keep")).select(col("doc_id"), col("n_tok")),

@@ -56,6 +56,26 @@ private[queries] object ExtensionSupport {
     df.sparkSession.read.parquet(dir)
   }
 
+  /** Read LONG metrics off an Observation whose frame went through
+    * [[scratch]] (the write is the completing action) — the audit
+    * scalars ride the materialization job instead of each paying a
+    * separate collect job over the scratch table (the x19/x73
+    * observe pattern applied to entry audits; guide §1.2: fewer
+    * passes). A null metric (zero observed rows) reads as 0, matching
+    * `agg(...).collect()` semantics under the entries' REQUIREs. */
+  def observedLongs(obs: org.apache.spark.sql.Observation,
+      keys: String*): Seq[Long] = {
+    val m = org.apache.spark.sql.GraftBridge.observedOrEmpty(obs)
+    require(m.nonEmpty,
+      "observed audit metrics did not materialize with the scratch write")
+    keys.map(k => m(k) match {
+      case null => 0L
+      case v: java.lang.Long => v.longValue()
+      case other => throw new IllegalStateException(
+        s"audit metric $k is not a long: $other")
+    })
+  }
+
   /** One shutdown hook per app-scratch dir: deletes the dir at JVM
     * exit and logs its final size. Registered lazily on first use so
     * runs that never scratch pay nothing. */

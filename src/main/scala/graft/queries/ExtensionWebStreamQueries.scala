@@ -337,21 +337,32 @@ private[queries] object ExtensionWebStreamQueries {
         // once and read it back for every consumer (the
         // Quarantine.ingest pattern). At 100 TB this IS the design:
         // the sets table is the reusable index artifact.
+        // the corpus size and candidate count ride the scratch
+        // writes via observe() — prefixFilterSets emits exactly one
+        // row per corpus document (ids are unique by construction:
+        // twins offset by 10^6), so the sets write's row count IS
+        // |corpus|, and the cands write's row count IS the candidate
+        // volume: two audit jobs folded into writes that already run
+        // (guide §1.2; the x90 observe-audit pattern)
+        val setsObs = new org.apache.spark.sql.Observation()
         val sets = scratch(
-          Dedup.prefixFilterSets(corpus, "doc_id", "text", 3),
+          Dedup.prefixFilterSets(corpus, "doc_id", "text", 3)
+            .observe(setsObs, count(lit(1)).as("n")),
           "x70_sets")
         // candidates and the verified relation are each consumed by a
         // REQUIRE gate AND a downstream stage/returned plan — scratch
         // both so the prefix join and the exact-Jaccard adjudication
         // each execute exactly ONCE per run
+        val candsObs = new org.apache.spark.sql.Observation()
         val cands = scratch(
-          Dedup.prefixFilterCandidates(sets, "doc_id", 0.7),
+          Dedup.prefixFilterCandidates(sets, "doc_id", 0.7)
+            .observe(candsObs, count(lit(1)).as("n")),
           "x70_cands")
         val verified = scratch(
           Dedup.prefixFilterVerify(sets, cands, "doc_id", 0.7),
           "x70_verified")
-        val nCand = cands.count()
-        val m = corpus.count()
+        val Seq(nCand) = observedLongs(candsObs, "n")
+        val Seq(m) = observedLongs(setsObs, "n")
         require(nCand * 20 <= m * (m - 1) / 2,
           s"prefix filter degenerated: $nCand candidates vs " +
             s"${m * (m - 1) / 2} all-pairs")
