@@ -25,8 +25,12 @@ import graft.functions.TextFunctions._
   *   language, not by approximate percentile thresholds — bit-stable
   *   across engines and partitionings.
   *
-  * Scale shape: one shuffle to count reference tokens (map-side
-  * combined), one shuffle for per-doc term frequencies, one equi-join
+  * Scale shape: ONE tokenize+explode pass over the corpus — the
+  * per-doc term-frequency shuffle (map-side combined); the reference
+  * token counts are the ref-id marginal of that same tf frame (semi-
+  * join on a text-free id scan + re-aggregate of narrow (token, tf)
+  * rows — the planner reuses the tf exchange between the two
+  * branches, so the exploded aggregation runs once), one equi-join
   * tf⋈vocab on token (AQE broadcasts the vocab when it fits — CCNet
   * caps the LM vocabulary, so at 100 TB the capped vocab is still
   * broadcastable; an uncapped vocab degrades to a shuffle join, never
@@ -78,17 +82,26 @@ object LanguageModel {
         wsTokenCount(col(textCol)).as("n_tok"),
         explode(wsTokens(col(textCol))).as("token"))
 
-    // Reference unigram counts + (N, V); counting from the exploded
-    // frame reuses the same tokenization, and the stats aggregate is
-    // over the tiny counts frame, not the corpus.
-    val refCounts = materialize(nonBlank.filter(expr(refPredicate))
-      .select(explode(wsTokens(col(textCol))).as("token"))
-      .groupBy(col("token")).agg(count(lit(1)).as("c")))
-    val stats = refCounts.agg(sum(col("c")).as("n_ref"),
-      count(lit(1)).as("v_ref"))
-
     val tf = tok.groupBy(id, col(langCol), col("n_tok"), col("token"))
       .agg(count(lit(1)).as("tf"))
+
+    // Reference unigram counts + (N, V), derived from the per-doc
+    // term frequencies already computed above: c(w) over the ref
+    // slice is the sum of its docs' tf(w) (ids are keys, so the
+    // bucket-marginal is exact — the x77 DSIR derivation). This
+    // removes the second corpus-text tokenize+explode+shuffle the
+    // operator used to pay for the ref slice; the tf subtree appears
+    // in both the join branch and this one, so the planner reuses
+    // ONE exchange for the heavy exploded aggregation, and only
+    // narrow (id, token, tf) rows of ref docs are re-aggregated.
+    // The ref ids come from a text-free scan of the docs (predicate
+    // may reference any docs column).
+    val refIds = nonBlank.filter(expr(refPredicate)).select(id)
+    val refCounts = materialize(tf
+      .join(refIds, Seq(idCol), "left_semi")
+      .groupBy(col("token")).agg(sum(col("tf")).as("c")))
+    val stats = refCounts.agg(sum(col("c")).as("n_ref"),
+      count(lit(1)).as("v_ref"))
 
     val lnp = log((coalesce(col("c"), lit(0L)).cast("double") + 1.0) /
       (col("n_ref") + col("v_ref")).cast("double"))

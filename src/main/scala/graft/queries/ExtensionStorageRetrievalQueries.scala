@@ -28,10 +28,18 @@ private[queries] object ExtensionStorageRetrievalQueries {
         "exchanges below it (asserted in-query on the physical plan); " +
         "the result hash-matches the plain-join oracle",
       (s, dir) => {
-        Warehouse.saveBucketed(t(s, dir, "orders"), "orders_bkt",
-          Seq("o_orderkey"), 8)
-        Warehouse.saveBucketed(t(s, dir, "lineitem"), "lineitem_bkt",
-          Seq("l_orderkey"), 8)
+        // project to the join/agg columns BEFORE the bucketed write:
+        // the bucket exchange + sort + parquet write then carries 2
+        // columns per side instead of the full fact width (guide
+        // §2.3 project-before-the-exchange, §6 write only what the
+        // readers need) — the co-location contract and the joined
+        // result are unchanged
+        Warehouse.saveBucketed(t(s, dir, "orders")
+            .select(col("o_orderkey"), col("o_orderpriority")),
+          "orders_bkt", Seq("o_orderkey"), 8)
+        Warehouse.saveBucketed(t(s, dir, "lineitem")
+            .select(col("l_orderkey"), col("l_extendedprice")),
+          "lineitem_bkt", Seq("l_orderkey"), 8)
         // merge hint: keep the demonstration a sort-merge join even at
         // scale factors where the orders side would broadcast
         val joined = s.table("lineitem_bkt").hint("merge")
