@@ -67,19 +67,28 @@ private[queries] object ExtensionWebStreamQueries {
           lit(".example.test/q?b=2&a=1\">second</a><!-- <a href=" +
             "\"https://ghost.example.test/never\">ghost</a> -->" +
             "</body></html>"))
-        val parsed = t(s, dir, "documents")
+        val sentinel = "R&D <spec> \"q\" 's' end"
+        // the regexp extraction chain feeds BOTH the invariant audit
+        // and the returned projection — scratch it so the chain runs
+        // ONCE per invocation (was: audit count + returned frame each
+        // re-ran htmlToText/extractLinks over every doc), with the
+        // audit riding the scratch write as an observe() metric (the
+        // x90 pattern; guide §1.2 fewer passes)
+        val parsedObs = new org.apache.spark.sql.Observation()
+        val parsed = scratch(t(s, dir, "documents")
           .select(col("doc_id"), html.as("html"))
           .select(col("doc_id"),
             Web.htmlToText(col("html")).as("text_clean"),
             Web.extractLinks(col("html")).as("links"))
-        val sentinel = "R&D <spec> \"q\" 's' end"
-        val bad = parsed.filter(
-          !col("text_clean").contains(sentinel) ||
-            col("text_clean").contains("var x") ||
-            col("text_clean").contains("color") ||
-            col("text_clean").contains("boilerplate") ||
-            col("text_clean").contains("ghost") ||
-            size(col("links")) =!= 2).count()
+          .observe(parsedObs, sum(when(
+            !col("text_clean").contains(sentinel) ||
+              col("text_clean").contains("var x") ||
+              col("text_clean").contains("color") ||
+              col("text_clean").contains("boilerplate") ||
+              col("text_clean").contains("ghost") ||
+              size(col("links")) =!= 2, 1L).otherwise(0L)).as("bad")),
+          "x67_parsed")
+        val Seq(bad) = observedLongs(parsedObs, "bad")
         require(bad == 0,
           s"$bad rows failed the HTML extraction invariants")
         parsed
@@ -160,6 +169,11 @@ private[queries] object ExtensionWebStreamQueries {
             .otherwise(col("text")).as("t0"))
         val a = raw.select(col("doc_id"),
           regexp_replace(col("t0"), "[^ -~]", "").as("ta"))
+        // NOT scratched (unlike x67/x69): measured A/B at sf0.1, the
+        // scratch write+read washes against recomputing this cheap
+        // narrow chain for the audit (0.85/0.92 vs 0.98/0.73 warm),
+        // and at scale rewriting a corpus-sized scored table costs
+        // more IO than a second in-row entropy pass
         val scored = a.select(col("doc_id"),
             length(col("ta")).cast("long").as("n_chars"),
             size(array_distinct(array_remove(split(col("ta"), ""), "")))
@@ -242,18 +256,30 @@ private[queries] object ExtensionWebStreamQueries {
           lit(" </a><!-- <a href=\"http://x.test/g\">ghost</a> -->" +
             "<script>var a = '<a href=\"http://x.test/j\">js</a>';" +
             "</script></body></html>"))
-        val pairs = t(s, dir, "documents")
+        // extraction + canonicalization feed THREE consumers (the
+        // aggregate, the hub audit, the leak audit) — scratch the
+        // pair frame so the regexp/URL work runs ONCE, the leak audit
+        // riding its write; the aggregate is scratched too so the hub
+        // audit's collect reads written parquet instead of re-running
+        // the shuffle (the x67/x90 pattern)
+        val pairsObs = new org.apache.spark.sql.Observation()
+        val pairs = scratch(t(s, dir, "documents")
           .select(col("doc_id"), html.as("html"))
           .select(col("doc_id"),
             explode(Web.extractAnchors(col("html"))).as("a"))
           .select(col("doc_id"),
             Web.canonicalUrl(col("a.href")).as("target"),
             col("a.anchor").as("anchor"))
-        val agg = pairs.groupBy(col("target"))
+          .observe(pairsObs, sum(when(col("anchor").contains("ghost") ||
+            col("anchor").contains("js"), 1L).otherwise(0L)).as("leaked")),
+          "x69_pairs")
+        val Seq(leaked) = observedLongs(pairsObs, "leaked")
+        require(leaked == 0, s"$leaked commented/script anchors leaked")
+        val agg = scratch(pairs.groupBy(col("target"))
           .agg(count(lit(1)).as("n_anchors"),
             countDistinct(col("doc_id")).as("n_sources"),
             array_join(array_sort(collect_set(col("anchor"))), " | ")
-              .as("anchors_set"))
+              .as("anchors_set")), "x69_agg")
         val nDocs = t(s, dir, "documents").count()
         val hub = agg.filter(col("target") === "http://hub.example.test/")
           .collect()
@@ -262,9 +288,6 @@ private[queries] object ExtensionWebStreamQueries {
           hub.head.getAs[String]("anchors_set").split(" \\| ").length == 5,
           s"hot-key target must aggregate all $nDocs docs into 5 " +
             s"anchor variants: ${hub.toSeq}")
-        val leaked = pairs.filter(col("anchor").contains("ghost") ||
-          col("anchor").contains("js")).count()
-        require(leaked == 0, s"$leaked commented/script anchors leaked")
         agg.orderBy(col("target"))
       },
       Some {
