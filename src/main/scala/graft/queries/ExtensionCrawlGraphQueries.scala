@@ -677,8 +677,11 @@ private[queries] object ExtensionCrawlGraphQueries {
           .when(m < 20, "d2").when(m < 55, "d3").otherwise("d4")
         val docs = t(s, dir, "documents").select(col("doc_id"),
           domain.as("domain"), wsTokenCount(col("text")).as("n_tok"))
-        val dt = docs.groupBy(col("domain"))
-          .agg(sum(col("n_tok")).cast("long").as("n_tok"))
+        // the domain-token table feeds the budget scalar AND the
+        // waterfill — scratch the (5-row) table so the corpus
+        // tokenize pass runs ONCE instead of once per consumer
+        val dt = scratch(docs.groupBy(col("domain"))
+          .agg(sum(col("n_tok")).cast("long").as("n_tok")), "x78_dt")
         val total = dt.agg(sum(col("n_tok"))).collect()(0).getLong(0)
         val alloc = scratch(Mixing.unimaxAllocate(dt, "domain", "n_tok",
           budgetTokens = total * 3 / 5, maxEpochs = 2.0), "x78_alloc")
@@ -1761,7 +1764,13 @@ private[queries] object ExtensionCrawlGraphQueries {
         // stages 4+5: quality scoring and budget selection at half
         // the post-dedup token mass (scale-relative, so the boundary
         // is non-trivial at every SF)
-        val scored = dedup.select(col("doc_id"),
+        // scored feeds the budget scalar AND the selection — scratch
+        // it so the tokenize+margin pass runs ONCE, the token total
+        // riding the write (the stage-1/2/3 observe pattern; the
+        // budget is needed BEFORE building the selection, so it
+        // cannot ride the selection's own write)
+        val scoredObs = new org.apache.spark.sql.Observation()
+        val scored = scratch(dedup.select(col("doc_id"),
             col("text_dedup").as("text"))
           .select(col("doc_id"), wsTokens(col("text")).as("__tk"),
             col("text"))
@@ -1769,8 +1778,9 @@ private[queries] object ExtensionCrawlGraphQueries {
             round(TextAnalysis.classifierMargin(col("text"), col("__tk")),
               6).as("margin_r"),
             size(col("__tk")).cast("long").as("n_tok"))
-        val totTok = scored.agg(sum(col("n_tok")).cast("long"))
-          .collect()(0).getLong(0)
+          .observe(scoredObs,
+            sum(col("n_tok")).cast("long").as("tot")), "x90_scored")
+        val Seq(totTok) = observedLongs(scoredObs, "tot")
         val budget = totTok / 2
         val selObs = new org.apache.spark.sql.Observation()
         val sel = scratch(Corpus.budgetSelect(scored, "doc_id",
