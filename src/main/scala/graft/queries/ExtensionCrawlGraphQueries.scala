@@ -1201,13 +1201,19 @@ private[queries] object ExtensionCrawlGraphQueries {
         val out = scratch(gated.withColumn("wave",
           when(col("allowed"), row_number().over(w).cast("long") - 1)
             .otherwise(lit(-1L))), "x82_out")
-        val domAudit = out.filter(col("allowed"))
-          .groupBy(col("reg_domain"))
-          .agg((max(col("wave")) + 1 === count(lit(1))).as("ok"))
-        require(domAudit.count() == 3 &&
-          domAudit.filter(!col("ok")).count() == 0,
+        // ONE grouped audit job over the scratch table instead of
+        // three (domain count + gap check + deny count were three
+        // separate jobs re-scanning the same written parquet)
+        val audit = out.groupBy(col("reg_domain"), col("allowed"))
+          .agg(max(col("wave")).as("mx"), count(lit(1)).as("n"))
+          .collect()
+        val allowedRows = audit.filter(_.getAs[Boolean]("allowed"))
+        require(allowedRows.length == 3 &&
+          allowedRows.forall(r =>
+            r.getAs[Long]("mx") + 1 == r.getAs[Long]("n")),
           "waves must be gap-free across exactly 3 registered domains")
-        val denied = out.filter(!col("allowed")).count()
+        val denied = audit.filter(!_.getAs[Boolean]("allowed"))
+          .map(_.getAs[Long]("n")).sum
         require(denied > 0, "the robots gate must deny something")
         out.orderBy(col("doc_id"))
       },
@@ -1319,7 +1325,12 @@ private[queries] object ExtensionCrawlGraphQueries {
           sum(col("n_zerowidth")), sum(col("n_bidi")),
           count(lit(1)),
           sum(when(col("doc_id") % 4 === 0 &&
-            col("n_controls") =!= 2, 1L).otherwise(0L))).collect()(0)
+            col("n_controls") =!= 2, 1L).otherwise(0L)),
+          // the residue check rides the SAME audit job (was a second
+          // filter+count pass over the scratch table)
+          sum(when(graft.operators.Corpus
+            .invisibleCounts(col("text_clean"))
+            .map(_ > 0L).reduce(_ || _), 1L).otherwise(0L))).collect()(0)
         val n = audit.getLong(4)
         val per = Seq(0L, 1L, 2L, 3L).map(r =>
           (n + 3 - r) / 4) // docs with doc_id % 4 == r for ids 0..n-1
@@ -1330,9 +1341,7 @@ private[queries] object ExtensionCrawlGraphQueries {
           s"class counts must match the injection rotation: $audit")
         require(audit.getLong(5) == 0,
           "every %4==0 doc must count exactly its injected controls")
-        val residue = out.filter(
-          graft.operators.Corpus.invisibleCounts(col("text_clean"))
-            .map(_ > 0L).reduce(_ || _)).count()
+        val residue = audit.getLong(6)
         require(residue == 0, s"$residue docs kept invisible chars")
         out.orderBy(col("doc_id"))
       },
