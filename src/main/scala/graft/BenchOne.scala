@@ -7,8 +7,11 @@ import org.apache.spark.sql.SparkSession
 object BenchOne {
   def main(args: Array[String]): Unit = {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val spark = graft.sources.Tables.withSessionConfs(SparkSession.builder()).master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+    // core count override so the scaling-evidence protocol (same
+    // entries at 8 vs 32 cores, sf1) can use this tool directly
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = graft.sources.Tables.withSessionConfs(SparkSession.builder()).master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -8,9 +8,13 @@ import org.apache.spark.sql.SparkSession
 object Explain {
   def main(args: Array[String]): Unit = {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    // plan shape can depend on parallelism (e.g. whether ReusedExchange
+    // kicks in is independent, but AQE coalescing/broadcast estimates
+    // aren't) — allow dumping at the bench's exact config
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val names = if (args.nonEmpty) args.toSeq else graft.queries.Catalog.specs.map(_.name)
-    val spark = graft.sources.Tables.withSessionConfs(SparkSession.builder()).master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
+    val spark = graft.sources.Tables.withSessionConfs(SparkSession.builder()).master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

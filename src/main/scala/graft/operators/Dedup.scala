@@ -1341,15 +1341,25 @@ object Dedup {
     * frequency-ordered array, `sz`). Callers running both stages
     * should persist this frame (one corpus scan; the x64 materialize
     * pattern) — the functions take it as input precisely so
-    * materialization stays in the caller's hands. */
+    * materialization stays in the caller's hands.
+    *
+    * The exploded (id, shingle) frame INSIDE this builder forks to
+    * two consumers (the global frequency aggregate and the join-back
+    * that orders each document's set), and the two subtrees cannot
+    * share an exchange (one aggregates before its exchange) — so the
+    * tokenize+shingle pass over the corpus text runs twice under the
+    * identity default. `materialize` cuts it to one pass (persist or
+    * scratch the narrow (id, g) rows); at 100 TB that is a full
+    * corpus-text pass saved. */
   def prefixFilterSets(docs: DataFrame, idCol: String, textCol: String,
-      shingleN: Int): DataFrame = {
-    val sh = docs
+      shingleN: Int,
+      materialize: DataFrame => DataFrame = identity): DataFrame = {
+    val sh = materialize(docs
       .select(col(idCol), wsTokens(col(textCol)).as("__tk"),
         trim(col(textCol)).as("__t"))
       .select(col(idCol), explode(
         wordShinglesFromTokens(col("__tk"), col("__t"), shingleN))
-        .as("g"))
+        .as("g")))
     val freq = sh.groupBy(col("g")).agg(count(lit(1)).as("f"))
     sh.join(freq, "g")
       .groupBy(col(idCol))

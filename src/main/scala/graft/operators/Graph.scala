@@ -397,9 +397,18 @@ object Graph {
       .union(e.select(col("dst").as("id"))).distinct())
     var hubs = nodes.select(col("id"), lit(1.0).as("v"))
     var auths = nodes.select(col("id"), lit(0.0).as("v"))
+    // No per-half-step materialization of the returned score frame:
+    // foldOver already lineage-truncates its `sums` inside (the frame
+    // this returns is one thin nodes-join + projection over that
+    // checkpoint), each intermediate vector is consumed exactly once
+    // per round (the opposite half-step), and the final pair is
+    // consumed once by the closing join — so plans stay flat without
+    // it, and wrapping the thin join in the hook only added one
+    // checkpoint job per half-step (2·iters extra jobs; measured
+    // ~25% of x79's wall at iters=3 on the bench fixture).
     (1 to iters).foreach { _ =>
-      auths = materialize(foldOver(e, nodes, hubs, "src", "dst", shards))
-      hubs = materialize(foldOver(e, nodes, auths, "dst", "src", shards))
+      auths = foldOver(e, nodes, hubs, "src", "dst", shards)
+      hubs = foldOver(e, nodes, auths, "dst", "src", shards)
     }
     nodes
       .join(auths.withColumnRenamed("v", "__a"), Seq("id"))
@@ -535,9 +544,12 @@ object Graph {
     var delta = Double.MaxValue
     while (itersRun < maxIters && delta > tol) {
       // the fresh authority vector feeds BOTH the hub half-step and
-      // the delta join — truncate before fanning out
-      val a1 = Dedup.defaultMaterialize(
-        foldOver(e, nodes, hubs, "src", "dst", shards))
+      // the delta join, but foldOver already truncated its sums —
+      // a1 is one thin nodes-join over that checkpoint, so the
+      // fan-out re-evaluates only that join, not the half-step
+      // (wrapping it in another checkpoint added one job per round;
+      // removed with the x79 loop-materialize cleanup, same measure)
+      val a1 = foldOver(e, nodes, hubs, "src", "dst", shards)
       val h1 = foldOver(e, nodes, a1, "dst", "src", shards)
       val stepped = a1.select(col("id"), col("v").as("a"))
         .join(h1.select(col("id"), col("v").as("h")), Seq("id"))

@@ -59,14 +59,18 @@ object LanguageModel {
     * Output: (doc_id, lang, n_tok, h_r, bucket) where bucket is
     * head / middle / tail by ascending h_r within the language.
     *
-    * The per-doc score frame feeds both the output and the tercile
-    * histogram, and the reference vocab feeds both the token join and
-    * the (N, V) stats — each lineage executes twice; `materialize`
-    * wraps both so the caller can cut that (pass `df =>
+    * Three frames fork to multiple consumers: the per-doc tf frame
+    * (reference counts + the scoring join), the reference vocab
+    * (token join + the (N, V) stats), and the per-doc score frame
+    * (output + the tercile histogram) — `materialize` wraps all
+    * three so the caller can cut the re-computation (pass `df =>
     * df.persist(StorageLevel.DISK_ONLY)` or a checkpoint at cluster
     * scale — an in-library eager persist would take that choice away
-    * from the caller). The default identity is correct, just 2x the
-    * forked computation. */
+    * from the caller). The default identity is correct, just ~2x the
+    * forked computation per fork (unmaterialized, the corpus
+    * tokenize+explode+aggregate subtree is planned up to six times:
+    * verified on the x38 plan dump, where no ReusedExchange fires
+    * because join-side inferred filters make the subtrees unequal). */
   def crossEntropyBuckets(docs: DataFrame, idCol: String, textCol: String,
       langCol: String, refPredicate: String,
       materialize: DataFrame => DataFrame = identity): DataFrame = {
@@ -78,27 +82,29 @@ object LanguageModel {
     // one-OOV-token documents instead of excluding them
     val nonBlank = docs.filter(length(trim(col(textCol))) > 0)
 
+    // The ref-slice membership rides the tokenize pass as a PER-ROW
+    // flag (it only reads docs columns), so the reference counts are
+    // a filter + re-aggregate of the tf frame — NOT a semi-join
+    // against a second docs scan: the join form shuffled the whole
+    // tf frame by id AND carried an inferred isnotnull(id) filter
+    // that made the two tf subtrees unequal, defeating exchange
+    // reuse (the r17 plan showed the corpus tokenize+explode+agg
+    // planned six times). The flag is constant per document, so
+    // adding it to the grouping keys changes no groups — and the
+    // per-row semantics exactly match the oracle's
+    // `WHERE refPredicate`, with no unique-id precondition (the
+    // semi-join form double-counted duplicate ids).
     val tok = nonBlank.select(id, col(langCol),
+        expr(refPredicate).as("__ref"),
         wsTokenCount(col(textCol)).as("n_tok"),
         explode(wsTokens(col(textCol))).as("token"))
 
-    val tf = tok.groupBy(id, col(langCol), col("n_tok"), col("token"))
-      .agg(count(lit(1)).as("tf"))
+    val tf = materialize(
+      tok.groupBy(id, col(langCol), col("n_tok"), col("__ref"),
+          col("token"))
+        .agg(count(lit(1)).as("tf")))
 
-    // Reference unigram counts + (N, V), derived from the per-doc
-    // term frequencies already computed above: c(w) over the ref
-    // slice is the sum of its docs' tf(w) (ids are keys, so the
-    // bucket-marginal is exact — the x77 DSIR derivation). This
-    // removes the second corpus-text tokenize+explode+shuffle the
-    // operator used to pay for the ref slice; the tf subtree appears
-    // in both the join branch and this one, so the planner reuses
-    // ONE exchange for the heavy exploded aggregation, and only
-    // narrow (id, token, tf) rows of ref docs are re-aggregated.
-    // The ref ids come from a text-free scan of the docs (predicate
-    // may reference any docs column).
-    val refIds = nonBlank.filter(expr(refPredicate)).select(id)
-    val refCounts = materialize(tf
-      .join(refIds, Seq(idCol), "left_semi")
+    val refCounts = materialize(tf.filter(col("__ref"))
       .groupBy(col("token")).agg(sum(col("tf")).as("c")))
     val stats = refCounts.agg(sum(col("c")).as("n_ref"),
       count(lit(1)).as("v_ref"))

@@ -227,29 +227,29 @@ object Sampling {
     def bucketed(df: DataFrame): DataFrame = df
       .withColumn("__tk", wsTokens(col(textCol)))
       .filter(size(col("__tk")) >= 1)
-      .select(id,
+      .select(id, expr(targetPredicate).as("__tgt"),
         explode(concat(col("__tk"), adjacentBigrams(col("__tk"))))
           .as("feat"))
-      .select(id, (md5Hash60(col("feat")) % buckets).as("bucket"))
+      .select(id, col("__tgt"),
+        (md5Hash60(col("feat")) % buckets).as("bucket"))
 
     // one tokenization pass over the corpus: the raw histogram is the
-    // bucket-marginal of the per-doc counts
+    // bucket-marginal of the per-doc counts. Target membership rides
+    // the pass as a PER-ROW flag (it only reads docs columns) —
+    // constant per document, so adding it to the grouping keys
+    // changes no groups.
     val docBuckets = materialize(
-      bucketed(docs).groupBy(id, col("bucket"))
+      bucketed(docs).groupBy(id, col("__tgt"), col("bucket"))
         .agg(count(lit(1)).as("n")))
     val raw = docBuckets.groupBy(col("bucket"))
       .agg(sum(col("n")).cast("long").as("cr"))
-    // target histogram = the bucket-marginal of docBuckets restricted
-    // to target ids — a narrow semi-join against the (materialized)
-    // per-doc counts instead of a SECOND tokenize+explode pass over
-    // the target slice (guide §1.2 step 1 / §2.3: don't recompute the
-    // corpus-wide feature explosion when its aggregate already holds
-    // the answer). Identical values: sum of per-(id,bucket) counts
-    // over target ids == count of the target slice's exploded
-    // features (ids are keys throughout this operator).
-    val tgt = docBuckets
-      .join(docs.filter(expr(targetPredicate)).select(id), Seq(idCol),
-        "left_semi")
+    // target histogram = filter + re-aggregate of the (materialized)
+    // per-doc counts — NOT a semi-join against a second docs scan:
+    // the join form shuffled the whole narrow frame by id and
+    // re-read the docs table for its ids (guide §1.2 step 1 / §2.3).
+    // The per-row flag is exactly the oracle's `WHERE predicate`
+    // semantics, with no unique-id precondition.
+    val tgt = docBuckets.filter(col("__tgt"))
       .groupBy(col("bucket")).agg(sum(col("n")).cast("long").as("ct"))
     val totals = raw.agg(sum(col("cr")).as("nr"))
       .crossJoin(tgt.agg(sum(col("ct")).as("nt")))

@@ -495,7 +495,11 @@ private[queries] object ExtensionStorageRetrievalQueries {
         "groupBy; never pairwise, no suffix array, no task ever holds " +
         "more than one document",
       (s, dir) => Dedup.exactSubstringDedup(t(s, dir, "documents"),
-          "doc_id", "text", l = 8)
+          "doc_id", "text", l = 8,
+          // base (window extraction + reassembly) and wins (per-hash
+          // stats + join-back) each fork to two consumers; persisted,
+          // the tokenize and the window-hash pass each run ONCE
+          materialize = graft.operators.Dedup.defaultMaterialize)
         .orderBy(col("doc_id")),
       Some(Dedup.exactSubstringOracleSql("documents", "doc_id", "text", 8))),
 
@@ -509,7 +513,10 @@ private[queries] object ExtensionStorageRetrievalQueries {
         "hash exchange + one per-doc exchange whose state is a single " +
         "document's seed starts)",
       (s, dir) => Dedup.duplicateSpans(t(s, dir, "documents"),
-          "doc_id", "text", l = 8)
+          "doc_id", "text", l = 8,
+          // wins forks to the per-hash stats and the join-back;
+          // persisted, the tokenize+window-hash pass runs ONCE
+          materialize = graft.operators.Dedup.defaultMaterialize)
         .orderBy(col("doc_id"), col("span_start")),
       Some(Dedup.duplicateSpansOracleSql("documents", "doc_id",
         "text", 8))),
