@@ -30,9 +30,10 @@ object JobCount {
     val nJobs = new java.util.concurrent.atomic.AtomicInteger(0)
     val listener = new SparkListener {
       override def onJobStart(js: SparkListenerJobStart): Unit = {
-        val desc = Option(js.properties)
-          .flatMap(p => Option(p.getProperty("spark.job.description")))
-          .getOrElse("")
+        val p = Option(js.properties)
+        def prop(k: String) = p.flatMap(x => Option(x.getProperty(k)))
+        val desc = prop("spark.job.description")
+          .orElse(prop("callSite.short")).getOrElse("")
         starts.put(js.jobId, (js.time, desc))
       }
       override def onJobEnd(je: SparkListenerJobEnd): Unit = {

@@ -118,12 +118,29 @@ object Dedup {
     * DIFFERING texts would make min(est) adjudicate the pair by its
     * weakest text combination (the DuckDB oracle assumes the same
     * contract); run [[exactKeepFirst]]-style id assignment upstream if
-    * a corpus cannot guarantee it. */
+    * a corpus cannot guarantee it.
+    *
+    * The self-join carries a MERGE hint: left to the planner, the
+    * (small at gate SF) capped side lands under a BroadcastExchange
+    * and the whole signature pipeline (shingle explode, k hash mins,
+    * banding, two-phase cap) is computed TWICE — broadcast builds
+    * cannot reuse the other side's exchange (verified on the r18 x3
+    * plan dump: zero ReusedExchange, the full subtree planned once
+    * per side). As a sort-merge join, both sides are the IDENTICAL
+    * exchange on (band, band_key) that the cap's phase-2 window
+    * already establishes — ReusedExchange computes the pipeline
+    * once, and the window's (keys..., id) sort already satisfies the
+    * join's sort order, so the hint adds no exchange and no sort. At
+    * corpus scale SMJ is what the planner picks anyway (no side fits
+    * a broadcast); the hint aligns the gate-SF shape with it.
+    * (An eager checkpoint of the capped frame was measured first and
+    * rejected: x19 4.1→6.9 s, x21b 3.4→14 s solo warm — build-time
+    * barriers plus ~3 s/entry extra driver planning.) */
   def minHashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
       p: MinHashParams = MinHashParams(), minEst: Double = 0.75,
       maxBucket: Int = 1000, preDeduped: Boolean = false): DataFrame = {
     val capped = cappedBands(docs, idCol, textCol, p, maxBucket,
-      carrySig = true, preDeduped = preDeduped)
+      carrySig = true, preDeduped = preDeduped).hint("merge")
     // Adjudicate in the projection ABOVE the join, dedup band
     // collisions on the slim (id_a, id_b) keys, and threshold ABOVE
     // the aggregation. Each placement is load-bearing:
@@ -396,8 +413,11 @@ object Dedup {
     * buckets, never all-pairs. */
   def lshCandidatePairs(docs: DataFrame, idCol: String, textCol: String,
       p: MinHashParams = MinHashParams(), maxBucket: Int = 1000): DataFrame = {
+    // MERGE-hinted for the same reason as minHashNearDupPairs' self-
+    // join (see its scaladoc): as an SMJ both sides reuse ONE
+    // exchange and the signature pipeline computes once
     val capped = cappedBands(docs, idCol, textCol, p, maxBucket,
-      carrySig = false)
+      carrySig = false).hint("merge")
     capped.as("x").join(capped.as("y"),
         col("x.band") === col("y.band") &&
           col("x.band_key") === col("y.band_key") &&
@@ -811,9 +831,12 @@ object Dedup {
     * (the dominant cost) runs once per dedup pass, not twice. */
   def simHashNearDupPairsFromBands(bands: DataFrame, idCol: String,
       p: SimHashParams = SimHashParams()): DataFrame = {
+    // MERGE-hinted for the same reason as minHashNearDupPairs' self-
+    // join (see its scaladoc): as an SMJ both sides reuse ONE
+    // exchange and the signature pipeline computes once
     val capped = Caps.twoPhaseRank(bands,
       Seq(col("band"), col("bkey")), Seq(col(idCol)),
-      md5Hash60b(col(idCol).cast("string")), p.maxBucket)
+      md5Hash60b(col(idCol).cast("string")), p.maxBucket).hint("merge")
     val cand = capped.as("x").join(capped.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
           col(s"x.$idCol") < col(s"y.$idCol"))
