@@ -520,9 +520,16 @@ object Similarity {
     // ≤ maxCell per shard — lossless: a row with maxCell lower-id
     // rows in its OWN shard cannot be in the cell's overall lowest
     // maxCell — phase 2 ranks the ≤ shards×maxCell survivors.
+    // MERGE-hinted for the same reason as minHashNearDupPairs' band
+    // self-join (see its scaladoc): left to the planner, the capped
+    // side broadcasts at gate SF and the whole cell pipeline (scan,
+    // ArgmaxDot cell assignment, two-phase cap) is planned once per
+    // side with no exchange reuse; as an SMJ both sides are the
+    // identical (cell) exchange phase 2 establishes and it computes
+    // once. At corpus scale SMJ is the planner's own pick.
     val capped = Caps.twoPhaseRank(c, Seq(col("cell")), Seq(col("__id")),
       graft.functions.HashFunctions.md5Hash60b(col("__id").cast("string")),
-      maxCell)
+      maxCell).hint("merge")
     val lo = capped.select(col("cell"), col("__id").as("id_a"),
       col("__v").as("va"), col("__n").as("na"))
     val hi = capped.select(col("cell"), col("__id").as("id_b"),
