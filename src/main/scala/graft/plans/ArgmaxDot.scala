@@ -45,6 +45,28 @@ case class ArgmaxDot(child: Expression, codewords: Array[Array[Double]],
   require(offset >= 0, s"offset must be >= 0, got $offset")
   require(len >= 0, s"len must be >= 0, got $len")
 
+  // Case-class equality over Array params falls back to reference
+  // identity, under which two semantically identical ArgmaxDot nodes
+  // never compare equal — silently defeating Catalyst subexpression
+  // elimination and exchange reuse, the plan-reuse goal this node was
+  // built for (r17 ADVICE). Compare and hash the contents instead.
+  // canonicalized/semanticEquals go through equals, so this is the
+  // one override point.
+  override def equals(other: Any): Boolean = other match {
+    case o: ArgmaxDot =>
+      child == o.child && offset == o.offset && len == o.len &&
+        java.util.Arrays.equals(halfNorms, o.halfNorms) &&
+        codewords.length == o.codewords.length &&
+        codewords.indices.forall(j =>
+          java.util.Arrays.equals(codewords(j), o.codewords(j)))
+    case _ => false
+  }
+  override def hashCode(): Int =
+    java.util.Objects.hash(getClass, child,
+      Integer.valueOf(offset), Integer.valueOf(len),
+      Integer.valueOf(java.util.Arrays.hashCode(halfNorms)),
+      Integer.valueOf(codewords.map(java.util.Arrays.hashCode).sum))
+
   override def dataType: DataType = IntegerType
   override def prettyName: String = "argmax_dot"
 
@@ -54,6 +76,12 @@ case class ArgmaxDot(child: Expression, codewords: Array[Array[Double]],
   }
 
   override def checkInputDataTypes(): TypeCheckResult = elemType match {
+    // DecimalType is NumericType but has no primitive getter here —
+    // reject it at analysis instead of an executor-side
+    // IllegalStateException (r17 ADVICE)
+    case Some(_: DecimalType) => TypeCheckResult.TypeCheckFailure(
+      "argmax_dot does not support decimal element types; cast the " +
+        "array to double")
     case Some(_) => TypeCheckResult.TypeCheckSuccess
     case _ => TypeCheckResult.TypeCheckFailure(
       s"argmax_dot requires a numeric array, got " +

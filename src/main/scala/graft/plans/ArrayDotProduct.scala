@@ -31,6 +31,13 @@ case class ArrayDotProduct(left: Expression, right: Expression)
 
   override def checkInputDataTypes(): TypeCheckResult =
     (elemType(left), elemType(right)) match {
+      // DecimalType is NumericType but has no primitive getter here —
+      // reject it at analysis instead of an executor-side
+      // IllegalStateException (r17 ADVICE)
+      case (Some(_: DecimalType), _) | (_, Some(_: DecimalType)) =>
+        TypeCheckResult.TypeCheckFailure(
+          "array_dot does not support decimal element types; cast the " +
+            "arrays to double")
       case (Some(_), Some(_)) => TypeCheckResult.TypeCheckSuccess
       case _ => TypeCheckResult.TypeCheckFailure(
         s"array_dot requires two numeric arrays, got " +

@@ -62,7 +62,15 @@ private[queries] object ExtensionSupport {
     * separate collect job over the scratch table (the x19/x73
     * observe pattern applied to entry audits; guide §1.2: fewer
     * passes). A null metric (zero observed rows) reads as 0, matching
-    * `agg(...).collect()` semantics under the entries' REQUIREs. */
+    * `agg(...).collect()` semantics under the entries' REQUIREs.
+    *
+    * CAVEAT (r17 ADVICE): null→0 is only faithful for sum/count-style
+    * metrics, where an empty group genuinely IS 0. For max/min-style
+    * metrics (x90's keptMax/loserMin) null means "no matching rows"
+    * and 0 is a FABRICATED value — callers must guarantee a non-empty
+    * group before trusting such a metric (x90's sKept-range REQUIRE
+    * runs first and does exactly that; keep that ordering when
+    * reusing this helper). */
   def observedLongs(obs: org.apache.spark.sql.Observation,
       keys: String*): Seq[Long] = {
     val m = org.apache.spark.sql.GraftBridge.observedOrEmpty(obs)

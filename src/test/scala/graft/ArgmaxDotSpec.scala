@@ -108,4 +108,30 @@ class ArgmaxDotSpec extends SparkSpec {
       .collect().map(_.get(0))
     assert(viaEval == viaCodegen.toSeq)
   }
+
+  test("structurally equal nodes compare equal and hash equal " +
+    "(plan reuse: array params must compare by content, not identity)") {
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    def mk() = graft.plans.ArgmaxDot(
+      BoundReference(0, ArrayType(FloatType), nullable = true),
+      Array(Array(1.0, 2.0), Array(3.0, 4.0)), Array(0.5, 1.5), 0, 2)
+    val (a, b) = (mk(), mk())
+    assert(a == b && a.hashCode == b.hashCode)
+    assert(a.semanticEquals(b))
+    val diff = mk().copy(halfNorms = Array(0.5, 9.9))
+    assert(a != diff)
+    val diffBook = mk().copy(codewords =
+      Array(Array(1.0, 2.0), Array(3.0, 9.0)))
+    assert(a != diffBook)
+  }
+
+  test("decimal element types fail at analysis, not at eval") {
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.types.{ArrayType, DecimalType}
+    val e = graft.plans.ArgmaxDot(
+      BoundReference(0, ArrayType(DecimalType(18, 2)), nullable = true),
+      Array(Array(1.0)), Array(0.0), 0, 1)
+    assert(e.checkInputDataTypes().isFailure)
+  }
 }
