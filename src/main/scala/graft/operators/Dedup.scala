@@ -998,8 +998,15 @@ object Dedup {
   /** Exact character-n-gram Jaccard for given candidate pairs.
     * `pairs` must have columns (id_a, id_b). */
   def ngramJaccard(docs: DataFrame, pairs: DataFrame, idCol: String,
-      textCol: String, n: Int): DataFrame = {
-    val g = docs.select(col(idCol), charShingles(col(textCol), n).as("grams"))
+      textCol: String, n: Int,
+      materialize: DataFrame => DataFrame = identity): DataFrame = {
+    // the per-doc gram-set frame feeds BOTH join sides (a doc appears
+    // as id_a and id_b), and the sides join on different keys, so no
+    // exchange is shareable — under the identity default the
+    // charShingles projection over the corpus text runs twice;
+    // `materialize` cuts it to one pass
+    val g = materialize(
+      docs.select(col(idCol), charShingles(col(textCol), n).as("grams")))
     val ga = g.select(col(idCol).as("id_a"), col("grams").as("grams_a"))
     val gb = g.select(col(idCol).as("id_b"), col("grams").as("grams_b"))
     pairs.join(ga, "id_a").join(gb, "id_b")
